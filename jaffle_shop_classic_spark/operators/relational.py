@@ -1,0 +1,276 @@
+"""Relational operators R1-R13 (SURVEY §2.2) over the driver star schema.
+
+The jaffle mapping onto the TPC-H-ish test tables:
+  customer  -> raw_customers   (dimension keyed by c_custkey)
+  orders    -> raw_orders      (fact keyed by o_orderkey, FK o_custkey)
+  lineitem  -> raw_payments    (many-per-order fact, amount = l_extendedprice,
+                                payment_method analog = l_returnflag)
+
+Each query mirrors a reference model shape:
+  jaffle_customers -> /root/reference/models/customers.sql:20-67
+    (two pre-join aggregates + two LEFT joins; customers with no orders
+     keep NULL aggregates — never coalesce to 0, SURVEY §1.3)
+  jaffle_orders    -> /root/reference/models/orders.sql:15-54
+    (conditional-aggregate pivot by a compile-time list + grand total +
+     LEFT join back to orders; orders with no lineitems get NULL amounts)
+  stg_*            -> /root/reference/models/staging/stg_*.sql
+    (projection + rename + scalar arithmetic)
+
+Scale notes (100 TB design point):
+- staging "models" are pure projections: Catalyst collapses them into the
+  consumer plan, so the parquet scan reads only referenced columns.
+- both mart aggregations are partial->final hash aggregates (map-side
+  combine); the joins are equi-joins on the aggregation key, so AQE picks
+  broadcast when the aggregated side is small and sort-merge otherwise.
+- no Python UDFs anywhere on this path: whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+# compile-time pivot list, mirroring the Jinja `{% set payment_methods %}`
+# loop at /root/reference/models/orders.sql:1 (R12 — Python list replaces Jinja)
+RETURN_FLAGS = ["A", "N", "R"]
+
+
+def stg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename (stg_customers.sql:13-16 shape)."""
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+def stg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename incl. FK rename (stg_orders.sql:13-17 shape)."""
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+def stg_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename + scalar arithmetic (stg_payments.sql:13-19 shape).
+
+    `amount / 100` is true double division (SURVEY §1.3); rounded to 4dp
+    for cross-engine hash stability.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber")).alias("payment_id"),
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_returnflag").alias("payment_method"),
+        F.round(F.col("l_extendedprice") / 100, 4).alias("amount"),
+    )
+
+
+@register(
+    "stg_project_rename",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_custkey AS customer_id,
+           o_orderdate AS order_date,
+           o_orderstatus AS status
+    FROM orders
+    """,
+    doc="R3: projection + column rename (stg_orders shape).",
+)
+def q_stg_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stg_orders(spark, sf_dir)
+
+
+@register(
+    "stg_scalar_arith",
+    oracle="""
+    SELECT (l_orderkey * 10 + l_linenumber) AS payment_id,
+           l_orderkey AS order_id,
+           l_returnflag AS payment_method,
+           round(l_extendedprice / 100, 4) AS amount
+    FROM lineitem
+    """,
+    doc="R4: scalar arithmetic in projection (cents->dollars analog).",
+)
+def q_stg_scalar_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stg_payments(spark, sf_dir)
+
+
+@register(
+    "agg_customer_orders",
+    oracle="""
+    SELECT o_custkey AS customer_id,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS most_recent_order,
+           count(o_orderkey) AS number_of_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="R5: single-key hash aggregate (customers.sql:20-31 shape).",
+)
+def q_agg_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("most_recent_order"),
+            F.count("o_orderkey").alias("number_of_orders"),
+        )
+    )
+
+
+@register(
+    "agg_over_join",
+    oracle="""
+    SELECT o.o_custkey AS customer_id,
+           round(sum(l.l_extendedprice), 2) AS total_amount
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+    doc="R6+R7: aggregate grouped by a column from the other side of a "
+    "many-to-one LEFT join (customers.sql:33-46 shape).",
+)
+def q_agg_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payments = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        payments.join(orders, payments.l_orderkey == orders.o_orderkey, "left")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_amount"))
+    )
+
+
+@register(
+    "jaffle_customers",
+    oracle="""
+    WITH customer_orders AS (
+        SELECT o_custkey AS customer_id,
+               min(o_orderdate) AS first_order,
+               max(o_orderdate) AS most_recent_order,
+               count(o_orderkey) AS number_of_orders
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    customer_payments AS (
+        SELECT o.o_custkey AS customer_id,
+               round(sum(l.l_extendedprice), 2) AS customer_lifetime_value
+        FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey AS customer_id,
+           c.c_name AS name,
+           c.c_mktsegment AS segment,
+           co.first_order,
+           co.most_recent_order,
+           co.number_of_orders,
+           cp.customer_lifetime_value
+    FROM customer c
+    LEFT JOIN customer_orders co ON c.c_custkey = co.customer_id
+    LEFT JOIN customer_payments cp ON c.c_custkey = cp.customer_id
+    """,
+    doc="Flagship: full customers-mart analog (customers.sql:20-67). "
+    "R5+R6+R7+R8+R11 in one plan; NULL aggregates for customers "
+    "without orders are preserved (no coalesce).",
+)
+def q_jaffle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customers = stg_customers(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    payments = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+    customer_orders = (
+        orders.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("most_recent_order"),
+            F.count("o_orderkey").alias("number_of_orders"),
+        )
+    )
+    customer_payments = (
+        payments.join(
+            orders.select("o_orderkey", "o_custkey"),
+            payments.l_orderkey == orders.o_orderkey,
+            "left",
+        )
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("customer_lifetime_value"))
+    )
+    return (
+        customers.join(customer_orders, "customer_id", "left")
+        .join(customer_payments, "customer_id", "left")
+        .select(
+            "customer_id",
+            "name",
+            "segment",
+            "first_order",
+            "most_recent_order",
+            "number_of_orders",
+            "customer_lifetime_value",
+        )
+    )
+
+
+def _pivot_amount_sql(flag: str) -> str:
+    return (
+        f"round(sum(CASE WHEN l_returnflag = '{flag}' THEN l_extendedprice "
+        f"ELSE 0 END), 2) AS {flag.lower()}_amount"
+    )
+
+
+@register(
+    "jaffle_orders",
+    oracle=f"""
+    WITH order_payments AS (
+        SELECT l_orderkey AS order_id,
+               {", ".join(_pivot_amount_sql(m) for m in RETURN_FLAGS)},
+               round(sum(l_extendedprice), 2) AS amount
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey AS order_id,
+           o.o_custkey AS customer_id,
+           o.o_orderdate AS order_date,
+           o.o_orderstatus AS status,
+           {", ".join("p." + m.lower() + "_amount" for m in RETURN_FLAGS)},
+           p.amount
+    FROM orders o
+    LEFT JOIN order_payments p ON o.o_orderkey = p.order_id
+    """,
+    doc="Orders-mart analog (orders.sql:15-54): conditional-aggregate pivot "
+    "over a compile-time list (R9/R12) + grand total (R10) + LEFT join "
+    "(R8). Orders with no lineitems keep NULL amounts; within a group "
+    "unused flags get 0 — the null-vs-zero trap of SURVEY §1.3.",
+)
+def q_jaffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payments = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    pivot_cols = [
+        F.round(
+            F.sum(
+                F.when(F.col("l_returnflag") == m, F.col("l_extendedprice")).otherwise(F.lit(0.0))
+            ),
+            2,
+        ).alias(f"{m.lower()}_amount")
+        for m in RETURN_FLAGS
+    ]
+    order_payments = payments.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+        *pivot_cols, F.round(F.sum("l_extendedprice"), 2).alias("amount")
+    )
+    orders = stg_orders(spark, sf_dir)
+    return orders.join(order_payments, "order_id", "left").select(
+        "order_id",
+        "customer_id",
+        "order_date",
+        "status",
+        *[f"{m.lower()}_amount" for m in RETURN_FLAGS],
+        "amount",
+    )

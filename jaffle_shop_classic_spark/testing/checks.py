@@ -1,0 +1,88 @@
+"""Declarative data-quality checks — the reference's test surface.
+
+The reference declares 20 test instances of 4 kinds in YAML
+(/root/reference/models/schema.yml, models/staging/schema.yml); dbt
+compiles each into a query whose result must be empty. Here each kind
+is a function DataFrame -> DataFrame of *violating rows*; a check
+passes iff the violation frame is empty (SURVEY §2.3 T1-T4).
+
+All four compile to single-shuffle (or shuffle-free) plans:
+  unique            -> hash aggregate on the column, HAVING count>1
+  not_null          -> scan-level filter (pushed into parquet scan)
+  accepted_values   -> scan-level filter
+  relationships     -> LEFT ANTI equi-join (broadcast when parent small)
+so they run at data scale, not driver scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unique(df: DataFrame, column: str) -> DataFrame:
+    """Violations of `unique`: values occurring more than once (NULLs ignored).
+
+    Mirrors dbt's built-in unique test (declared e.g. at
+    /root/reference/models/schema.yml:11).
+    """
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def not_null(df: DataFrame, column: str) -> DataFrame:
+    """Violations of `not_null`: rows where the column is NULL
+    (/root/reference/models/schema.yml:12)."""
+    return df.filter(F.col(column).isNull())
+
+
+def accepted_values(df: DataFrame, column: str, values: Sequence[str]) -> DataFrame:
+    """Violations of `accepted_values`: non-NULL values outside the list
+    (/root/reference/models/schema.yml:55-57)."""
+    return df.filter(F.col(column).isNotNull() & ~F.col(column).isin(list(values)))
+
+
+def relationships(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str
+) -> DataFrame:
+    """Violations of `relationships`: non-NULL FK values with no matching
+    parent PK (/root/reference/models/schema.yml:46-48). LEFT ANTI join —
+    Spark broadcasts the parent side when it is small."""
+    parent_keys = parent.select(F.col(pk).alias("__pk")).dropDuplicates(["__pk"])
+    return (
+        child.filter(F.col(fk).isNotNull())
+        .join(parent_keys, F.col(fk) == F.col("__pk"), "left_anti")
+    )
+
+
+@dataclass
+class CheckResult:
+    name: str
+    passed: bool
+    n_violations: int
+    sample: list = field(default_factory=list)
+
+    def __str__(self) -> str:
+        status = "PASS" if self.passed else f"FAIL ({self.n_violations} rows)"
+        return f"{self.name}: {status}"
+
+
+def run_checks(checks: dict[str, DataFrame], sample_rows: int = 5) -> list[CheckResult]:
+    """Evaluate named violation frames; report violating rows on failure
+    (the `dbt test --store-failures` behavior)."""
+    results = []
+    for name, viol in checks.items():
+        rows = viol.limit(sample_rows + 1).collect()
+        if not rows:
+            results.append(CheckResult(name, True, 0))
+        else:
+            n = viol.count()
+            results.append(CheckResult(name, False, n, [r.asDict() for r in rows[:sample_rows]]))
+    return results
