@@ -1,0 +1,69 @@
+"""CLI: seed / run / test / docs — mirrors the reference's entry points
+(/root/reference/README.md:46-71: `dbt seed`, `dbt run`, `dbt test`,
+`dbt docs generate`).
+
+    python -m jaffle_shop_classic_spark run --warehouse /tmp/wh
+    python -m jaffle_shop_classic_spark test
+    python -m jaffle_shop_classic_spark docs --out catalog.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .models.jaffle import build_project, jaffle_checks, load_jaffle_sources
+from .plans.docs import generate_catalog, render_markdown, write_catalog
+from .session import get_spark
+from .sources.seeds import DEFAULT_SEED_DIR
+from .testing.checks import run_checks
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="jaffle_shop_classic_spark")
+    ap.add_argument("command", choices=["seed", "run", "test", "docs"])
+    ap.add_argument("--seed-dir", default=DEFAULT_SEED_DIR)
+    ap.add_argument("--warehouse", default=None, help="parquet output dir for table models")
+    ap.add_argument("--out", default=None, help="docs: output JSON path")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("jaffle_cli")
+    project = build_project(warehouse_dir=args.warehouse)
+    load_jaffle_sources(project, spark, args.seed_dir)
+
+    if args.command == "seed":
+        for name, df in project.sources.items():
+            print(f"{name}: {df.count()} rows")
+        return 0
+
+    built = project.run(spark)
+    if args.command == "run":
+        for name in project.topo_order():
+            spec = project.models[name]
+            print(f"{name} [{spec.materialized}]: {built[name].count()} rows")
+        return 0
+
+    if args.command == "test":
+        results = run_checks(jaffle_checks(built))
+        failed = [r for r in results if not r.passed]
+        for r in results:
+            print(r)
+            if not r.passed:
+                for row in r.sample:
+                    print(f"    {row}")
+        print(f"\n{len(results) - len(failed)}/{len(results)} tests passed")
+        return 1 if failed else 0
+
+    if args.command == "docs":
+        catalog = generate_catalog(project, built)
+        if args.out:
+            write_catalog(project, built, args.out)
+            print(f"wrote {args.out}")
+        else:
+            print(render_markdown(catalog))
+        return 0
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,73 @@
+"""DAG runner semantics: topo order, cycle detection, selection,
+materialization modes."""
+
+from __future__ import annotations
+
+import graphlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from jaffle_shop_classic_spark.plans.registry import Project
+
+
+def _tiny_project(spark, warehouse=None):
+    p = Project(warehouse_dir=warehouse)
+    p.add_source("src", spark.range(10).withColumnRenamed("id", "n"))
+
+    @p.model(name="a", deps=("src",))
+    def a(ctx):
+        return ctx.ref("src").filter(F.col("n") >= 5)
+
+    @p.model(name="b", deps=("a",), materialized="table")
+    def b(ctx):
+        return ctx.ref("a").agg(F.sum("n").alias("total"))
+
+    return p
+
+
+def test_topo_order_and_run(spark):
+    p = _tiny_project(spark)
+    order = p.topo_order()
+    assert order.index("a") < order.index("b")
+    built = p.run(spark)
+    assert built["b"].collect()[0]["total"] == 5 + 6 + 7 + 8 + 9
+
+
+def test_cycle_detection(spark):
+    p = Project()
+
+    @p.model(name="x", deps=("y",))
+    def x(ctx):
+        return ctx.ref("y")
+
+    @p.model(name="y", deps=("x",))
+    def y(ctx):
+        return ctx.ref("x")
+
+    with pytest.raises(graphlib.CycleError):
+        p.topo_order()
+
+
+def test_selection_pulls_upstream(spark):
+    p = _tiny_project(spark)
+    built = p.run(spark, select=["b"])
+    assert "a" in built and "b" in built
+
+
+def test_table_materialization_writes_parquet(spark, tmp_path):
+    p = _tiny_project(spark, warehouse=str(tmp_path))
+    built = p.run(spark)
+    assert (tmp_path / "b").exists()
+    assert built["b"].inputFiles()
+
+
+def test_unknown_ref_raises(spark):
+    p = Project()
+
+    @p.model(name="m", deps=("nope",))
+    def m(ctx):
+        return ctx.ref("nope")
+
+    with pytest.raises(KeyError):
+        p.run(spark)
