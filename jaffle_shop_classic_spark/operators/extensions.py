@@ -1,1 +1,824 @@
-"""Placeholder — populated in a later milestone."""
+"""Extension operators X1-X11 + X14 (SURVEY §2.4) — pure Spark built-ins.
+
+Everything here stays inside whole-stage codegen: filters and projections
+push into the parquet scan; aggregates are partial->final; windows sort
+once per partition key. No Python UDFs.
+
+Cross-engine parity conventions (vs the DuckDB oracle):
+- Spark ``union`` is UNION ALL; SQL ``UNION`` deduplicates — both
+  variants are registered explicitly.
+- LIMIT queries order by a unique tiebreaker so the row set is
+  deterministic.
+- Running/windowed double sums use a deterministic ORDER BY, so both
+  engines add in the same order; outputs are still rounded.
+- Tumbling/sliding windows bucket on epoch-second arithmetic rather than
+  engine-specific window functions, pinning identical bucket boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+
+# ---------------------------------------------------------------- X1 filters
+@register(
+    "filter_in_between",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_totalprice AS total
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 1000 AND 50000
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    """,
+    doc="X1: IN + BETWEEN + range predicates, all pushed to the parquet scan.",
+)
+def q_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 50000)
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    ).select(F.col("o_orderkey").alias("order_id"), F.col("o_totalprice").alias("total"))
+
+
+@register(
+    "filter_null_safe_eq",
+    oracle="""
+    SELECT o.o_orderkey AS order_id,
+           (l.sum_qty IS NOT DISTINCT FROM l.max_qty) AS qty_all_in_one_line
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+    doc="X1: null-safe equality (<=>); orders with no lineitems compare "
+    "NULL<=>NULL = true instead of NULL.",
+)
+def q_filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.max("l_quantity").alias("max_qty"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("sum_qty").eqNullSafe(F.col("max_qty")).alias("qty_all_in_one_line"),
+    )
+
+
+# ---------------------------------------------------------------- X2 joins
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey AS customer_id
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+    doc="X2: LEFT SEMI join (EXISTS) — emits each customer at most once.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("customer_id")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey AS customer_id
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+    doc="X2: LEFT ANTI join (NOT EXISTS).",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("customer_id")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.nk, s.nk) AS nation_key,
+           c.n_customers, s.n_suppliers
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_customers
+          FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+          FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+    doc="X2: FULL OUTER join of two aggregates with non-overlapping keys.",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, "nk", "full").select(
+        F.col("nk").alias("nation_key"), "n_customers", "n_suppliers"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    FROM region r CROSS JOIN nation n
+    """,
+    doc="X2: explicit CROSS join of two small dimensions (125 rows).",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return r.crossJoin(n)
+
+
+# ---------------------------------------------------------------- X3 sort/limit
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_totalprice AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="X3: global top-k with unique tiebreaker (Spark runs TakeOrdered — "
+    "per-partition top-k then merge, no full sort).",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(F.col("o_orderkey").alias("order_id"), F.col("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT customer_id, order_id, total, rn AS rank_in_customer
+    FROM (
+      SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+             o_totalprice AS total,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    doc="X3/X7: per-group top-k via row_number window — the scalable "
+    "pattern (single shuffle on the group key, no global sort).",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total"),
+            F.col("rn").alias("rank_in_customer"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- X4 distinct
+@register(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nation_key, c_mktsegment AS segment
+    FROM customer
+    """,
+    doc="X4: exact distinct = hash aggregate on all projected columns.",
+)
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nation_key"), F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- X5 set ops
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'P'
+    UNION
+    SELECT c_custkey AS customer_id FROM customer WHERE c_acctbal < 0
+    """,
+    doc="X5: UNION (distinct) — Spark union() is bag semantics, so "
+    ".distinct() is required to match SQL UNION.",
+)
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("customer_id"))
+    )
+    b = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("customer_id"))
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT c_custkey AS customer_id FROM customer WHERE c_acctbal < 0
+    """,
+    doc="X5: UNION ALL (bag) — Spark's native union.",
+)
+def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("customer_id"))
+    )
+    b = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("customer_id"))
+    )
+    return a.union(b)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'P'
+    INTERSECT
+    SELECT c_custkey AS customer_id FROM customer WHERE c_acctbal < 0
+    """,
+    doc="X5: INTERSECT (distinct semantics in both engines).",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("customer_id"))
+    )
+    b = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("customer_id"))
+    )
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS customer_id FROM customer WHERE c_acctbal < 0
+    EXCEPT
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="X5: EXCEPT (distinct semantics).",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("customer_id"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("customer_id"))
+    )
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------- X6 rollup/cube
+@register(
+    "rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="X6: ROLLUP — subtotal rows carry NULL group keys in both engines.",
+)
+def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup(F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="X6: CUBE over two keys.",
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube(
+        F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status")
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="X6: explicit GROUPING SETS via the SQL surface (temp views + "
+    "spark.sql) — same Catalyst Expand plan as rollup/cube.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+# ---------------------------------------------------------------- X7 windows
+@register(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_dense_rank
+    FROM orders
+    """,
+    doc="X7: rank/dense_rank windows (ties share ranks deterministically).",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_custkey AS customer_id,
+           lag(o_orderkey) OVER w AS prev_order_id,
+           lead(o_orderkey) OVER w AS next_order_id
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="X7: lag/lead over a deterministic (tiebroken) ordering.",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.lag("o_orderkey").over(w).alias("prev_order_id"),
+        F.lead("o_orderkey").over(w).alias("next_order_id"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_custkey AS customer_id,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+    doc="X7: running aggregate with an explicit ROWS frame; identical "
+    "ordering in both engines makes the double sum deterministic.",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+           round(sum(l_extendedprice) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS neighborhood_amount
+    FROM lineitem
+    """,
+    doc="X7: RANGE frame over an integer ordering column.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber").rangeBetween(-1, 1)
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_number"),
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("neighborhood_amount"),
+    )
+
+
+# ---------------------------------------------------------------- X8 approx
+@register(
+    "count_distinct_exact",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="X8 baseline: exact distinct count (expands to two-phase agg).",
+)
+def q_count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines — rows-only check
+    doc="X8: approx_count_distinct (HyperLogLog++, rsd=1%) — the 100 TB "
+    "path for distinct counts: constant memory per group vs a "
+    "two-phase exact expansion. No oracle: sketch estimates are "
+    "implementation-specific.",
+)
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
+    )
+
+
+@register(
+    "percentile_exact",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="X8: exact interpolated percentile (Spark `percentile` == DuckDB "
+    "quantile_cont).",
+)
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.percentile("o_totalprice", 0.5), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90"),
+    )
+
+
+@register(
+    "percentile_approx",
+    oracle=None,  # t-digest/GK sketches differ across engines
+    doc="X8: percentile_approx — constant-memory quantile sketch for the "
+    "100 TB path. Rows-only check.",
+)
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx")
+    )
+
+
+# ---------------------------------------------------------------- X9 scalar fns
+@register(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           lower(c_mktsegment) AS segment_lower,
+           upper(substr(c_name, 1, 8)) AS name_prefix,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_number,
+           length(c_name) AS name_len,
+           replace(c_name, 'Customer#', 'C-') AS short_name
+    FROM customer
+    """,
+    doc="X9: lower/upper/substr/regexp_extract/length/replace.",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint").alias("name_number"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_name", r"Customer#", "C-").alias("short_name"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           dayofweek(CAST(o_orderdate AS DATE)) AS dow
+    FROM orders
+    """,
+    doc="X9: year/month/date_trunc/datediff/dayofweek on timestamps. "
+    "DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday, so Spark shifts.",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("dow"),
+    )
+
+
+@register(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+           round(abs(l_extendedprice - 1000.0), 2) AS abs_diff,
+           round(ln(l_extendedprice + 1), 6) AS log_price,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket
+    FROM lineitem
+    """,
+    doc="X9: abs/ln/sqrt/floor arithmetic.",
+)
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_number"),
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("abs_diff"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_bucket"),
+    )
+
+
+# ---------------------------------------------------------------- X10 JSON
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="X10: JSON field extraction from a string column + aggregate. "
+    "get_json_object evaluates JVM-side without full parse "
+    "materialization.",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "json_schema_parse",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+    doc="X10: from_json with an explicit schema (typed struct access), "
+    "filter on the parsed field.",
+)
+def q_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("j", F.from_json("props", "k BIGINT"))
+    return parsed.filter(F.col("j.k") > 90).select("event_id", F.col("j.k").alias("k"))
+
+
+# ---------------------------------------------------------------- X11 arrays
+@register(
+    "array_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    doc="X11: higher-order array functions (transform + aggregate) for an "
+    "L2 norm — JVM-side lambda evaluation, no Python.",
+)
+def q_array_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
+    "array_explode_stats",
+    oracle="""
+    SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 4) AS avg_val
+    FROM (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    )
+    WHERE pos < 4
+    GROUP BY label, pos
+    """,
+    doc="X11: posexplode an array column + aggregate by position.",
+)
+def q_array_explode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 4)
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("avg_val"))
+    )
+
+
+# ---------------------------------------------------------------- X14 windows (batch)
+@register(
+    "tumbling_window",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="X14: 10-minute tumbling window via epoch-bucket arithmetic "
+    "(identical boundaries in both engines; in Spark Structured "
+    "Streaming the same logic is F.window(ts, '10 minutes') — see "
+    "streaming/windows.py).",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds((F.unix_timestamp("ts") / 600).cast("bigint") * 600)
+    return e.groupBy(
+        bucket.alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@register(
+    "sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS slide_start, value
+      FROM events
+    ),
+    expanded AS (
+      SELECT slide_start AS window_start, value FROM buckets
+      UNION ALL
+      SELECT slide_start - INTERVAL 5 MINUTE AS window_start, value FROM buckets
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM expanded
+    GROUP BY window_start
+    """,
+    doc="X14: 10-minute window sliding by 5 — each event lands in 2 "
+    "windows. Spark uses native F.window(ts, '10 minutes', '5 minutes'); "
+    "the oracle expands the two bucket families explicitly.",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "session_window_batch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="X14: batch sessionization (30-min gap) via lag + running sum — "
+    "the classic two-window pattern; single shuffle on user_id. The "
+    "streaming twin is F.session_window (streaming/windows.py).",
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

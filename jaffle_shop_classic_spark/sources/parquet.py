@@ -9,6 +9,8 @@ and row groups (check ``PushedFilters`` / ``ReadSchema`` in .explain).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -28,6 +30,18 @@ DIMENSIONS = frozenset({"region", "nation", "supplier", "part"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+        # default; read nanos as long (runtime-settable SQL conf) and
+        # floor-convert to a microsecond timestamp — the same truncation
+        # DuckDB applies, so oracle comparisons stay exact.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer `div`, not `/`: double division rounds at 1e18-nano
+            # magnitudes, shifting some stamps by 1 µs vs DuckDB's floor
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
