@@ -1,1 +1,304 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators (SURVEY §2.4 X4/X13) over the documents table.
+
+Four tiers, each the idiomatic Spark shape for its scale regime:
+
+  exact        md5(text) hash-groupBy — one partial->final aggregate.
+  minhash+LSH  word-3-shingles -> k portable min-hashes -> banded keys ->
+               self-equi-join on band key. Map-only signature stage, one
+               shuffle on band keys; candidate verification joins
+               signatures back. This is THE 100 TB near-dup pattern: cost
+               is O(docs x k) + O(candidate pairs), never O(n^2).
+  simhash      16-bit sign-aggregated token fingerprint; hamming-close
+               docs collide on prefix buckets.
+  ngram-jaccard exact pairwise Jaccard *within small blocks* (here:
+               same source) — the verifier you run on LSH candidates,
+               expressed standalone for oracle coverage.
+
+Portability trick: every hash is md5 (identical hex in Spark and DuckDB),
+and min-of-hex-strings == min-of-values for fixed-width lowercase hex —
+so even the MinHash signatures are bit-for-bit oracle-checkable. A
+production deployment would swap md5 for xxhash64 (cheaper, JVM-side);
+the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+from .text import _TOKENS_SQL, tokens_col
+
+NUM_HASHES = 8  # minhash signature length
+NUM_BANDS = 4  # 2 hashes per band
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------- shingles
+def shingles_col(text: Column) -> Column:
+    """Distinct word 3-shingles; whole text as fallback for tiny docs."""
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= 3, grams).otherwise(F.array(F.trim(text)))
+    )
+
+
+_SHINGLES_SQL = f"""
+    list_distinct(
+      CASE WHEN len({_TOKENS_SQL}) >= 3
+           THEN list_transform(range(1, len({_TOKENS_SQL}) - 1),
+                i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2])
+           ELSE [trim(text)] END)
+"""
+
+
+# ---------------------------------------------------------------- exact
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="X4: exact content dedup — hash-groupBy on md5(text), keep the "
+    "min doc_id per group. Single partial->final aggregate; at 100 TB "
+    "the 32-byte hash shuffles instead of the document bodies.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------- minhash
+def _salted_md5(salt: str):
+    # single-arg lambda factory: a two-arg lambda (e.g. `lambda s, i=i:`)
+    # would make F.transform pass the *element index* as the second arg
+    return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+
+def minhash_sig(shingles: Column) -> Column:
+    """k portable min-hashes: min over shingles of md5('<i>|'||shingle)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _salted_md5(f"{i}|")))
+            for i in range(NUM_HASHES)
+        ]
+    )
+
+
+def _minhash_sig_sql(shingles_expr: str) -> str:
+    parts = ", ".join(
+        f"list_aggregate(list_transform({shingles_expr}, s -> md5('{i}|' || s)), 'min')"
+        for i in range(NUM_HASHES)
+    )
+    return f"[{parts}]"
+
+
+_SIGS_CTE = f"""
+    sigs AS (
+      SELECT doc_id, {_minhash_sig_sql('sh')} AS sig
+      FROM (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+    )
+"""
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH {_SIGS_CTE}
+    SELECT doc_id, array_to_string(sig, ',') AS signature
+    FROM sigs
+    """,
+    doc="X13: MinHash signatures (k=8) over word-3-shingles — map-only "
+    "stage, O(docs x k x shingles), embarrassingly parallel.",
+)
+def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_sig(shingles_col(F.col("text")))
+    return d.select("doc_id", F.array_join(sig, ",").alias("signature"))
+
+
+def _bands(sig: Column) -> Column:
+    """Band keys: md5 over each pair of adjacent signature entries."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.element_at(sig, 2 * j + 1),
+                    F.element_at(sig, 2 * j + 2),
+                    F.lit(str(j)),
+                )
+            )
+            for j in range(NUM_BANDS)
+        ]
+    )
+
+
+_BANDS_SQL = (
+    "["
+    + ", ".join(f"md5(sig[{2 * j + 1}] || sig[{2 * j + 2}] || '{j}')" for j in range(NUM_BANDS))
+    + "]"
+)
+
+_SIG_MATCH_SQL = (
+    "list_sum(list_transform(range(1, "
+    f"{NUM_HASHES + 1}), i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))"
+    f" / {float(NUM_HASHES)}"
+)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SIGS_CTE},
+    bands AS (
+      SELECT doc_id, unnest({_BANDS_SQL}) AS band_key
+      FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round({_SIG_MATCH_SQL}, 4) AS est_jaccard
+    FROM pairs p
+    JOIN sigs a ON a.doc_id = p.doc_a
+    JOIN sigs b ON b.doc_id = p.doc_b
+    """,
+    doc="X13: MinHash LSH candidate pairs — band signatures (4 bands x 2 "
+    "rows), self-equi-join on band key, then estimate Jaccard from full "
+    "signatures. One shuffle on band keys + one on doc ids; never "
+    "compares all n^2 pairs. AQE handles hot-band skew; a production "
+    "run also caps pathological band sizes (salting or band-size "
+    "filter).",
+)
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", minhash_sig(shingles_col(F.col("text"))).alias("sig"))
+    bands = sigs.select("doc_id", F.explode(_bands(F.col("sig"))).alias("band_key"))
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    matches = F.aggregate(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda u, v: (u == v).cast("int")),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    )
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / float(NUM_HASHES), 4).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def _bit_pm1_sql(bit: int) -> str:
+    """Portable SQL: bit <bit> of an md5 hex digest mapped to +/-1."""
+    nibble_pos = bit // 4 + 1
+    shift = 3 - bit % 4
+    return (
+        f"(CAST(floor((instr('0123456789abcdef', substr(h, {nibble_pos}, 1)) - 1) "
+        f"/ {2 ** shift}) AS INTEGER) % 2) * 2 - 1"
+    )
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(f"sum({_bit_pm1_sql(b)}) AS s{b}" for b in range(SIMHASH_BITS))
+    digits = ", ".join(f"CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS t FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(t) AS h FROM tok),
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, concat({digits}) AS simhash
+    FROM sums
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_sql(),
+    doc="X13: 16-bit SimHash — each distinct token votes +/-1 per bit of "
+    "its md5; the sign vector is the fingerprint. Hamming-close "
+    "fingerprints => similar token sets. Explode + one aggregate; the "
+    "16 bit-sums ride the same shuffle. Identical bit arithmetic runs "
+    "in both engines via portable SQL expressions.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("t")
+    ).select("doc_id", F.md5("t").alias("h"))
+    sums = tok.groupBy("doc_id").agg(
+        *[F.sum(F.expr(_bit_pm1_sql(b))).alias(f"s{b}") for b in range(SIMHASH_BITS)]
+    )
+    digits = [
+        F.when(F.col(f"s{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(SIMHASH_BITS)
+    ]
+    return sums.select("doc_id", F.concat(*digits).alias("simhash"))
+
+
+# ---------------------------------------------------------------- jaccard
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, {_SHINGLES_SQL} AS s FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 50
+    """,
+    doc="X13: exact n-gram Jaccard within blocks (same source) — the "
+    "verification step for LSH candidates, O(block^2) only. Blocking "
+    "key choice is what keeps this tractable at 100 TB; unblocked "
+    "pairwise comparison is never executed.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source", shingles_col(F.col("text")).alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(50)
+    )

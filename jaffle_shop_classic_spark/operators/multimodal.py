@@ -1,1 +1,125 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal-column operators (SURVEY §2.4 mandate) — binary payloads
+with typed metadata.
+
+The driver corpus has no real image/audio bytes, so the *decode* step is
+a clearly-marked deterministic stub (see `decode_stub_batch`); everything
+around it — binary columns, byte-level metadata, Arrow-batched
+mapInPandas plumbing, frame-sampling expansion — is real Spark and
+tested. Swapping the stub for PIL/ffmpeg is a one-function change; the
+schema, partitioning and batch shape stay as-is.
+
+At 100 TB: binary payloads stay columnar in parquet (never shuffled
+unless an operator needs the bytes); metadata extraction is map-only;
+mapInPandas streams Arrow batches so peak memory is one batch per core,
+not one partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS content_md5,
+           substr(text, 1, 1) AS magic_prefix
+    FROM documents
+    """,
+    doc="Multimodal: binary payload metadata — byte length, content hash, "
+    "magic-byte prefix. Map-only; the payload column is pruned from "
+    "every downstream plan that doesn't touch the bytes.",
+)
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.substring("text", 1, 1).alias("magic_prefix"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(range(0, CAST(n_chars // 100 AS BIGINT) + 1)) AS frame_idx
+    FROM documents
+    """,
+    doc="Multimodal: frame-sampling expansion — one row per sampled frame "
+    "of a (simulated) video payload, frame count derived from payload "
+    "size. sequence+explode; the expansion happens executor-side, "
+    "never on the driver.",
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    frames = F.sequence(F.lit(0).cast("bigint"), (F.col("n_chars") / 100).cast("bigint"))
+    return d.select("doc_id", F.explode(frames).alias("frame_idx"))
+
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, channels int, feature array<double>"
+)
+
+
+def decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 'decode' binary payloads into image metadata +
+    a feature vector.
+
+    STUB: the container has no image/audio codecs. A real deployment
+    replaces the body below with e.g. PIL.Image.open(io.BytesIO(b)) —
+    guarded here so the intent is explicit. The deterministic fake
+    derives metadata from the payload bytes so tests have stable
+    expectations, and the Arrow batch shape / schema / partitioning are
+    exactly what the real decoder would use.
+    """
+    try:
+        import PIL.Image  # noqa: F401 — not installed in this container
+
+        have_codec = True
+    except ImportError:
+        have_codec = False
+
+    for pdf in batches:
+        if have_codec:  # pragma: no cover — codec path not available here
+            raise NotImplementedError("real decode path: wire PIL here")
+        payloads = pdf["payload"]
+        n_bytes = payloads.str.len().astype("int32")
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "width": (n_bytes % 640).astype("int32"),
+                "height": (n_bytes % 480).astype("int32"),
+                "channels": 3,
+                "feature": [
+                    [float(b[i % len(b)]) / 255.0 for i in range(8)] if len(b) else [0.0] * 8
+                    for b in payloads
+                ],
+            }
+        )
+        yield out
+
+
+@register(
+    "mm_decode_stub",
+    oracle=None,  # Python-side stub decode — rows-only check
+    doc="Multimodal: Arrow-batched mapInPandas decode plumbing (stubbed "
+    "codec). Demonstrates the real UDF signature, schema and batch "
+    "iteration; the decode body is a deterministic fake.",
+)
+def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return d.mapInPandas(decode_stub_batch, DECODE_SCHEMA)

@@ -1,1 +1,204 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search operators X13 (SURVEY §2.4) over the embeddings table.
+
+Three tiers:
+  brute-force top-k   broadcast the (tiny) query vector, score every row,
+                      TakeOrdered — exact, one pass, no shuffle of the
+                      embedding table. The baseline at any scale where a
+                      full scan is acceptable.
+  blocked pair search exact cosine only *within* blocks (here: same
+                      label); the block key bounds the quadratic term.
+  hyperplane LSH ANN  sign-of-dot against D fixed random hyperplanes
+                      gives a B-bit bucket; candidates = same bucket as
+                      the query; exact cosine re-ranks the candidates.
+                      At 100 TB: the bucket id is a map-only column, the
+                      candidate fetch is a bucket-key equi-join (AQE
+                      handles hot buckets), and the re-rank touches only
+                      the candidate set — never O(n) per query.
+
+The hyperplanes are derived from md5 in *Python at plan-build time* and
+embedded as literals in both the Spark plan and the DuckDB oracle — the
+two engines score against byte-identical hyperplanes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_parts, cosine_sql, dot
+from ..sources.parquet import load_table
+from .catalog import register
+
+DIM = 64
+NUM_PLANES = 4  # 16 buckets over ~n docs; tune to target bucket size
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic +/-1 hyperplanes from md5(plane|dim) — same literals
+    reach both engines."""
+    planes = []
+    for j in range(NUM_PLANES):
+        row = []
+        for i in range(DIM):
+            h = hashlib.md5(f"{j}|{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+PLANES = _hyperplanes()
+
+
+def _bucket_col(emb):
+    digits = []
+    for plane in PLANES:
+        p = F.array(*[F.lit(v) for v in plane])
+        d = dot(emb, p)
+        digits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*digits)
+
+
+def _bucket_sql(emb: str) -> str:
+    parts = []
+    for plane in PLANES:
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        d = (
+            f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        parts.append(f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round({cosine_sql('e.embedding', 'q.qv')}, 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    doc="X13: exact brute-force cosine top-k against a query vector — "
+    "broadcast 1-row query, JVM-side zip_with/aggregate math, "
+    "TakeOrdered (per-partition top-k + merge, no global sort).",
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_parts(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@register(
+    "sim_pairs_blocked",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+    LIMIT 50
+    """,
+    doc="X13: exact near-duplicate pair search within blocks (same label) "
+    "— the quadratic term is bounded by block size; the blocked "
+    "self-join shuffles once on the block key.",
+)
+def q_sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cosine_parts(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "sim_ann_hyperplane",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, label, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM bucketed WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, e.bucket,
+           round({cosine_sql('e.embedding', 'q.qv')}, 6) AS cosine
+    FROM bucketed e JOIN q ON e.bucket = q.qb
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+    doc="X13: LSH approximate nearest neighbors — 4 sign-of-dot "
+    "hyperplane bits form the bucket; exact cosine re-ranks only the "
+    "query's bucket. The scale path for similarity search: bucketing "
+    "is map-only, candidate fetch is an equi-join on the bucket key.",
+)
+def q_sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "label", "embedding", _bucket_col(F.col("embedding")).alias("bucket"))
+    q = (
+        bucketed.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qb"))
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(cosine_parts(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+@register(
+    "sim_ml_lsh_bucketed",
+    oracle=None,  # pyspark.ml model hashes are engine-internal — rows-only
+    doc="X13: pyspark.ml BucketedRandomProjectionLSH approxSimilarityJoin "
+    "— the library scale path (seeded, deterministic within Spark, but "
+    "hash values are engine-internal so no SQL oracle). Returns "
+    "candidate pairs within euclidean distance 1.0, blocked by LSH "
+    "buckets.",
+)
+def q_sim_ml_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(e, e, threshold=10.0, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("dist", 4).alias("euclidean_dist"),
+        )
+    )

@@ -1,1 +1,248 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators X12 (SURVEY §2.4) over the documents table.
+
+Everything is built from JVM-side primitives: split / higher-order array
+lambdas / explode + hash aggregate. No Python in the hot path, so the
+plans scale to 100 TB of documents exactly like the relational surface —
+tokenization is a per-row map (no shuffle); frequency analyses are one
+partial->final aggregate; top-k adds a TakeOrdered.
+
+Cross-engine notes: tokens are `split(trim(text), '\\s+')` in both
+engines; ratios round to 4dp; md5 hex is identical in Spark and DuckDB
+(the portable-hash trick used throughout the dedup/similarity modules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+# Marker tokens for the n-gram language heuristic. The driver corpus is
+# synthetic (same vocabulary for every lang label), so the heuristic's
+# *value* is plumbing; its *plan shape* (per-row lambda scoring + argmax)
+# is the deliverable.
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "code": ("spark", "query", "hash"),
+    "data": ("row", "column", "table"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda x: x.isin(*words)))
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, x -> x IN ({inlist})))"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                 / len(toks), 4) AS avg_token_len,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS type_token_ratio,
+           n_chars
+    FROM t
+    """,
+    doc="X12: per-document token counting + lexical-diversity stats via "
+    "higher-order array functions (no explode, no shuffle).",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    d = d.select("doc_id", "n_chars", toks.alias("toks"))
+    total_len = F.aggregate(
+        F.col("toks"), F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.round(total_len / F.size("toks"), 4).alias("avg_token_len"),
+        F.round(
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 4
+        ).alias("type_token_ratio"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_word_freq_topk",
+    oracle=f"""
+    SELECT tok AS token, count(*) AS n
+    FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 40
+    """,
+    doc="X12: corpus-wide word frequency — explode + partial->final count "
+    "+ top-k with tiebreak. The canonical one-shuffle text aggregate.",
+)
+def q_text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(40)
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(CAST({_hits_sql(STOPWORDS)} AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+           round(least(1.0, len(toks) / 100.0)
+                 * (1.0 - CAST({_hits_sql(STOPWORDS)} AS DOUBLE) / len(toks)), 4) AS quality
+    FROM t
+    """,
+    doc="X12: length/stopword quality scoring — the standard pre-training "
+    "corpus filter shape (per-row lambdas, rational arithmetic only so "
+    "both engines agree bit-for-bit after rounding).",
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    stop_ratio = _hits(F.col("toks"), STOPWORDS).cast("double") / F.size("toks")
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.size("toks") / F.lit(100.0)) * (F.lit(1.0) - stop_ratio), 4
+        ).alias("quality"),
+    )
+
+
+def _lang_guess_sql() -> str:
+    hits = {k: _hits_sql(v) for k, v in LANG_MARKERS.items()}
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {hits['en']} AS hits_en,
+             {hits['code']} AS hits_code,
+             {hits['data']} AS hits_data
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang, hits_en, hits_code, hits_data,
+           CASE WHEN hits_en >= hits_code AND hits_en >= hits_data THEN 'en'
+                WHEN hits_code >= hits_data THEN 'code'
+                ELSE 'data' END AS guess
+    FROM scored
+    """
+
+
+@register(
+    "text_lang_id",
+    oracle=_lang_guess_sql(),
+    doc="X12: marker-token language-ID heuristic — per-row scoring against "
+    "K marker sets + deterministic argmax. On real corpora the marker "
+    "sets are per-language n-gram tables; the plan shape is identical.",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", F.col("lang").alias("labeled_lang"), tokens_col(F.col("text")).alias("toks"))
+    scored = d.select(
+        "doc_id",
+        "labeled_lang",
+        _hits(F.col("toks"), LANG_MARKERS["en"]).alias("hits_en"),
+        _hits(F.col("toks"), LANG_MARKERS["code"]).alias("hits_code"),
+        _hits(F.col("toks"), LANG_MARKERS["data"]).alias("hits_data"),
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        "hits_en",
+        "hits_code",
+        "hits_data",
+        F.when(
+            (F.col("hits_en") >= F.col("hits_code")) & (F.col("hits_en") >= F.col("hits_data")),
+            F.lit("en"),
+        )
+        .when(F.col("hits_code") >= F.col("hits_data"), F.lit("code"))
+        .otherwise(F.lit("data"))
+        .alias("guess"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+    FROM t
+    """,
+    doc="X12: canonical document fingerprint — md5 over the sorted distinct "
+    "token set; invariant to word order and repetition, so grouping by it "
+    "finds shuffled/duplicated-content docs. md5 hex matches across "
+    "engines (the portable-hash convention).",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_word_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM b
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 30
+    """,
+    doc="X12: word-bigram profile — n-gram construction with a positional "
+    "array lambda, then the standard count/top-k.",
+)
+def q_text_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(30)
+    )

@@ -1,0 +1,110 @@
+"""Semantic unit tests for the extension operators (dedup/similarity/
+text/multimodal) on controlled in-memory data, where the expected
+behavior is known a priori — complementing the DuckDB oracle parity
+sweep (test_oracle_parity.py) that checks cross-engine agreement."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from jaffle_shop_classic_spark.operators.dedup import minhash_sig, shingles_col
+from jaffle_shop_classic_spark.operators.multimodal import DECODE_SCHEMA, decode_stub_batch
+from jaffle_shop_classic_spark.operators.catalog import load_catalog
+from jaffle_shop_classic_spark.sources.parquet import load_table
+
+
+def _sig(spark, text: str) -> list[str]:
+    df = spark.createDataFrame([(text,)], ["text"])
+    return df.select(minhash_sig(shingles_col(F.col("text"))).alias("s")).collect()[0]["s"]
+
+
+def test_minhash_identical_texts_identical_signatures(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    assert _sig(spark, t) == _sig(spark, t)
+
+
+def test_minhash_near_duplicates_share_most_of_signature(spark):
+    t1 = "a b c d e f g h i j k l m n o p q r s t u v w x y z"
+    t2 = "a b c d e f g h i j k l m n o p q r s t u v w x y ZZ"  # one word changed
+    s1, s2 = _sig(spark, t1), _sig(spark, t2)
+    agree = sum(x == y for x, y in zip(s1, s2))
+    assert agree >= 5  # ~ (24 shared / 26 shingles) ^ 1 per hash
+
+
+def test_minhash_disjoint_texts_differ(spark):
+    s1 = _sig(spark, "alpha beta gamma delta epsilon zeta eta theta")
+    s2 = _sig(spark, "one two three four five six seven eight nine")
+    assert sum(x == y for x, y in zip(s1, s2)) <= 2
+
+
+def test_shingles_tiny_doc_fallback(spark):
+    df = spark.createDataFrame([("just two",)], ["text"])
+    sh = df.select(shingles_col(F.col("text")).alias("s")).collect()[0]["s"]
+    assert sh == ["just two"]
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    cat = load_catalog()
+    got = cat["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0]
+    cos = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in emb.items()
+        if vid != 0
+    }
+    want = sorted(cos.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (vid, round(c, 6)) for vid, c in want
+    ]
+
+
+def test_ann_candidates_subset_of_bruteforce_space(spark, sf_dir):
+    cat = load_catalog()
+    ann = cat["sim_ann_hyperplane"].fn(spark, sf_dir).collect()
+    assert 0 < len(ann) <= 5
+    assert all(r["cosine"] is not None for r in ann)
+    # every candidate shares the query's bucket by construction
+    assert len({r["bucket"] for r in ann}) == 1
+
+
+def test_decode_stub_schema_and_determinism(spark, sf_dir):
+    cat = load_catalog()
+    df = cat["mm_decode_stub"].fn(spark, sf_dir)
+    assert df.schema.simpleString() == (
+        "struct<doc_id:bigint,n_bytes:int,width:int,height:int,"
+        "channels:int,feature:array<double>>"
+    )
+    rows1 = {r["doc_id"]: r["feature"] for r in df.collect()}
+    rows2 = {r["doc_id"]: r["feature"] for r in cat["mm_decode_stub"].fn(spark, sf_dir).collect()}
+    assert rows1 == rows2
+    assert all(len(v) == 8 for v in rows1.values())
+
+
+def test_decode_stub_batch_is_pure_python():
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [b"abc", b""]})
+    out = list(decode_stub_batch(iter([pdf])))[0]
+    assert list(out.columns) == [c.split(" ")[0] for c in DECODE_SCHEMA.split(", ")]
+    assert out["n_bytes"].tolist() == [3, 0]
+    assert out["feature"][1] == [0.0] * 8
+
+
+def test_dedup_exact_counts_every_doc_once(spark, sf_dir):
+    cat = load_catalog()
+    res = cat["dedup_exact"].fn(spark, sf_dir)
+    total = res.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_lsh_pairs_have_high_estimated_jaccard_top(spark, sf_dir):
+    cat = load_catalog()
+    pairs = cat["dedup_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    # candidate pairs collide on at least one band (2 equal hashes) =>
+    # est_jaccard >= 2/8 by construction
+    assert all(r["est_jaccard"] >= 0.25 for r in pairs)
