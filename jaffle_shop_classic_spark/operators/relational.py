@@ -194,14 +194,24 @@ def q_jaffle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("number_of_orders"),
         )
     )
+    # partial-aggregation pushdown below the join (sum is associative, so
+    # per-order subtotals then per-customer totals == direct totals): the
+    # join and the custkey shuffle see |orders| rows instead of
+    # |lineitem| rows — at 100 TB this is the difference between
+    # shuffling the fact table and shuffling the order dimension.
+    # Catalyst does not do this rewrite itself; result is identical to
+    # the reference's join-then-aggregate (customers.sql:33-46).
+    per_order = payments.groupBy("l_orderkey").agg(
+        F.sum("l_extendedprice").alias("order_amount")
+    )
     customer_payments = (
-        payments.join(
+        per_order.join(
             orders.select("o_orderkey", "o_custkey"),
-            payments.l_orderkey == orders.o_orderkey,
+            per_order.l_orderkey == orders.o_orderkey,
             "left",
         )
         .groupBy(F.col("o_custkey").alias("customer_id"))
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("customer_lifetime_value"))
+        .agg(F.round(F.sum("order_amount"), 2).alias("customer_lifetime_value"))
     )
     return (
         customers.join(customer_orders, "customer_id", "left")

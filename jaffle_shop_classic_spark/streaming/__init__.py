@@ -1,0 +1,15 @@
+from .windows import (
+    dedup_within_watermark,
+    run_stream_to_batch,
+    session_window_stream,
+    stream_events,
+    tumbling_counts_stream,
+)
+
+__all__ = [
+    "dedup_within_watermark",
+    "run_stream_to_batch",
+    "session_window_stream",
+    "stream_events",
+    "tumbling_counts_stream",
+]

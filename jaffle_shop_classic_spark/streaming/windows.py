@@ -1,0 +1,103 @@
+"""Structured Streaming operators X15 (SURVEY §2.4) over the events table.
+
+Batch-first design (SURVEY §2.4 X14 note): every windowed aggregation in
+operators/extensions.py has identical semantics here — `F.window` /
+`F.session_window` produce the same buckets in batch and streaming, so
+the batch queries are the oracle-checked surface and these streaming
+twins add watermarking/late-data handling on top.
+
+The file source streams the same parquet the batch path reads (one file
+= one micro-batch in tests). In production the source is Kafka etc.;
+only `stream_events` changes. Watermarks bound state: a 1-hour watermark
+means window state older than (max event time - 1h) is evicted, so state
+size is O(active windows), not O(stream length) — the property that
+makes these plans run indefinitely at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS), surfaced as
+# long under spark.sql.legacy.parquet.nanosAsLong (see sources/parquet.py)
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream twin of sources.parquet.load_table(..., 'events')."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a *directory*; select just events.parquet
+    # out of the shared sf_dir via a glob filter
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.extensions.q_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via the native session_window operator —
+    merging-window state per user, bounded by the watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state: duplicates
+    arriving within the watermark horizon are dropped; older state is
+    evicted (the streaming analog of X4)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_stream_to_batch(
+    streaming_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming query over the available data to completion via
+    the memory sink; returns the result as a batch DataFrame. Test/demo
+    harness — production uses a real sink + trigger."""
+    spark = streaming_df.sparkSession
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=120)
+    finally:
+        if q.isActive:  # pragma: no cover — safety net
+            q.stop()
+    return spark.table(name)
