@@ -43,6 +43,7 @@ _MODULES = (
     "jaffle_shop_classic_spark.operators.dedup",
     "jaffle_shop_classic_spark.operators.similarity",
     "jaffle_shop_classic_spark.operators.multimodal",
+    "jaffle_shop_classic_spark.operators.udfs",
 )
 
 _loaded = False

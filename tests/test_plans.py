@@ -1,0 +1,96 @@
+"""Physical-plan assertions for the scale-critical claims in SCALING.md.
+
+These lock in the *plan shapes* — pushdown reaching the parquet scan,
+broadcasts where dimensions are small, TakeOrdered instead of global
+sorts, no Python eval in JVM-only paths — so a refactor that silently
+degrades a plan fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = load_catalog()[name].fn(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_in_between")
+    assert "PushedFilters: [" in plan
+    # the status IN-filter must be pushed, not evaluated post-scan only
+    assert "In(o_orderstatus" in plan
+
+
+def test_staging_projection_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stg_project_rename")
+    # ReadSchema lists only the 4 referenced columns of the 6-column table
+    read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "o_totalprice" not in read and "o_orderpriority" not in read
+    assert "o_orderkey" in read
+
+
+def test_staging_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stg_scalar_arith")
+    assert "Exchange" not in plan
+
+
+def test_global_topk_uses_take_ordered_not_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mart_join_broadcasts_aggregated_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "jaffle_customers")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_relationships_check_uses_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "test_relationships_violations")
+    assert "LeftAnti" in plan
+
+
+def test_jvm_only_paths_have_no_python_eval(spark, sf_dir):
+    for name in (
+        "jaffle_customers",
+        "jaffle_orders",
+        "text_token_stats",
+        "dedup_minhash_signature",
+        "sim_cosine_topk",
+        "session_window_batch",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name  # row-at-a-time UDF
+        assert "ArrowEvalPython" not in plan, name  # no Python at all here
+
+
+def test_udf_paths_are_arrow_not_row_at_a_time(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "udf_pandas_scalar")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_whole_stage_codegen_covers_mart_aggregation(spark, sf_dir):
+    # "codegen" mode compiles the stages; AQE "simple" plans don't show
+    # WholeStageCodegen wrappers pre-execution
+    plan = _plan(spark, sf_dir, "jaffle_orders", mode="codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_minhash_lsh_join_is_equi_join_on_band_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh_pairs")
+    # candidate generation must be a hash-partitioned equi join on the
+    # band key — a cartesian/BNL join here would be the O(n^2) failure
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pre_aggregation_below_mart_payments_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "jaffle_customers", mode="simple")
+    # two aggregate stages on the payments branch: per-order subtotal
+    # before the join, per-customer total after (SCALING.md R6)
+    assert plan.count("HashAggregate") >= 6  # partial+final x >=3 aggs
