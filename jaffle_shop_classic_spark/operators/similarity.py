@@ -202,3 +202,42 @@ def q_sim_ml_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 4).alias("euclidean_dist"),
         )
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+             round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT keep_id, drop_id, cosine,
+           (cosine >= 0.95) AS is_duplicate
+    FROM scored
+    ORDER BY cosine DESC, keep_id ASC, drop_id ASC
+    LIMIT 20
+    """,
+    doc="X13/dedup: embedding-cosine near-duplicate decisions — blocked "
+    "pair scoring with a keep/drop verdict (keep the lower id, flag "
+    "pairs above threshold). On this synthetic corpus no pair crosses "
+    "0.95 (max ~0.47), so the top-20 decision list is the non-vacuous "
+    "output; the plan (block self-join + threshold) is the production "
+    "near-dup filter.",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(cosine_parts(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("drop_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("is_duplicate", F.col("cosine") >= 0.95)
+        .orderBy(F.col("cosine").desc(), F.col("keep_id").asc(), F.col("drop_id").asc())
+        .limit(20)
+    )

@@ -246,3 +246,56 @@ def q_text_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(30)
     )
+
+
+@register(
+    "text_token_count_bpeish",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_pieces,
+           len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS n_distinct_pieces
+    FROM documents
+    """,
+    doc="X12: BPE-ish regex token counting — alpha runs / digit runs / "
+    "single punctuation as separate pieces (the pre-tokenizer shape "
+    "real BPE vocabularies train over). Map-only regexp_extract_all.",
+)
+def q_text_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # idx=0 (whole match): Spark defaults to group 1, DuckDB to group 0
+    pieces = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+    )
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, x -> CAST(ascii(substr(x, 1, 1)) * 256 + length(x) AS BIGINT))),
+             (acc, v) -> (acc * 131 + v) % 1000000007) AS rolling_hash
+    FROM t
+    """,
+    doc="X12: positional rolling-hash document fingerprint — polynomial "
+    "fold over the token sequence (order-sensitive, unlike the "
+    "canonical md5 fingerprint). Integer arithmetic mod 1e9+7 is "
+    "bit-identical across engines; per-row fold, no shuffle.",
+)
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    vals = F.transform(
+        toks, lambda x: (F.ascii(F.substring(x, 1, 1)) * 256 + F.length(x)).cast("bigint")
+    )
+    rolling = F.aggregate(
+        vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * 131 + v) % 1000000007,
+    )
+    return d.select("doc_id", rolling.alias("rolling_hash"))

@@ -71,3 +71,21 @@ def test_unknown_ref_raises(spark):
 
     with pytest.raises(KeyError):
         p.run(spark)
+
+
+def test_ephemeral_materialization_inlines_without_view(spark):
+    p = Project()
+    p.add_source("src", spark.range(4).withColumnRenamed("id", "n"))
+
+    @p.model(name="eph", deps=("src",), materialized="ephemeral")
+    def eph(ctx):
+        return ctx.ref("src").filter(F.col("n") > 1)
+
+    @p.model(name="out", deps=("eph",), materialized="table")
+    def out(ctx):
+        return ctx.ref("eph").agg(F.count(F.lit(1)).alias("n_rows"))
+
+    built = p.run(spark)
+    assert built["out"].collect()[0]["n_rows"] == 2
+    # ephemeral models never register a catalog view
+    assert not spark.catalog.tableExists("eph")
