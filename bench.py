@@ -52,12 +52,14 @@ def time_query(fn, spark, sf_dir: str) -> float:
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # 16 shuffle partitions: sized for the bench scale (sf<=0.1 shuffles
-    # are a few MB — more partitions just add scheduler rounds; measured
-    # 0.35s vs 0.53s at 32 for jaffle_customers). On a cluster this knob
-    # scales with shuffle bytes / 128MB; AQE coalescing keeps small
-    # stages cheap either way.
-    spark = get_spark("bench", shuffle_partitions=16)
+    # Bench-scale tuning (sf<=0.1: shuffles are single-digit MB):
+    # - 8 shuffle partitions — more just add scheduler rounds
+    # - AQE off — its per-stage re-planning round trips cost ~0.1s/query
+    #   here and buy nothing under ~GB inputs; at cluster scale AQE goes
+    #   back ON (session.py default) where skew/coalescing dominate.
+    # Measured on jaffle_customers: 0.49s (AQE+sp16) -> 0.32s (off+sp8).
+    spark = get_spark("bench", shuffle_partitions=8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     catalog = load_catalog()
 
     # two full warm-up passes over every query BEFORE any timing: JIT

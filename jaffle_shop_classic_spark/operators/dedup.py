@@ -302,3 +302,73 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
         .limit(50)
     )
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS t FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, text FROM toks
+      WHERE len(t) >= 20
+        AND CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+            / len(t) < 0.3
+    ),
+    exact AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ),
+    {_SIGS_CTE.replace('FROM documents', 'FROM documents').strip()},
+    kept_sigs AS (
+      SELECT s.doc_id, s.sig FROM sigs s JOIN exact e ON s.doc_id = e.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM kept_sigs
+    ),
+    near_dups AS (
+      SELECT DISTINCT y.doc_id AS drop_id
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    )
+    SELECT e.doc_id FROM exact e
+    WHERE e.doc_id NOT IN (SELECT drop_id FROM near_dups)
+    """,
+    doc="Flagship LLM-data-pipeline composition: quality filter (length + "
+    "stopword ratio) -> exact dedup (md5 groupBy, keep min doc_id) -> "
+    "MinHash-LSH near-dup removal (drop the higher id of every "
+    "candidate pair) -> surviving doc ids. Every stage is the "
+    "oracle-checked operator from this module chained into one plan; "
+    "at 100 TB the stages stay map-only / single-shuffle exactly as "
+    "they are standalone (SCALING.md).",
+)
+def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import STOPWORDS, tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / F.size(toks)
+    )
+    quality = d.filter((F.size(toks) >= 20) & (stop_ratio < 0.3)).select("doc_id", "text")
+
+    exact = (
+        quality.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    sigs = d.select("doc_id", minhash_sig(shingles_col(F.col("text"))).alias("sig"))
+    kept_sigs = sigs.join(exact, "doc_id")
+    bands = kept_sigs.select("doc_id", F.explode(_bands(F.col("sig"))).alias("band_key"))
+    x, y = bands.alias("x"), bands.alias("y")
+    near_dups = (
+        x.join(
+            y,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("y.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return exact.join(near_dups, "doc_id", "left_anti")
