@@ -1,0 +1,40 @@
+"""Catalog-wide plan audit: global anti-pattern sweep over every
+registered query. Complements test_plans.py's targeted assertions.
+
+Rules:
+- no row-at-a-time Python UDFs anywhere (BatchEvalPython),
+- no unintentional cartesian joins: cross products are allowed only
+  where the operator is *defined* as one (explicit cross join, or a
+  broadcast 1-row query vector).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+# queries whose semantics ARE a cross product against a tiny side
+CROSS_OK = {
+    "join_cross",  # explicit dimension cross join
+    "sim_cosine_topk",  # broadcast 1-row query vector
+    "sim_ann_hyperplane",  # broadcast 1-row query bucket
+    "dedup_embedding_cosine",  # non-equi self pair join within label blocks
+    "sim_pairs_blocked",
+    "dedup_ngram_jaccard",
+}
+
+
+@pytest.mark.parametrize("name", sorted(load_catalog()))
+def test_no_plan_antipatterns(name, spark, sf_dir):
+    spec = load_catalog()[name]
+    df = spec.fn(spark, sf_dir)
+    if df.isStreaming:  # pragma: no cover — none registered today
+        pytest.skip("streaming plan")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in CROSS_OK:
+        assert "CartesianProduct" not in plan, f"{name}: unintended cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unintended BNLJ"

@@ -1,0 +1,69 @@
+"""Source/sink round-trips: the formats the engine reads/writes.
+
+The reference's only sink is 'warehouse table' (dbt materializations);
+at scale the engine's sinks are columnar files. Round-trip = write with
+the engine, read back, verify schema + values survive.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jaffle_shop_classic_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def sample(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+def _assert_round_trip(df, back):
+    assert back.schema == df.schema
+    assert back.count() == df.count()
+    a = df.agg(F.sum("o_totalprice"), F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    b = back.agg(F.sum("o_totalprice"), F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_parquet_round_trip(spark, sample, tmp_path):
+    p = str(tmp_path / "pq")
+    sample.write.mode("overwrite").parquet(p)
+    _assert_round_trip(sample, spark.read.parquet(p))
+
+
+def test_partitioned_parquet_prunes(spark, sample, tmp_path):
+    p = str(tmp_path / "pq_part")
+    sample.write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
+    back = spark.read.parquet(p)
+    assert back.count() == sample.count()
+    pruned = back.filter(F.col("o_orderstatus") == "P")
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the status predicate must become a partition filter (directory
+    # pruning), not a data filter
+    assert "PartitionFilters: [" in plan
+    assert pruned.count() == sample.filter(F.col("o_orderstatus") == "P").count()
+
+
+def test_orc_round_trip(spark, sample, tmp_path):
+    p = str(tmp_path / "orc")
+    sample.write.mode("overwrite").orc(p)
+    _assert_round_trip(sample, spark.read.orc(p))
+
+
+def test_json_round_trip(spark, sample, tmp_path):
+    p = str(tmp_path / "json")
+    sample.write.mode("overwrite").json(p)
+    back = spark.read.schema(sample.schema).json(p)
+    _assert_round_trip(sample, back)
+
+
+def test_csv_round_trip_with_pinned_schema(spark, sample, tmp_path):
+    p = str(tmp_path / "csv")
+    sample.write.mode("overwrite").option("header", True).csv(p)
+    back = spark.read.schema(sample.schema).option("header", True).csv(p)
+    _assert_round_trip(sample, back)
