@@ -241,3 +241,80 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("keep_id").asc(), F.col("drop_id").asc())
         .limit(20)
     )
+
+
+NUM_CENTROIDS = 10
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < {NUM_CENTROIDS}
+    ),
+    assigned AS (
+      SELECT vec_id, label, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cosine_sql('e.embedding', 'c.cvec')} DESC, c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT embedding AS qv, centroid_id AS qc FROM assigned WHERE vec_id = 0
+    )
+    SELECT a.vec_id, a.label, a.centroid_id,
+           round({cosine_sql('a.embedding', 'q.qv')}, 6) AS cosine
+    FROM assigned a JOIN q ON a.centroid_id = q.qc
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT 5
+    """,
+    doc="X13: IVF (inverted-file) approximate nearest neighbors — assign "
+    "every vector to its nearest of K centroids (here: K fixed seed "
+    "vectors; production: k-means), then search only the query's list "
+    "and re-rank exactly. At 100 TB: assignment is a broadcast join "
+    "against K centroids (map-only), the inverted lists are a "
+    "partition key, and each query touches ~n/K vectors. Multi-probe "
+    "(top-p closest lists) is the recall dial, same plan.",
+)
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = (
+        e.filter(F.col("vec_id") < NUM_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
+    )
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "centroid_id",
+        cosine_parts(F.col("embedding"), F.col("cvec")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "centroid_id")
+    )
+    q = (
+        assigned.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"), F.col("centroid_id").alias("qc"))
+    )
+    return (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("centroid_id") == F.col("qc"))
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            F.round(cosine_parts(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )

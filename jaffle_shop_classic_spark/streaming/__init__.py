@@ -1,5 +1,6 @@
 from .windows import (
     dedup_within_watermark,
+    running_user_stats_stream,
     run_stream_to_batch,
     session_window_stream,
     stream_events,
@@ -8,6 +9,7 @@ from .windows import (
 
 __all__ = [
     "dedup_within_watermark",
+    "running_user_stats_stream",
     "run_stream_to_batch",
     "session_window_stream",
     "stream_events",

@@ -101,3 +101,52 @@ def run_stream_to_batch(
         if q.isActive:  # pragma: no cover — safety net
             q.stop()
     return spark.table(name)
+
+
+# ------------------------------------------------------- custom stateful op
+RUNNING_STATS_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
+_STATE_SCHEMA = "n long, total double, mx double"
+
+
+def _running_stats_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user running event stats.
+
+    State = (count, sum, max) per user — O(1) per key, updated across
+    micro-batches; the GroupState survives between triggers, which is
+    what distinguishes this from a per-batch groupBy.
+    """
+    import pandas as pd
+
+    (n, total, mx) = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "max_value": [round(mx, 2)],
+        }
+    )
+
+
+def running_user_stats_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (X15): arbitrary per-key state via
+    applyInPandasWithState — the escape hatch when built-in windowed
+    aggregations can't express the state machine. Emits the updated
+    per-user totals every micro-batch."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_stats_fn,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

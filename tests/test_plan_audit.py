@@ -19,6 +19,7 @@ CROSS_OK = {
     "join_cross",  # explicit dimension cross join
     "sim_cosine_topk",  # broadcast 1-row query vector
     "sim_ann_hyperplane",  # broadcast 1-row query bucket
+    "sim_ivf_topk",  # broadcast K-centroid assignment join
     "dedup_embedding_cosine",  # non-equi self pair join within label blocks
     "sim_pairs_blocked",
     "dedup_ngram_jaccard",

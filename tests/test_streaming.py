@@ -66,3 +66,27 @@ def test_dedup_within_watermark_passthrough_on_unique_ids(spark, sf_dir):
     n = load_table(spark, sf_dir, "events").count()
     assert got.count() == n
     assert got.select("event_id").distinct().count() == n
+
+
+def test_custom_stateful_running_stats(spark, sf_dir):
+    from jaffle_shop_classic_spark.streaming.windows import running_user_stats_stream
+
+    got = run_stream_to_batch(
+        running_user_stats_stream(stream_events(spark, sf_dir)),
+        "stateful_out",
+        output_mode="update",
+    )
+    # with one input file (one micro-batch) the final state equals the
+    # batch aggregate per user
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+    g = {r["user_id"]: (r["n_events"], r["total_value"], r["max_value"]) for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], r["total_value"], r["max_value"]) for r in want.collect()}
+    assert g == w
