@@ -27,6 +27,12 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=None, help="docs: output JSON path")
     args = ap.parse_args(argv)
 
+    import os
+
+    if not os.path.isdir(args.seed_dir):
+        print(f"error: seed dir not found: {args.seed_dir}", file=sys.stderr)
+        return 2
+
     spark = get_spark("jaffle_cli")
     project = build_project(warehouse_dir=args.warehouse)
     load_jaffle_sources(project, spark, args.seed_dir)

@@ -83,6 +83,37 @@ class Project:
 
         return deco
 
+    def sql_model(
+        self,
+        name: str,
+        sql: str,
+        deps: Sequence[str] = (),
+        materialized: str = "view",
+        description: str = "",
+    ) -> None:
+        """Register a model authored as a SQL SELECT — the migration path
+        for users of the reference, whose models are SQL files.
+
+        No Jinja and no SQL parser (SURVEY §7 'not over-building'):
+        upstream relations are referenced by NAME in the SQL text, and
+        resolution happens through Spark's own analyzer — the runner
+        materializes each dependency as a temp view before this model
+        executes, so `select ... from stg_orders` just works. A dbt
+        model migrates by deleting the `{{ ref('x') }}` braces and
+        declaring x in `deps`.
+        """
+
+        def fn(ctx: "ModelContext") -> DataFrame:
+            for dep in deps:
+                df = ctx.ref(dep)  # builds + registers the temp view
+                if dep in self.sources:
+                    df.createOrReplaceTempView(dep)
+            return ctx.spark.sql(sql)
+
+        self.model(
+            name=name, materialized=materialized, deps=deps, description=description
+        )(fn)
+
     def add_source(self, name: str, df: DataFrame) -> None:
         self.sources[name] = df
 

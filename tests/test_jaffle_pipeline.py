@@ -158,3 +158,48 @@ def test_docs_catalog(built):
     assert cat["models"]["stg_orders"]["materialized"] == "view"
     md = render_markdown(cat)
     assert "customer_lifetime_value" in md
+
+
+def test_orders_mart_matches_duckdb(built, seed_dir):
+    """Full-output cross-check of the orders mart (pivot + left join)
+    against the reference SQL shape run by DuckDB on the same CSVs."""
+    _, models = built
+    con = duckdb.connect()
+    for name in ("raw_orders", "raw_payments"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_csv_auto('{seed_dir}/{name}.csv')"
+        )
+    methods = PAYMENT_METHODS
+    pivot_cols = ", ".join(
+        f"sum(CASE WHEN payment_method = '{m}' THEN amount / 100.0 ELSE 0 END) AS {m}_amount"
+        for m in methods
+    )
+    want_rows = con.execute(
+        f"""
+        WITH order_payments AS (
+            SELECT order_id, {pivot_cols}, sum(amount / 100.0) AS total_amount
+            FROM raw_payments GROUP BY order_id
+        )
+        SELECT o.id, o.user_id, o.order_date, o.status,
+               {', '.join('p.' + m + '_amount' for m in methods)},
+               p.total_amount
+        FROM raw_orders o
+        LEFT JOIN order_payments p ON o.id = p.order_id
+        ORDER BY o.id
+        """
+    ).fetchall()
+    got = {
+        r["order_id"]: (
+            r["customer_id"],
+            r["order_date"],
+            r["status"],
+            *[round(r[f"{m}_amount"], 2) for m in methods],
+            round(r["amount"], 2),
+        )
+        for r in models["orders"].collect()
+    }
+    want = {
+        row[0]: (row[1], row[2], row[3], *[round(v, 2) for v in row[4:]])
+        for row in want_rows
+    }
+    assert got == want

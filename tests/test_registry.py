@@ -89,3 +89,46 @@ def test_ephemeral_materialization_inlines_without_view(spark):
     assert built["out"].collect()[0]["n_rows"] == 2
     # ephemeral models never register a catalog view
     assert not spark.catalog.tableExists("eph")
+
+
+def test_sql_model_resolves_refs_via_views(spark):
+    p = Project()
+    p.add_source("raw_nums", spark.range(10).withColumnRenamed("id", "n"))
+    p.sql_model(
+        "stg_nums",
+        "SELECT n, n * 2 AS doubled FROM raw_nums WHERE n >= 5",
+        deps=("raw_nums",),
+    )
+    p.sql_model(
+        "sum_nums",
+        "SELECT sum(doubled) AS total FROM stg_nums",
+        deps=("stg_nums",),
+        materialized="table",
+    )
+    built = p.run(spark)
+    assert built["sum_nums"].collect()[0]["total"] == 2 * (5 + 6 + 7 + 8 + 9)
+
+
+def test_sql_model_mirrors_reference_staging_sql(spark):
+    # the reference's stg_customers.sql body, Jinja braces removed
+    # (/root/reference/models/staging/stg_customers.sql:1-22)
+    p = Project()
+    p.add_source(
+        "raw_customers",
+        spark.createDataFrame([(1, "Ann", "A."), (2, "Bob", "B.")], ["id", "first_name", "last_name"]),
+    )
+    p.sql_model(
+        "stg_customers_sql",
+        """
+        with source as (select * from raw_customers),
+        renamed as (
+            select id as customer_id, first_name, last_name from source
+        )
+        select * from renamed
+        """,
+        deps=("raw_customers",),
+    )
+    built = p.run(spark)
+    rows = built["stg_customers_sql"].orderBy("customer_id").collect()
+    assert [r["customer_id"] for r in rows] == [1, 2]
+    assert rows[0]["first_name"] == "Ann"
