@@ -31,6 +31,7 @@ N_RUNS = 5
 # the two queries the baseline measures, then representative extensions
 BASELINE_QUERIES = ["jaffle_customers", "jaffle_orders"]
 HEADLINE_QUERIES = BASELINE_QUERIES + [
+    "tpch_q1_style",
     "topk_per_group",
     "window_running_sum",
     "session_window_batch",
@@ -38,7 +39,10 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "json_extract",
     "text_word_freq_topk",
     "dedup_exact",
+    "dedup_minhash_fast_pairs",
     "sim_cosine_topk",
+    "sim_ivf_topk",
+    "pipeline_corpus_curation",
 ]
 
 
@@ -74,7 +78,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         fn = catalog[name].fn
-        runs = [time_query(fn, spark, SF_DIR) for _ in range(N_RUNS)]
+        first = time_query(fn, spark, SF_DIR)
+        # heavy queries (multi-second) get median-of-3; the rest median-of-5
+        n = 3 if first > 2.0 else N_RUNS
+        runs = [first] + [time_query(fn, spark, SF_DIR) for _ in range(n - 1)]
         timings[name] = round(statistics.median(runs), 4)
 
     value = round(sum(timings[q] for q in BASELINE_QUERIES), 4)

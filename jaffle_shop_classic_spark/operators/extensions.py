@@ -862,3 +862,28 @@ def q_tpch_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
+
+
+@register(
+    "map_ops",
+    oracle="""
+    SELECT key, count(*) AS n, sum(val) AS total_val
+    FROM (
+      SELECT unnest(json_keys(props)) AS key,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
+      FROM events
+    )
+    GROUP BY key
+    """,
+    doc="X11: map-typed column ops — parse the JSON props into "
+    "map<string,bigint>, explode entries (map_keys/values via "
+    "explode), aggregate per key. The map never leaves the JVM.",
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        e.select(F.explode(m).alias("key", "val"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("total_val"))
+    )
