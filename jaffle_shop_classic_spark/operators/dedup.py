@@ -108,26 +108,46 @@ def minhash_sig(shingles: Column) -> Column:
 
 
 def minhash_signatures(d: DataFrame, fast: bool = False) -> DataFrame:
-    """(doc_id, sig array<k>) via explode -> k salted hashes per shingle
-    -> groupBy-min: shingles are constructed ONCE per document and each
-    hash lane costs one hash per shingle. One shuffle on doc_id whose
-    payload is k fixed-width hashes per shingle — the 100 TB shape.
+    """(doc_id, sig array<k>): posexplode tokens -> 3-gram shingles via
+    window lead() -> k salted hashes per shingle -> groupBy-min.
 
-    fast=True uses xxhash64 (engine-internal, ~5x cheaper) instead of
-    the oracle-portable md5.
+    Two deliberate choices versus the naive column expression
+    (``minhash_sig``), same output values:
+    - whole-stage-codegen all the way: tokenizing + explode + window
+      lead replaces interpreted higher-order lambdas (measured 46s ->
+      7s -> 2.6s at sf0.1 across the three formulations);
+    - no array_distinct: min over a shingle *multiset* equals min over
+      the set, so dedup of shingles is skipped entirely.
+
+    One shuffle on doc_id (token-sized payload) for the window + one for
+    the final min-agg (k fixed-width hashes). fast=True swaps md5 for
+    xxhash64 (engine-internal, cheaper; no SQL oracle).
     """
-    ex = d.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("s"))
-    if fast:
-        lanes = [
-            F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
-            for i in range(NUM_HASHES)
-        ]
-    else:
-        lanes = [
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
-            for i in range(NUM_HASHES)
-        ]
-    hashed = ex.select("doc_id", *lanes)
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col("text"))
+    ex = d.select("doc_id", F.size(toks).alias("n"), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        ex.select(
+            "doc_id",
+            "n",
+            "tok",
+            F.lead("tok", 1).over(w).alias("t1"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .filter((F.col("n") >= 3) & F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("s"))
+    )
+    tiny = d.filter(F.size(toks) < 3).select("doc_id", F.trim("text").alias("s"))
+    shingles = grams.unionByName(tiny)
+
+    hash_fn = (lambda i: F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("s")))) if fast else (
+        lambda i: F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))
+    )
+    hashed = shingles.select(
+        "doc_id", *[hash_fn(i).alias(f"h{i}") for i in range(NUM_HASHES)]
+    )
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_HASHES)]
     )
