@@ -431,24 +431,6 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(near_dups, "doc_id", "left_anti")
 
 
-def minhash_sig_fast(shingles: Column) -> Column:
-    """Scale-path MinHash: xxhash64 instead of md5 — same plan shape,
-    ~an-order-of-magnitude cheaper hashing (64-bit JVM hash vs 128-bit
-    cryptographic digest + hex encoding). Engine-internal hash values,
-    so the oracle for queries built on this is rows-only; md5 variants
-    above remain the cross-engine-certified surface."""
-    def salted_xx(salt: str):
-        # single-arg factory — see _salted_md5 for the transform arity trap
-        return lambda s: F.xxhash64(F.concat(F.lit(salt), s))
-
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, salted_xx(f"{i}|")))
-            for i in range(NUM_HASHES)
-        ]
-    )
-
-
 @register(
     "dedup_minhash_fast_pairs",
     oracle=None,  # xxhash64 is Spark-internal — rows-only check

@@ -179,8 +179,9 @@ def q_sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="X13: pyspark.ml BucketedRandomProjectionLSH approxSimilarityJoin "
     "— the library scale path (seeded, deterministic within Spark, but "
     "hash values are engine-internal so no SQL oracle). Returns "
-    "candidate pairs within euclidean distance 1.0, blocked by LSH "
-    "buckets.",
+    "candidate pairs within euclidean distance 1.25 (~p1 of the pair "
+    "distance distribution — a generous threshold like 10 would make "
+    "the 'approximate' join a full n^2 cross product).",
 )
 def q_sim_ml_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
@@ -193,7 +194,7 @@ def q_sim_ml_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     )
     model = lsh.fit(e)
-    pairs = model.approxSimilarityJoin(e, e, threshold=10.0, distCol="dist")
+    pairs = model.approxSimilarityJoin(e, e, threshold=1.25, distCol="dist")
     return (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
