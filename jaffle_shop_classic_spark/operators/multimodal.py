@@ -123,3 +123,66 @@ def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return d.mapInPandas(decode_stub_batch, DECODE_SCHEMA)
+
+
+@register(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           list_transform(range(1, 9),
+                          i -> round(ascii(substr(text, CAST(i AS INTEGER), 1)) / 255.0, 4)) AS feature
+    FROM documents
+    """,
+    doc="Multimodal: deterministic feature extraction from the payload "
+    "prefix (first 8 bytes scaled to [0,1]) — JVM-side, map-only, and "
+    "oracle-checked; the real feature extractor (image embedding "
+    "model) drops into the decode_stub_batch shell with the same "
+    "schema contract.",
+)
+def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feat = F.array(
+        *[F.round(F.ascii(F.substring("text", i + 1, 1)) / 255.0, 4) for i in range(8)]
+    )
+    return d.select("doc_id", feat.alias("feature"))
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, target_w int, target_h int, scale double"
+
+
+def resize_stub_batch(target_w: int, target_h: int):
+    """mapInPandas kernel factory: 'resize' decoded frames to a target
+    size. STUB (no codecs in this container): emits the geometry the
+    real resampler would use; the Arrow batch shape and the
+    factory-with-params pattern (how production passes target size into
+    the executor-side kernel) are the deliverable."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].clip(lower=1)
+            h = pdf["height"].clip(lower=1)
+            scale = (target_w / w).combine(target_h / h, min)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "scale": scale.round(4),
+                }
+            )
+
+    return kernel
+
+
+@register(
+    "mm_resize_stub",
+    oracle=None,  # stubbed geometry-only resize — rows-only check
+    doc="Multimodal: resize stage chained after decode — two mapInPandas "
+    "stages composing in one plan (decode -> resize), parameterized "
+    "kernel via closure factory. Codec-free geometry stub.",
+)
+def q_mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = q_mm_decode_stub(spark, sf_dir).select("doc_id", "width", "height")
+    return decoded.mapInPandas(resize_stub_batch(224, 224), RESIZE_SCHEMA)
