@@ -887,3 +887,64 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("total_val"))
     )
+
+
+@register(
+    "sample_hash_based",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+    """,
+    doc="Deterministic ~16% sample via content hash: keep rows whose "
+    "md5(key) prefix falls below a threshold ('29' hex ≈ 0x29/0x100). "
+    "Unlike seeded random sampling this is reproducible across engines, "
+    "runs, partitionings and cluster sizes — the standard way to cut "
+    "stable training-data subsets. Map-only, pushdown-friendly.",
+)
+def q_sample_hash_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "29"
+    ).select("doc_id", "n_chars")
+
+
+@register(
+    "train_test_split_hash",
+    oracle="""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+    doc="Deterministic train/test split (~81/19) by hash bucket — every "
+    "engine, run, and worker assigns the same row to the same split, "
+    "with no coordination and no stored assignment table.",
+)
+def q_train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d", F.lit("train")
+    ).otherwise(F.lit("test"))
+    return (
+        d.select("n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "sample_seeded_random",
+    oracle=None,  # engine-internal RNG — rows-only check
+    doc="Seeded Bernoulli sample (df.sample) — deterministic within Spark "
+    "for a fixed seed AND partitioning, but not across engines or "
+    "repartitionings, which is exactly why the hash-based variant "
+    "above exists for training-data reproducibility.",
+)
+def q_sample_seeded_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.sample(fraction=0.2, seed=42).select("doc_id", "lang")
