@@ -948,3 +948,39 @@ def q_train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample_seeded_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.sample(fraction=0.2, seed=42).select("doc_id", "lang")
+
+
+@register(
+    "upsert_latest_state",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
+           event_type AS latest_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="CDC / MERGE emulation: compact an event stream to per-key "
+    "current state — union of base + changes (here: the whole stream) "
+    "then keep the latest row per key via row_number. Without a Delta/"
+    "Iceberg MERGE INTO this window-compaction is the idiomatic Spark "
+    "upsert: one shuffle on the key, then overwrite the state table. "
+    "Incremental variant at scale: restrict to keys present in the "
+    "change batch (semi-join) before the window.",
+)
+def q_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
