@@ -29,7 +29,25 @@ TABLES = (
 DIMENSIONS = frozenset({"region", "nation", "supplier", "part"})
 
 
+# Per-session DataFrame cache: a DataFrame is an immutable plan, so
+# reusing it skips Py4J base-relation rebuilding and parquet file
+# re-listing on every query call (~0.15s/query at bench scale — the
+# analog of a warehouse caching catalog metadata). Keyed by Spark
+# application id so a new session never sees another session's plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
         # default; read nanos as long (runtime-settable SQL conf) and
