@@ -109,29 +109,41 @@ def minhash_sig(shingles: Column) -> Column:
 
 
 def exploded_shingles(d: DataFrame, *extra_cols: str) -> DataFrame:
-    """(doc_id, *extra_cols, s): one row per word-3-shingle occurrence,
-    built with whole-stage-codegen operators only (posexplode + window
-    lead), never interpreted array lambdas — see minhash_signatures for
-    the measured difference. Rows are a multiset; callers needing the
-    shingle *set* dropDuplicates on (doc_id, s)."""
-    from pyspark.sql import Window
+    """(doc_id, *extra_cols, s): one row per word-3-shingle occurrence.
 
+    posexplode the token array and index the *carried* array with
+    element_at(pos+2/pos+3) for the following two words. The generate
+    and the concat projection sit in ONE whole-stage-codegen span with
+    no shuffle at all — measured 0.29s vs 2.3s for the previous
+    posexplode + window-lead form at sf0.1 (the window forced a
+    partitionBy(doc_id) shuffle over millions of tiny groups; lead() is
+    the wrong tool when the source array is still in hand).
+
+    The tokenize MUST live in its own select below the explode: when
+    split() is inlined into the same projection as posexplode, Catalyst
+    collapses the projects and re-evaluates split(trim(text)) per
+    *exploded row* — O(tokens^2) per doc, measured 6x slower. With the
+    pre-projection, split runs once per doc and the Generate consumes
+    the materialized array. Rows are a multiset; callers needing the
+    shingle *set* dropDuplicates on (doc_id, s)."""
     toks = tokens_col(F.col("text"))
-    ex = d.select(
-        "doc_id", *extra_cols, F.size(toks).alias("n"), F.posexplode(toks).alias("pos", "tok")
+    base = d.select("doc_id", *extra_cols, toks.alias("tk"))
+    ex = base.select(
+        "doc_id",
+        *extra_cols,
+        F.size("tk").alias("n"),
+        "tk",
+        F.posexplode("tk").alias("pos", "tok"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        ex.select(
-            "doc_id",
-            *extra_cols,
-            "n",
+    grams = ex.filter((F.col("n") >= 3) & (F.col("pos") <= F.col("n") - 3)).select(
+        "doc_id",
+        *extra_cols,
+        F.concat_ws(
+            " ",
             "tok",
-            F.lead("tok", 1).over(w).alias("t1"),
-            F.lead("tok", 2).over(w).alias("t2"),
-        )
-        .filter((F.col("n") >= 3) & F.col("t2").isNotNull())
-        .select("doc_id", *extra_cols, F.concat_ws(" ", "tok", "t1", "t2").alias("s"))
+            F.element_at("tk", F.col("pos") + 2),
+            F.element_at("tk", F.col("pos") + 3),
+        ).alias("s"),
     )
     tiny = d.filter(F.size(toks) < 3).select("doc_id", *extra_cols, F.trim("text").alias("s"))
     return grams.unionByName(tiny)
@@ -139,19 +151,21 @@ def exploded_shingles(d: DataFrame, *extra_cols: str) -> DataFrame:
 
 def minhash_signatures(d: DataFrame, fast: bool = False) -> DataFrame:
     """(doc_id, sig array<k>): posexplode tokens -> 3-gram shingles via
-    window lead() -> k salted hashes per shingle -> groupBy-min.
+    element_at on the carried array -> k salted hashes per shingle ->
+    groupBy-min.
 
     Two deliberate choices versus the naive column expression
     (``minhash_sig``), same output values:
-    - whole-stage-codegen all the way: tokenizing + explode + window
-      lead replaces interpreted higher-order lambdas (measured 46s ->
-      7s -> 2.6s at sf0.1 across the three formulations);
+    - whole-stage-codegen all the way, zero pre-agg shuffle: tokenize +
+      posexplode + element_at replaces both interpreted higher-order
+      lambdas (46s) and window lead() (2.6s) — this form is 0.3s at
+      sf0.1 for the full signature stage;
     - no array_distinct: min over a shingle *multiset* equals min over
       the set, so dedup of shingles is skipped entirely.
 
-    One shuffle on doc_id (token-sized payload) for the window + one for
-    the final min-agg (k fixed-width hashes). fast=True swaps md5 for
-    xxhash64 (engine-internal, cheaper; no SQL oracle).
+    The only shuffle is the final min-agg (k fixed-width hashes per
+    doc). fast=True swaps md5 for xxhash64 (engine-internal, cheaper;
+    no SQL oracle).
     """
     shingles = exploded_shingles(d)
 

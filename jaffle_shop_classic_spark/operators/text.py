@@ -228,19 +228,22 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array lambda, then the standard count/top-k.",
 )
 def q_text_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # posexplode + window lead instead of an array lambda: same values,
-    # whole-stage codegen (the lambda form ran 4.5s vs ~0.5s at sf0.1 —
-    # see the minhash shingle notes in operators/dedup.py)
-    from pyspark.sql import Window
-
+    # posexplode + element_at on the carried token array: the generate
+    # and the concat stay in one codegen span with zero shuffle (the
+    # array lambda form ran 4.5s, the window-lead form ~0.5s, this form
+    # ~0.15s before the agg at sf0.1 — see exploded_shingles in
+    # operators/dedup.py for the full measurement story)
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
-    ex = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = (
-        ex.select(F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bigram"),
-                  F.lead("tok", 1).over(w).alias("t1"))
-        .filter(F.col("t1").isNotNull())
+    # tokenize in its own select below the explode — see
+    # exploded_shingles in operators/dedup.py: inlining split() into the
+    # posexplode projection makes Catalyst re-split per exploded row
+    base = d.select(toks.alias("tk"))
+    ex = base.select(
+        F.size("tk").alias("n"), "tk", F.posexplode("tk").alias("pos", "tok")
+    )
+    bigrams = ex.filter(F.col("pos") <= F.col("n") - 2).select(
+        F.concat_ws(" ", "tok", F.element_at("tk", F.col("pos") + 2)).alias("bigram")
     )
     return (
         bigrams.groupBy("bigram")
