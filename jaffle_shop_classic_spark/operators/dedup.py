@@ -124,29 +124,41 @@ def exploded_shingles(d: DataFrame, *extra_cols: str) -> DataFrame:
     collapses the projects and re-evaluates split(trim(text)) per
     *exploded row* — O(tokens^2) per doc, measured 6x slower. With the
     pre-projection, split runs once per doc and the Generate consumes
-    the materialized array. Rows are a multiset; callers needing the
+    the materialized array.
+
+    The tiny-doc fallback (<3 tokens => whole trimmed text is the one
+    shingle) rides the SAME explode via a conditional source array
+    instead of a separate union branch: a union would evaluate the
+    input plan twice (two scans — or, when the input is itself an
+    aggregate as in pipeline_corpus_curation, the whole upstream
+    recomputed per branch). Rows are a multiset; callers needing the
     shingle *set* dropDuplicates on (doc_id, s)."""
     toks = tokens_col(F.col("text"))
-    base = d.select("doc_id", *extra_cols, toks.alias("tk"))
+    base = d.select("doc_id", *extra_cols, toks.alias("tk"), F.trim("text").alias("raw"))
+    n = F.size("tk")
+    src = F.when(n >= 3, F.col("tk")).otherwise(F.array("raw"))
     ex = base.select(
         "doc_id",
         *extra_cols,
-        F.size("tk").alias("n"),
+        n.alias("n"),
         "tk",
-        F.posexplode("tk").alias("pos", "tok"),
+        F.posexplode(src).alias("pos", "tok"),
     )
-    grams = ex.filter((F.col("n") >= 3) & (F.col("pos") <= F.col("n") - 3)).select(
+    return ex.filter((F.col("n") < 3) | (F.col("pos") <= F.col("n") - 3)).select(
         "doc_id",
         *extra_cols,
-        F.concat_ws(
-            " ",
-            "tok",
-            F.element_at("tk", F.col("pos") + 2),
-            F.element_at("tk", F.col("pos") + 3),
-        ).alias("s"),
+        F.when(
+            F.col("n") >= 3,
+            F.concat_ws(
+                " ",
+                "tok",
+                F.element_at("tk", F.col("pos") + 2),
+                F.element_at("tk", F.col("pos") + 3),
+            ),
+        )
+        .otherwise(F.col("tok"))
+        .alias("s"),
     )
-    tiny = d.filter(F.size(toks) < 3).select("doc_id", *extra_cols, F.trim("text").alias("s"))
-    return grams.unionByName(tiny)
 
 
 def minhash_signatures(d: DataFrame, fast: bool = False) -> DataFrame:
@@ -450,12 +462,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Flagship LLM-data-pipeline composition: quality filter (length + "
     "stopword ratio) -> exact dedup (md5 groupBy, keep min doc_id) -> "
     "MinHash-LSH near-dup removal (drop the higher id of every "
-    "candidate pair) -> surviving doc ids. Every stage is the "
-    "oracle-checked operator from this module chained into one plan; "
-    "at 100 TB the stages stay map-only / single-shuffle exactly as "
-    "they are standalone (SCALING.md).",
+    "candidate pair) -> surviving doc ids. Composed as ONE linear plan "
+    "with zero joins: the exact-dedup aggregate carries the text "
+    "forward so signatures are computed only for survivors, and the "
+    "band-bucket self-join + anti-join is replaced by a window-min per "
+    "bucket ('drop the higher id of every pair' == 'drop any doc that "
+    "is not the bucket minimum somewhere') + a bool_or per doc. 4 "
+    "shuffles total, no duplicated subtrees (the join form recomputed "
+    "the signature stage per self-join side: 2.0s -> 0.9s at sf0.1), "
+    "and no quadratic pair blowup inside hot LSH buckets — the "
+    "window/agg form is linear in bucket size, which is the shape that "
+    "survives 100 TB skew (SCALING.md).",
 )
 def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from .text import STOPWORDS, tokens_col
 
     d = load_table(spark, sf_dir, "documents")
@@ -465,26 +486,23 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality = d.filter((F.size(toks) >= 20) & (stop_ratio < 0.3)).select("doc_id", "text")
 
-    exact = (
-        quality.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # exact dedup keeping the text (all rows in a group share it), so the
+    # signature stage below reads survivors directly instead of joining
+    survivors = quality.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
     )
 
-    sigs = minhash_signatures(d)
-    kept_sigs = sigs.join(exact, "doc_id")
-    bands = kept_sigs.select("doc_id", F.explode(_bands(F.col("sig"))).alias("band_key"))
-    x, y = bands.alias("x"), bands.alias("y")
-    near_dups = (
-        x.join(
-            y,
-            (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("y.doc_id").alias("doc_id"))
-        .distinct()
+    sigs = minhash_signatures(survivors.select("doc_id", "text"))
+    bands = sigs.select("doc_id", F.explode(_bands(F.col("sig"))).alias("band_key"))
+    # a doc is a near-dup iff some bucket it occupies contains a lower id
+    mn = F.min("doc_id").over(Window.partitionBy("band_key"))
+    flagged = bands.select("doc_id", (F.col("doc_id") > mn).alias("is_dup"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.max("is_dup").alias("dropped"))
+        .filter(~F.col("dropped"))
+        .select("doc_id")
     )
-    return exact.join(near_dups, "doc_id", "left_anti")
 
 
 @register(
