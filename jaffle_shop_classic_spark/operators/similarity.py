@@ -290,25 +290,46 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < NUM_CENTROIDS)
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
     )
+
+    # Assignment argmax runs over a NARROW projection (vec_id,
+    # centroid_id, ccos) — ~20 bytes/row — and the winning (vec_id,
+    # centroid_id) joins back to the table for label+embedding. Sorting
+    # the K-scored rows WITH the 64-float embedding as window payload
+    # (the obvious one-pass form) moves 30x more bytes through the
+    # sort; max_by with an embedding-bearing struct is worse still (a
+    # non-atomic agg buffer forces SortAggregate on both sides of the
+    # shuffle). The join back is an equi-join on vec_id: broadcast-able
+    # here, co-partitioned SMJ at 100 TB.
     scored = e.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
-        "label",
-        "embedding",
         "centroid_id",
         cosine_parts(F.col("embedding"), F.col("cvec")).alias("ccos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
-    assigned = (
+    assigned_ids = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "centroid_id")
+        .select("vec_id", "centroid_id")
     )
+
+    # the query vector's list assignment runs on a 1-row input — the old
+    # form derived it by filtering the FULL assignment, recomputing the
+    # whole cross-join+argmax subtree a second time
     q = (
-        assigned.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").alias("qv"), F.col("centroid_id").alias("qc"))
+        e.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("embedding").alias("qv"),
+            F.col("centroid_id").alias("qc"),
+            cosine_parts(F.col("embedding"), F.col("cvec")).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), F.col("qc").asc())
+        .limit(1)
+        .select("qv", "qc")
     )
     return (
-        assigned.filter(F.col("vec_id") != 0)
+        e.filter(F.col("vec_id") != 0)
+        .join(assigned_ids, "vec_id")
         .join(F.broadcast(q), F.col("centroid_id") == F.col("qc"))
         .select(
             "vec_id",
