@@ -543,3 +543,52 @@ def q_dedup_minhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+    corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 100 <> 0),
+    shared AS (
+      SELECT doc_id, count(*) AS n_shared
+      FROM corp WHERE s IN (SELECT s FROM bench)
+      GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY doc_id)
+    SELECT sh2.doc_id, sh2.n_shared, sz.n_shingles,
+           round(CAST(sh2.n_shared AS DOUBLE) / sz.n_shingles, 4)
+             AS contamination_ratio
+    FROM shared sh2 JOIN sizes sz ON sh2.doc_id = sz.doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents whose word-"
+    "3-shingles overlap a held-out eval set (here: every 100th doc_id "
+    "stands in for the benchmark). Corpus shingles LEFT-SEMI join the "
+    "benchmark shingle set, then count per doc against the doc's total "
+    "distinct shingles. At 100 TB the benchmark side is tiny and "
+    "broadcasts, making the contamination scan a map-side semi-join — "
+    "no corpus shuffle beyond the per-doc count, which re-uses the "
+    "shingle dedup's (doc_id, s) partitioning.",
+)
+def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(d).dropDuplicates(["doc_id", "s"])
+    bench = sh.filter(F.col("doc_id") % 100 == 0).select("s")
+    corp = sh.filter(F.col("doc_id") % 100 != 0)
+    shared = (
+        corp.join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return shared.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_shingles",
+        F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 4).alias(
+            "contamination_ratio"
+        ),
+    )

@@ -984,3 +984,106 @@ def q_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("latest_type"),
         )
     )
+
+
+@register(
+    "sample_stratified_quota",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+    doc="Stratified quota sampling: deterministically keep up to 10 "
+    "documents per source, ordered by content hash — equal-share "
+    "domain balancing for training mixes (no domain can flood the "
+    "sample, small domains keep everything). The hash order makes the "
+    "quota winner set stable across engines, runs and partitionings; "
+    "one shuffle on the stratum key. At 100 TB with heavy per-domain "
+    "skew, swap row_number for a per-partition pre-rank + re-rank "
+    "(same two-level shape as global top-k).",
+)
+def q_sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_no, 'view' AS stage, count(*) AS users FROM v
+      UNION ALL
+      SELECT 2, 'click_after_view', count(*) FROM c
+      UNION ALL
+      SELECT 3, 'purchase_after_click', count(*) FROM p
+    )
+    """,
+    doc="Ordered event funnel (view -> click -> purchase): each stage is "
+    "min(ts) of the stage event STRICTLY AFTER the previous stage's "
+    "time, per user — the standard product-analytics conversion query. "
+    "Three chained filter+min aggregates on user_id: after the first "
+    "groupBy every later join and aggregate re-uses the user_id "
+    "partitioning, so scale cost is one events shuffle plus "
+    "per-stage-shrinking joins.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def stage_after(prev: DataFrame, t_prev: str, etype: str, t_out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(t_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(t_out))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = stage_after(v, "t_view", "click", "t_click")
+    p = stage_after(c, "t_click", "purchase", "t_purchase")
+
+    def row(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return (
+        row(1, "view", v)
+        .unionByName(row(2, "click_after_view", c))
+        .unionByName(row(3, "purchase_after_click", p))
+    )

@@ -304,3 +304,150 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: (acc * 131 + v) % 1000000007,
     )
     return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                            i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM t WHERE len(tk) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, bigram, count(*) AS c
+      FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           sum(c) AS n_bigrams,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_ratio,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS distinct_bigram_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition quality signal: per document, the "
+    "fraction of bigram mass taken by the single most frequent bigram "
+    "and the distinct-bigram ratio — boilerplate and template spam "
+    "score high/low respectively. Explode + two chained aggregates on "
+    "the SAME key (doc_id, then doc_id-only): the second groupBy is a "
+    "re-aggregation of already-co-located rows, so only the first "
+    "shuffles data at 100 TB.",
+)
+def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    ex = base.select(
+        "doc_id", F.size("tk").alias("n"), "tk", F.posexplode("tk").alias("pos", "tok")
+    )
+    bigrams = ex.filter(F.col("pos") <= F.col("n") - 2).select(
+        "doc_id",
+        F.concat_ws(" ", "tok", F.element_at("tk", F.col("pos") + 2)).alias("bigram"),
+    )
+    cnt = bigrams.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("top_bigram_ratio"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 4).alias(
+            "distinct_bigram_ratio"
+        ),
+    )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           least({CHUNK_TOKENS}, len(tk) - start) AS n_chunk_tokens,
+           md5(array_to_string(
+             list_slice(tk, start + 1, least(start + {CHUNK_TOKENS}, len(tk))),
+             ' ')) AS chunk_md5
+    FROM (SELECT doc_id, tk, unnest(range(0, len(tk), {CHUNK_STRIDE})) AS start FROM t)
+    """,
+    doc="Fixed-size token chunking with overlap (window {CHUNK_TOKENS}, "
+    "stride {CHUNK_STRIDE}) — the standard shaping step before "
+    "tokenizer/embedding stages of a training pipeline. sequence() + "
+    "posexplode + slice on the carried token array: per-row generate, "
+    "no shuffle at any scale; chunk content is verified cross-engine "
+    "via md5 of the joined slice.",
+)
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    ex = base.select(
+        "doc_id",
+        F.size("tk").alias("n"),
+        "tk",
+        F.explode(
+            F.sequence(F.lit(0), F.size("tk") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return ex.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start")).alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice("tk", F.col("start") + 1, F.lit(CHUNK_TOKENS)))
+        ).alias("chunk_md5"),
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: explode -> tf per (doc, term), "
+    "df per term, idf = ln(N/df) with N from a 1-row count aggregate "
+    "(broadcast), window top-k per doc. Ordering uses the ROUNDED "
+    "score so cross-engine float noise cannot flip ranks. At 100 TB "
+    "the df table is vocabulary-sized (broadcast), tf is the only "
+    "big shuffle, and the top-k window re-uses tf's doc_id "
+    "partitioning.",
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
