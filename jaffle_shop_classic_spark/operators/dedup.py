@@ -592,3 +592,103 @@ def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination_ratio"
         ),
     )
+
+
+# ------------------------------------------------------- connected components
+MAX_CC_ITERS = 20
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_SIGS_CTE},
+    bands AS (
+      SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+      WHERE r.label < e.dst
+    ),
+    comp AS (
+      SELECT doc_id, min(label) AS component_id FROM reach GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.component_id, s.n_members
+    FROM comp c
+    JOIN (SELECT component_id, count(*) AS n_members
+          FROM comp GROUP BY component_id) s
+      ON c.component_id = s.component_id
+    """,
+    doc="Near-dup CLUSTERING: connected components over the MinHash-LSH "
+    "candidate-pair graph, labeling every clustered document with "
+    "component_id = min doc_id of its component (the canonical keeper) "
+    "plus the component size. Spark side is iterative hash-min label "
+    "propagation: each round joins labels to the symmetric edge list "
+    "and takes min(neighbor label, own label); convergence is detected "
+    "by the monotone sum-of-labels fixpoint, and each round is "
+    "localCheckpoint-ed to truncate lineage. Rounds needed = graph "
+    "diameter (near-dup components are shallow; typically <=3). At "
+    "100 TB you swap hash-min for large-star/small-star (O(log n) "
+    "rounds, same join+min building block) and checkpoint to durable "
+    "storage; the per-round cost stays one equi-join shuffle on "
+    "doc_id. The DuckDB oracle computes the same fixpoint as a "
+    "recursive min-label closure.",
+)
+def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    bands = sigs.select("doc_id", F.explode(_bands(F.col("sig"))).alias("band_key"))
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(MAX_CC_ITERS):
+        prop = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:  # labels only ever decrease -> fixpoint
+            break
+        prev_sum = new_sum
+    comp = labels.select("doc_id", F.col("label").alias("component_id"))
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(sizes, "component_id").select(
+        "doc_id", "component_id", "n_members"
+    )

@@ -340,3 +340,74 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+# ------------------------------------------------------------ quantization
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      v -> abs(CAST(v AS DOUBLE)))) / 127 AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding, scale,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           md5(array_to_string(qv, ',')) AS q_md5,
+           round(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, {DIM + 1}),
+                       i -> (CAST(embedding[i] AS DOUBLE) - qv[i] * scale)
+                          * (CAST(embedding[i] AS DOUBLE) - qv[i] * scale))),
+                   (acc, x) -> acc + x)
+                 / {DIM}, 12) AS mse
+    FROM q
+    """,
+    doc="Symmetric per-vector int8 quantization — the standard embedding "
+    "compression for ANN serving and training-data storage (4x smaller "
+    "than float32). scale = max|v|/127; q_i = round-half-up(v_i/scale); "
+    "output verifies the quantized codes bit-for-bit via md5 plus the "
+    "reconstruction MSE. Entirely map-side (one projection per row, no "
+    "shuffle, whole-stage codegen): at 100 TB it runs at scan speed "
+    "and is the prep stage before the IVF/LSH indexes. Rounding is "
+    "pinned to floor(x+0.5) in BOTH engines so half-way codes agree.",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double"))))
+    s = e.select("vec_id", "embedding", (amax / F.lit(127.0)).alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    q = s.withColumn(
+        "qv",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ),
+    )
+    err = F.zip_with(
+        F.col("embedding"),
+        F.col("qv"),
+        lambda v, qq: (v.cast("double") - qq.cast("double") * F.col("scale"))
+        * (v.cast("double") - qq.cast("double") * F.col("scale")),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / F.lit(float(DIM))
+    # mse_raw is projected BEFORE scale is overwritten with its rounded
+    # form: putting `round(scale, 9) AS scale` in the same select would
+    # make Spark's lateral-column-alias resolution silently rebind the
+    # `scale` inside the mse expression to the ROUNDED value.
+    return q.withColumn("mse_raw", mse).select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.md5(F.array_join("qv", ",")).alias("q_md5"),
+        F.round("mse_raw", 12).alias("mse"),
+    )
