@@ -1087,3 +1087,66 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row(2, "click_after_view", c))
         .unionByName(row(3, "purchase_after_click", p))
     )
+
+
+RANGE_WINDOW_SEC = 3600  # attribution lookback; also the bucket width
+
+
+@register(
+    "range_join_bucketed",
+    oracle=f"""
+    SELECT p.event_id, count(v.event_id) AS n_views_1h
+    FROM events p LEFT JOIN events v
+      ON v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL {RANGE_WINDOW_SEC} SECOND
+     AND v.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    doc="Range (interval) join WITHOUT an equi-key — for every purchase, "
+    "count the views in the preceding hour across all users. The naive "
+    "plan is a cartesian product with a range filter (O(n*m)); this "
+    "implementation buckets both sides by hour and probes each "
+    "purchase against its two candidate buckets (an interval spanning "
+    "W seconds overlaps exactly 2 W-wide buckets), making it an "
+    "EQUI-join on the bucket id followed by the exact range predicate "
+    "— each matching pair appears in exactly one probed bucket, so no "
+    "dedup is needed. Left semantics (purchases with zero views) are "
+    "restored by a final left join against the purchase keys. At "
+    "100 TB the bucket key carries the shuffle, AQE splits hot "
+    "buckets, and cost is O(pairs sharing a bucket), never O(n*m). "
+    "All time math is integer microseconds so both engines agree "
+    "bit-for-bit.",
+)
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_us = RANGE_WINDOW_SEC * 1_000_000
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.unix_micros("ts").alias("v_us"),
+        F.expr(f"unix_micros(ts) div {w_us}").alias("bucket"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.unix_micros("ts").alias("p_us")
+    )
+    probes = purchases.select(
+        "event_id",
+        "p_us",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"(p_us - {w_us}) div {w_us}"),
+                    F.expr(f"p_us div {w_us}"),
+                )
+            )
+        ).alias("bucket"),
+    )
+    hits = (
+        probes.join(views, "bucket")
+        .filter((F.col("v_us") >= F.col("p_us") - w_us) & (F.col("v_us") < F.col("p_us")))
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return purchases.join(hits, "event_id", "left").select(
+        "event_id", F.coalesce(F.col("n"), F.lit(0)).alias("n_views_1h")
+    )

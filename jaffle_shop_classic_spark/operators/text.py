@@ -451,3 +451,47 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "quality_percentile_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    sc AS (
+      SELECT doc_id,
+             round(least(1.0, len(toks) / 100.0)
+                   * (1.0 - CAST({_hits_sql(STOPWORDS)} AS DOUBLE) / len(toks)),
+                   4) AS quality
+      FROM t
+    ),
+    thr AS (SELECT quantile_cont(quality, 0.5) AS t FROM sc)
+    SELECT sc.doc_id, sc.quality FROM sc, thr WHERE sc.quality >= thr.t
+    """,
+    doc="Percentile-threshold corpus filtering: keep documents at or "
+    "above the corpus-median quality score — 'filter to the best half' "
+    "without hand-picking a constant, the usual way quality gates are "
+    "specified for training mixes. Two-phase plan: one aggregate "
+    "produces the 1-row threshold (exact interpolated percentile; "
+    "production swaps in percentile_approx whose sketch state is "
+    "constant-size), which broadcasts into a map-side filter on the "
+    "second scan — no shuffle of the corpus itself at any scale. "
+    "Scores are pre-rounded identically in both engines so the "
+    "threshold comparison is exact.",
+)
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    stop_ratio = _hits(F.col("toks"), STOPWORDS).cast("double") / F.size("toks")
+    sc = toks.select(
+        "doc_id",
+        F.round(
+            F.least(F.lit(1.0), F.size("toks") / F.lit(100.0)) * (F.lit(1.0) - stop_ratio),
+            4,
+        ).alias("quality"),
+    )
+    thr = sc.agg(F.percentile("quality", F.lit(0.5)).alias("t"))
+    return (
+        sc.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("t"))
+        .select("doc_id", "quality")
+    )

@@ -150,3 +150,16 @@ def running_user_stats_stream(events: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+def enrich_with_static_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream equi-joins a *batch* dimension table (here: customer market
+    segment keyed by user_id). Spark re-plans the static side per
+    micro-batch, so a small dimension rides a broadcast hash join with
+    no streaming state at all — the standard shape for attaching
+    slowly-changing reference data to a 100 TB/day event firehose.
+    """
+    return events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "left"
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")

@@ -90,3 +90,25 @@ def test_custom_stateful_running_stats(spark, sf_dir):
     g = {r["user_id"]: (r["n_events"], r["total_value"], r["max_value"]) for r in got.collect()}
     w = {r["user_id"]: (r["n_events"], r["total_value"], r["max_value"]) for r in want.collect()}
     assert g == w
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir):
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+    from jaffle_shop_classic_spark.streaming.windows import (
+        enrich_with_static_dim,
+        run_stream_to_batch,
+        stream_events,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    streamed = run_stream_to_batch(
+        enrich_with_static_dim(stream_events(spark, sf_dir), dim),
+        "stream_static_enrich",
+    )
+    batch = enrich_with_static_dim(load_table(spark, sf_dir, "events"), dim)
+    assert streamed.count() == batch.count()
+    assert sorted(streamed.columns) == sorted(batch.columns)
+    # value-level check on a deterministic slice
+    s = {tuple(r) for r in streamed.filter("event_id < 100").collect()}
+    b = {tuple(r) for r in batch.filter("event_id < 100").collect()}
+    assert s == b
