@@ -411,3 +411,145 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join("qv", ",")).alias("q_md5"),
         F.round("mse_raw", 12).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------- k-means
+KMEANS_ITERS = 2
+
+
+def _sqdist_sql(e: str, c: str) -> str:
+    """Squared L2 as a strict sequential fold (bit-parity with Spark's
+    F.aggregate) over double-cast elements."""
+    terms = (
+        f"list_transform(range(1, {DIM + 1}), "
+        f"i -> (CAST({e}[i] AS DOUBLE) - {c}[i]) * (CAST({e}[i] AS DOUBLE) - {c}[i]))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {terms}), (acc, x) -> acc + x)"
+    )
+
+
+def _kmeans_oracle() -> str:
+    # seed centroids: the first K vectors, rounded like every later state
+    ctes = [
+        f"""c0 AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, v -> round(CAST(v AS DOUBLE), 6)) AS cvec
+      FROM embeddings WHERE vec_id < {NUM_CENTROIDS}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        ctes.append(f"""a{it} AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sqdist_sql('e.embedding', 'c.cvec')} ASC, c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""c{it} AS (
+      SELECT centroid_id, list(c ORDER BY i) AS cvec, any_value(n) AS n_members
+      FROM (
+        SELECT centroid_id, i,
+               round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 6) AS c,
+               count(*) AS n
+        FROM a{it}, range(1, {DIM + 1}) t(i)
+        GROUP BY centroid_id, i
+      ) GROUP BY centroid_id
+    )""")
+        prev = f"c{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT centroid_id, n_members,
+           md5(array_to_string(list_transform(cvec,
+               c -> CAST(CAST(c AS DECIMAL(12,6)) AS VARCHAR)), ','))
+             AS centroid_md5
+    FROM {prev}
+    """
+    )
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    doc=f"X13 production path: {KMEANS_ITERS} Lloyd iterations of "
+    f"k-means (K={NUM_CENTROIDS}, squared-L2, deterministic seed = "
+    "first K vectors) producing the IVF centroids. Fully distributed — "
+    "assignment is the same narrow broadcast-argmin as sim_ivf_topk "
+    "(K scored rows per vector, ~20 bytes each, through the window "
+    "sort; the embedding never rides the shuffle), and the update step "
+    "dim-explodes members so each (centroid, dim) mean is one "
+    "partial->final aggregate; no centroid state ever touches the "
+    "driver. Centroid coordinates are rounded to 6dp after every "
+    "update in BOTH engines, pinning the iteration state bit-for-bit "
+    "cross-engine (and making runs reproducible regardless of "
+    "float-sum partition order). At 100 TB: per-iteration cost is one "
+    "broadcast scan + one (centroid_id, dim)-key aggregate — the "
+    "K*dim model state is broadcast-sized by construction; distances "
+    "fold sequentially to stay deterministic.",
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < NUM_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform(F.col("embedding"), lambda v: F.round(v.cast("double"), 6)).alias(
+            "cvec"
+        ),
+    )
+    w = Window.partitionBy("vec_id")
+    for _ in range(KMEANS_ITERS):
+        sqdist = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("cvec"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "centroid_id", sqdist.alias("d")
+        )
+        assigned = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(w.orderBy(F.col("d").asc(), F.col("centroid_id").asc())),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid_id")
+        )
+        members = assigned.join(e, "vec_id").select(
+            "centroid_id", F.posexplode("embedding").alias("i", "v")
+        )
+        dim_means = members.groupBy("centroid_id", "i").agg(
+            F.round(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        cent = dim_means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("cvec"),
+            F.first("n").alias("n_members"),
+        )
+    # double->string rendering differs across engines; DECIMAL(12,6)
+    # strings are identical (fixed scale, -0 normalized) so the md5 is
+    # comparable bit-for-bit
+    return cent.select(
+        "centroid_id",
+        "n_members",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("cvec"), lambda c: c.cast("decimal(12,6)").cast("string")
+                ),
+                ",",
+            )
+        ).alias("centroid_md5"),
+    )
