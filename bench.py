@@ -43,6 +43,11 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "sim_cosine_topk",
     "sim_ivf_topk",
     "pipeline_corpus_curation",
+    "dedup_cluster_components",
+    "kmeans_lloyd",
+    "range_join_bucketed",
+    "text_tfidf_topk",
+    "embedding_quantize_int8",
 ]
 
 
