@@ -784,8 +784,8 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -867,7 +867,7 @@ def q_tpch_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "map_ops",
     oracle="""
-    SELECT key, count(*) AS n, sum(val) AS total_val
+    SELECT key, count(*) AS n, CAST(sum(val) AS BIGINT) AS total_val
     FROM (
       SELECT unnest(json_keys(props)) AS key,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
@@ -912,7 +912,7 @@ def q_sample_hash_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "train_test_split_hash",
     oracle="""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT n_chars,
              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'

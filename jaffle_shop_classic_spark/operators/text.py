@@ -320,7 +320,7 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bg GROUP BY doc_id, bigram
     )
     SELECT doc_id,
-           sum(c) AS n_bigrams,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
            round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_ratio,
            round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS distinct_bigram_ratio
     FROM cnt GROUP BY doc_id

@@ -70,6 +70,20 @@ def compare(name: str, spark_df, con) -> dict:
             "spark_sec": round(t_spark, 3),
         }
     t0 = time.time()
+    # DuckDB sum(INTEGER/BIGINT) yields HUGEINT (int128). Spark has no such
+    # type, and the driver's normalizer renders the two differently even when
+    # values are equal (the r1 hash failures). Our str(int) normalization
+    # below would mask that, so fail loudly instead: the oracle must
+    # CAST(sum(...) AS BIGINT).
+    rel = con.sql(spec.oracle)
+    bad = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()]
+    if bad:
+        return {
+            "name": name,
+            "status": "HUGEINT_ORACLE_COL",
+            "columns": bad,
+            "fix": "wrap the integer sum in CAST(... AS BIGINT) in the oracle SQL",
+        }
     cur = con.execute(spec.oracle)
     o_cols = [d[0] for d in cur.description]
     o_rows = cur.fetchall()
