@@ -16,9 +16,13 @@ makes these plans run indefinitely at cluster scale.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from jaffle_shop_classic_spark.operators.catalog import register
 
 # events.parquet physical schema: ts is TIMESTAMP(NANOS), surfaced as
 # long under spark.sql.legacy.parquet.nanosAsLong (see sources/parquet.py)
@@ -149,6 +153,67 @@ def running_user_stats_stream(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf="NoTimeout",
         )
+    )
+
+
+# ------------------------------------------------- catalog registrations
+# Streaming has no DuckDB oracle (X15 — the driver records a rows-only
+# check); semantic verification is tests/test_streaming.py, which diffs
+# each twin against its oracle-green batch equivalent on the same data.
+_SINK_SEQ = itertools.count()
+
+
+def _drain(df: DataFrame, base: str, output_mode: str = "append") -> DataFrame:
+    """Unique memory-sink name per call so re-runs don't collide."""
+    return run_stream_to_batch(df, f"{base}_{next(_SINK_SEQ)}", output_mode)
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=None,
+    doc="X15: streaming twin of tumbling_window — readStream parquet "
+    "source, 1h watermark, 10-min tumbling count/sum, memory sink "
+    "drained with availableNow. Append mode emits watermark-closed "
+    "windows; state is O(open windows) regardless of stream length.",
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(tumbling_counts_stream(stream_events(spark, sf_dir)), "stream_tumbling")
+
+
+@register(
+    "stream_session_windows",
+    oracle=None,
+    doc="X15: streaming sessionization via F.session_window with merging "
+    "window state per user, bounded by a 1h watermark — the streaming "
+    "twin of session_window_batch (which is the oracle-checked surface).",
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(session_window_stream(stream_events(spark, sf_dir)), "stream_sessions")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle=None,
+    doc="X15: dropDuplicatesWithinWatermark on event_id — streaming exact "
+    "dedup with bounded state (duplicates must arrive within the 1h "
+    "watermark horizon; older keys are evicted).",
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(dedup_within_watermark(stream_events(spark, sf_dir)), "stream_dedup")
+
+
+@register(
+    "stream_running_user_stats",
+    oracle=None,
+    doc="X15: custom stateful operator via applyInPandasWithState — "
+    "per-user running (count, sum, max) state surviving across "
+    "micro-batches; the escape hatch beyond built-in windowed aggs.",
+)
+def q_stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(
+        running_user_stats_stream(stream_events(spark, sf_dir)),
+        "stream_running_stats",
+        output_mode="update",
     )
 
 
