@@ -23,7 +23,7 @@ the plan shape is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
@@ -249,6 +249,62 @@ _BANDS_SQL = (
     + "]"
 )
 
+# Hot-band cap: a band bucket with more than MAX_BAND_SIZE members is a
+# degenerate cluster (boilerplate, template spam, empty docs) whose pair
+# expansion is quadratic in bucket size — the one way a banded LSH join
+# can blow up at 100 TB. Buckets over the cap are dropped entirely before
+# the self-join: their members are near-identical, so exact dedup
+# (dedup_exact) already collapses them, and the candidate join stays
+# O(sum cap * bucket_count). 64 is ~4x the largest bucket observed at
+# sf0.1 (16), so the cap never fires on driver data — it exists for the
+# skewed tail at scale (exercised by tests/test_operators.py's hot-band
+# fixture).
+MAX_BAND_SIZE = 64
+
+
+def capped_bands(bands: DataFrame, cap: int = MAX_BAND_SIZE) -> DataFrame:
+    """Filter out band buckets larger than ``cap`` members.
+
+    The window count partitions by band_key — the same key the candidate
+    self-join shuffles on, so at scale the count rides the join's own
+    exchange (one shuffle, not two).
+    """
+    w = Window.partitionBy("band_key")
+    return (
+        bands.withColumn("band_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("band_n") <= cap)
+        .drop("band_n")
+    )
+
+
+def candidate_pairs(bands: DataFrame, cap: int = MAX_BAND_SIZE) -> DataFrame:
+    """Banded self-equi-join with the hot-band cap applied: distinct
+    (doc_a < doc_b) candidate pairs, O(candidates) never O(n^2)."""
+    sized = capped_bands(bands, cap)
+    x, y = sized.alias("x"), sized.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _bands_sized_sql(cap: int = MAX_BAND_SIZE) -> str:
+    """Oracle twin of capped_bands over the ``bands`` CTE."""
+    return f"""
+    bands_sized AS (
+      SELECT doc_id, band_key FROM (
+        SELECT doc_id, band_key,
+               count(*) OVER (PARTITION BY band_key) AS band_n
+        FROM bands)
+      WHERE band_n <= {cap}
+    )"""
+
+
 _SIG_MATCH_SQL = (
     "list_sum(list_transform(range(1, "
     f"{NUM_HASHES + 1}), i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))"
@@ -264,9 +320,10 @@ _SIG_MATCH_SQL = (
       SELECT doc_id, unnest({_BANDS_SQL}) AS band_key
       FROM sigs
     ),
+    {_bands_sized_sql()},
     pairs AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bands x JOIN bands y
+      FROM bands_sized x JOIN bands_sized y
         ON x.band_key = y.band_key AND x.doc_id < y.doc_id
     )
     SELECT p.doc_a, p.doc_b,
@@ -276,26 +333,16 @@ _SIG_MATCH_SQL = (
     JOIN sigs b ON b.doc_id = p.doc_b
     """,
     doc="X13: MinHash LSH candidate pairs — band signatures (4 bands x 2 "
-    "rows), self-equi-join on band key, then estimate Jaccard from full "
-    "signatures. One shuffle on band keys + one on doc ids; never "
-    "compares all n^2 pairs. AQE handles hot-band skew; a production "
-    "run also caps pathological band sizes (salting or band-size "
-    "filter).",
+    "rows), hot-band cap (MAX_BAND_SIZE, see capped_bands), self-equi-"
+    "join on band key, then estimate Jaccard from full signatures. One "
+    "shuffle on band keys + one on doc ids; never compares all n^2 "
+    "pairs, and the cap bounds the worst bucket's pair expansion.",
 )
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     bands = sigs.select("doc_id", F.explode(_bands(F.col("sig"))).alias("band_key"))
-    x, y = bands.alias("x"), bands.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = candidate_pairs(bands)
     a, b = sigs.alias("a"), sigs.alias("b")
     matches = F.aggregate(
         F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda u, v: (u == v).cast("int")),
@@ -509,11 +556,11 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_fast_pairs",
     oracle=None,  # xxhash64 is Spark-internal — rows-only check
     doc="X13: MinHash LSH candidate pairs on the xxhash64 fast path — "
-    "identical banding/join plan to dedup_minhash_lsh_pairs but with "
-    "64-bit JVM hashing (the production choice at 100 TB; measured "
-    "3.5x cheaper signatures at sf0.1: 0.12s vs 0.42s). Pair quality is "
-    "equivalent in expectation; exact pair sets differ because the "
-    "hash family differs.",
+    "identical banding/join plan to dedup_minhash_lsh_pairs (incl. the "
+    "hot-band cap) but with 64-bit JVM hashing (the production choice "
+    "at 100 TB; measured 3.5x cheaper signatures at sf0.1: 0.12s vs "
+    "0.42s). Pair quality is equivalent in expectation; exact pair sets "
+    "differ because the hash family differs.",
 )
 def q_dedup_minhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -533,16 +580,7 @@ def q_dedup_minhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_key"),
     )
-    x, y = bands.alias("x"), bands.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return candidate_pairs(bands)
 
 
 @register(
@@ -687,6 +725,14 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:  # labels only ever decrease -> fixpoint
             break
         prev_sum = new_sum
+    else:
+        # Silently returning non-converged labels would diverge from the
+        # recursive-CTE oracle fixpoint with no error signal.
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ITERS} "
+            "iterations — graph diameter exceeds the cap; raise "
+            "MAX_CC_ITERS or switch to large-star/small-star rounds"
+        )
     comp = labels.select("doc_id", F.col("label").alias("component_id"))
     sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
     return comp.join(sizes, "component_id").select(

@@ -479,17 +479,54 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold comparison is exact.",
 )
 def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _quality_scores(spark, sf_dir)
+    thr = sc.agg(F.percentile("quality", F.lit(0.5)).alias("t"))
+    return (
+        sc.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("t"))
+        .select("doc_id", "quality")
+    )
+
+
+def _quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
     stop_ratio = _hits(F.col("toks"), STOPWORDS).cast("double") / F.size("toks")
-    sc = toks.select(
+    return toks.select(
         "doc_id",
         F.round(
             F.least(F.lit(1.0), F.size("toks") / F.lit(100.0)) * (F.lit(1.0) - stop_ratio),
             4,
         ).alias("quality"),
     )
-    thr = sc.agg(F.percentile("quality", F.lit(0.5)).alias("t"))
+
+
+@register(
+    "quality_percentile_filter_approx",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    sc AS (
+      SELECT doc_id,
+             round(least(1.0, len(toks) / 100.0)
+                   * (1.0 - CAST({_hits_sql(STOPWORDS)} AS DOUBLE) / len(toks)),
+                   4) AS quality
+      FROM t
+    ),
+    thr AS (SELECT quantile_disc(quality, 0.5) AS t FROM sc)
+    SELECT sc.doc_id, sc.quality FROM sc, thr WHERE sc.quality >= thr.t
+    """,
+    doc="The 100 TB form of quality_percentile_filter: the threshold comes "
+    "from percentile_approx, whose GK-sketch aggregation state is "
+    "constant-size (the exact percentile's buffer holds every value). "
+    "accuracy=1e6 makes rank error < 1 row below ~1M docs, and Spark's "
+    "sketch picks the same lower-median *element* as the oracle's "
+    "quantile_disc (verified over even/odd counts), so the filter is "
+    "still hash-checkable. Beyond that scale the threshold is "
+    "approximate by design — the right trade for a quality gate.",
+)
+def q_quality_percentile_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _quality_scores(spark, sf_dir)
+    thr = sc.agg(F.percentile_approx("quality", F.lit(0.5), F.lit(1_000_000)).alias("t"))
     return (
         sc.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("t"))

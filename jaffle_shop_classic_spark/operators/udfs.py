@@ -88,9 +88,15 @@ def q_udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     mean = pdf["value"].mean()
-    # population std (ddof=0) to match the SQL oracle's stddev_pop
+    # population std (ddof=0) to match the SQL oracle's stddev_pop; for a
+    # constant-valued group stddev_pop = 0 and the oracle's division
+    # yields NULL, so emit NaN (a float Series — a bare 0.0 would crash
+    # .round on the scalar branch)
     std = pdf["value"].std(ddof=0)
-    pdf["zscore"] = ((pdf["value"] - mean) / std if std else 0.0).round(4)
+    if std:
+        pdf["zscore"] = ((pdf["value"] - mean) / std).round(4)
+    else:
+        pdf["zscore"] = None  # oracle: x / stddev_pop(...)=0 -> NULL
     return pdf[["event_id", "event_type", "zscore"]]
 
 

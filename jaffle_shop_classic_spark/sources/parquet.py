@@ -34,7 +34,11 @@ DIMENSIONS = frozenset({"region", "nation", "supplier", "part"})
 # re-listing on every query call (~0.15s/query at bench scale — the
 # analog of a warehouse caching catalog metadata). Keyed by Spark
 # application id so a new session never sees another session's plans.
+# Bounded: stale (app, sf_dir) generations are evicted wholesale when
+# the cache outgrows a few generations' worth of tables, so long-lived
+# processes cycling sessions/sf_dirs don't accumulate dead plans.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_TABLE_CACHE_MAX = 4 * len(TABLES)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,6 +47,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = _load_table_uncached(spark, sf_dir, name)
+    if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+        current_gen = key[:2]
+        for k in [k for k in _TABLE_CACHE if k[:2] != current_gen]:
+            del _TABLE_CACHE[k]
     _TABLE_CACHE[key] = df
     return df
 

@@ -108,3 +108,40 @@ def test_lsh_pairs_have_high_estimated_jaccard_top(spark, sf_dir):
     # candidate pairs collide on at least one band (2 equal hashes) =>
     # est_jaccard >= 2/8 by construction
     assert all(r["est_jaccard"] >= 0.25 for r in pairs)
+
+
+# ------------------------------------------------------- hot-band cap
+def test_hot_band_cap_drops_oversized_buckets(spark):
+    from jaffle_shop_classic_spark.operators.dedup import candidate_pairs
+
+    # 1 hot band with 40 members (degenerate near-identical cluster) +
+    # 2 normal bands with 3 and 2 members
+    rows = [(i, "hot") for i in range(40)]
+    rows += [(100, "b1"), (101, "b1"), (102, "b1"), (200, "b2"), (201, "b2")]
+    bands = spark.createDataFrame(rows, "doc_id long, band_key string")
+
+    capped = candidate_pairs(bands, cap=8)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # the hot band contributes nothing; normal bands' pairs survive
+    assert got == {(100, 101), (100, 102), (101, 102), (200, 201)}
+
+    uncapped = candidate_pairs(bands, cap=1_000_000)
+    assert uncapped.count() == 40 * 39 // 2 + 4
+
+
+def test_hot_band_cap_default_never_fires_on_driver_data(spark, sf_dir):
+    # MAX_BAND_SIZE must stay above the real band sizes, so the capped
+    # plan returns exactly the oracle-checked pair set
+    from jaffle_shop_classic_spark.operators.dedup import (
+        MAX_BAND_SIZE,
+        _bands,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    bands = sigs.select("doc_id", F.explode(_bands(F.col("sig"))).alias("band_key"))
+    biggest = (
+        bands.groupBy("band_key").count().agg(F.max("count").alias("m")).first()["m"]
+    )
+    assert biggest <= MAX_BAND_SIZE

@@ -23,6 +23,7 @@ CROSS_OK = {
     "kmeans_lloyd",  # broadcast K-centroid assignment join per iteration
     "text_tfidf_topk",  # broadcast 1-row corpus-size (N) join for idf
     "quality_percentile_filter",  # broadcast 1-row threshold join
+    "quality_percentile_filter_approx",  # broadcast 1-row threshold join
     "dedup_embedding_cosine",  # non-equi self pair join within label blocks
     "sim_pairs_blocked",
     "dedup_ngram_jaccard",
