@@ -186,45 +186,45 @@ def q_jaffle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     payments = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
 
-    customer_orders = (
-        orders.groupBy(F.col("o_custkey").alias("customer_id"))
+    # Two rewrites of the reference's CTE pair, both result-identical:
+    # 1. partial-aggregation pushdown below the join (sum is associative,
+    #    so per-order subtotals then per-customer totals == direct
+    #    totals): the join and the custkey shuffle see |orders| rows
+    #    instead of |lineitem| rows — at 100 TB this is the difference
+    #    between shuffling the fact table and shuffling the order
+    #    dimension. Catalyst does not do this rewrite itself
+    #    (customers.sql:33-46 is join-then-aggregate).
+    # 2. fused customer_orders + customer_payments: both CTEs group
+    #    orders-grain rows by custkey (customers.sql:20-31 groups orders
+    #    directly; :33-46 groups payment rows that each belong to exactly
+    #    one order), so orders LEFT JOIN per-order-subtotals feeds ONE
+    #    aggregate computing all four measures — one custkey shuffle and
+    #    one mart join instead of two of each. An order with no payments
+    #    contributes NULL to the sum (ignored) but still counts — exactly
+    #    the reference's left-join null semantics (§1.3); payments with
+    #    no order fall out of the final customer join in both shapes.
+    per_order = payments.groupBy("l_orderkey").agg(
+        F.sum("l_extendedprice").alias("order_amount")
+    )
+    per_customer = (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate")
+        .join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
         .agg(
             F.min("o_orderdate").alias("first_order"),
             F.max("o_orderdate").alias("most_recent_order"),
             F.count("o_orderkey").alias("number_of_orders"),
+            F.round(F.sum("order_amount"), 2).alias("customer_lifetime_value"),
         )
     )
-    # partial-aggregation pushdown below the join (sum is associative, so
-    # per-order subtotals then per-customer totals == direct totals): the
-    # join and the custkey shuffle see |orders| rows instead of
-    # |lineitem| rows — at 100 TB this is the difference between
-    # shuffling the fact table and shuffling the order dimension.
-    # Catalyst does not do this rewrite itself; result is identical to
-    # the reference's join-then-aggregate (customers.sql:33-46).
-    per_order = payments.groupBy("l_orderkey").agg(
-        F.sum("l_extendedprice").alias("order_amount")
-    )
-    customer_payments = (
-        per_order.join(
-            orders.select("o_orderkey", "o_custkey"),
-            per_order.l_orderkey == orders.o_orderkey,
-            "left",
-        )
-        .groupBy(F.col("o_custkey").alias("customer_id"))
-        .agg(F.round(F.sum("order_amount"), 2).alias("customer_lifetime_value"))
-    )
-    return (
-        customers.join(customer_orders, "customer_id", "left")
-        .join(customer_payments, "customer_id", "left")
-        .select(
-            "customer_id",
-            "name",
-            "segment",
-            "first_order",
-            "most_recent_order",
-            "number_of_orders",
-            "customer_lifetime_value",
-        )
+    return customers.join(per_customer, "customer_id", "left").select(
+        "customer_id",
+        "name",
+        "segment",
+        "first_order",
+        "most_recent_order",
+        "number_of_orders",
+        "customer_lifetime_value",
     )
 
 

@@ -91,6 +91,13 @@ def test_minhash_lsh_join_is_equi_join_on_band_key(spark, sf_dir):
 
 def test_pre_aggregation_below_mart_payments_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "jaffle_customers", mode="simple")
-    # two aggregate stages on the payments branch: per-order subtotal
-    # before the join, per-customer total after (SCALING.md R6)
-    assert plan.count("HashAggregate") >= 6  # partial+final x >=3 aggs
+    # fused mart shape (SCALING.md R6): per-order subtotal aggregated
+    # BEFORE the orders join, then exactly one per-customer aggregate
+    # computing all four measures — 2 aggs x (partial+final) = 4 stages,
+    # and only two shuffles total (l_orderkey, o_custkey)
+    assert plan.count("HashAggregate") == 4
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the payments branch must pre-aggregate on l_orderkey below the join
+    order_agg = plan.index("hashpartitioning(l_orderkey")
+    cust_agg = plan.index("hashpartitioning(o_custkey")
+    assert cust_agg < order_agg  # custkey agg is above (printed first)
