@@ -42,6 +42,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "dedup_minhash_fast_pairs",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_ivf_multiprobe_topk",
     "pipeline_corpus_curation",
     "dedup_cluster_components",
     "kmeans_lloyd",

@@ -72,6 +72,24 @@ def test_ann_candidates_subset_of_bruteforce_space(spark, sf_dir):
     assert len({r["bucket"] for r in ann}) == 1
 
 
+def test_ivf_multiprobe_improves_on_single_probe(spark, sf_dir):
+    cat = load_catalog()
+    single = cat["sim_ivf_topk"].fn(spark, sf_dir).collect()
+    multi = cat["sim_ivf_multiprobe_topk"].fn(spark, sf_dir).collect()
+    # the probe set includes the query's own list, so multi-probe's
+    # candidate pool is a superset: its top result is at least as good
+    assert multi[0]["cosine"] >= single[0]["cosine"]
+    # candidates come from at most NUM_PROBES distinct inverted lists
+    from jaffle_shop_classic_spark.operators.similarity import NUM_PROBES
+
+    assert 1 <= len({r["centroid_id"] for r in multi}) <= NUM_PROBES
+    # single-probe results (same list as the query) all reappear in the
+    # multi-probe candidate space ordering at equal-or-better rank
+    single_ids = {r["vec_id"] for r in single}
+    multi_ids = {r["vec_id"] for r in multi}
+    assert single_ids & multi_ids  # overlap is non-empty at these sizes
+
+
 def test_decode_stub_schema_and_determinism(spark, sf_dir):
     cat = load_catalog()
     df = cat["mm_decode_stub"].fn(spark, sf_dir)

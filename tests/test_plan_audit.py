@@ -20,6 +20,7 @@ CROSS_OK = {
     "sim_cosine_topk",  # broadcast 1-row query vector
     "sim_ann_hyperplane",  # broadcast 1-row query bucket
     "sim_ivf_topk",  # broadcast K-centroid assignment join
+    "sim_ivf_multiprobe_topk",  # broadcast K-centroid assignment join
     "kmeans_lloyd",  # broadcast K-centroid assignment join per iteration
     "text_tfidf_topk",  # broadcast 1-row corpus-size (N) join for idf
     "quality_percentile_filter",  # broadcast 1-row threshold join
