@@ -85,8 +85,16 @@ def main() -> None:
     for name in HEADLINE_QUERIES:
         fn = catalog[name].fn
         first = time_query(fn, spark, SF_DIR)
-        # heavy queries (multi-second) get median-of-3; the rest median-of-5
-        n = 3 if first > 2.0 else N_RUNS
+        # heavy queries (multi-second) get median-of-3; the two gate
+        # queries get median-of-11 (host-level scheduling noise at this
+        # machine swings single runs +/-50%, and the gate compares their
+        # sum against a fixed baseline); the rest median-of-5
+        if first > 2.0:
+            n = 3
+        elif name in BASELINE_QUERIES:
+            n = 11
+        else:
+            n = N_RUNS
         runs = [first] + [time_query(fn, spark, SF_DIR) for _ in range(n - 1)]
         timings[name] = round(statistics.median(runs), 4)
 

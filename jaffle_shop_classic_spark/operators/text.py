@@ -532,3 +532,164 @@ def q_quality_percentile_filter_approx(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("quality") >= F.col("t"))
         .select("doc_id", "quality")
     )
+
+
+# ------------------------------------------------- governance / curation
+@register(
+    "pii_redact",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+           md5(c_name) AS name_pseudonym,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+    doc="PII redaction + pseudonymization — the governance pass every "
+    "training-data pipeline runs before text leaves the trust boundary. "
+    "Two complementary outputs per row: a masked rendering (digits -> "
+    "'#'; production swaps in the email/phone/SSN pattern set, same "
+    "plan) for humans, and a stable one-way pseudonym (md5; production: "
+    "keyed HMAC) so downstream joins/aggregations still line up without "
+    "the identity. Entirely map-side regex + hash in whole-stage "
+    "codegen: no shuffle, runs at scan speed at any corpus size, and "
+    "the filter/projection still push down past it. The '[0-9]' "
+    "pattern is identical Java-regex/RE2 so both engines mask the "
+    "same bytes.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+        F.md5("c_name").alias("name_pseudonym"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+# Knuth multiplicative hash -> uniform [0,1): exact BIGINT arithmetic in
+# both engines (doc_id * 2654435761 < 2^63 for doc_id < 2^31), so the
+# per-row uniform is bit-identical cross-engine — no float hashing, no
+# engine RNG.
+_LB_U_SQL = "((doc_id * 2654435761) % 4294967296) / 4294967296.0"
+
+
+def _lb_u() -> Column:
+    return (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) / F.lit(
+        4294967296.0
+    )
+
+
+@register(
+    "sample_language_balanced",
+    oracle=f"""
+    WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    tgt AS (SELECT min(cnt) AS target FROM counts),
+    rates AS (SELECT lang, CAST(target AS DOUBLE) / cnt AS rate FROM counts, tgt)
+    SELECT d.doc_id, d.lang, round({_LB_U_SQL}, 6) AS u
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_LB_U_SQL} < r.rate
+    """,
+    doc="Language-balanced resampling: downsample every language to the "
+    "smallest language's share (the usual first step of a multilingual "
+    "training mix; the target vector is a config in production). "
+    "Deliberately rate-based, not rank-based: per-lang keep-rates "
+    "(|smallest| / |lang|, from a language-cardinality aggregate that "
+    "is broadcast-sized by construction) turn the sample into a "
+    "map-side filter on a deterministic per-row uniform. A per-lang "
+    "row_number() would give exact quotas but serializes each "
+    "language through ONE window partition — a 5-language corpus at "
+    "100 TB would hit 5 hot partitions; the rate form has no shuffle "
+    "of the corpus at all and misses quotas only by binomial noise "
+    "(~1/sqrt(n) relative). The uniform is a Knuth multiplicative "
+    "hash in exact integer arithmetic — reproducible across engines, "
+    "runs, and partitionings.",
+)
+def q_sample_language_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tgt = counts.agg(F.min("cnt").alias("target"))
+    rates = counts.crossJoin(F.broadcast(tgt)).select(
+        "lang", (F.col("target").cast("double") / F.col("cnt")).alias("rate")
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(_lb_u() < F.col("rate"))
+        .select("doc_id", "lang", F.round(_lb_u(), 6).alias("u"))
+    )
+
+
+BOILER_DF_FRAC = 0.008  # shingle present in >0.8% of docs == boilerplate
+
+
+@register(
+    "text_boilerplate_shingles",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+      FROM t WHERE len(toks) >= 3
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    hot AS (
+      SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s), n
+      WHERE df >= {BOILER_DF_FRAC} * n_docs
+    )
+    SELECT sh.doc_id, count(*) AS n_shingles,
+           count(hot.s) AS n_boiler,
+           round(CAST(count(hot.s) AS DOUBLE) / count(*), 4)
+             AS boilerplate_ratio
+    FROM sh LEFT JOIN hot USING (s)
+    GROUP BY sh.doc_id
+    """,
+    doc="Boilerplate detection by corpus-frequent shingles — the "
+    "RefinedWeb/CCNet line-dedup idea re-expressed at word-3-gram "
+    "granularity (this corpus has no newlines): a shingle occurring in "
+    ">0.8% of documents is boilerplate (headers, footers, nav chrome "
+    "in real crawls), and each document reports how much of it is "
+    "made of such shingles — the scrub/keep decision is a threshold "
+    "on boilerplate_ratio. Plan: one explode -> shingle-df aggregate "
+    "(the only corpus-wide shuffle, same shape as tf-idf's df); the "
+    "hot-shingle list is tiny BY DEFINITION of the frequency "
+    "threshold, so flagging is a broadcast LEFT join back onto the "
+    "exploded shingles feeding ONE per-doc aggregate (count + "
+    "conditional count — total and boilerplate tallies in the same "
+    "pass). The shingle stream is computed twice (df pass, tally "
+    "pass); a production run over 100 TB persists the exploded "
+    "shingles between the two. No quadratic term anywhere.",
+)
+def q_text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingles_col
+
+    d = load_table(spark, sf_dir, "documents")
+    # distinct shingles per doc (shingles_col's tiny-doc fallback would
+    # inject the raw text as a pseudo-shingle; the oracle filters those
+    # docs out, so mirror it with the len>=3 gate)
+    sh = (
+        d.filter(F.size(tokens_col(F.col("text"))) >= 3)
+        .select("doc_id", F.explode(shingles_col(F.col("text"))).alias("s"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    hot = (
+        df.crossJoin(F.broadcast(n))
+        .filter(F.col("df") >= F.lit(BOILER_DF_FRAC) * F.col("n_docs"))
+        .select("s", F.lit(1).alias("is_hot"))
+    )
+    return (
+        sh.join(F.broadcast(hot), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("is_hot").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(F.col("n_boiler").cast("double") / F.col("n_shingles"), 4).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )

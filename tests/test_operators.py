@@ -90,6 +90,42 @@ def test_ivf_multiprobe_improves_on_single_probe(spark, sf_dir):
     assert single_ids & multi_ids  # overlap is non-empty at these sizes
 
 
+def test_pii_redact_masks_all_digits(spark, sf_dir):
+    cat = load_catalog()
+    rows = cat["pii_redact"].fn(spark, sf_dir).collect()
+    assert rows and all(
+        not any(ch.isdigit() for ch in r["name_masked"]) for r in rows
+    )
+    # pseudonyms are stable (same input -> same hash) and 1:1 with names
+    assert len({r["name_pseudonym"] for r in rows}) == len(rows)
+
+
+def test_language_balanced_sample_equalizes_shares(spark, sf_dir):
+    cat = load_catalog()
+    kept = cat["sample_language_balanced"].fn(spark, sf_dir).collect()
+    full = load_table(spark, sf_dir, "documents").groupBy("lang").count().collect()
+    target = min(r["count"] for r in full)
+    by_lang = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    # every language survives, and each lands near the smallest
+    # language's share (rate-based sampling: binomial noise around target)
+    assert set(by_lang) == {r["lang"] for r in full}
+    for lang, n in by_lang.items():
+        assert 0.5 * target <= n <= 1.5 * target, (lang, n, target)
+
+
+def test_boilerplate_ratios_bounded_and_nonvacuous(spark, sf_dir):
+    cat = load_catalog()
+    rows = cat["text_boilerplate_shingles"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r["n_boiler"] <= r["n_shingles"] for r in rows)
+    assert all(0.0 <= r["boilerplate_ratio"] <= 1.0 for r in rows)
+    # the 0.8% df threshold is calibrated to flag real shingles on the
+    # driver corpus — a vacuous all-zeros run means the op tested nothing
+    assert any(r["n_boiler"] > 0 for r in rows)
+
+
 def test_decode_stub_schema_and_determinism(spark, sf_dir):
     cat = load_catalog()
     df = cat["mm_decode_stub"].fn(spark, sf_dir)

@@ -25,6 +25,8 @@ CROSS_OK = {
     "text_tfidf_topk",  # broadcast 1-row corpus-size (N) join for idf
     "quality_percentile_filter",  # broadcast 1-row threshold join
     "quality_percentile_filter_approx",  # broadcast 1-row threshold join
+    "sample_language_balanced",  # broadcast 1-row min-lang-count join
+    "text_boilerplate_shingles",  # broadcast 1-row corpus-size (N) join
     "dedup_embedding_cosine",  # non-equi self pair join within label blocks
     "sim_pairs_blocked",
     "dedup_ngram_jaccard",
