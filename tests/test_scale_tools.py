@@ -78,3 +78,29 @@ def test_salt_spreads_hot_key(spark):
     salted = hot.withColumn(SALT_COL, salt_column(8, F.col("k"), F.col("v")))
     n_salts = salted.select(SALT_COL).distinct().count()
     assert n_salts == 8
+
+
+def test_star_cc_converges_logarithmically_on_path_graph(spark):
+    # a 256-node path is the adversarial case for hash-min label
+    # propagation (needs 255 rounds — would blow MAX_CC_ITERS=20);
+    # star contraction must finish within 2*log2(256)+2 = 18
+    # alternations, and in practice well under 10
+    from jaffle_shop_classic_spark.operators.dedup import star_components
+
+    n = 256
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    comp = star_components(pairs, max_iters=10).collect()
+    assert len(comp) == n
+    assert {r["component_id"] for r in comp} == {0}
+    assert {r["doc_id"] for r in comp} == set(range(n))
+
+
+def test_star_cc_multiple_components(spark):
+    from jaffle_shop_classic_spark.operators.dedup import star_components
+
+    edges = [(0, 1), (1, 2), (5, 6), (8, 9), (6, 9)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    comp = {r["doc_id"]: r["component_id"] for r in star_components(pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 8: 5, 9: 5}
