@@ -714,10 +714,14 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # fused init + round 1: label(u) = min(u, min(N(u))) is exactly what
+    # propagating identity labels once produces, but costs ONE aggregate
+    # over the symmetric edges instead of distinct + join + union + agg
+    # (every node appears as src, so no node list is needed)
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("mn"))
+        .select("doc_id", F.least(F.col("doc_id"), F.col("mn")).alias("label"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
