@@ -186,3 +186,40 @@ def resize_stub_batch(target_w: int, target_h: int):
 def q_mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = q_mm_decode_stub(spark, sf_dir).select("doc_id", "width", "height")
     return decoded.mapInPandas(resize_stub_batch(224, 224), RESIZE_SCHEMA)
+
+
+@register(
+    "mm_phash_dedup",
+    oracle="""
+    SELECT phash, count(*) AS n_items, min(doc_id) AS keep_doc_id
+    FROM (
+      SELECT doc_id,
+             array_to_string(list_transform(range(1, 9),
+               i -> CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) >= 110
+                         THEN '1' ELSE '0' END), '') AS phash
+      FROM documents
+    )
+    GROUP BY phash
+    """,
+    doc="Multimodal near-dup: perceptual-hash dedup — quantize the "
+    "payload prefix bytes to above/below-median bits (an aHash analog; "
+    "the real image path derives the same bits from DCT coefficients "
+    "inside the decode kernel), then hash-groupBy the 8-bit code "
+    "keeping min doc_id — identical shuffle shape to dedup_exact but "
+    "collapsing *perceptually* equal payloads. Map-only bit "
+    "derivation, one partial->final aggregate; at 100 TB the 1-byte "
+    "code shuffles instead of megapixel payloads. Hamming-near codes "
+    "(1-2 bit flips) extend this with the SimHash prefix-bucket "
+    "pattern (operators/dedup.py) unchanged.",
+)
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bits = [
+        F.when(F.ascii(F.substring("text", i + 1, 1)) >= 110, "1").otherwise("0")
+        for i in range(8)
+    ]
+    return (
+        d.select("doc_id", F.concat(*bits).alias("phash"))
+        .groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.min("doc_id").alias("keep_doc_id"))
+    )

@@ -693,3 +693,67 @@ def q_text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+    uc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    p AS (
+      SELECT w1, w2, CAST(c12 AS DOUBLE) / c1 AS p
+      FROM bc JOIN uc USING (w1)
+    )
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(p.p)), 4) AS avg_logprob
+    FROM b JOIN p USING (w1, w2)
+    GROUP BY b.doc_id
+    """,
+    doc="Statistical LM quality scoring — the CCNet/KenLM-style signal: "
+    "train a bigram MLE on the corpus itself (P(w2|w1) = "
+    "C(w1,w2)/C(w1)), then score each document by its mean bigram "
+    "log-probability. Low scores mark machine-garbled / unnatural "
+    "token sequences; the production filter thresholds on this score "
+    "(or a KenLM model trained offline — same join shape, the model "
+    "table just arrives as a side input instead of a self-aggregate). "
+    "Plan: one codegen posexplode+element_at bigram pass (no window), "
+    "a (w1,w2) count aggregate, C(w1) derived FROM the bigram counts "
+    "(aggregate of the much smaller model table, not a second corpus "
+    "pass), then a model join back onto the bigram stream and one "
+    "per-doc aggregate. The model table is bigram-vocabulary-sized — "
+    "far below corpus scale; AQE picks broadcast vs shuffle join by "
+    "its runtime size.",
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    ex = base.select(
+        "doc_id", F.size("tk").alias("n"), "tk", F.posexplode("tk").alias("pos", "tok")
+    )
+    big = ex.filter(F.col("pos") <= F.col("n") - 2).select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.element_at("tk", F.col("pos") + 2).alias("w2"),
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    probs = bc.join(uc, "w1").select(
+        "w1", "w2", (F.col("c12").cast("double") / F.col("c1")).alias("p")
+    )
+    return (
+        big.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("p")), 4).alias("avg_logprob"),
+        )
+    )

@@ -199,3 +199,26 @@ def test_hot_band_cap_default_never_fires_on_driver_data(spark, sf_dir):
         bands.groupBy("band_key").count().agg(F.max("count").alias("m")).first()["m"]
     )
     assert biggest <= MAX_BAND_SIZE
+
+
+def test_lm_score_is_valid_log_probability(spark, sf_dir):
+    cat = load_catalog()
+    rows = cat["text_lm_score"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks")
+    ).collect()
+    eligible = {r["doc_id"]: r["n_toks"] for r in docs if r["n_toks"] >= 2}
+    assert {r["doc_id"] for r in rows} == set(eligible)
+    for r in rows:
+        # MLE bigram log-probs are <= 0; a doc of one repeated unique
+        # bigram scores exactly 0, anything diverse scores negative
+        assert r["avg_logprob"] <= 0.0
+        assert r["n_bigrams"] == eligible[r["doc_id"]] - 1
+
+
+def test_phash_dedup_partitions_corpus(spark, sf_dir):
+    cat = load_catalog()
+    rows = cat["mm_phash_dedup"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_items"] for r in rows) == n_docs  # exact partition
+    assert 1 < len(rows) <= 256  # 8-bit code space, non-vacuous split
