@@ -800,11 +800,15 @@ def star_components(pairs: DataFrame, max_iters: int = STAR_MAX_ITERS) -> DataFr
             .agg(F.min("dst").alias("mn"))
             .select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
         )
+        # checkpointed because the symmetrize below references it twice
+        # (no checkpoint => the join+agg subtree runs twice per round);
+        # no distinct though — duplicate (v, m) edges don't change
+        # small-star's min aggregates, and canon's distinct at the end
+        # of the round collapses them
         large = (
             adj.filter(F.col("dst") > F.col("src"))
             .join(mins, "src")
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .distinct()
             .localCheckpoint(eager=True)
         )
         # small-star
