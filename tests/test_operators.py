@@ -222,3 +222,38 @@ def test_phash_dedup_partitions_corpus(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r["n_items"] for r in rows) == n_docs  # exact partition
     assert 1 < len(rows) <= 256  # 8-bit code space, non-vacuous split
+
+
+def test_duplicate_span_detection_flags_copied_run(spark):
+    from jaffle_shop_classic_spark.operators.dedup import (
+        q_dedup_duplicate_ngram_spans,
+    )
+    import tempfile, os
+
+    # doc 1 embeds doc 0's exact 5-token run inside unique text
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta"),
+        (1, "one two alpha beta gamma delta epsilon three four five six"),
+        (2, "completely different words with no overlap at all here"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            r["doc_id"]: r
+            for r in q_dedup_duplicate_ngram_spans(spark, tmp).collect()
+        }
+    # the shared run "alpha beta gamma delta epsilon" is one 5-gram in
+    # each doc; everything else is unique
+    assert got[0]["n_dup_spans"] == 1 and got[0]["n_spans"] == 3
+    assert got[1]["n_dup_spans"] == 1 and got[1]["n_spans"] == 7
+    assert got[2]["n_dup_spans"] == 0
+
+
+def test_duplicate_span_ratios_bounded(spark, sf_dir):
+    cat = load_catalog()
+    rows = cat["dedup_duplicate_ngram_spans"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r["n_dup_spans"] <= r["n_spans"] for r in rows)
+    assert any(r["n_dup_spans"] > 0 for r in rows)  # non-vacuous corpus
