@@ -81,16 +81,20 @@ _PRIORITY = (
     "sample_stratified_quota",
     "funnel_conversion",
     "range_join_bucketed",
-    # text analysis (X12)
+    # text analysis (X12) — text_quality_score's class is also covered
+    # by quality_percentile_filter below, so its slot certifies the
+    # bigram-LM scorer instead
     "text_token_stats",
-    "text_quality_score",
+    "text_lm_score",
     "text_lang_id",
     "text_repetition_ratio",
     "text_tfidf_topk",
     "quality_percentile_filter",
-    # dedup (X13)
+    # dedup (X13) — the minhash signature primitive is exercised inside
+    # dedup_minhash_lsh_pairs and pipeline_corpus_curation, so its slot
+    # certifies position-exact duplicate-span detection instead
     "dedup_exact",
-    "dedup_minhash_signature",
+    "dedup_duplicate_ngram_spans",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",

@@ -1150,3 +1150,69 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases.join(hits, "event_id", "left").select(
         "event_id", F.coalesce(F.col("n"), F.lit(0)).alias("n_views_1h")
     )
+
+
+@register(
+    "sketch_hll_mergeable",
+    oracle=None,  # HLL sketch bytes are engine-internal — rows-only; the
+    # estimate-vs-exact error bound is asserted in tests/test_operators.py
+    doc="Re-aggregatable HyperLogLog sketches — the pattern that makes "
+    "COUNT DISTINCT incremental at 100 TB: per-source partial sketches "
+    "(hll_sketch_agg) merge associatively (hll_union_agg) into the "
+    "global estimate, so daily/partition-level sketches roll up "
+    "without ever re-touching raw data — unlike exact count_distinct, "
+    "whose state is the value set itself. Both aggregation levels are "
+    "partial->final with constant-size (kb) buffers. Output: per-"
+    "source estimates plus the merged corpus-wide estimate from the "
+    "sketch union (NOT a re-scan), labeled source='__all__'.",
+)
+def q_sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.hll_sketch_agg(F.col("text"), F.lit(12)).alias("sk")
+    )
+    est = per_source.select(
+        "source", F.hll_sketch_estimate("sk").alias("n_distinct_est")
+    )
+    merged = per_source.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("source"),
+        F.hll_sketch_estimate("sk").alias("n_distinct_est"),
+    )
+    return est.unionByName(merged)
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Skew-hardened dimension join — the salting pattern for hot keys: "
+    "the fact side gains a deterministic salt in [0,S), the dimension "
+    "side replicates S ways, and the join runs on (key, salt) so one "
+    "hot customer spreads over S tasks instead of stalling one. The "
+    "salt never escapes (functions/skew.py::salted_join) and the "
+    "result is provably identical to the plain equi-join — which is "
+    "exactly what the oracle checks. At 100 TB this is the manual "
+    "fallback when AQE's skew-join split can't help (e.g. a "
+    "broadcast-ineligible mid-size dimension with power-law keys).",
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    return (
+        salted_join(o, c, "o_custkey", num_salts=8)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

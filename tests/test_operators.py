@@ -257,3 +257,23 @@ def test_duplicate_span_ratios_bounded(spark, sf_dir):
     assert rows
     assert all(0 <= r["n_dup_spans"] <= r["n_spans"] for r in rows)
     assert any(r["n_dup_spans"] > 0 for r in rows)  # non-vacuous corpus
+
+
+def test_hll_sketch_estimates_within_error_bound(spark, sf_dir):
+    cat = load_catalog()
+    rows = {r["source"]: r["n_distinct_est"] for r in
+            cat["sketch_hll_mergeable"].fn(spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    exact_all = d.select("text").distinct().count()
+    merged = rows.pop("__all__")
+    # lgConfigK=12 -> relative error ~1.6%; assert a loose 5% bound,
+    # and that the merge really aggregated the per-source sketches
+    assert abs(merged - exact_all) / exact_all < 0.05
+    exact_src = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(
+            F.count_distinct("text").alias("n")).collect()
+    }
+    assert set(rows) == set(exact_src)
+    for s, est in rows.items():
+        assert abs(est - exact_src[s]) / exact_src[s] < 0.05, s
