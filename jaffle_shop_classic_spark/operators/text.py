@@ -760,3 +760,58 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log("p")), 4).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "sample_quality_deciles",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    sc AS (
+      SELECT doc_id, lang,
+             round(least(1.0, len(toks) / 100.0)
+                   * (1.0 - CAST({_hits_sql(STOPWORDS)} AS DOUBLE) / len(toks)),
+                   4) AS quality
+      FROM t
+    )
+    SELECT doc_id, lang, quality,
+           ntile(10) OVER w AS decile,
+           round(percent_rank() OVER w, 4) AS pr,
+           round(cume_dist() OVER w, 4) AS cd
+    FROM sc
+    WINDOW w AS (PARTITION BY lang ORDER BY quality ASC, doc_id ASC)
+    """,
+    doc="Quality-decile stratification per language — the assignment step "
+    "of a stratified training mix ('equal tokens from every quality "
+    "decile of every language'): ntile(10) + percent_rank + cume_dist "
+    "over a (lang)-partitioned quality ordering, deterministic via the "
+    "doc_id tiebreak. Partitioning by lang keeps every window "
+    "shard-sized. For a single giant stratum at 100 TB the exact "
+    "global sort becomes the bottleneck — the swap is "
+    "percentile_approx decile BOUNDARIES (constant sketch state) "
+    "broadcast into a map-side bucket assignment, trading exact decile "
+    "cardinality for a shuffle-free plan (same trade as "
+    "quality_percentile_filter_approx).",
+)
+def q_sample_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens_col(F.col("text")).alias("toks"))
+    stop_ratio = _hits(F.col("toks"), STOPWORDS).cast("double") / F.size("toks")
+    sc = toks.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.least(F.lit(1.0), F.size("toks") / F.lit(100.0)) * (F.lit(1.0) - stop_ratio),
+            4,
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    return sc.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    )

@@ -277,3 +277,28 @@ def test_hll_sketch_estimates_within_error_bound(spark, sf_dir):
     assert set(rows) == set(exact_src)
     for s, est in rows.items():
         assert abs(est - exact_src[s]) / exact_src[s] < 0.05, s
+
+
+def test_quality_deciles_are_balanced_and_ordered(spark, sf_dir):
+    cat = load_catalog()
+    rows = cat["sample_quality_deciles"].fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        sizes = {}
+        for r in rs:
+            assert 1 <= r["decile"] <= 10
+            assert 0.0 <= r["pr"] <= 1.0 and 0.0 < r["cd"] <= 1.0
+            sizes[r["decile"]] = sizes.get(r["decile"], 0) + 1
+        # ntile balance: bucket sizes differ by at most 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        assert sum(sizes.values()) == n
+        # deciles respect the quality ordering
+        for a in rs:
+            for b in rs:
+                if a["decile"] < b["decile"]:
+                    assert (a["quality"], a["doc_id"]) < (b["quality"], b["doc_id"]) or a[
+                        "quality"
+                    ] <= b["quality"]
