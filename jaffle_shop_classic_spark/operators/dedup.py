@@ -718,11 +718,14 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # propagating identity labels once produces, but costs ONE aggregate
     # over the symmetric edges instead of distinct + join + union + agg
     # (every node appears as src, so no node list is needed)
+    # lazy checkpoints: the sum probe right after is the materializing
+    # action, so each round costs ONE job instead of two (checkpoint +
+    # probe); lineage is still truncated once materialized
     labels = (
         edges.groupBy(F.col("src").alias("doc_id"))
         .agg(F.min("dst").alias("mn"))
         .select("doc_id", F.least(F.col("doc_id"), F.col("mn")).alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(MAX_CC_ITERS):
@@ -733,7 +736,7 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:  # labels only ever decrease -> fixpoint
