@@ -112,3 +112,105 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir):
     s = {tuple(r) for r in streamed.filter("event_id < 100").collect()}
     b = {tuple(r) for r in batch.filter("event_id < 100").collect()}
     assert s == b
+
+def test_watermark_contract_late_merge_then_drop(spark, tmp_path):
+    """The watermark CONTRACT end-to-end: (1) a window's state is
+    evicted+emitted once the watermark passes its end; (2) a late event
+    arriving BEFORE eviction still merges (that is what the horizon
+    buys); (3) a late event arriving AFTER eviction is dropped — the
+    emitted window is never revised; (4) append emits closed windows
+    only."""
+    import os
+    import time as _time
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from jaffle_shop_classic_spark.streaming import tumbling_counts_stream
+
+    def ns(h, m):
+        return int(
+            datetime(2024, 1, 1, h, m, tzinfo=timezone.utc).timestamp() * 1_000_000_000
+        )
+
+    # b0: two 10:0x events + 12:00 (watermark after b0: 11:00)
+    # b1: 12:30 — during b1 eviction runs with wm 11:00, closing the
+    #     10:00 window at count 2; wm after b1: 11:30
+    # b2: 10:06 arrives AFTER its window's state was evicted -> dropped;
+    #     11:35 is late-but-within-horizon -> new state; 13:00 pushes the
+    #     final wm to 12:00 which closes the 11:30 window
+    batches = [
+        [ns(10, 0), ns(10, 5), ns(12, 0)],
+        [ns(12, 30)],
+        [ns(10, 6), ns(11, 35), ns(13, 0)],
+    ]
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    eid = 0
+    for i, tss in enumerate(batches):
+        ids = list(range(eid, eid + len(tss)))
+        eid += len(tss)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(tss, pa.int64()),
+                "user_id": pa.array([1] * len(tss), pa.int64()),
+                "event_type": pa.array(["x"] * len(tss)),
+                "value": pa.array([1.0] * len(tss), pa.float64()),
+                "props": pa.array(["{}"] * len(tss)),
+            }
+        )
+        f = str(src / f"b{i}.parquet")
+        pq.write_table(tbl, f)
+        t = _time.time() - 100 + i * 30  # file source goes oldest-first
+        os.utime(f, (t, t))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        tumbling_counts_stream(events, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("wm_contract")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=120)
+        dropped = sum(
+            p["stateOperators"][0]["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+    finally:
+        if q.isActive:  # pragma: no cover
+            q.stop()
+    out = {
+        r["window_start"].strftime("%H:%M"): (r["n_events"], r["total_value"])
+        for r in spark.table("wm_contract").collect()
+    }
+    assert out == {
+        "10:00": (2, 2.0),  # closed at count 2; the post-eviction event
+        # did NOT revise it
+        "11:30": (1, 1.0),  # late-but-within-horizon event was counted
+        # 12:00/12:30/13:00 windows are still open at end-of-stream
+    }
+    assert dropped == 1  # exactly the post-eviction 10:06 event
