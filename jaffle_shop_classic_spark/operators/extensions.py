@@ -1216,3 +1216,34 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+EPOCH_SEED = 7
+
+
+@register(
+    "shuffle_epoch_sample",
+    oracle=f"""
+    SELECT doc_id, md5('{EPOCH_SEED}|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key ASC
+    LIMIT 100
+    """,
+    doc="Deterministic epoch shuffling — training-data order for epoch k "
+    "is the sort order of md5(seed_k || id): reproducible across "
+    "engines, runs, partitionings and cluster sizes, with a fresh "
+    "permutation per epoch (bump the seed). This query takes the "
+    "permutation's first shard, which Spark executes as TakeOrdered "
+    "(per-partition top-k + merge — no global sort). Writing the FULL "
+    "permutation at 100 TB is a range-partitioned sort on the hash key "
+    "(the TeraSort shape): each output shard is one partition, and "
+    "readers stream shards in order with no coordination.",
+)
+def q_shuffle_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(f"{EPOCH_SEED}|"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .orderBy(F.col("shuffle_key").asc())
+        .limit(100)
+    )
