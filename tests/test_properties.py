@@ -67,8 +67,8 @@ def test_relationships_matches_set_difference(spark, child, parent):
 @SLOW
 def test_minhash_signature_matches_python_reference(spark, words):
     """The Spark minhash must equal a direct python implementation of the
-    same definition (shingle set -> min of salted md5) for any token
-    sequence."""
+    same definition (shingle set -> min per 8-hex-char lane of
+    md5(s)||md5('x'||s)) for any token sequence."""
     from pyspark.sql import functions as F
 
     from jaffle_shop_classic_spark.operators.dedup import (
@@ -86,8 +86,12 @@ def test_minhash_signature_matches_python_reference(spark, words):
         if len(toks) >= 3
         else {text.strip()}
     )
-    want = [
-        min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
-        for i in range(NUM_HASHES)
-    ]
+    def lane(s: str, i: int) -> str:
+        hh = (
+            hashlib.md5(s.encode()).hexdigest()
+            + hashlib.md5(f"x{s}".encode()).hexdigest()
+        )
+        return hh[8 * i : 8 * i + 8]
+
+    want = [min(lane(s, i) for s in sh) for i in range(NUM_HASHES)]
     assert got == want
