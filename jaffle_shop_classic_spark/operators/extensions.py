@@ -1247,3 +1247,36 @@ def q_shuffle_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shuffle_key").asc())
         .limit(100)
     )
+
+
+@register(
+    "pivot_native",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_total,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS o_total,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS p_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Native pivot API (R9's conditional-aggregate pivot via "
+    "df.groupBy().pivot() instead of hand-written CASE columns): with "
+    "the pivot values DECLARED ('F','O','P'), Catalyst compiles this "
+    "to exactly the conditional-aggregate plan — one partial->final "
+    "aggregate, no extra pass. Omitting the value list would trigger a "
+    "driver-side distinct scan to discover columns first: never do "
+    "that at 100 TB; the schema must not depend on the data.",
+)
+def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2))
+    )
+    return p.select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("f_total"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("o_total"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("p_total"),
+    )
