@@ -49,6 +49,9 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "range_join_bucketed",
     "text_tfidf_topk",
     "embedding_quantize_int8",
+    "text_lm_score",
+    "text_boilerplate_shingles",
+    "dedup_duplicate_ngram_spans",
 ]
 
 
