@@ -1280,3 +1280,88 @@ def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0.0)).alias("o_total"),
         F.coalesce(F.col("P"), F.lit(0.0)).alias("p_total"),
     )
+
+
+@register(
+    "train_test_split_by_source",
+    oracle="""
+    SELECT split, count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM (
+      SELECT source,
+             CASE WHEN substr(md5(source), 1, 1) < 'd'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+    doc="Leakage-safe train/test split: hash the SOURCE (domain), not the "
+    "document — near-duplicates and boilerplate cluster within a "
+    "source, so a doc-level split leaks eval content into training "
+    "(the classic contamination-by-construction bug). Grouping the "
+    "whole source into one side makes the eval set genuinely "
+    "out-of-distribution. Same zero-coordination map-side hash "
+    "assignment as train_test_split_hash; the unit of assignment is "
+    "the only change.",
+)
+def q_train_test_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(F.substring(F.md5("source"), 1, 1) < "d", F.lit("train")).otherwise(
+        F.lit("test")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+
+
+BATCH_SIZE = 16
+LEN_BUCKET = 32  # tokens per length-bucket step
+
+
+@register(
+    "batch_length_bucketed",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) // {LEN_BUCKET}
+                  AS BIGINT) AS len_bucket
+      FROM documents
+    )
+    SELECT doc_id, len_bucket,
+           CAST((row_number() OVER (PARTITION BY len_bucket ORDER BY doc_id) - 1)
+                // {BATCH_SIZE} AS BIGINT) AS batch_id
+    FROM t
+    """,
+    doc="Length-bucketed batch assignment — group documents of similar "
+    "token length into training batches so per-batch padding waste is "
+    "bounded by the bucket width (the standard dataloader trick, "
+    "precomputed at corpus scale instead of in the loader). Bucketing "
+    "is map-only; batch numbering is a row_number window PER BUCKET, "
+    "so parallelism = number of buckets — and within a bucket the "
+    "deterministic doc_id order makes batches reproducible. To also "
+    "randomize batch composition per epoch, order by the epoch-seeded "
+    "hash (shuffle_epoch_sample's key) instead of doc_id: same plan.",
+)
+def q_batch_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.size(tokens_col(F.col("text"))) / LEN_BUCKET)
+        .cast("bigint")
+        .alias("len_bucket"),
+    )
+    w = Window.partitionBy("len_bucket").orderBy("doc_id")
+    return t.select(
+        "doc_id",
+        "len_bucket",
+        ((F.row_number().over(w) - 1) / BATCH_SIZE).cast("bigint").alias("batch_id"),
+    )

@@ -302,3 +302,22 @@ def test_quality_deciles_are_balanced_and_ordered(spark, sf_dir):
                     assert (a["quality"], a["doc_id"]) < (b["quality"], b["doc_id"]) or a[
                         "quality"
                     ] <= b["quality"]
+
+
+def test_length_bucketed_batches_are_bounded_and_exhaustive(spark, sf_dir):
+    cat = load_catalog()
+    rows = cat["batch_length_bucketed"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # every doc assigned exactly once
+    from jaffle_shop_classic_spark.operators.extensions import BATCH_SIZE
+
+    sizes = {}
+    for r in rows:
+        sizes[(r["len_bucket"], r["batch_id"])] = (
+            sizes.get((r["len_bucket"], r["batch_id"]), 0) + 1
+        )
+    assert all(n <= BATCH_SIZE for n in sizes.values())
+    # only the LAST batch of a bucket may be partial
+    for (bucket, bid), n in sizes.items():
+        if n < BATCH_SIZE:
+            assert bid == max(b for (lb, b) in sizes if lb == bucket)
