@@ -1261,11 +1261,14 @@ def q_shuffle_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Native pivot API (R9's conditional-aggregate pivot via "
     "df.groupBy().pivot() instead of hand-written CASE columns): with "
-    "the pivot values DECLARED ('F','O','P'), Catalyst compiles this "
-    "to exactly the conditional-aggregate plan — one partial->final "
-    "aggregate, no extra pass. Omitting the value list would trigger a "
-    "driver-side distinct scan to discover columns first: never do "
-    "that at 100 TB; the schema must not depend on the data.",
+    "the pivot values DECLARED ('F','O','P'), Catalyst plans a "
+    "two-level aggregate — partial->final sum on (key, pivot-col), "
+    "then pivotfirst gathering the declared columns — ONE scan, no "
+    "value-discovery pass (the hand-written CASE form in "
+    "jaffle_orders does it in one aggregate level; both shuffle the "
+    "same bytes). Omitting the value list would trigger a driver-side "
+    "distinct scan to discover columns first: never do that at "
+    "100 TB; the schema must not depend on the data.",
 )
 def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

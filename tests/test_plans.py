@@ -101,3 +101,29 @@ def test_pre_aggregation_below_mart_payments_join(spark, sf_dir):
     order_agg = plan.index("hashpartitioning(l_orderkey")
     cust_agg = plan.index("hashpartitioning(o_custkey")
     assert cust_agg < order_agg  # custkey agg is above (printed first)
+
+
+def test_pivot_native_single_scan_no_discovery_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pivot_native", mode="simple")
+    # declared pivot values -> two-level hash aggregate ((key, pivot-col)
+    # sum, then pivotfirst), ONE scan, and crucially no second scan to
+    # discover the pivot values
+    assert plan.count("FileScan") == 1
+    assert "pivotfirst" in plan
+    assert plan.count("HashAggregate") == 4
+
+
+def test_epoch_shuffle_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "shuffle_epoch_sample", mode="simple")
+    # first-shard of the permutation must be per-partition top-k + merge,
+    # never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_length_bucketed_single_window_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "batch_length_bucketed", mode="simple")
+    # one hash exchange for the per-bucket window; bucketing itself is
+    # map-only
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
