@@ -815,3 +815,120 @@ def q_sample_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pr"),
         F.round(F.cume_dist().over(w), 4).alias("cd"),
     )
+
+
+BPE_MERGES = 3
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        f"""words AS (
+      SELECT tok AS word, count(*) AS n
+      FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+      GROUP BY tok
+    )""",
+        """s0 AS (
+      SELECT word, n, '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS sym
+      FROM words
+    )""",
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        ctes.append(f"""p{k} AS (
+      SELECT pr.a AS a, pr.b AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        SELECT n, unnest(list_transform(range(2, len(arr) - 1),
+               i -> {{'a': arr[i], 'b': arr[i+1]}})) AS pr
+        FROM (SELECT n, string_split(sym, '|') AS arr FROM s{k - 1})
+      ) GROUP BY pr.a, pr.b
+    )""")
+        ctes.append(f"""t{k} AS (
+      SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    )""")
+        ctes.append(f"""s{k} AS (
+      SELECT word, n,
+             replace(sym, '|' || t.a || '|' || t.b || '|',
+                          '|' || t.a || t.b || '|') AS sym
+      FROM s{k - 1}, t{k} t
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a, b, a || b AS merged, cnt FROM t{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT merge_rank, a, b, merged, cnt FROM ({unions})
+    ORDER BY merge_rank
+    """
+    )
+
+
+@register(
+    "tokenizer_bpe_train",
+    oracle=_bpe_oracle(),
+    doc=f"Distributed BPE tokenizer training — {BPE_MERGES} merge rounds "
+    "of the byte-pair-encoding loop over the corpus word-frequency "
+    "table: count adjacent symbol pairs (weighted by word frequency), "
+    "pick the most frequent, merge it everywhere, repeat. Entirely "
+    "DataFrame ops, no driver-side state: words live as "
+    "'|'-delimited symbol strings, pair counting is the standard "
+    "posexplode+element_at bigram pass over the split symbols, the "
+    "winning pair is a 1-row broadcast (orderBy+limit inside the "
+    "lineage, never collected), and the merge itself is a literal "
+    "string replace — SQL replace() is left-to-right non-overlapping "
+    "in both engines, which IS BPE's greedy merge semantics. At "
+    "100 TB the loop runs on the word-frequency table (vocabulary-"
+    "sized, shrinks per merge), not the corpus: one corpus pass "
+    "builds the word counts, then training cost is independent of "
+    "corpus size — the reason real BPE trainers all work this way. "
+    "Output: the learned merge table (rank, pair, merged symbol, "
+    "weighted count).",
+)
+def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    state = words.select(
+        "word",
+        "n",
+        F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "$1|")).alias("sym"),
+    )
+    merges = None
+    for k in range(1, BPE_MERGES + 1):
+        arr = state.select("n", F.split("sym", r"\|").alias("arr"))
+        ex = arr.select(
+            "n", F.size("arr").alias("m"), "arr", F.posexplode("arr").alias("pos", "s")
+        )
+        # split('|a|b|') -> ['', 'a', 'b', '']: symbols sit at 0-based
+        # positions 1..m-2, pairs start at 1..m-3
+        pairs = ex.filter((F.col("pos") >= 1) & (F.col("pos") <= F.col("m") - 3)).select(
+            "n",
+            F.col("s").alias("a"),
+            F.element_at("arr", F.col("pos") + 2).alias("b"),
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+        )
+        state = (
+            state.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "n",
+                F.expr(
+                    "replace(sym, '|' || a || '|' || b || '|', '|' || a || b || '|')"
+                ).alias("sym"),
+            )
+        )
+        rec = top.select(
+            F.lit(k).alias("merge_rank"),
+            "a",
+            "b",
+            F.concat("a", "b").alias("merged"),
+            "cnt",
+        )
+        merges = rec if merges is None else merges.unionByName(rec)
+    return merges.orderBy("merge_rank")

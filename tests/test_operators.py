@@ -321,3 +321,27 @@ def test_length_bucketed_batches_are_bounded_and_exhaustive(spark, sf_dir):
     for (bucket, bid), n in sizes.items():
         if n < BATCH_SIZE:
             assert bid == max(b for (lb, b) in sizes if lb == bucket)
+
+
+def test_bpe_train_learns_textbook_merges(spark, tmp_path):
+    from jaffle_shop_classic_spark.operators.text import q_tokenizer_bpe_train
+
+    # the classic BPE example: low x5, lower x2, newest x6, widest x3.
+    # Hand-computed: pair counts make (e,s)=9 win round 1 (ties with
+    # (s,t) broken by symbol order), then (es,t)=9, then (l,o)=7.
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    text = " ".join(words)
+    import os
+
+    spark.createDataFrame([(0, text)], "doc_id long, text string").write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = [
+        (r["merge_rank"], r["a"], r["b"], r["merged"], r["cnt"])
+        for r in q_tokenizer_bpe_train(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+    ]
