@@ -820,7 +820,7 @@ def q_sample_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 3
 
 
-def _bpe_oracle() -> str:
+def _bpe_ctes() -> list[str]:
     ctes = [
         f"""words AS (
       SELECT tok AS word, count(*) AS n
@@ -849,14 +849,38 @@ def _bpe_oracle() -> str:
                           '|' || t.a || t.b || '|') AS sym
       FROM s{k - 1}, t{k} t
     )""")
+    return ctes
+
+
+def _bpe_oracle() -> str:
     unions = "\n      UNION ALL ".join(
         f"SELECT {k} AS merge_rank, a, b, a || b AS merged, cnt FROM t{k}"
         for k in range(1, BPE_MERGES + 1)
     )
     return (
-        "WITH " + ",\n    ".join(ctes) + f"""
+        "WITH " + ",\n    ".join(_bpe_ctes()) + f"""
     SELECT merge_rank, a, b, merged, cnt FROM ({unions})
     ORDER BY merge_rank
+    """
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    ctes = _bpe_ctes() + [
+        f"""enc AS (
+      SELECT word, CAST(len(string_split(sym, '|')) - 2 AS BIGINT) AS n_sym
+      FROM s{BPE_MERGES}
+    )""",
+        f"""doctok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+    )""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM doctok JOIN enc USING (word)
+    GROUP BY doc_id
     """
     )
 
@@ -883,6 +907,15 @@ def _bpe_oracle() -> str:
     "weighted count).",
 )
 def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _state, merges = _bpe_train(spark, sf_dir)
+    return merges.orderBy("merge_rank")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Run the BPE merge loop; returns (trained word-state, merge table).
+
+    state: (word, n, sym) with sym the '|'-delimited symbol string after
+    all merges; merges: (merge_rank, a, b, merged, cnt)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
@@ -931,4 +964,34 @@ def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
         merges = rec if merges is None else merges.unionByName(rec)
-    return merges.orderBy("merge_rank")
+    return state, merges
+
+
+@register(
+    "tokenizer_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc="BPE tokenization APPLY — the companion to tokenizer_bpe_train: "
+    "count each document's tokens under the learned merges, the number "
+    "every training-data budget ('how many tokens is this corpus?') "
+    "actually means. The trained per-word symbol counts form a "
+    "vocabulary-sized broadcast map; encoding the corpus is then one "
+    "map-side join on the word plus a per-doc aggregate — corpus-"
+    "scale work is a single pass regardless of merge count. (True "
+    "encode-to-ids emits the symbol array instead of its size; same "
+    "join, wider payload.)",
+)
+def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state, _merges = _bpe_train(spark, sf_dir)
+    enc = state.select(
+        "word", (F.size(F.split("sym", r"\|")) - 2).cast("bigint").alias("n_sym")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    doctok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+    return (
+        doctok.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
