@@ -995,3 +995,67 @@ def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("n_bpe_tokens"),
         )
     )
+
+
+SEQ_BUDGET = 256  # tokens per packed training sequence
+PACK_SHARDS = 8
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST((cum - n_tokens) // {SEQ_BUDGET} AS BIGINT) AS start_seq,
+           CAST((cum - 1) // {SEQ_BUDGET} AS BIGINT) AS end_seq,
+           CAST((cum - n_tokens) % {SEQ_BUDGET} AS BIGINT) AS seq_offset
+    FROM c
+    """,
+    doc=f"Sequence packing index — concat-and-chunk packing for LLM "
+    f"pretraining: per shard, documents concatenate in deterministic "
+    f"doc_id order and split every {SEQ_BUDGET} tokens (documents may "
+    "straddle sequence boundaries — the standard pretraining packing, "
+    "zero padding waste). The output is the reader's index: which "
+    "packed sequence(s) each document lands in and at what offset. "
+    "One running-sum window per shard — parallelism = shard count "
+    f"(here {PACK_SHARDS}; production: thousands), each shard's "
+    "window is a single ordered pass. Integer arithmetic only, so "
+    "the index is bit-identical across engines and re-runs; swap the "
+    "doc_id order for the epoch-seeded hash (shuffle_epoch_sample) "
+    "for per-epoch repacking, same plan.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    before = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(before / SEQ_BUDGET).cast("bigint").alias("start_seq"),
+        F.floor((F.col("cum") - 1) / SEQ_BUDGET).cast("bigint").alias("end_seq"),
+        (before % SEQ_BUDGET).cast("bigint").alias("seq_offset"),
+    )

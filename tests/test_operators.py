@@ -345,3 +345,27 @@ def test_bpe_train_learns_textbook_merges(spark, tmp_path):
         (2, "es", "t", "est", 9),
         (3, "l", "o", "lo", 7),
     ]
+
+
+def test_sequence_packing_tiles_contiguously(spark, sf_dir):
+    from jaffle_shop_classic_spark.operators.text import PACK_SHARDS, SEQ_BUDGET
+
+    cat = load_catalog()
+    rows = cat["pack_sequences"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    by_shard = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % PACK_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r)
+    for _shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            # python-reconstructed concat-and-chunk positions must match
+            assert r["seq_offset"] == cum % SEQ_BUDGET
+            assert r["start_seq"] == cum // SEQ_BUDGET
+            cum += r["n_tokens"]
+            assert r["end_seq"] == (cum - 1) // SEQ_BUDGET
+        # the shard's last sequence is the total-token chunk count
+        assert rs[-1]["end_seq"] == (cum - 1) // SEQ_BUDGET
