@@ -5,7 +5,7 @@ driver-checked representative inside the first 50 slots."""
 
 from __future__ import annotations
 
-from jaffle_shop_classic_spark.operators.catalog import _PRIORITY, load_catalog
+from jaffle_shop_classic_spark.operators.catalog import _PRIORITY, _TIER2, load_catalog
 
 # one representative per module surface that MUST sit in the gate window
 _REQUIRED_IN_WINDOW = {
@@ -34,11 +34,15 @@ _REQUIRED_IN_WINDOW = {
 def test_priority_block_is_exactly_the_gate_window():
     assert len(_PRIORITY) == 50
     assert len(set(_PRIORITY)) == 50
+    # tier 2 adds ordering for slots 51+ without disturbing the window
+    assert not set(_TIER2) & set(_PRIORITY)
+    assert len(set(_TIER2)) == len(_TIER2)
 
 
 def test_catalog_leads_with_priority_block():
     names = list(load_catalog())
     assert names[:50] == list(_PRIORITY)
+    assert names[50 : 50 + len(_TIER2)] == list(_TIER2)
     assert len(names) == len(set(names))
 
 
