@@ -129,6 +129,7 @@ _TIER2 = (
     "pack_sequences",
     "dedup_cluster_components_star",
     "sim_ivf_multiprobe_topk",
+    "sim_ivf_kmeans_topk",
     "text_boilerplate_shingles",
     "pii_redact",
     "sample_language_balanced",

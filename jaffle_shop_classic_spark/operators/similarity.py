@@ -526,7 +526,8 @@ def _sqdist_sql(e: str, c: str) -> str:
     )
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> tuple[list[str], str]:
+    """The shared Lloyd-iteration CTE chain; returns (ctes, final name)."""
     # seed centroids: the first K vectors, rounded like every later state
     ctes = [
         f"""c0 AS (
@@ -558,6 +559,11 @@ def _kmeans_oracle() -> str:
       ) GROUP BY centroid_id
     )""")
         prev = f"c{it}"
+    return ctes, prev
+
+
+def _kmeans_oracle() -> str:
+    ctes, prev = _kmeans_ctes()
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -571,26 +577,22 @@ def _kmeans_oracle() -> str:
     )
 
 
-@register(
-    "kmeans_lloyd",
-    oracle=_kmeans_oracle(),
-    doc=f"X13 production path: {KMEANS_ITERS} Lloyd iterations of "
-    f"k-means (K={NUM_CENTROIDS}, squared-L2, deterministic seed = "
-    "first K vectors) producing the IVF centroids. Fully distributed — "
-    "assignment is the same narrow broadcast-argmin as sim_ivf_topk "
-    "(K scored rows per vector, ~20 bytes each, through the window "
-    "sort; the embedding never rides the shuffle), and the update step "
-    "dim-explodes members so each (centroid, dim) mean is one "
-    "partial->final aggregate; no centroid state ever touches the "
-    "driver. Centroid coordinates are rounded to 6dp after every "
-    "update in BOTH engines, pinning the iteration state bit-for-bit "
-    "cross-engine (and making runs reproducible regardless of "
-    "float-sum partition order). At 100 TB: per-iteration cost is one "
-    "broadcast scan + one (centroid_id, dim)-key aggregate — the "
-    "K*dim model state is broadcast-sized by construction; distances "
-    "fold sequentially to stay deterministic.",
-)
-def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sqdist_col(emb: Column, cvec: Column) -> Column:
+    """Squared L2 as a strict sequential fold — mirrors _sqdist_sql."""
+    return F.aggregate(
+        F.zip_with(
+            emb,
+            cvec,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd loop shared by kmeans_lloyd and sim_ivf_kmeans_topk:
+    (centroid_id, cvec array<double> rounded 6dp, n_members)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -602,17 +604,10 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id")
     for _ in range(KMEANS_ITERS):
-        sqdist = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("cvec"),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
         scored = e.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "centroid_id", sqdist.alias("d")
+            "vec_id",
+            "centroid_id",
+            _sqdist_col(F.col("embedding"), F.col("cvec")).alias("d"),
         )
         assigned = (
             scored.withColumn(
@@ -635,6 +630,30 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvec"),
             F.first("n").alias("n_members"),
         )
+    return cent
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    doc=f"X13 production path: {KMEANS_ITERS} Lloyd iterations of "
+    f"k-means (K={NUM_CENTROIDS}, squared-L2, deterministic seed = "
+    "first K vectors) producing the IVF centroids. Fully distributed — "
+    "assignment is the same narrow broadcast-argmin as sim_ivf_topk "
+    "(K scored rows per vector, ~20 bytes each, through the window "
+    "sort; the embedding never rides the shuffle), and the update step "
+    "dim-explodes members so each (centroid, dim) mean is one "
+    "partial->final aggregate; no centroid state ever touches the "
+    "driver. Centroid coordinates are rounded to 6dp after every "
+    "update in BOTH engines, pinning the iteration state bit-for-bit "
+    "cross-engine (and making runs reproducible regardless of "
+    "float-sum partition order). At 100 TB: per-iteration cost is one "
+    "broadcast scan + one (centroid_id, dim)-key aggregate — the "
+    "K*dim model state is broadcast-sized by construction; distances "
+    "fold sequentially to stay deterministic.",
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cent = _kmeans_centroids(spark, sf_dir)
     # double->string rendering differs across engines; DECIMAL(12,6)
     # strings are identical (fixed scale, -0 normalized) so the md5 is
     # comparable bit-for-bit
@@ -649,4 +668,89 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             )
         ).alias("centroid_md5"),
+    )
+
+
+def _ivf_kmeans_oracle() -> str:
+    ctes, prev = _kmeans_ctes()
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    assigned2 AS (
+      SELECT vec_id, label, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sqdist_sql('e.embedding', 'c.cvec')} ASC, c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    q2 AS (SELECT embedding AS qv, centroid_id AS qc FROM assigned2 WHERE vec_id = 0)
+    SELECT a.vec_id, a.label, a.centroid_id,
+           round({cosine_sql('a.embedding', 'q2.qv')}, 6) AS cosine
+    FROM assigned2 a JOIN q2 ON a.centroid_id = q2.qc
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT 5
+    """
+    )
+
+
+@register(
+    "sim_ivf_kmeans_topk",
+    oracle=_ivf_kmeans_oracle(),
+    doc="IVF with TRAINED centroids — the end-to-end composition that "
+    "sim_ivf_topk's doc promises ('production swaps the fixed seed "
+    "centroids for k-means'): the Lloyd loop (kmeans_lloyd) trains "
+    f"K={NUM_CENTROIDS} centroids, every vector is assigned to its "
+    "nearest trained centroid by the training metric (squared L2), and "
+    "the query probes only its own inverted list with exact cosine "
+    "re-rank. Trained lists are balanced where seed lists are "
+    "arbitrary, so probe cost concentrates where the data actually "
+    "clusters. Same plan building blocks throughout: broadcast "
+    "K-centroid scoring on a narrow projection, one argmin window, "
+    "equi-join candidate fetch.",
+)
+def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _kmeans_centroids(spark, sf_dir).select("centroid_id", "cvec")
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        _sqdist_col(F.col("embedding"), F.col("cvec")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("embedding").alias("qv"),
+            F.col("centroid_id").alias("qc"),
+            _sqdist_col(F.col("embedding"), F.col("cvec")).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("qc").asc())
+        .limit(1)
+        .select("qv", "qc")
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(assigned, "vec_id")
+        .join(F.broadcast(q), F.col("centroid_id") == F.col("qc"))
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            F.round(cosine_parts(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
     )

@@ -22,6 +22,7 @@ CROSS_OK = {
     "sim_ivf_topk",  # broadcast K-centroid assignment join
     "sim_ivf_multiprobe_topk",  # broadcast K-centroid assignment join
     "kmeans_lloyd",  # broadcast K-centroid assignment join per iteration
+    "sim_ivf_kmeans_topk",  # same broadcast K-centroid joins (train + probe)
     "text_tfidf_topk",  # broadcast 1-row corpus-size (N) join for idf
     "quality_percentile_filter",  # broadcast 1-row threshold join
     "quality_percentile_filter_approx",  # broadcast 1-row threshold join
