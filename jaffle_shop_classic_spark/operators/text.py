@@ -1050,12 +1050,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     c = t.withColumn("cum", F.sum("n_tokens").over(w))
-    before = F.col("cum") - F.col("n_tokens")
+    # `div` = exact BIGINT division (float `/`+floor would misround once
+    # cumulative token counts approach 2^53 — real at 100 TB)
     return c.select(
         "doc_id",
         "shard",
         "n_tokens",
-        F.floor(before / SEQ_BUDGET).cast("bigint").alias("start_seq"),
-        F.floor((F.col("cum") - 1) / SEQ_BUDGET).cast("bigint").alias("end_seq"),
-        (before % SEQ_BUDGET).cast("bigint").alias("seq_offset"),
+        F.expr(f"(cum - n_tokens) div {SEQ_BUDGET}").alias("start_seq"),
+        F.expr(f"(cum - 1) div {SEQ_BUDGET}").alias("end_seq"),
+        ((F.col("cum") - F.col("n_tokens")) % SEQ_BUDGET)
+        .cast("bigint")
+        .alias("seq_offset"),
     )

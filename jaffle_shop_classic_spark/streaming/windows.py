@@ -228,3 +228,50 @@ def enrich_with_static_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(
         F.broadcast(dim), events.user_id == dim.c_custkey, "left"
     ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
+
+
+def merge_stream_into_state(events: DataFrame, state_dir: str):
+    """Streaming CDC merge via foreachBatch — the streaming twin of the
+    batch `upsert_latest_state` compaction: every micro-batch unions the
+    change set with the current state table and window-compacts to the
+    latest row per key, writing a new state VERSION (readers take the
+    highest version; a production deployment replaces the versioned
+    parquet directories with Delta/Iceberg `MERGE INTO`, which makes the
+    same read-modify-write transactional — the plan inside the batch is
+    identical). foreachBatch is the escape hatch for sinks Structured
+    Streaming doesn't natively support; the batch_id makes retries
+    idempotent (a re-run of batch N overwrites v{N}, never duplicates).
+
+    Returns a DataStreamWriter — caller starts/awaits it.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = (
+            sorted(
+                int(p[1:])
+                for p in os.listdir(state_dir)
+                if p.startswith("v") and p[1:].isdigit()
+            )
+            if os.path.isdir(state_dir)
+            else []
+        )
+        cur = batch_df.select("user_id", "event_id", "ts", "event_type")
+        if versions:
+            prev = spark.read.parquet(f"{state_dir}/v{versions[-1]}")
+            cur = prev.unionByName(cur)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        (
+            cur.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/v{batch_id}")
+        )
+
+    return events.writeStream.foreachBatch(_merge).trigger(availableNow=True)

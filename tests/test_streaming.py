@@ -214,3 +214,79 @@ def test_watermark_contract_late_merge_then_drop(spark, tmp_path):
         # 12:00/12:30/13:00 windows are still open at end-of-stream
     }
     assert dropped == 1  # exactly the post-eviction 10:06 event
+
+
+def test_foreach_batch_merge_converges_to_batch_upsert(spark, tmp_path):
+    """Streaming CDC merge processed in two micro-batches must end at
+    exactly the state the batch window-compaction computes over all the
+    data at once."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from jaffle_shop_classic_spark.streaming.windows import merge_stream_into_state
+
+    def ev(eid, ts_s, uid, etype):
+        return (eid, ts_s * 1_000_000_000, uid, etype)
+
+    # b0: users 1 and 2; b1: user 1 updated (later ts), user 3 new
+    batches = [
+        [ev(1, 1000, 1, "signup"), ev(2, 2000, 2, "signup")],
+        [ev(3, 3000, 1, "purchase"), ev(4, 1500, 3, "view")],
+    ]
+    src = tmp_path / "merge_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        f = str(src / f"b{i}.parquet")
+        pq.write_table(tbl, f)
+        t = _time.time() - 100 + i * 30
+        os.utime(f, (t, t))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    state_dir = str(tmp_path / "state")
+    q = merge_stream_into_state(events, state_dir).start()
+    try:
+        q.awaitTermination(timeout=120)
+    finally:
+        if q.isActive:  # pragma: no cover
+            q.stop()
+    versions = sorted(
+        int(p[1:]) for p in os.listdir(state_dir) if p[1:].isdigit()
+    )
+    assert len(versions) == 2  # one state version per micro-batch
+    final = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(f"{state_dir}/v{versions[-1]}").collect()
+    }
+    # user 1 upserted to the later purchase; users 2 and 3 kept
+    assert final == {1: (3, "purchase"), 2: (2, "signup"), 3: (4, "view")}
