@@ -141,6 +141,7 @@ _TIER2 = (
     "mm_phash_dedup",
     "sketch_hll_mergeable",
     "pivot_native",
+    "source_synthetic_docs",
 )
 
 _loaded = False

@@ -1368,3 +1368,43 @@ def q_batch_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_bucket",
         ((F.row_number().over(w) - 1) / BATCH_SIZE).cast("bigint").alias("batch_id"),
     )
+
+
+SYNTH_N = 500
+
+
+@register(
+    "source_synthetic_docs",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(range(0, {SYNTH_N})) AS doc_id),
+    w AS (SELECT doc_id, 5 + (doc_id * 2654435761) % 7 AS k FROM ids)
+    SELECT doc_id,
+           array_to_string(list_transform(range(0, k),
+             i -> (['spark','query','hash','row','column','table','scan',
+                    'merge','sort','join','batch','stream','key','value',
+                    'part','agg','window','fast','slow','line'])
+                  [((doc_id * 2654435761 + i * 97003) % 4294967296) % 20 + 1]),
+             ' ') AS text,
+           CAST(k AS INT) AS n_words
+    FROM w
+    """,
+    doc="Custom Python DataSource (Spark 4 pyspark.sql.datasource API) — "
+    "the source-connector surface beyond file formats: partition "
+    "planning on the driver (contiguous ranges, one task per range), "
+    "row generation on the executors, schema declared up front. The "
+    "generator derives rows from doc_id via exact integer arithmetic, "
+    "so even a CUSTOM SOURCE is oracle-checkable — DuckDB rebuilds the "
+    "identical corpus from the same formulas. A real connector swaps "
+    "the arithmetic for its client library; the partition/read/schema "
+    "contract is unchanged (sources/synthetic.py).",
+)
+def q_source_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.synthetic import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    return (
+        spark.read.format("synthetic_documents")
+        .option("n", SYNTH_N)
+        .option("partitions", 8)
+        .load()
+    )

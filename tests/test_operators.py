@@ -369,3 +369,26 @@ def test_sequence_packing_tiles_contiguously(spark, sf_dir):
             assert r["end_seq"] == (cum - 1) // SEQ_BUDGET
         # the shard's last sequence is the total-token chunk count
         assert rs[-1]["end_seq"] == (cum - 1) // SEQ_BUDGET
+
+
+def test_custom_datasource_partitions_and_determinism(spark, sf_dir):
+    cat = load_catalog()
+    df = cat["source_synthetic_docs"].fn(spark, sf_dir)
+    # driver-side partition planning is respected: one task per range
+    assert df.rdd.getNumPartitions() == 8
+    rows1 = sorted((r["doc_id"], r["text"]) for r in df.collect())
+    rows2 = sorted(
+        (r["doc_id"], r["text"])
+        for r in cat["source_synthetic_docs"].fn(spark, sf_dir).collect()
+    )
+    assert rows1 == rows2 and len(rows1) == 500
+    # python reference of the generator formulas
+    from jaffle_shop_classic_spark.sources.synthetic import (
+        synth_n_words,
+        synth_word,
+    )
+
+    for doc_id in (0, 7, 499):
+        k = synth_n_words(doc_id)
+        want = " ".join(synth_word(doc_id, i) for i in range(k))
+        assert dict(rows1)[doc_id] == want
