@@ -67,3 +67,35 @@ def test_csv_round_trip_with_pinned_schema(spark, sample, tmp_path):
     sample.write.mode("overwrite").option("header", True).csv(p)
     back = spark.read.schema(sample.schema).option("header", True).csv(p)
     _assert_round_trip(sample, back)
+
+
+def test_custom_jsonl_manifest_sink_round_trip(spark, tmp_path):
+    from jaffle_shop_classic_spark.sources.jsonl_sink import (
+        MANIFEST,
+        JsonlManifestDataSource,
+        read_manifest,
+    )
+    import os
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("bucket")
+    ).repartition(4)
+    out = str(tmp_path / "export")
+    df.write.format("jsonl_manifest").option("path", out).mode("append").save()
+
+    # two-phase commit: manifest exists and accounts for every row
+    assert os.path.exists(os.path.join(out, MANIFEST))
+    back, manifest = read_manifest(spark, out)
+    assert manifest["n_rows"] == 100
+    assert len(manifest["shards"]) == 4  # one shard per write task
+    got = sorted((r["doc_id"], r["bucket"]) for r in back.collect())
+    want = sorted((i, i % 7) for i in range(100))
+    assert got == want
+    # only manifest-listed shards are authoritative: an orphan file from
+    # a failed attempt must not change the read-back
+    orphan = os.path.join(out, "part-99999-deadbeef.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"doc_id": 12345, "bucket": 0}\n')
+    back2, _ = read_manifest(spark, out)
+    assert back2.count() == 100
