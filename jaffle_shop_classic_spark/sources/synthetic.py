@@ -21,7 +21,12 @@ reader would implement. The generator shape was chosen deliberately:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # 20-word vocabulary shared verbatim with the SQL oracle
 VOCAB = (
@@ -60,6 +65,9 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticDocsReader":
         return SyntheticDocsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
+
 
 class SyntheticDocsReader(DataSourceReader):
     def __init__(self, options):
@@ -81,3 +89,40 @@ class SyntheticDocsReader(DataSourceReader):
                 " ".join(synth_word(doc_id, i) for i in range(k)),
                 k,
             )
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the same generator — the custom STREAM-source
+    contract: offsets are plain dicts the engine checkpoints;
+    `read(start)` returns (rows, next offset) for one micro-batch;
+    `readBetweenOffsets` replays a committed range exactly (what makes
+    recovery after a crash deterministic). A real connector maps offsets
+    to Kafka/cursor positions; the replay guarantee is the part that
+    buys end-to-end exactly-once with an idempotent sink."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 100))
+        self.batch = int(options.get("batch_size", 40))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, lo: int, hi: int) -> list:
+        # a LIST, not a generator: the engine pickles the batch so it can
+        # cache it for replay between read() and the task execution
+        return [
+            (
+                doc_id,
+                " ".join(synth_word(doc_id, i) for i in range(synth_n_words(doc_id))),
+                synth_n_words(doc_id),
+            )
+            for doc_id in range(lo, hi)
+        ]
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch, self.n)
+        return iter(self._rows(lo, hi)), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["next"], end["next"]))

@@ -290,3 +290,47 @@ def test_foreach_batch_merge_converges_to_batch_upsert(spark, tmp_path):
     }
     # user 1 upserted to the later purchase; users 2 and 3 kept
     assert final == {1: (3, "purchase"), 2: (2, "signup"), 3: (4, "view")}
+
+
+def test_custom_stream_source_replays_generator_exactly(spark):
+    """The custom DataSource's STREAMING reader: offset-ranged
+    micro-batches must reconstruct exactly the corpus the batch reader
+    produces, across multiple triggers."""
+    import time as _time
+
+    from jaffle_shop_classic_spark.sources.synthetic import (
+        SyntheticDocsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_documents")
+        .option("n", 300)
+        .option("batch_size", 120)  # => 3 micro-batches: 120/120/60
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table("synth_stream").count() >= 300:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["doc_id"], r["text"], r["n_words"])
+        for r in spark.table("synth_stream").collect()
+    )
+    batch = (
+        spark.read.format("synthetic_documents").option("n", 300).load()
+    )
+    want = sorted(
+        (r["doc_id"], r["text"], r["n_words"]) for r in batch.collect()
+    )
+    assert got == want and len(got) == 300
