@@ -67,6 +67,12 @@ def main(argv=None) -> int:
             print(f"wrote {args.out}")
         else:
             print(render_markdown(catalog))
+            from .plans.docs import generate_query_catalog
+
+            qcat = generate_query_catalog()
+            print(f"\n## Operator catalog ({len(qcat)} queries)\n")
+            for name, node in qcat.items():
+                print(f"- `{name}` [{node['oracle']}] — {node['description'][:120]}")
         return 0
     return 0
 

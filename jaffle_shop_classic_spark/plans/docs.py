@@ -59,3 +59,18 @@ def write_catalog(project: Project, built: dict | None, out_path: str) -> None:
     catalog = generate_catalog(project, built)
     with open(out_path, "w") as fh:
         json.dump(catalog, fh, indent=2, default=str)
+
+
+def generate_query_catalog() -> dict:
+    """Docs for the OPERATOR catalog (the engine's extension surface):
+    every registered query with its description and whether it is
+    value-hash-verified against the DuckDB oracle or rows-only."""
+    from ..operators.catalog import load_catalog
+
+    return {
+        name: {
+            "description": " ".join(spec.doc.split()),
+            "oracle": "value-hash" if spec.oracle else "rows-only",
+        }
+        for name, spec in load_catalog().items()
+    }
