@@ -1408,3 +1408,91 @@ def q_source_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 8)
         .load()
     )
+
+
+@register(
+    "gapfill_daily_orders",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('day', min(o_orderdate)) AS lo,
+             date_trunc('day', max(o_orderdate)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+    ),
+    prios AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+    daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             o_orderpriority AS priority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT s.day, p.priority, COALESCE(d.n, 0) AS n_orders
+    FROM spine s
+    CROSS JOIN prios p
+    LEFT JOIN daily d ON d.day = s.day AND d.priority = p.priority
+    """,
+    doc="Calendar-spine gap filling — the dense (day x dimension) grid "
+    "every time-series consumer (forecasting, charting, SLA windows) "
+    "needs: days with zero orders appear explicitly as 0, not as "
+    "missing rows. The spine generates EXECUTOR-side from a 1-row "
+    "min/max aggregate (sequence + explode — never a driver loop), "
+    "the dimension join is a deliberate small cross product "
+    "(spine x |dimension|), and the fact left-joins onto the grid. "
+    "At 100 TB the grid is still tiny (days x dimension cardinality) "
+    "while the daily aggregate is the only fact-sized shuffle.",
+)
+def q_gapfill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("DAY", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("DAY", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    prios = o.select(F.col("o_orderpriority").alias("priority")).distinct()
+    daily = o.groupBy(
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("day"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(prios))
+        .join(daily, ["day", "priority"], "left")
+        .select("day", "priority", F.coalesce("n", F.lit(0)).alias("n_orders"))
+    )
+
+
+@register(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="X6 hygiene: grouping() markers on a rollup — the only correct "
+    "way to tell a subtotal row from a genuine NULL group value (a "
+    "status of NULL and the all-statuses total both render as NULL "
+    "without it). Same single rollup aggregate as rollup_flag_status; "
+    "the markers are free metadata from the grouping-set expansion.",
+)
+def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+    )

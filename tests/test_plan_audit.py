@@ -17,6 +17,7 @@ from jaffle_shop_classic_spark.operators.catalog import load_catalog
 # queries whose semantics ARE a cross product against a tiny side
 CROSS_OK = {
     "join_cross",  # explicit dimension cross join
+    "gapfill_daily_orders",  # deliberate spine x dimension grid
     "sim_cosine_topk",  # broadcast 1-row query vector
     "sim_ann_hyperplane",  # broadcast 1-row query bucket
     "sim_ivf_topk",  # broadcast K-centroid assignment join
