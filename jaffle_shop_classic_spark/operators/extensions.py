@@ -1496,3 +1496,86 @@ def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "profile_orders_table",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(o_custkey) AS BIGINT) AS custkey_nonnull,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+           round(min(o_totalprice), 2) AS price_min,
+           round(max(o_totalprice), 2) AS price_max,
+           round(avg(o_totalprice), 2) AS price_avg,
+           min(o_orderdate) AS date_min,
+           max(o_orderdate) AS date_max
+    FROM orders
+    """,
+    doc="One-pass table profiling — the data-observability summary "
+    "(row counts, null coverage, distinct cardinality, ranges) that "
+    "gates ingestion in a production pipeline: every metric is a "
+    "column of ONE aggregate, so profiling costs a single scan with "
+    "partial->final combine regardless of how many metrics ride "
+    "along. At 100 TB the exact count(DISTINCT) is the only "
+    "cardinality-state metric — swap in approx_count_distinct / the "
+    "HLL sketch (sketch_hll_mergeable) to keep the profile "
+    "constant-memory.",
+)
+def q_profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.count_distinct("o_orderstatus").alias("status_distinct"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.round(F.avg("o_totalprice"), 2).alias("price_avg"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+    )
+
+
+HIST_BUCKETS = 20
+HIST_LO, HIST_HI = 0.0, 600_000.0
+
+
+@register(
+    "histogram_order_totals",
+    oracle=f"""
+    SELECT CAST(CASE WHEN o_totalprice < {HIST_LO} THEN 0
+                     WHEN o_totalprice >= {HIST_HI} THEN {HIST_BUCKETS + 1}
+                     ELSE floor((o_totalprice - {HIST_LO})
+                                / (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS})) + 1
+                END AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram via width_bucket — the distribution "
+    "profile behind skew diagnosis, partition sizing, and monitoring "
+    "dashboards. Bucket assignment is a map-only arithmetic projection "
+    "(no sort, unlike quantile-based binning), then one "
+    f"{HIST_BUCKETS + 2}-group aggregate; constant output size at any "
+    "corpus scale. Out-of-range values land in the under/overflow "
+    "buckets (0 and n+1); the oracle spells out the same arithmetic "
+    "(DuckDB 1.0 has no width_bucket) with a bucket width chosen "
+    "exactly representable in binary so floor() agrees bit-for-bit.",
+)
+def q_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(
+                "o_totalprice", F.lit(HIST_LO), F.lit(HIST_HI), F.lit(HIST_BUCKETS)
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
