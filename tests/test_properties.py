@@ -95,3 +95,106 @@ def test_minhash_signature_matches_python_reference(spark, words):
 
     want = [min(lane(s, i) for s in sh) for i in range(NUM_HASHES)]
     assert got == want
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=30,
+)
+
+_FAST = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(raw=_edges)
+@_FAST
+def test_star_cc_matches_union_find(spark, raw):
+    """Star contraction must equal a direct union-find on ANY graph —
+    the adversarial check for the trickiest iterative algorithm (random
+    topologies, multi-edges, arbitrary component shapes)."""
+    from jaffle_shop_classic_spark.operators.dedup import star_components
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component_id"] for r in star_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # normalize: component id = min node of the component
+    comp_min: dict[int, int] = {}
+    for n, r in want.items():
+        comp_min[find(r)] = min(comp_min.get(find(r), n), n)
+    want = {n: comp_min[find(n)] for n in want}
+    assert got == want
+
+
+_bpe_words = st.lists(
+    st.sampled_from(["ab", "abc", "bc", "aab", "b", "cab", "abab"]),
+    min_size=3,
+    max_size=12,
+)
+
+
+@given(words=_bpe_words)
+@_FAST
+def test_bpe_train_matches_python_reference(spark, words):
+    """The distributed BPE merge loop must equal a direct python BPE on
+    ANY corpus — including tie-breaks, overlap handling ('abab'), and
+    early pair exhaustion."""
+    import os
+    import tempfile
+
+    from jaffle_shop_classic_spark.operators.text import (
+        BPE_MERGES,
+        q_tokenizer_bpe_train,
+    )
+
+    text = " ".join(words)
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame([(0, text)], "doc_id long, text string").write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = [
+            (r["merge_rank"], r["a"], r["b"], r["cnt"])
+            for r in q_tokenizer_bpe_train(spark, tmp).collect()
+        ]
+
+    # python reference: word-frequency table, '|'-delimited symbols,
+    # left-to-right non-overlapping replace
+    freq: dict[str, int] = {}
+    for w in text.split():
+        freq[w] = freq.get(w, 0) + 1
+    sym = {w: "|" + "|".join(w) + "|" for w in freq}
+    want = []
+    for k in range(1, BPE_MERGES + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, n in freq.items():
+            parts = sym[w].split("|")[1:-1]
+            for i in range(len(parts) - 1):
+                counts[(parts[i], parts[i + 1])] = (
+                    counts.get((parts[i], parts[i + 1]), 0) + n
+                )
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        want.append((k, a, b, cnt))
+        sym = {
+            w: s.replace(f"|{a}|{b}|", f"|{a}{b}|") for w, s in sym.items()
+        }
+    assert got == want
