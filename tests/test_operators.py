@@ -392,3 +392,57 @@ def test_custom_datasource_partitions_and_determinism(spark, sf_dir):
         k = synth_n_words(doc_id)
         want = " ".join(synth_word(doc_id, i) for i in range(k))
         assert dict(rows1)[doc_id] == want
+
+
+def test_lsh_finds_planted_near_duplicates(spark, tmp_path):
+    """End-to-end dedup promise on a corpus with KNOWN structure: three
+    groups of planted near-duplicates (one word changed) over disjoint
+    vocabularies, plus unrelated documents. LSH must recall the planted
+    pairs and must not fabricate cross-group or unrelated candidates."""
+    import os
+
+    from jaffle_shop_classic_spark.operators.dedup import (
+        q_dedup_cluster_components,
+        q_dedup_minhash_lsh_pairs,
+    )
+
+    vocab = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi",
+        1: "red orange yellow green blue indigo violet cyan magenta teal pink ruby jade gold",
+        2: "noun verb adverb pronoun particle clause phrase syntax lexeme morpheme prefix suffix root stem",
+    }
+    docs, did, planted = [], 0, {}
+    for g, base in vocab.items():
+        for v in range(3):
+            w = base.split()
+            w[-1] = f"variant{v}"
+            planted[did] = g
+            docs.append((did, " ".join(w)))
+            did += 1
+    for j in range(10):
+        docs.append((did, " ".join(f"uniq{j}w{i}" for i in range(14))))
+        did += 1
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_minhash_lsh_pairs(spark, str(tmp_path)).collect()
+    }
+    # precision: every candidate pair is within one planted group
+    for a, b in pairs:
+        assert a in planted and b in planted and planted[a] == planted[b], (a, b)
+    # recall: most planted pairs are candidates (LSH with 4 bands x 2
+    # hashes at ~0.85 jaccard has per-pair candidate prob ~0.99; the
+    # deterministic hashes make the outcome fixed for this corpus)
+    n_planted_pairs = 3 * 3  # 3 groups x C(3,2)
+    assert len(pairs) >= n_planted_pairs - 2
+    # and clustering groups each planted trio under its min doc_id
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in q_dedup_cluster_components(spark, str(tmp_path)).collect()
+    }
+    for doc, g in planted.items():
+        if doc in comp:
+            assert comp[doc] == min(d for d, gg in planted.items() if gg == g)
