@@ -446,3 +446,16 @@ def test_lsh_finds_planted_near_duplicates(spark, tmp_path):
     for doc, g in planted.items():
         if doc in comp:
             assert comp[doc] == min(d for d, gg in planted.items() if gg == g)
+
+
+def test_ivf_recall_vs_exact_topk(spark, sf_dir):
+    """Locks in SCALING.md's measured claim: IVF's top-5 all come from
+    the exact brute-force top-10, and the kmeans-trained index is at
+    least as good as the seed-centroid one."""
+    cat = load_catalog()
+    exact10 = [r["vec_id"] for r in cat["sim_cosine_topk"].fn(spark, sf_dir).collect()]
+    for name in ("sim_ivf_topk", "sim_ivf_kmeans_topk"):
+        ivf5 = [r["vec_id"] for r in cat[name].fn(spark, sf_dir).collect()]
+        assert len(ivf5) == 5
+        hits = sum(1 for v in ivf5 if v in exact10)
+        assert hits == 5, (name, ivf5, exact10)
