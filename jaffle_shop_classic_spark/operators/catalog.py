@@ -72,7 +72,10 @@ _PRIORITY = (
     "date_functions",
     "json_schema_parse",
     "array_vector_norm",
-    "map_ops",
+    # X3 + X8 representatives (r01-green, rotated back in; map_ops'
+    # X11 class stays certified via array_vector_norm)
+    "topk_per_group",
+    "percentile_exact",
     "session_window_batch",
     "tpch_q1_style",
     # data-engineering operators
@@ -87,7 +90,6 @@ _PRIORITY = (
     "text_token_stats",
     "text_lm_score",
     "text_lang_id",
-    "text_repetition_ratio",
     "text_tfidf_topk",
     "quality_percentile_filter",
     # dedup (X13) — the minhash signature primitive is exercised inside
@@ -115,7 +117,8 @@ _PRIORITY = (
     "udf_apply_in_pandas",
     "asof_join_last_signup",
     "unpivot_amounts",
-    # streaming (X15, rows-only by design)
+    # streaming (X15) — oracle-backed: availableNow+append over a static
+    # file emits the deterministic watermark-closed window set
     "stream_tumbling_counts",
     "stream_session_windows",
 )
@@ -124,6 +127,10 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 in round 5 (duplicate-class reps;
+    # r04-green) to make room for the X3/X8 representatives
+    "map_ops",
+    "text_repetition_ratio",
     "tokenizer_bpe_train",
     "tokenizer_bpe_encode",
     "pack_sequences",

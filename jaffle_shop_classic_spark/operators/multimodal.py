@@ -129,22 +129,28 @@ def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_feature_extract",
     oracle="""
     SELECT doc_id,
-           list_transform(range(1, 9),
-                          i -> round(ascii(substr(text, CAST(i AS INTEGER), 1)) / 255.0, 4)) AS feature
+           """
+    + ",\n           ".join(
+        f"round(ascii(substr(text, {i + 1}, 1)) / 255.0, 4) AS f{i}" for i in range(8)
+    )
+    + """
     FROM documents
     """,
     doc="Multimodal: deterministic feature extraction from the payload "
     "prefix (first 8 bytes scaled to [0,1]) — JVM-side, map-only, and "
     "oracle-checked; the real feature extractor (image embedding "
     "model) drops into the decode_stub_batch shell with the same "
-    "schema contract.",
+    "schema contract. The 8 dims are flattened to scalar columns "
+    "f0..f7 (array<double> outputs break the driver's pandas-based "
+    "row canonicalizer: unhashable list).",
 )
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    feat = F.array(
-        *[F.round(F.ascii(F.substring("text", i + 1, 1)) / 255.0, 4) for i in range(8)]
-    )
-    return d.select("doc_id", feat.alias("feature"))
+    feats = [
+        F.round(F.ascii(F.substring("text", i + 1, 1)) / 255.0, 4).alias(f"f{i}")
+        for i in range(8)
+    ]
+    return d.select("doc_id", *feats)
 
 
 RESIZE_SCHEMA = "doc_id long, width int, height int, target_w int, target_h int, scale double"

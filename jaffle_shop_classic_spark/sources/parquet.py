@@ -55,19 +55,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events.ts column to zoned TIMESTAMP (µs) regardless
+    of which physical encoding the testdata generation used.
+
+    - TIMESTAMP(NANOS) parquet is surfaced as LongType under
+      ``spark.sql.legacy.parquet.nanosAsLong``; floor-divide to µs (the
+      same truncation DuckDB applies) with integer `div`, not `/` —
+      double division rounds at 1e18-nano magnitudes, shifting some
+      stamps by 1 µs vs DuckDB's floor.
+    - timestamp[us] with no zone reads as TIMESTAMP_NTZ, which
+      unix_micros() et al. reject. The session runs in UTC (session.py),
+      so casting to the zoned TIMESTAMP type preserves every microsecond
+      value exactly and keeps oracle parity (DuckDB is zoneless too).
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default; read nanos as long (runtime-settable SQL conf) and
-        # floor-convert to a microsecond timestamp — the same truncation
-        # DuckDB applies, so oracle comparisons stay exact.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer `div`, not `/`: double division rounds at 1e18-nano
-            # magnitudes, shifting some stamps by 1 µs vs DuckDB's floor
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

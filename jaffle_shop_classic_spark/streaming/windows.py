@@ -20,36 +20,32 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from jaffle_shop_classic_spark.operators.catalog import register
-
-# events.parquet physical schema: ts is TIMESTAMP(NANOS), surfaced as
-# long under spark.sql.legacy.parquet.nanosAsLong (see sources/parquet.py)
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+from jaffle_shop_classic_spark.sources.parquet import normalize_events_ts
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream twin of sources.parquet.load_table(..., 'events')."""
+    """readStream twin of sources.parquet.load_table(..., 'events').
+
+    The testdata's physical ts encoding has varied across generations
+    (TIMESTAMP(NANOS) -> long under nanosAsLong, later timestamp[us] ->
+    TIMESTAMP_NTZ), so take the readStream schema from a batch peek of
+    the same file (footer-only, no data scan) and normalize ts through
+    the shared sources.parquet.normalize_events_ts shim — keeping the
+    stream byte-identical to the batch surface the oracles certify.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source requires a *directory*; select just events.parquet
     # out of the shared sf_dir via a glob filter
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -170,11 +166,31 @@ def _drain(df: DataFrame, base: str, output_mode: str = "append") -> DataFrame:
 
 @register(
     "stream_tumbling_counts",
-    oracle=None,
+    # availableNow + append mode is deterministic on a static file: the
+    # final no-data batch advances the watermark to max(ts) - 1h (Spark
+    # tracks event time at ms precision -> epoch_ms truncation below)
+    # and emits exactly the windows whose end <= watermark, with full
+    # counts (all data arrived in the single file micro-batch, so
+    # nothing was late-dropped). That closed-window set is plain SQL.
+    oracle="""
+    WITH wm AS (
+      SELECT make_timestamp(epoch_ms(max(ts)) * 1000) - INTERVAL 1 HOUR AS w
+      FROM events
+    )
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events, wm
+    GROUP BY window_start, event_type, wm.w
+    HAVING window_start + INTERVAL '10 minutes' <= wm.w
+    """,
     doc="X15: streaming twin of tumbling_window — readStream parquet "
     "source, 1h watermark, 10-min tumbling count/sum, memory sink "
     "drained with availableNow. Append mode emits watermark-closed "
-    "windows; state is O(open windows) regardless of stream length.",
+    "windows; state is O(open windows) regardless of stream length. "
+    "Oracle: the closed-window set is deterministic for availableNow "
+    "over a static file, so it is SQL-checkable, not rows-only.",
 )
 def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(tumbling_counts_stream(stream_events(spark, sf_dir)), "stream_tumbling")
@@ -182,10 +198,41 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_windows",
-    oracle=None,
+    # Native session_window semantics: a session is [first_ts,
+    # last_ts + gap), merging while the next event falls strictly
+    # inside the current end (diff < gap). Append emits sessions whose
+    # end <= final watermark (max event time, ms-truncated, - 1h).
+    oracle="""
+    WITH wm AS (
+      SELECT make_timestamp(epoch_ms(max(ts)) * 1000) - INTERVAL 1 HOUR AS w
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s, wm
+    GROUP BY user_id, sid, wm.w
+    HAVING max(ts) + INTERVAL 30 MINUTE <= wm.w
+    """,
     doc="X15: streaming sessionization via F.session_window with merging "
     "window state per user, bounded by a 1h watermark — the streaming "
-    "twin of session_window_batch (which is the oracle-checked surface).",
+    "twin of session_window_batch. Oracle: lag/gap sessionization of "
+    "the same file, filtered to sessions closed by the final watermark.",
 )
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(session_window_stream(stream_events(spark, sf_dir)), "stream_sessions")

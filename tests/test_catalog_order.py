@@ -22,11 +22,13 @@ _REQUIRED_IN_WINDOW = {
     "multimodal": {"mm_frame_sample", "mm_feature_extract"},
     "udfs": {"udf_apply_in_pandas", "asof_join_last_signup"},
     "streaming": {"stream_tumbling_counts", "stream_session_windows"},
+    # round 5: map_ops / text_repetition_ratio (duplicate-class reps of
+    # array_vector_norm / the 5-strong text block) rotated to Tier 2 to
+    # re-certify the X3 top-k and X8 exact-percentile classes
+    "topk_and_percentiles": {"topk_per_group", "percentile_exact"},
     "hugeint_regressions": {
         "session_window_batch",
-        "map_ops",
         "train_test_split_hash",
-        "text_repetition_ratio",
     },
 }
 
