@@ -240,18 +240,37 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup_watermark",
-    oracle=None,
+    # The surviving ROW per duplicate key is engine-arbitrary, but the
+    # surviving KEY SET is exactly the distinct keys — so the query
+    # projects to event_id and the oracle is SQL-deterministic. Survivor
+    # -row semantics are pytest-verified on crafted duplicate data
+    # (tests/test_streaming.py).
+    oracle="SELECT DISTINCT event_id FROM events",
     doc="X15: dropDuplicatesWithinWatermark on event_id — streaming exact "
     "dedup with bounded state (duplicates must arrive within the 1h "
-    "watermark horizon; older keys are evicted).",
+    "watermark horizon; older keys are evicted). Projected to the key "
+    "column so the emitted set is deterministic and oracle-checkable.",
 )
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _drain(dedup_within_watermark(stream_events(spark, sf_dir)), "stream_dedup")
+    deduped = dedup_within_watermark(stream_events(spark, sf_dir)).select("event_id")
+    return _drain(deduped, "stream_dedup")
 
 
 @register(
     "stream_running_user_stats",
-    oracle=None,
+    # availableNow over a single parquet file = one data micro-batch, so
+    # update mode emits exactly one row per user holding the final
+    # running stats — the same aggregate SQL computes directly. The
+    # multi-batch accumulation path (state surviving across triggers) is
+    # pytest-verified with a two-file source (tests/test_streaming.py).
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
     doc="X15: custom stateful operator via applyInPandasWithState — "
     "per-user running (count, sum, max) state surviving across "
     "micro-batches; the escape hatch beyond built-in windowed aggs.",

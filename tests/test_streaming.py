@@ -68,6 +68,118 @@ def test_dedup_within_watermark_passthrough_on_unique_ids(spark, sf_dir):
     assert got.select("event_id").distinct().count() == n
 
 
+def _write_event_batches(tmp_path, batches):
+    """Write one parquet file per micro-batch (nanos-as-long ts), mtimes
+    ordered so the file source replays them oldest-first; returns a
+    normalized streaming DataFrame reading them 1 file per trigger."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "batch_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        f = str(src / f"b{i}.parquet")
+        pq.write_table(tbl, f)
+        t = _time.time() - 100 + i * 30
+        os.utime(f, (t, t))
+    return src
+
+
+def _stream_batches(spark, src):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _ns(h, m):
+    from datetime import datetime, timezone
+
+    return int(datetime(2024, 1, 1, h, m, tzinfo=timezone.utc).timestamp() * 1_000_000_000)
+
+
+def test_dedup_within_watermark_drops_crafted_duplicates(spark, tmp_path):
+    """Survivor semantics on real duplicates, across micro-batches: a
+    duplicate key arriving in a LATER batch but within the watermark
+    horizon is dropped; distinct keys all survive exactly once."""
+    src = _write_event_batches(
+        tmp_path,
+        [
+            [(1, _ns(10, 0), 7, "x", 1.0), (2, _ns(10, 1), 7, "x", 1.0)],
+            # id 1 again, 20 min later (inside the 1h horizon) + new id 3
+            [(1, _ns(10, 20), 7, "x", 9.0), (3, _ns(10, 21), 7, "x", 1.0)],
+        ],
+    )
+    got = run_stream_to_batch(
+        dedup_within_watermark(_stream_batches(spark, src)).select("event_id"),
+        "dedup_crafted",
+    )
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 2, 3]
+
+
+def test_running_stats_accumulates_across_batches(spark, tmp_path):
+    """The GroupState must SURVIVE between triggers: user 7 appears in
+    both micro-batches, so the second update-mode emit carries the
+    cumulative (not per-batch) count/sum/max."""
+    from jaffle_shop_classic_spark.streaming.windows import running_user_stats_stream
+
+    src = _write_event_batches(
+        tmp_path,
+        [
+            [(1, _ns(10, 0), 7, "x", 2.0), (2, _ns(10, 1), 8, "x", 5.0)],
+            [(3, _ns(10, 30), 7, "x", 4.0)],
+        ],
+    )
+    got = run_stream_to_batch(
+        running_user_stats_stream(_stream_batches(spark, src)),
+        "stateful_crafted",
+        output_mode="update",
+    )
+    # update mode emits user 7 once per batch; the final emit must be
+    # cumulative across both
+    user7 = [
+        (r["n_events"], r["total_value"], r["max_value"])
+        for r in got.filter(F.col("user_id") == 7).collect()
+    ]
+    assert (2, 6.0, 4.0) in user7  # cumulative final state
+    assert (1, 2.0, 2.0) in user7  # first-batch emit
+    user8 = [
+        (r["n_events"], r["total_value"], r["max_value"])
+        for r in got.filter(F.col("user_id") == 8).collect()
+    ]
+    assert user8 == [(1, 5.0, 5.0)]
+
+
 def test_custom_stateful_running_stats(spark, sf_dir):
     from jaffle_shop_classic_spark.streaming.windows import running_user_stats_stream
 
