@@ -1579,3 +1579,117 @@ def q_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------- SCD Type 2
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, state, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id
+           ) AS valid_to,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id
+           ) IS NULL AS is_current
+    FROM changes
+    """,
+    doc="SCD Type-2 history build — the dbt `snapshot` analog "
+    "(check-strategy: a new version row whenever the tracked attribute "
+    "changes). Treats each user's event_type as the tracked state: "
+    "collapse consecutive equal states, then [valid_from, valid_to) "
+    "validity intervals via lead(), NULL valid_to marking the current "
+    "row. Two window passes over ONE user_id shuffle, no joins, no "
+    "self-join against the existing snapshot (the incremental variant "
+    "unions the change feed with the open rows and re-runs the same "
+    "plan — cf. upsert_latest_state). Deterministic under ts ties via "
+    "the event_id tiebreaker. At 100 TB: partition-local windows after "
+    "a single hash shuffle on the entity key; state never leaves the "
+    "executor.",
+)
+def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")))
+        .select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ----------------------------------------------------------- Z-order layout
+_Z_BITS = 16
+
+
+def _zvalue(x, y):
+    """Interleave the low 16 bits of two non-negative int columns into a
+    32-bit Morton (Z-order) key — pure JVM expression tree (32 shift/or
+    terms), no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(x.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(y.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+@register(
+    "zorder_orders_layout",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(list_aggregate(
+             list_transform(range(0, {_Z_BITS}), i ->
+               (((o_custkey >> i) & 1) << (2 * i))
+               | (((datediff('day', DATE '1992-01-01', o_orderdate) >> i) & 1)
+                  << (2 * i + 1))
+             ), 'sum'
+           ) AS BIGINT) AS zval
+    FROM orders
+    """,
+    doc="Z-order (Morton) layout key over (o_custkey, o_orderdate-epoch "
+    "-day) — the data-layout primitive behind multi-dimensional file "
+    "skipping: writing the table range-partitioned and sorted by zval "
+    "gives every file a tight min/max envelope on BOTH columns, so "
+    "predicates on either key prune files (the effect Delta/Iceberg "
+    "OPTIMIZE ZORDER targets). The key itself is a map-only 32-term "
+    "shift/or expression (zero shuffles here); the write path is "
+    "df.repartitionByRange(F.col('zval')).sortWithinPartitions('zval') "
+    "into the parquet sink (tests/test_sinks.py covers the "
+    "partitioned-write round trip). Day offset anchored at 1992-01-01 "
+    "(TPC-H epoch) keeps 16 bits sufficient for the date dimension.",
+)
+def q_zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    return o.select("o_orderkey", _zvalue(F.col("o_custkey"), day).alias("zval"))

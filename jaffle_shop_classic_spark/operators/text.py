@@ -1067,3 +1067,132 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seq_offset"),
     )
+
+
+# ----------------------------------------------------------- inverted index
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH postings AS (
+      SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS term
+      FROM documents
+    ),
+    idx AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS doc_freq,
+             array_to_string(list_sort(list(doc_id))[1:20], ',') AS posting_prefix
+      FROM postings
+      WHERE length(term) >= 3
+      GROUP BY term
+    )
+    SELECT term, doc_freq, posting_prefix
+    FROM idx
+    WHERE doc_freq >= 25
+    """,
+    doc="IR inverted index build: term -> document frequency + sorted "
+    "posting list (first 20 doc ids; emitted as a CSV string because "
+    "the full posting list is unbounded and array outputs defeat the "
+    "driver's row canonicalizer). tokenize -> per-doc term dedup -> "
+    "one term-key aggregate. At 100 TB: the (doc_id, term) dedup and "
+    "the term aggregate are the only shuffles, both partial-agg "
+    "map-combined; hot terms (stopwords) are exactly the rows the "
+    "doc_freq floor keeps, so the posting-prefix cap bounds their "
+    "payload — full postings would be range-sharded per term "
+    "(term, shard_id) the same way sketch_hll_mergeable shards its "
+    "registers.",
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    postings = (
+        base.select("doc_id", F.explode("tk").alias("term"))
+        .filter(F.length("term") >= 3)
+        .dropDuplicates(["doc_id", "term"])
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.concat_ws(",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20)).alias(
+                "posting_prefix"
+            ),
+        )
+        .filter(F.col("doc_freq") >= 25)
+    )
+
+
+# --------------------------------------------------------- PMI collocations
+_PMI_MIN_COUNT = 30
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKENS_SQL} AS tk FROM documents),
+    uni AS (
+      SELECT unnest(tk) AS w FROM toks
+    ),
+    uni_counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ),
+    n_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i + 1]])) AS pair
+      FROM toks
+    ),
+    bi_counts AS (
+      SELECT pair[1] AS w1, pair[2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM bi GROUP BY pair[1], pair[2]
+    )
+    SELECT b.w1, b.w2, b.c_xy,
+           round(ln(CAST(b.c_xy AS DOUBLE) * t.n / (u1.c * u2.c)), 4) AS pmi
+    FROM bi_counts b
+    JOIN uni_counts u1 ON b.w1 = u1.w
+    JOIN uni_counts u2 ON b.w2 = u2.w
+    CROSS JOIN n_total t
+    WHERE b.c_xy >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 25
+    """,
+    doc="PMI collocation mining: pointwise mutual information "
+    "ln(c_xy * N / (c_x * c_y)) over adjacent word pairs, floored at "
+    f"{_PMI_MIN_COUNT} occurrences, top-25 by PMI (deterministic "
+    "word tiebreak). Two aggregates (unigram, bigram) + two BROADCAST "
+    "joins of the bigram table against the unigram counts — at corpus "
+    "scale the unigram vocabulary is orders of magnitude smaller than "
+    "the bigram table, so the big side never shuffles for the joins "
+    "(only for its own count), and N rides a 1-row cross join. Same "
+    "natural-log + round(4) on both engines keeps the hash exact.",
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(tokens_col(F.col("text")).alias("tk"))
+    uni = base.select(F.explode("tk").alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_total = uni.select(F.count(F.lit(1)).alias("n"))
+
+    ex = base.select(F.size("tk").alias("n"), "tk", F.posexplode("tk").alias("pos", "tok"))
+    bi_counts = (
+        ex.filter(F.col("pos") <= F.col("n") - 2)
+        .select(F.col("tok").alias("w1"), F.element_at("tk", F.col("pos") + 2).alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    u1 = uni_counts.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni_counts.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        bi_counts.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(F.col("c_xy").cast("double") * F.col("n") / (F.col("c1") * F.col("c2"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.col("pmi").desc(), "w1", "w2").limit(25)

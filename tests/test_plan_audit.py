@@ -31,6 +31,7 @@ CROSS_OK = {
     "tokenizer_bpe_train",  # broadcast 1-row winning-pair join per round
     "tokenizer_bpe_encode",  # same 1-row pair joins inside the train subtree
     "text_boilerplate_shingles",  # broadcast 1-row corpus-size (N) join
+    "text_pmi_collocations",  # broadcast 1-row corpus-size (N) join
     "dedup_embedding_cosine",  # non-equi self pair join within label blocks
     "sim_pairs_blocked",
     "dedup_ngram_jaccard",
