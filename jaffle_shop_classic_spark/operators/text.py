@@ -1093,9 +1093,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "posting list (first 20 doc ids; emitted as a CSV string because "
     "the full posting list is unbounded and array outputs defeat the "
     "driver's row canonicalizer). tokenize -> per-doc term dedup -> "
-    "one term-key aggregate. At 100 TB: the (doc_id, term) dedup and "
-    "the term aggregate are the only shuffles, both partial-agg "
-    "map-combined; hot terms (stopwords) are exactly the rows the "
+    "one term-key aggregate. At 100 TB: per-doc dedup happens "
+    "MAP-SIDE (array_distinct on the token array before the explode — "
+    "a dropDuplicates(doc_id, term) would add a second full-postings "
+    "shuffle on a different key), so the term aggregate is the ONLY "
+    "shuffle, partial-agg map-combined; hot terms (stopwords) are "
+    "exactly the rows the "
     "doc_freq floor keeps, so the posting-prefix cap bounds their "
     "payload — full postings would be range-sharded per term "
     "(term, shard_id) the same way sketch_hll_mergeable shards its "
@@ -1103,12 +1106,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", tokens_col(F.col("text")).alias("tk"))
-    postings = (
-        base.select("doc_id", F.explode("tk").alias("term"))
-        .filter(F.length("term") >= 3)
-        .dropDuplicates(["doc_id", "term"])
-    )
+    terms = F.array_distinct(F.filter(tokens_col(F.col("text")), lambda t: F.length(t) >= 3))
+    base = d.select("doc_id", terms.alias("tk"))
+    postings = base.select("doc_id", F.explode("tk").alias("term"))
     return (
         postings.groupBy("term")
         .agg(
