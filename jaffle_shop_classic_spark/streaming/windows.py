@@ -58,6 +58,68 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.extensions.q_sliding_window: 10-min
+    windows sliding every 5 — each event lands in 2 overlapping windows;
+    state is O(open windows), eviction per the same watermark rule."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def interval_join_streams(
+    views: DataFrame, purchases: DataFrame, window_sec: int = 3600
+) -> DataFrame:
+    """Stream-stream INNER interval join: every purchase matched with the
+    views in its preceding hour.
+
+    Structured Streaming rejects joins with no equality predicate, so
+    this reuses the batch range-join design (extensions.py
+    q_range_join_bucketed): both sides get an hour-bucket equi-key, the
+    purchase side probes its 2 candidate buckets (a W-second lookback
+    spans exactly 2 W-wide buckets; each matching pair lands in exactly
+    one, so no dedup), and the exact range predicate filters inside the
+    bucket. Both sides are watermarked and the time predicate bounds
+    event-time distance, so each side's buffered state is evicted once
+    the other side's watermark passes the bound — state is O(1h of
+    stream) regardless of stream length, and the bucket key carries the
+    state-store partitioning."""
+    w_us = window_sec * 1_000_000
+    v = (
+        views.withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+            F.expr(f"unix_micros(ts) div {w_us}").alias("bucket"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"(unix_micros(ts) - {w_us}) div {w_us}"),
+                        F.expr(f"unix_micros(ts) div {w_us}"),
+                    )
+                )
+            ).alias("bucket"),
+        )
+    )
+    return v.join(
+        p,
+        (v.bucket == p.bucket)
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_sec} SECONDS"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "inner",
+    ).select("p_id", "v_id")
+
+
 def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming sessionization via the native session_window operator —
     merging-window state per user, bounded by the watermark."""
@@ -194,6 +256,66 @@ def _drain(df: DataFrame, base: str, output_mode: str = "append") -> DataFrame:
 )
 def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(tumbling_counts_stream(stream_events(spark, sf_dir)), "stream_tumbling")
+
+
+@register(
+    "stream_sliding_counts",
+    # Same closed-window determinism as the tumbling twin; each event
+    # belongs to exactly 2 overlapping windows, enumerated in SQL as the
+    # two 5-min-aligned starts covering its timestamp.
+    oracle="""
+    WITH wm AS (
+      SELECT make_timestamp(epoch_ms(max(ts)) * 1000) - INTERVAL 1 HOUR AS w
+      FROM events
+    ),
+    e AS (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+                    ]) AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM e, wm
+    GROUP BY window_start, event_type, wm.w
+    HAVING window_start + INTERVAL '10 minutes' <= wm.w
+    """,
+    doc="X15: streaming sliding-window counts (10-min window, 5-min "
+    "slide) — the overlap means 2x window state vs tumbling, still "
+    "O(open windows) under the watermark. Oracle enumerates each "
+    "event's 2 covering windows and keeps the watermark-closed set.",
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(sliding_counts_stream(stream_events(spark, sf_dir)), "stream_sliding")
+
+
+@register(
+    "stream_interval_join",
+    # Inner stream-stream joins emit a match in the micro-batch where
+    # both rows are present; with availableNow over one file everything
+    # is co-present in batch 1, so the emitted set is exactly the batch
+    # join — SQL-deterministic. (Outer variants emit null-padded rows
+    # only as the watermark closes buckets; the inner form needs no
+    # such carve-out.)
+    oracle="""
+    SELECT p.event_id AS p_id, v.event_id AS v_id
+    FROM events p JOIN events v
+      ON v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 3600 SECOND
+     AND v.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="X15: stream-stream interval join — purchases matched to the "
+    "views of their preceding hour, both sides watermarked so buffered "
+    "state is evicted once the opposite watermark passes the time "
+    "bound (the unbounded-join requirement). Streaming twin of "
+    "range_join_bucketed's pair core.",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return _drain(interval_join_streams(views, purchases), "stream_ij")
 
 
 @register(
