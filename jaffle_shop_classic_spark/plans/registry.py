@@ -32,21 +32,45 @@ from pyspark.sql import DataFrame, SparkSession
 class ModelSpec:
     name: str
     fn: Callable[["ModelContext"], DataFrame]
-    materialized: str = "view"  # "view" | "table" | "ephemeral"
+    materialized: str = "view"  # "view" | "table" | "ephemeral" | "incremental" | "snapshot"
     deps: tuple[str, ...] = ()
     description: str = ""
     columns: dict[str, str] = field(default_factory=dict)  # name -> doc
+    unique_key: tuple[str, ...] = ()  # incremental merge key / snapshot entity key
+    check_cols: tuple[str, ...] = ()  # snapshot check-strategy columns
 
 
 class ModelContext:
-    """What a model function sees: ``ref()`` + the session."""
+    """What a model function sees: ``ref()``, ``this``/``is_incremental``
+    (dbt's incremental-build contract) + the session."""
 
-    def __init__(self, project: "Project", spark: SparkSession):
+    def __init__(self, project: "Project", spark: SparkSession, current: "ModelSpec | None" = None):
         self.project = project
         self.spark = spark
+        self._current = current
 
     def ref(self, name: str) -> DataFrame:
         return self.project.resolve(name, self.spark)
+
+    @property
+    def is_incremental(self) -> bool:
+        """True when the current model is incremental AND a previous
+        build exists — the dbt ``is_incremental()`` macro. Models use it
+        to restrict their scan to new data (e.g. filter on a high-water
+        mark read from ``ctx.this``)."""
+        return (
+            self._current is not None
+            and self._current.materialized == "incremental"
+            and self.project._latest_version(self._current.name) is not None
+        )
+
+    @property
+    def this(self) -> DataFrame | None:
+        """The previously-built state of the current model (dbt's
+        ``{{ this }}``), or None on the first build."""
+        if self._current is None:
+            return None
+        return self.project._read_latest(self._current.name, self.spark)
 
 
 class Project:
@@ -66,11 +90,15 @@ class Project:
         deps: Sequence[str] = (),
         description: str = "",
         columns: dict[str, str] | None = None,
+        unique_key: Sequence[str] = (),
+        check_cols: Sequence[str] = (),
     ):
         def deco(fn):
             mname = name or fn.__name__
             if mname in self.models:
                 raise ValueError(f"duplicate model {mname}")
+            if materialized in ("incremental", "snapshot") and not unique_key:
+                raise ValueError(f"{mname}: {materialized} models require a unique_key")
             self.models[mname] = ModelSpec(
                 name=mname,
                 fn=fn,
@@ -78,6 +106,8 @@ class Project:
                 deps=tuple(deps),
                 description=description or (fn.__doc__ or "").strip(),
                 columns=dict(columns or {}),
+                unique_key=tuple(unique_key),
+                check_cols=tuple(check_cols),
             )
             return fn
 
@@ -129,18 +159,120 @@ class Project:
         raise KeyError(f"unknown relation: {name}")
 
     def _materialize(self, spec: ModelSpec, spark: SparkSession) -> DataFrame:
-        df = spec.fn(ModelContext(self, spark))
-        if spec.materialized == "table":
-            if self.warehouse_dir is not None:
-                path = f"{self.warehouse_dir}/{spec.name}"
-                df.write.mode("overwrite").parquet(path)
-                df = spark.read.parquet(path)
-            else:  # no warehouse: emulate eagerness via cache
-                df = df.cache()
+        if spec.materialized == "incremental":
+            df = self._materialize_incremental(spec, spark)
+        elif spec.materialized == "snapshot":
+            df = self._materialize_snapshot(spec, spark)
+        else:
+            df = spec.fn(ModelContext(self, spark, spec))
+            if spec.materialized == "table":
+                if self.warehouse_dir is not None:
+                    path = f"{self.warehouse_dir}/{spec.name}"
+                    df.write.mode("overwrite").parquet(path)
+                    df = spark.read.parquet(path)
+                else:  # no warehouse: emulate eagerness via cache
+                    df = df.cache()
         if spec.materialized != "ephemeral":
             df.createOrReplaceTempView(spec.name)
         self._built[spec.name] = df
         return df
+
+    # -- versioned table storage (incremental / snapshot state) -----------
+    # A build never overwrites the files it just read (parquet reads are
+    # lazy, so read-then-overwrite self-corrupts); each refresh writes
+    # v{N+1} and readers take the highest version — the same pattern as
+    # the streaming foreachBatch CDC merge (streaming/windows.py), which
+    # a lakehouse table format replaces with a transactional MERGE/commit
+    # at no change to the plan inside.
+
+    def _versions(self, name: str) -> list[int]:
+        import os
+
+        base = f"{self.warehouse_dir}/{name}"
+        if self.warehouse_dir is None or not os.path.isdir(base):
+            return []
+        return sorted(int(p[1:]) for p in os.listdir(base) if p.startswith("v") and p[1:].isdigit())
+
+    def _latest_version(self, name: str) -> int | None:
+        vs = self._versions(name)
+        return vs[-1] if vs else None
+
+    def _read_latest(self, name: str, spark: SparkSession) -> DataFrame | None:
+        v = self._latest_version(name)
+        if v is None:
+            return None
+        return spark.read.parquet(f"{self.warehouse_dir}/{name}/v{v}")
+
+    def _write_version(self, name: str, df: DataFrame, spark: SparkSession) -> DataFrame:
+        if self.warehouse_dir is None:
+            raise ValueError(f"{name}: incremental/snapshot models need a warehouse_dir")
+        v = (self._latest_version(name) or 0) + 1
+        path = f"{self.warehouse_dir}/{name}/v{v}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _materialize_incremental(self, spec: ModelSpec, spark: SparkSession) -> DataFrame:
+        """dbt's incremental materialization, delete+insert strategy: the
+        model emits (ideally just the new/changed) rows; rows whose
+        unique_key already exists are replaced, others appended. The
+        model can cut its input scan with ``ctx.is_incremental`` +
+        ``ctx.this`` (high-water-mark filter). At scale the anti-join
+        shuffles only keys, and a lakehouse MERGE INTO with partition
+        pruning replaces the full-state rewrite."""
+        new = spec.fn(ModelContext(self, spark, spec))
+        prev = self._read_latest(spec.name, spark)
+        if prev is None:
+            out = new
+        else:
+            out = prev.join(
+                new.select(*spec.unique_key), list(spec.unique_key), "left_anti"
+            ).unionByName(new)
+        return self._write_version(spec.name, out, spark)
+
+    def _materialize_snapshot(self, spec: ModelSpec, spark: SparkSession) -> DataFrame:
+        """dbt's snapshot (SCD Type-2, check strategy): the model emits
+        the CURRENT source state (one row per unique_key); the
+        materialization maintains history rows with [valid_from,
+        valid_to) intervals, closing rows whose check_cols changed and
+        opening new versions. The logical clock is ``self.snapshot_at``
+        (an int batch id / timestamp the caller sets per run) so runs
+        are reproducible — dbt uses wall clock, which is the one
+        nondeterminism this engine refuses on principle (the oracle gate
+        hashes every output). Set-once-per-run, monotonically
+        increasing. The same interval algebra, expressed over the event
+        stream instead of snapshot runs, is oracle-certified as
+        scd2_user_state_history (operators/extensions.py)."""
+        from pyspark.sql import functions as F
+
+        at = int(getattr(self, "snapshot_at", 0))
+        cur = spec.fn(ModelContext(self, spark, spec))
+        key = list(spec.unique_key)
+        checks = list(spec.check_cols) or [
+            c for c in cur.columns if c not in spec.unique_key
+        ]
+        stamped = cur.withColumn("valid_from", F.lit(at)).withColumn(
+            "valid_to", F.lit(None).cast("long")
+        )
+        prev = self._read_latest(spec.name, spark)
+        if prev is None:
+            return self._write_version(spec.name, stamped, spark)
+        closed = prev.filter(F.col("valid_to").isNotNull())
+        open_rows = prev.filter(F.col("valid_to").isNull())
+        # keys whose tracked columns changed vs the open row (null-safe)
+        cur_k = cur.select(*key, *[F.col(c).alias(f"__new_{c}") for c in checks])
+        joined = open_rows.join(cur_k, key, "inner")
+        changed_keys = joined.filter(
+            ~F.expr(" AND ".join(f"({c} <=> __new_{c})" for c in checks))
+        ).select(*key)
+        # brand-new keys never seen before
+        new_keys = cur.select(*key).join(prev.select(*key).distinct(), key, "left_anti")
+        closing = open_rows.join(changed_keys, key, "semi").withColumn(
+            "valid_to", F.lit(at).cast("long")
+        )
+        still_open = open_rows.join(changed_keys, key, "left_anti")
+        opening = stamped.join(changed_keys.unionByName(new_keys), key, "semi")
+        out = closed.unionByName(closing).unionByName(still_open).unionByName(opening)
+        return self._write_version(spec.name, out, spark)
 
     def topo_order(self) -> list[str]:
         ts = TopologicalSorter(
