@@ -12,7 +12,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .models.jaffle import build_project, jaffle_checks, load_jaffle_sources
+from .models.jaffle import build_project, build_snapshots, jaffle_checks, load_jaffle_sources
 from .plans.docs import generate_catalog, render_markdown, write_catalog
 from .session import get_spark
 from .sources.seeds import DEFAULT_SEED_DIR
@@ -21,10 +21,16 @@ from .testing.checks import run_checks
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="jaffle_shop_classic_spark")
-    ap.add_argument("command", choices=["seed", "run", "test", "docs"])
+    ap.add_argument("command", choices=["seed", "run", "test", "docs", "snapshot"])
     ap.add_argument("--seed-dir", default=DEFAULT_SEED_DIR)
     ap.add_argument("--warehouse", default=None, help="parquet output dir for table models")
     ap.add_argument("--out", default=None, help="docs: output JSON path")
+    ap.add_argument(
+        "--at",
+        type=int,
+        default=None,
+        help="snapshot: logical clock for valid_from/valid_to (default: next version number)",
+    )
     args = ap.parse_args(argv)
 
     import os
@@ -40,6 +46,24 @@ def main(argv=None) -> int:
     if args.command == "seed":
         for name, df in project.sources.items():
             print(f"{name}: {df.count()} rows")
+        return 0
+
+    if args.command == "snapshot":
+        if args.warehouse is None:
+            print("error: snapshot needs --warehouse (versioned SCD2 state)", file=sys.stderr)
+            return 2
+        build_snapshots(project)
+        snaps = [n for n, s in project.models.items() if s.materialized == "snapshot"]
+        project.snapshot_at = (
+            args.at
+            if args.at is not None
+            else max((project._latest_version(n) or 0) for n in snaps) + 1
+        )
+        built = project.run(spark, select=snaps)
+        for name in snaps:
+            df = built[name]
+            open_rows = df.filter(df.valid_to.isNull()).count()
+            print(f"{name} [snapshot @ {project.snapshot_at}]: {df.count()} rows, {open_rows} open")
         return 0
 
     built = project.run(spark)

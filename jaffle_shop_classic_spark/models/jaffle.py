@@ -164,6 +164,27 @@ def build_project(warehouse_dir: str | None = None) -> Project:
     return project
 
 
+def build_snapshots(project: Project) -> Project:
+    """dbt `snapshot` analog — registered separately from the model DAG
+    (dbt keeps snapshots/ outside models/ and runs them via their own
+    verb). Tracks order status history: one SCD2 row per (order,
+    status-era), closed when the status advances between snapshot runs.
+    """
+
+    @project.model(
+        name="orders_status_snapshot",
+        materialized="snapshot",
+        deps=("stg_orders",),
+        unique_key=("order_id",),
+        check_cols=("status",),
+        description="SCD2 history of each order's status (check strategy).",
+    )
+    def orders_status_snapshot(ctx: ModelContext) -> DataFrame:
+        return ctx.ref("stg_orders").select("order_id", "status")
+
+    return project
+
+
 def load_jaffle_sources(project: Project, spark, seed_dir: str = DEFAULT_SEED_DIR) -> None:
     """`dbt seed`: attach the 3 seed CSVs as sources."""
     for name, df in load_seeds(spark, seed_dir, project.warehouse_dir).items():

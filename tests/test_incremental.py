@@ -58,6 +58,21 @@ def test_incremental_requires_unique_key(spark):
         assert "unique_key" in str(e)
 
 
+def test_snapshot_cli_verb(spark, tmp_path):
+    """`python -m jaffle_shop_classic_spark snapshot` — dbt's fifth verb:
+    first run opens one SCD2 row per order; a re-run on unchanged seeds
+    is a fixpoint that still writes a new state version."""
+    from jaffle_shop_classic_spark.__main__ import main
+
+    wh = str(tmp_path / "wh")
+    assert main(["snapshot", "--warehouse", wh]) == 0
+    assert main(["snapshot", "--warehouse", wh]) == 0
+    snap = spark.read.parquet(f"{wh}/orders_status_snapshot/v2")
+    assert snap.count() == 99  # one open row per seeded order, no churn
+    assert snap.filter(F.col("valid_to").isNotNull()).count() == 0
+    assert main(["snapshot"]) == 2  # refuses to run without --warehouse
+
+
 def test_snapshot_scd2_check_strategy(spark, tmp_path):
     project = Project(warehouse_dir=str(tmp_path))
 
