@@ -198,3 +198,106 @@ def test_bpe_train_matches_python_reference(spark, words):
             w: s.replace(f"|{a}|{b}|", f"|{a}{b}|") for w, s in sym.items()
         }
     assert got == want
+
+
+# ------------------------------------------------------- round-5 operators
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SLOW
+def test_zorder_interleave_matches_python_reference(spark, pairs):
+    """The Morton key must equal the textbook bit-interleave, and be
+    monotone under quadrant refinement (equal high bits of (x,y) =>
+    adjacent z-range) — verified by exact value equality with the
+    Python reference."""
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.operators.extensions import _zvalue
+
+    def py_z(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "x: long, y: long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", _zvalue(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == py_z(x, y)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user
+            st.integers(0, 20),  # time
+            st.sampled_from(["a", "b", "c"]),  # state
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SLOW
+def test_scd2_intervals_partition_each_users_timeline(spark, events):
+    """SCD2 output invariants for ANY event stream: per user, intervals
+    are non-overlapping, contiguous (each valid_to == next valid_from),
+    exactly one open row, consecutive states differ, and replaying the
+    intervals reproduces the state at every event time."""
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=t), u, s, 1.0, "{}")
+        for i, (u, t, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        df.select(
+            "user_id", F.col("event_type").alias("state"), "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")))
+        .select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    out = changes.select(
+        "user_id", "state", "valid_from", nxt.alias("valid_to"), nxt.isNull().alias("is_current")
+    ).collect()
+
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in rs if r["is_current"]) == 1
+        assert rs[-1]["valid_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # contiguous, non-overlapping
+            assert a["state"] != b["state"]  # versions only on change
+    # replay: the interval covering each event's ts must carry its state
+    # (ties broken by event order: the last change at a given ts wins)
+    latest = {}
+    for i, (u, t, s) in enumerate(events):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=t)
+        key = (u, ts)
+        latest[key] = s  # max event_id at that (user, ts) wins
+    for (u, ts), s in latest.items():
+        rs = by_user[u]
+        covering = [
+            r for r in rs if r["valid_from"] <= ts and (r["valid_to"] is None or ts < r["valid_to"])
+        ]
+        assert len(covering) == 1
+        assert covering[0]["state"] == s
