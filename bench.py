@@ -52,6 +52,11 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "text_lm_score",
     "text_boilerplate_shingles",
     "dedup_duplicate_ngram_spans",
+    # round-5 additions
+    "scd2_user_state_history",
+    "zorder_orders_layout",
+    "text_inverted_index",
+    "text_pmi_collocations",
 ]
 
 
