@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import itertools
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -133,6 +134,66 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
             F.col("w.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream twin of the documents table (schema from a batch
+    footer peek, like stream_events). The corpus has no ingest
+    timestamp, so a deterministic one is derived from doc_id (1 doc/sec
+    arrival clock) — the stand-in for the pipeline's real ingest time."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    # base 2024-01-01 (not epoch 0: an event time equal to the initial
+    # watermark is treated as late and silently dropped)
+    return raw.withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+    )
+
+
+def _simhash16_py(texts: pd.Series) -> pd.Series:
+    """Pandas-batch SimHash, bit-for-bit identical to the portable SQL
+    form in operators/dedup.py (_bit_pm1_sql): distinct whitespace
+    tokens vote +/-1 per bit of their md5; sign vector -> 16-bit string.
+    Lives here as a plain function so tests can call it directly."""
+    import hashlib
+    import re
+
+    out = []
+    for text in texts:
+        sums = [0] * 16
+        for t in set(re.split(r"\s+", text.strip())):
+            h = hashlib.md5(t.encode()).hexdigest()
+            for b in range(16):
+                bit = (int(h[b // 4], 16) >> (3 - b % 4)) & 1
+                sums[b] += bit * 2 - 1
+        out.append("".join("1" if s >= 0 else "0" for s in sums))
+    return pd.Series(out)
+
+
+def neardup_dedup_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming NEAR-duplicate dedup: SimHash fingerprint computed
+    map-side (Arrow-batched pandas UDF — no pre-shuffle, the shape a
+    stream needs; the batch path's explode+aggregate form would be a
+    second stateful operator), then dropDuplicatesWithinWatermark on
+    the fingerprint — later documents whose token sets SimHash-collide
+    with one seen inside the horizon are dropped. State is O(distinct
+    fingerprints per horizon). The firehose-side gate that runs BEFORE
+    storage, complementing the batch LSH pipeline behind it."""
+    @F.pandas_udf("string")
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        return _simhash16_py(texts)
+
+    keyed = docs.select(
+        "doc_id", "ingest_ts", simhash_udf(F.col("text")).alias("simhash")
+    )
+    return keyed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
     )
 
 
@@ -376,6 +437,45 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(stream_events(spark, sf_dir)).select("event_id")
     return _drain(deduped, "stream_dedup")
+
+
+@register(
+    "stream_neardup_dedup",
+    # Deterministic on the survivor KEY set (distinct fingerprints), like
+    # stream_dedup_watermark; which doc carries a shared fingerprint is
+    # engine-arbitrary, so the query projects to the fingerprint. The
+    # oracle reuses the batch SimHash SQL (identical md5-bit arithmetic).
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(t) AS h FROM tok),
+    sums AS (
+      SELECT doc_id,
+             """
+    + ", ".join(
+        f"sum((CAST(floor((instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1) "
+        f"/ {2 ** (3 - b % 4)}) AS INTEGER) % 2) * 2 - 1) AS s{b}"
+        for b in range(16)
+    )
+    + """
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT DISTINCT concat("""
+    + ", ".join(f"CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END" for b in range(16))
+    + """) AS simhash
+    FROM sums
+    """,
+    doc="X15/X13: streaming near-duplicate dedup — map-side SimHash "
+    "(Arrow-batched pandas UDF, bit-identical to the batch/SQL form) + "
+    "dropDuplicatesWithinWatermark on the fingerprint. The ingest-side "
+    "near-dup gate for a document firehose; state is O(distinct "
+    "fingerprints within the watermark horizon).",
+)
+def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = neardup_dedup_stream(stream_documents(spark, sf_dir)).select("simhash")
+    return _drain(deduped, "stream_neardup")
 
 
 @register(
