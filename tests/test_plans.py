@@ -127,3 +127,34 @@ def test_length_bucketed_single_window_shuffle(spark, sf_dir):
     # map-only
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+# ------------------------------------------------------- round-5 operators
+def test_zorder_key_is_map_only(spark, sf_dir):
+    # the Morton key is a pure expression: no Exchange at any scale
+    plan = _plan(spark, sf_dir, "zorder_orders_layout")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_single_entity_shuffle(spark, sf_dir):
+    # change detection (lag) and interval build (lead) must reuse ONE
+    # user_id hash partitioning — a second Exchange means the two window
+    # specs diverged
+    plan = _plan(spark, sf_dir, "scd2_user_state_history", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_inverted_index_single_shuffle(spark, sf_dir):
+    # per-doc dedup is map-side (array_distinct), so the term aggregate
+    # is the only Exchange
+    plan = _plan(spark, sf_dir, "text_inverted_index", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pmi_broadcasts_unigram_side(spark, sf_dir):
+    # the corpus-sized bigram table must join vocabulary-sized unigram
+    # counts via broadcast — a sort-merge here reshuffles the big side
+    plan = _plan(spark, sf_dir, "text_pmi_collocations")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan  # top-25 is never a full sort
