@@ -62,6 +62,58 @@ def relationships(
     )
 
 
+# -- dbt-utils-style extensions (beyond the reference's 4 built-ins) -----
+# Same contract: DataFrame -> violating rows, empty == pass; same scale
+# posture (scan-level filters or one keys-only aggregate).
+
+
+def accepted_range(
+    df: DataFrame,
+    column: str,
+    min_value=None,
+    max_value=None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """dbt_utils.accepted_range: non-NULL values outside [min, max].
+    Scan-level filter — both bounds push into the parquet scan."""
+    col = F.col(column)
+    bad = F.lit(False)
+    if min_value is not None:
+        bad = bad | (col < min_value if inclusive else col <= min_value)
+    if max_value is not None:
+        bad = bad | (col > max_value if inclusive else col >= max_value)
+    return df.filter(col.isNotNull() & bad)
+
+
+def unique_combination(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """dbt_utils.unique_combination_of_columns: duplicated composite keys.
+    One hash aggregate over the key columns only (values never shuffle)."""
+    return (
+        df.groupBy(*[F.col(c) for c in columns])
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def expression_is_true(df: DataFrame, expression: str) -> DataFrame:
+    """dbt_utils.expression_is_true: rows where a SQL boolean expression
+    is false or NULL (NULL counts as a violation — an unknown invariant
+    is a broken invariant). Scan-level filter."""
+    return df.filter(~F.coalesce(F.expr(expression), F.lit(False)))
+
+
+def row_count_between(df: DataFrame, min_rows: int = 0, max_rows: int | None = None) -> DataFrame:
+    """dbt_utils-style recency/volume gate: a 1-row violation frame when
+    the table's row count is outside [min_rows, max_rows]. The count is
+    a keys-free aggregate (partial counts merge, nothing shuffles but
+    one long per partition)."""
+    counted = df.groupBy().agg(F.count(F.lit(1)).alias("n_rows"))
+    bad = F.col("n_rows") < min_rows
+    if max_rows is not None:
+        bad = bad | (F.col("n_rows") > max_rows)
+    return counted.filter(bad)
+
+
 @dataclass
 class CheckResult:
     name: str
