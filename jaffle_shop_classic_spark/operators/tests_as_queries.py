@@ -130,3 +130,52 @@ def q_relationships_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viol.groupBy(F.col("l_orderkey").alias("order_id")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+# ------------------------------------------- dbt-utils-style check kinds
+@register(
+    "test_accepted_range_violations",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice IS NOT NULL
+      AND (o_totalprice < 1000 OR o_totalprice > 400000)
+    """,
+    doc="dbt_utils.accepted_range (non-vacuous): order totals outside "
+    "[1000, 400000] — scan-level filter, both bounds pushed to parquet.",
+)
+def q_accepted_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return checks.accepted_range(o, "o_totalprice", 1000, 400000)
+
+
+@register(
+    "test_unique_combination_violations",
+    oracle="""
+    SELECT o_custkey, o_orderdate, CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY o_custkey, o_orderdate
+    HAVING count(*) > 1
+    """,
+    doc="dbt_utils.unique_combination_of_columns (non-vacuous): customers "
+    "with multiple orders on one date — composite-key hash aggregate, "
+    "keys-only shuffle.",
+)
+def q_unique_combination_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return checks.unique_combination(o, ["o_custkey", "o_orderdate"])
+
+
+@register(
+    "test_expression_is_true_pass",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE NOT coalesce(o_totalprice > 0, false)
+    """,
+    doc="dbt_utils.expression_is_true (passing): every order total is "
+    "positive -> empty result; NULL evaluates as a violation.",
+)
+def q_expression_is_true_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return checks.expression_is_true(o, "o_totalprice > 0")
