@@ -1196,3 +1196,58 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.col("pmi").desc(), "w1", "w2").limit(25)
+
+
+# --------------------------------------------- temperature mixture sampling
+MIX_ALPHA = 0.5  # temperature exponent; share_d ∝ n_d^alpha
+MIX_BUDGET_FRAC = 0.5  # sample half the corpus into the mix
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(sqrt(cnt)) AS z, sum(cnt) AS n FROM counts),
+    rates AS (
+      SELECT source,
+             least(1.0, (sqrt(cnt) / z) * ({MIX_BUDGET_FRAC} * n) / cnt) AS rate
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.source, round({_LB_U_SQL}, 6) AS u
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_LB_U_SQL} < r.rate
+    """,
+    doc=f"Temperature-reweighted training mix (share_d ∝ n_d^{MIX_ALPHA}, "
+    f"budget {MIX_BUDGET_FRAC} of the corpus): the standard multilingual/"
+    "multi-domain rebalance — low-resource sources are UP-weighted "
+    "relative to their natural share, high-resource ones down-sampled. "
+    "Same scale shape as sample_language_balanced: per-source keep "
+    "rates from a broadcast-sized source-cardinality aggregate, then a "
+    "map-side filter on the deterministic integer-hash uniform — the "
+    "corpus itself never shuffles. Rates cap at 1.0 (within-epoch "
+    "up-sampling is the epoch scheduler's job, cf. "
+    "shuffle_epoch_sample); sqrt is IEEE-exact in both engines so the "
+    "keep decision is bit-stable.",
+)
+def q_sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("cnt"))).alias("z"), F.sum("cnt").alias("n")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt(F.col("cnt")) / F.col("z"))
+            * (F.lit(MIX_BUDGET_FRAC) * F.col("n"))
+            / F.col("cnt"),
+        ).alias("rate"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(_lb_u() < F.col("rate"))
+        .select("doc_id", "source", F.round(_lb_u(), 6).alias("u"))
+    )

@@ -28,6 +28,7 @@ CROSS_OK = {
     "quality_percentile_filter",  # broadcast 1-row threshold join
     "quality_percentile_filter_approx",  # broadcast 1-row threshold join
     "sample_language_balanced",  # broadcast 1-row min-lang-count join
+    "sample_temperature_mix",  # broadcast 1-row corpus-totals join
     "tokenizer_bpe_train",  # broadcast 1-row winning-pair join per round
     "tokenizer_bpe_encode",  # same 1-row pair joins inside the train subtree
     "text_boilerplate_shingles",  # broadcast 1-row corpus-size (N) join
