@@ -1096,26 +1096,35 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one term-key aggregate. At 100 TB: per-doc dedup happens "
     "MAP-SIDE (array_distinct on the token array before the explode — "
     "a dropDuplicates(doc_id, term) would add a second full-postings "
-    "shuffle on a different key), so the term aggregate is the ONLY "
-    "shuffle, partial-agg map-combined; hot terms (stopwords) are "
-    "exactly the rows the "
-    "doc_freq floor keeps, so the posting-prefix cap bounds their "
-    "payload — full postings would be range-sharded per term "
-    "(term, shard_id) the same way sketch_hll_mergeable shards its "
-    "registers.",
+    "shuffle on a different key); the postings then shuffle ONCE on "
+    "term for a row_number window that rank-limits each posting list "
+    "to 20 BEFORE aggregation, so the collect_list buffer holds at "
+    "most 20 ids per term no matter how hot the term is (a stopword "
+    "with billions of postings sorts spillably in the window operator "
+    "instead of accumulating in an in-memory agg buffer), and the "
+    "follow-on groupBy reuses the window's hash partitioning on term "
+    "— no second shuffle. Full postings would be range-sharded per "
+    "term (term, shard_id) the same way sketch_hll_mergeable shards "
+    "its registers.",
 )
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     terms = F.array_distinct(F.filter(tokens_col(F.col("text")), lambda t: F.length(t) >= 3))
     base = d.select("doc_id", terms.alias("tk"))
     postings = base.select("doc_id", F.explode("tk").alias("term"))
+    ranked = postings.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    )
     return (
-        postings.groupBy("term")
+        ranked.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("doc_freq"),
-            F.concat_ws(",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20)).alias(
-                "posting_prefix"
-            ),
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list(F.when(F.col("rn") <= 20, F.col("doc_id")))),
+            ).alias("posting_prefix"),
         )
         .filter(F.col("doc_freq") >= 25)
     )
