@@ -94,22 +94,27 @@ _PRIORITY = (
     "quality_percentile_filter",
     # dedup (X13) — the minhash signature primitive is exercised inside
     # dedup_minhash_lsh_pairs and pipeline_corpus_curation, so its slot
-    # certifies position-exact duplicate-span detection instead
+    # certifies position-exact duplicate-span detection instead; the
+    # near-dup class keeps 3 reps (minhash_lsh_pairs, corpus_curation,
+    # duplicate_ngram_spans) after simhash/ngram_jaccard rotated to
+    # tier 2 in round 6 to certify the round-5 flagships
     "dedup_exact",
     "dedup_duplicate_ngram_spans",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
     "pipeline_corpus_curation",
     "decontam_ngram_overlap",
     "dedup_cluster_components",
-    # similarity / embeddings (X13)
+    # similarity / embeddings (X13) — int8 quantization rotated to
+    # tier 2 (X13 keeps five other green reps)
     "sim_cosine_topk",
     "sim_ann_hyperplane",
     "dedup_embedding_cosine",
     "sim_ivf_topk",
-    "embedding_quantize_int8",
     "kmeans_lloyd",
+    # round-5 flagship classes, certified by the hard signal from r06
+    "scd2_user_state_history",
+    "text_pmi_collocations",
+    "sample_temperature_mix",
     # multimodal
     "mm_frame_sample",
     "mm_feature_extract",
@@ -127,6 +132,11 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 in round 6 (duplicate-class reps;
+    # r05-green) to make room for the round-5 flagship operators
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_quantize_int8",
     # rotated out of the top-50 in round 5 (duplicate-class reps;
     # r04-green) to make room for the X3/X8 representatives
     "map_ops",
