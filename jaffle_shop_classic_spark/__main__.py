@@ -54,11 +54,18 @@ def main(argv=None) -> int:
             return 2
         build_snapshots(project)
         snaps = [n for n, s in project.models.items() if s.materialized == "snapshot"]
-        project.snapshot_at = (
-            args.at
-            if args.at is not None
-            else max((project._latest_version(n) or 0) for n in snaps) + 1
-        )
+        latest = max((project._latest_version(n) or 0) for n in snaps)
+        if args.at is not None and args.at <= latest:
+            # a snapshot clock at or before the persisted one would write
+            # SCD2 rows with valid_to <= valid_from and non-monotonic
+            # history — refuse instead of silently corrupting state
+            print(
+                f"error: --at {args.at} is not after the latest persisted "
+                f"snapshot version {latest}; pick --at >= {latest + 1}",
+                file=sys.stderr,
+            )
+            return 2
+        project.snapshot_at = args.at if args.at is not None else latest + 1
         built = project.run(spark, select=snaps)
         for name in snaps:
             df = built[name]

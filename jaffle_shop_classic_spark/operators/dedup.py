@@ -134,32 +134,29 @@ def exploded_shingles(d: DataFrame, *extra_cols: str) -> DataFrame:
     input plan twice (two scans — or, when the input is itself an
     aggregate as in pipeline_corpus_curation, the whole upstream
     recomputed per branch). Rows are a multiset; callers needing the
-    shingle *set* dropDuplicates on (doc_id, s)."""
-    toks = tokens_col(F.col("text"))
-    base = d.select("doc_id", *extra_cols, toks.alias("tk"), F.trim("text").alias("raw"))
-    n = F.size("tk")
-    src = F.when(n >= 3, F.col("tk")).otherwise(F.array("raw"))
-    ex = base.select(
+    shingle *set* dropDuplicates on (doc_id, s).
+
+    Built with selectExpr strings (parsed JVM-side in one Py4J call per
+    select) — the Column-builder form cost ~100 bridge round trips per
+    plan build, a measurable share of warm query latency."""
+    base = d.selectExpr(
         "doc_id",
         *extra_cols,
-        n.alias("n"),
-        "tk",
-        F.posexplode(src).alias("pos", "tok"),
+        r"split(trim(text), '\\s+') AS tk",
+        "trim(text) AS raw",
     )
-    return ex.filter((F.col("n") < 3) | (F.col("pos") <= F.col("n") - 3)).select(
+    ex = base.selectExpr(
         "doc_id",
         *extra_cols,
-        F.when(
-            F.col("n") >= 3,
-            F.concat_ws(
-                " ",
-                "tok",
-                F.element_at("tk", F.col("pos") + 2),
-                F.element_at("tk", F.col("pos") + 3),
-            ),
-        )
-        .otherwise(F.col("tok"))
-        .alias("s"),
+        "size(tk) AS n",
+        "tk",
+        "posexplode(CASE WHEN size(tk) >= 3 THEN tk ELSE array(raw) END) AS (pos, tok)",
+    )
+    return ex.filter("n < 3 OR pos <= n - 3").selectExpr(
+        "doc_id",
+        *extra_cols,
+        "CASE WHEN n >= 3 THEN concat_ws(' ', tok, element_at(tk, pos + 2), "
+        "element_at(tk, pos + 3)) ELSE tok END AS s",
     )
 
 
@@ -184,12 +181,9 @@ def minhash_signatures(d: DataFrame, fast: bool = False) -> DataFrame:
     shingles = exploded_shingles(d)
 
     if fast:
-        hashed = shingles.select(
+        hashed = shingles.selectExpr(
             "doc_id",
-            *[
-                F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
-                for i in range(NUM_HASHES)
-            ],
+            *[f"xxhash64(concat('{i}|', s)) AS h{i}" for i in range(NUM_HASHES)],
         )
     else:
         # k lanes from TWO md5 evaluations, not k: md5(s)||md5('x'||s) is
@@ -199,19 +193,38 @@ def minhash_signatures(d: DataFrame, fast: bool = False) -> DataFrame:
         # stage is pure map-side CPU — at 100 TB this 4x hash-count cut
         # is the dominant cost of the whole LSH pipeline. Measured here:
         # candidate-pair stage 3.5s -> 2.2s at sf0.1.
-        hashed = shingles.select(
+        #
+        # Lanes are parsed to LONG before the min-agg: min(string)
+        # buffers are not hash-aggregatable (UnsafeRow mutable-type
+        # rule), so string lanes force a SortAggregate that sorts the
+        # FULL shingle stream on both sides of the shuffle — at 100 TB
+        # that is a sort of trillions of rows where a hash agg with
+        # map-side combine does no sorting at all. Fixed-width lowercase
+        # hex orders identically lexicographically and numerically, so
+        # min commutes with the parse and the exact hex signature is
+        # reconstructed after the agg (oracle parity unchanged).
+        hashed = shingles.selectExpr(
             "doc_id",
-            F.concat(F.md5("s"), F.md5(F.concat(F.lit("x"), F.col("s")))).alias("hh"),
-        ).select(
+            "concat(md5(s), md5(concat('x', s))) AS hh",
+        ).selectExpr(
             "doc_id",
-            *[F.substring("hh", 8 * i + 1, 8).alias(f"h{i}") for i in range(NUM_HASHES)],
+            *[
+                f"CAST(conv(substring(hh, {8 * i + 1}, 8), 16, 10) AS BIGINT) AS h{i}"
+                for i in range(NUM_HASHES)
+            ],
         )
     agg = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_HASHES)]
+        *[F.expr(f"min(h{i}) AS m{i}") for i in range(NUM_HASHES)]
     )
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(NUM_HASHES)]).alias("sig")
-    )
+    if fast:
+        sig = "array(" + ", ".join(f"m{i}" for i in range(NUM_HASHES)) + ")"
+    else:
+        sig = (
+            "array("
+            + ", ".join(f"lower(lpad(hex(m{i}), 8, '0'))" for i in range(NUM_HASHES))
+            + ")"
+        )
+    return agg.selectExpr("doc_id", f"{sig} AS sig")
 
 
 def _minhash_sig_sql(shingles_expr: str) -> str:
@@ -247,8 +260,24 @@ def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", F.array_join("sig", ",").alias("signature"))
 
 
+def _bands_expr(sig: str) -> str:
+    """Band keys (Spark SQL fragment): md5 over each pair of adjacent
+    signature entries — one F.expr per call site, not 5 Column calls
+    per band."""
+    return (
+        "array("
+        + ", ".join(
+            f"md5(concat(element_at({sig}, {2 * j + 1}), "
+            f"element_at({sig}, {2 * j + 2}), '{j}'))"
+            for j in range(NUM_BANDS)
+        )
+        + ")"
+    )
+
+
 def _bands(sig: Column) -> Column:
-    """Band keys: md5 over each pair of adjacent signature entries."""
+    """Column wrapper kept for callers holding a Column; prefer
+    _bands_expr in selectExpr-built plans."""
     return F.array(
         *[
             F.md5(
@@ -361,7 +390,7 @@ _SIG_MATCH_SQL = (
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
-    bands = sigs.select("doc_id", F.explode(_bands(F.col("sig"))).alias("band_key"))
+    bands = sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
     pairs = candidate_pairs(bands)
     a, b = sigs.alias("a"), sigs.alias("b")
     matches = F.aggregate(
@@ -544,14 +573,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .text import STOPWORDS, tokens_col
+    from .text import STOPWORDS
 
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    stop_ratio = (
-        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / F.size(toks)
-    )
-    quality = d.filter((F.size(toks) >= 20) & (stop_ratio < 0.3)).select("doc_id", "text")
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    quality = d.selectExpr("doc_id", "text", r"split(trim(text), '\\s+') AS tk").filter(
+        f"size(tk) >= 20 AND CAST(size(filter(tk, x -> x IN ({stops}))) AS DOUBLE)"
+        " / size(tk) < 0.3"
+    ).select("doc_id", "text")
 
     # exact dedup keeping the text (all rows in a group share it), so the
     # signature stage below reads survivors directly instead of joining
@@ -560,7 +589,7 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sigs = minhash_signatures(survivors.select("doc_id", "text"))
-    bands = sigs.select("doc_id", F.explode(_bands(F.col("sig"))).alias("band_key"))
+    bands = sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
     # a doc is a near-dup iff some bucket it occupies contains a lower id
     mn = F.min("doc_id").over(Window.partitionBy("band_key"))
     flagged = bands.select("doc_id", (F.col("doc_id") > mn).alias("is_dup"))
@@ -660,7 +689,7 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC variants cluster."""
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
-    bands = sigs.select("doc_id", F.explode(_bands(F.col("sig"))).alias("band_key"))
+    bands = sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -931,17 +960,15 @@ _SPAN_GRAM_SQL = (
 )
 def q_dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", tokens_col(F.col("text")).alias("tk"))
-    ex = base.select(
-        "doc_id", F.size("tk").alias("n"), "tk", F.posexplode("tk").alias("pos", "tok")
+    base = d.selectExpr("doc_id", r"split(trim(text), '\\s+') AS tk")
+    ex = base.selectExpr(
+        "doc_id", "size(tk) AS n", "tk", "posexplode(tk) AS (pos, tok)"
     )
-    gram = F.concat_ws(
-        " ",
-        "tok",
-        *[F.element_at("tk", F.col("pos") + k) for k in range(2, SPAN_N + 1)],
+    gram_terms = ", ".join(
+        ["tok"] + [f"element_at(tk, pos + {k})" for k in range(2, SPAN_N + 1)]
     )
-    grams = ex.filter(F.col("pos") <= F.col("n") - SPAN_N).select(
-        "doc_id", F.md5(gram).alias("g")
+    grams = ex.filter(f"pos <= n - {SPAN_N}").selectExpr(
+        "doc_id", f"md5(concat_ws(' ', {gram_terms})) AS g"
     )
     # the gram stream feeds both the count aggregate and the join probe;
     # the count side broadcasts, so no shuffle exists for Spark to reuse

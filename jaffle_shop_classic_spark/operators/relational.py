@@ -182,10 +182,6 @@ def q_agg_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "without orders are preserved (no coalesce).",
 )
 def q_jaffle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customers = stg_customers(spark, sf_dir)
-    orders = load_table(spark, sf_dir, "orders")
-    payments = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-
     # Two rewrites of the reference's CTE pair, both result-identical:
     # 1. partial-aggregation pushdown below the join (sum is associative,
     #    so per-order subtotals then per-customer totals == direct
@@ -203,28 +199,39 @@ def q_jaffle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    contributes NULL to the sum (ignored) but still counts — exactly
     #    the reference's left-join null semantics (§1.3); payments with
     #    no order fall out of the final customer join in both shapes.
-    per_order = payments.groupBy("l_orderkey").agg(
-        F.sum("l_extendedprice").alias("order_amount")
-    )
-    per_customer = (
-        orders.select("o_custkey", "o_orderkey", "o_orderdate")
-        .join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
-        .groupBy(F.col("o_custkey").alias("customer_id"))
-        .agg(
-            F.min("o_orderdate").alias("first_order"),
-            F.max("o_orderdate").alias("most_recent_order"),
-            F.count("o_orderkey").alias("number_of_orders"),
-            F.round(F.sum("order_amount"), 2).alias("customer_lifetime_value"),
+    #
+    # Expressed as ONE spark.sql call over the parquet DataFrames
+    # (same Catalyst plan as the method-chain form; JVM-side parse
+    # halves driver-side plan-build latency, which at bench scale was
+    # ~half the warm query time).
+    return spark.sql(
+        """
+        WITH per_order AS (
+          SELECT l_orderkey, sum(l_extendedprice) AS order_amount
+          FROM {lineitem} GROUP BY l_orderkey
+        ),
+        per_customer AS (
+          SELECT o.o_custkey AS customer_id,
+                 min(o.o_orderdate) AS first_order,
+                 max(o.o_orderdate) AS most_recent_order,
+                 count(o.o_orderkey) AS number_of_orders,
+                 round(sum(p.order_amount), 2) AS customer_lifetime_value
+          FROM {orders} o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+          GROUP BY o.o_custkey
         )
-    )
-    return customers.join(per_customer, "customer_id", "left").select(
-        "customer_id",
-        "name",
-        "segment",
-        "first_order",
-        "most_recent_order",
-        "number_of_orders",
-        "customer_lifetime_value",
+        SELECT c.c_custkey AS customer_id,
+               c.c_name AS name,
+               c.c_mktsegment AS segment,
+               pc.first_order,
+               pc.most_recent_order,
+               pc.number_of_orders,
+               pc.customer_lifetime_value
+        FROM {customer} c
+        LEFT JOIN per_customer pc ON c.c_custkey = pc.customer_id
+        """,
+        customer=load_table(spark, sf_dir, "customer"),
+        orders=load_table(spark, sf_dir, "orders"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
     )
 
 
@@ -260,27 +267,30 @@ def _pivot_amount_sql(flag: str) -> str:
     "unused flags get 0 — the null-vs-zero trap of SURVEY §1.3.",
 )
 def q_jaffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    payments = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_extendedprice"
-    )
-    pivot_cols = [
-        F.round(
-            F.sum(
-                F.when(F.col("l_returnflag") == m, F.col("l_extendedprice")).otherwise(F.lit(0.0))
-            ),
-            2,
-        ).alias(f"{m.lower()}_amount")
+    # pivot columns generated by a Python loop (R12, the Jinja-loop
+    # analog) into one spark.sql call — see q_jaffle_customers for why
+    pivots = ", ".join(
+        f"round(sum(CASE WHEN l_returnflag = '{m}' THEN l_extendedprice "
+        f"ELSE 0.0D END), 2) AS {m.lower()}_amount"
         for m in RETURN_FLAGS
-    ]
-    order_payments = payments.groupBy(F.col("l_orderkey").alias("order_id")).agg(
-        *pivot_cols, F.round(F.sum("l_extendedprice"), 2).alias("amount")
     )
-    orders = stg_orders(spark, sf_dir)
-    return orders.join(order_payments, "order_id", "left").select(
-        "order_id",
-        "customer_id",
-        "order_date",
-        "status",
-        *[f"{m.lower()}_amount" for m in RETURN_FLAGS],
-        "amount",
+    return spark.sql(
+        f"""
+        WITH order_payments AS (
+          SELECT l_orderkey AS order_id,
+                 {pivots},
+                 round(sum(l_extendedprice), 2) AS amount
+          FROM {{lineitem}} GROUP BY l_orderkey
+        )
+        SELECT o.o_orderkey AS order_id,
+               o.o_custkey AS customer_id,
+               o.o_orderdate AS order_date,
+               o.o_orderstatus AS status,
+               {", ".join("p." + m.lower() + "_amount" for m in RETURN_FLAGS)},
+               p.amount
+        FROM {{orders}} o
+        LEFT JOIN order_payments p ON o.o_orderkey = p.order_id
+        """,
+        orders=load_table(spark, sf_dir, "orders"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
     )

@@ -27,7 +27,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_parts, cosine_sql, dot
+from ..functions.vector import cosine_expr, cosine_sql, dot_expr
 from ..sources.parquet import load_table
 from .catalog import register
 
@@ -51,13 +51,15 @@ def _hyperplanes() -> list[list[float]]:
 PLANES = _hyperplanes()
 
 
-def _bucket_col(emb):
-    digits = []
+def _bucket_col(emb: str):
+    # one F.expr for all 4 plane dots: the Column form built 64 F.lit
+    # calls per plane (256 Py4J round trips) at plan-build time
+    parts = []
     for plane in PLANES:
-        p = F.array(*[F.lit(v) for v in plane])
-        d = dot(emb, p)
-        digits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*digits)
+        lit = "array(" + ", ".join(f"{v}D" for v in plane) + ")"
+        d = dot_expr(emb, lit)
+        parts.append(f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(parts) + ")")
 
 
 def _bucket_sql(emb: str) -> str:
@@ -96,7 +98,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine_parts(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("cosine"),
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
@@ -125,7 +127,7 @@ def q_sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            F.round(cosine_parts(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cosine"),
+            F.round(F.expr(cosine_expr("a.embedding", "b.embedding")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
         .limit(50)
@@ -154,7 +156,7 @@ def q_sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.select("vec_id", "label", "embedding", _bucket_col(F.col("embedding")).alias("bucket"))
+    bucketed = e.select("vec_id", "label", "embedding", _bucket_col("embedding").alias("bucket"))
     q = (
         bucketed.filter(F.col("vec_id") == 0)
         .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qb"))
@@ -166,7 +168,7 @@ def q_sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "bucket",
-            F.round(cosine_parts(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(5)
@@ -230,7 +232,7 @@ def q_sim_ml_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     a, b = e.alias("a"), e.alias("b")
-    cos = F.round(cosine_parts(F.col("a.embedding"), F.col("b.embedding")), 6)
+    cos = F.round(F.expr(cosine_expr("a.embedding", "b.embedding")), 6)
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -245,6 +247,60 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NUM_CENTROIDS = 10
+
+
+def _ivf_sql(probes: int, limit: int) -> str:
+    """Shared IVF plan as ONE spark.sql statement (single JVM-side parse;
+    the method-chain form spent ~0.3 s/run in driver-side plan build).
+
+    Plan shape is the one that survives 100 TB: the assignment argmax
+    runs over a NARROW projection (vec_id, centroid_id, ccos — ~20
+    bytes/row) and the winning (vec_id, centroid_id) joins back to the
+    table for label+embedding. Sorting the K-scored rows WITH the
+    64-float embedding as window payload (the obvious one-pass form)
+    moves 30x more bytes through the sort; max_by with an
+    embedding-bearing struct is worse still (a non-atomic agg buffer
+    forces SortAggregate on both sides of the shuffle). The join back is
+    an equi-join on vec_id: broadcast-able here, co-partitioned SMJ at
+    100 TB. The query vector's own assignment runs on a 1-row input
+    (not by filtering the full assignment, which would recompute the
+    cross-join+argmax subtree a second time) and broadcasts as a
+    ``probes``-row relation."""
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM {{e}} WHERE vec_id < {NUM_CENTROIDS}
+    ),
+    scored AS (
+      SELECT /*+ BROADCAST(c) */ e.vec_id, c.centroid_id,
+             {cosine_expr('e.embedding', 'c.cvec')} AS ccos
+      FROM {{e}} e CROSS JOIN centroids c
+    ),
+    assigned_ids AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC
+               ) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    q AS (
+      SELECT /*+ BROADCAST(c) */ e.embedding AS qv, c.centroid_id AS qc
+      FROM {{e}} e CROSS JOIN centroids c
+      WHERE e.vec_id = 0
+      ORDER BY {cosine_expr('e.embedding', 'c.cvec')} DESC, c.centroid_id ASC
+      LIMIT {probes}
+    )
+    SELECT /*+ BROADCAST(q) */ e.vec_id, e.label, a.centroid_id,
+           round({cosine_expr('e.embedding', 'q.qv')}, 6) AS cosine
+    FROM {{e}} e
+    JOIN assigned_ids a ON e.vec_id = a.vec_id
+    JOIN q ON a.centroid_id = q.qc
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT {limit}
+    """
+
 
 
 @register(
@@ -283,63 +339,7 @@ NUM_CENTROIDS = 10
     "(top-p closest lists) is the recall dial, same plan.",
 )
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = load_table(spark, sf_dir, "embeddings")
-    centroids = (
-        e.filter(F.col("vec_id") < NUM_CENTROIDS)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
-    )
-
-    # Assignment argmax runs over a NARROW projection (vec_id,
-    # centroid_id, ccos) — ~20 bytes/row — and the winning (vec_id,
-    # centroid_id) joins back to the table for label+embedding. Sorting
-    # the K-scored rows WITH the 64-float embedding as window payload
-    # (the obvious one-pass form) moves 30x more bytes through the
-    # sort; max_by with an embedding-bearing struct is worse still (a
-    # non-atomic agg buffer forces SortAggregate on both sides of the
-    # shuffle). The join back is an equi-join on vec_id: broadcast-able
-    # here, co-partitioned SMJ at 100 TB.
-    scored = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "centroid_id",
-        cosine_parts(F.col("embedding"), F.col("cvec")).alias("ccos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
-    assigned_ids = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
-    )
-
-    # the query vector's list assignment runs on a 1-row input — the old
-    # form derived it by filtering the FULL assignment, recomputing the
-    # whole cross-join+argmax subtree a second time
-    q = (
-        e.filter(F.col("vec_id") == 0)
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            F.col("embedding").alias("qv"),
-            F.col("centroid_id").alias("qc"),
-            cosine_parts(F.col("embedding"), F.col("cvec")).alias("ccos"),
-        )
-        .orderBy(F.col("ccos").desc(), F.col("qc").asc())
-        .limit(1)
-        .select("qv", "qc")
-    )
-    return (
-        e.filter(F.col("vec_id") != 0)
-        .join(assigned_ids, "vec_id")
-        .join(F.broadcast(q), F.col("centroid_id") == F.col("qc"))
-        .select(
-            "vec_id",
-            "label",
-            "centroid_id",
-            F.round(cosine_parts(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(5)
-    )
+    return spark.sql(_ivf_sql(probes=1, limit=5), e=load_table(spark, sf_dir, "embeddings"))
 
 
 NUM_PROBES = 3
@@ -391,51 +391,10 @@ NUM_PROBES = 3
     "linearly in bytes touched, never O(n).",
 )
 def q_sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = load_table(spark, sf_dir, "embeddings")
-    centroids = (
-        e.filter(F.col("vec_id") < NUM_CENTROIDS)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
-    )
-    # same narrow-argmax assignment as sim_ivf_topk (see the comment
-    # there: the embedding never rides the window shuffle)
-    scored = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "centroid_id",
-        cosine_parts(F.col("embedding"), F.col("cvec")).alias("ccos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
-    assigned_ids = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
-    )
-    # probe set: the query's top-P lists — a P-row broadcast relation
-    probes = (
-        e.filter(F.col("vec_id") == 0)
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            F.col("embedding").alias("qv"),
-            F.col("centroid_id").alias("qc"),
-            cosine_parts(F.col("embedding"), F.col("cvec")).alias("ccos"),
-        )
-        .orderBy(F.col("ccos").desc(), F.col("qc").asc())
-        .limit(NUM_PROBES)
-        .select("qv", "qc")
-    )
-    return (
-        e.filter(F.col("vec_id") != 0)
-        .join(assigned_ids, "vec_id")
-        .join(F.broadcast(probes), F.col("centroid_id") == F.col("qc"))
-        .select(
-            "vec_id",
-            "label",
-            "centroid_id",
-            F.round(cosine_parts(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(10)
+    # same narrow-argmax assignment plan as sim_ivf_topk; the probe set
+    # is a NUM_PROBES-row broadcast relation (the recall dial)
+    return spark.sql(
+        _ivf_sql(probes=NUM_PROBES, limit=10), e=load_table(spark, sf_dir, "embeddings")
     )
 
 
@@ -749,7 +708,7 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "centroid_id",
-            F.round(cosine_parts(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(5)

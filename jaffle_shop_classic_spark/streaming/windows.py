@@ -87,10 +87,16 @@ def interval_join_streams(
     event-time distance, so each side's buffered state is evicted once
     the other side's watermark passes the bound — state is O(1h of
     stream) regardless of stream length, and the bucket key carries the
-    state-store partitioning."""
+    state-store partitioning.
+
+    The watermark delay is derived from window_sec: a fixed delay
+    shorter than the join bound would let Spark evict buffered rows
+    before the event-time bound closes, silently dropping matches in a
+    multi-batch stream (masked in availableNow single-batch runs)."""
     w_us = window_sec * 1_000_000
+    wm = f"{window_sec} seconds"
     v = (
-        views.withWatermark("ts", "1 hour")
+        views.withWatermark("ts", wm)
         .select(
             F.col("event_id").alias("v_id"),
             F.col("ts").alias("v_ts"),
@@ -98,7 +104,7 @@ def interval_join_streams(
         )
     )
     p = (
-        purchases.withWatermark("ts", "1 hour")
+        purchases.withWatermark("ts", wm)
         .select(
             F.col("event_id").alias("p_id"),
             F.col("ts").alias("p_ts"),

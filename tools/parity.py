@@ -116,13 +116,14 @@ def compare(name: str, spark_df, con) -> dict:
     return out
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from jaffle_shop_classic_spark.operators.catalog import load_catalog
     from jaffle_shop_classic_spark.session import get_spark
 
     catalog = load_catalog()
-    names = sys.argv[2:] or list(catalog)
+    names = list(argv[1:]) or list(catalog)
     spark = get_spark("parity", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -139,8 +140,8 @@ def main():
         failures += 0 if ok else 1
         print(("PASS " if ok else "FAIL ") + str(res), flush=True)
     print(f"\n{len(names) - failures}/{len(names)} ok")
-    sys.exit(1 if failures else 0)
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

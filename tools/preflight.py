@@ -7,9 +7,18 @@ every catalog query is built against the CURRENT testdata and run
 through Catalyst analysis via .explain(), so schema drift, type
 mismatches, and unresolved columns all throw here.
 
+A second stage hash-verifies every TIER-2 oracle-backed query (the ones
+outside the driver's ~50-slot correctness window) at the snapshot scale
+factor, so the queries the driver never value-checks still get a
+recorded parity run each round.
+
 Usage:
-    python tools/preflight.py            # analysis pass + pytest
+    python tools/preflight.py            # analysis + tier-2 parity + pytest
     python tools/preflight.py --fast     # analysis pass only (~60 s)
+
+The testdata root comes from $SPARK_GRAFT_TESTDATA (default
+/root/testdata); if no sf dir exists under it the preflight exits
+non-zero instead of silently degenerating to a pytest-only run.
 
 Exit 0 = safe to end the round. Anything else = fix before the driver
 snapshots.
@@ -27,14 +36,20 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_DIRS = tuple(
+    os.path.join(TESTDATA_ROOT, sf) for sf in ("sf0.001", "sf0.01", "sf0.1")
+)
+# scale factor for the tier-2 parity stage — the driver certifies the
+# top-50 at sf0.01, so tier-2 gets the same scale here
+PARITY_SF_DIR = os.path.join(TESTDATA_ROOT, "sf0.01")
 
 
 def analysis_pass() -> int:
     """Build + analyze every catalog query against every sf dir.
 
     .explain() forces analysis and optimization but launches no jobs, so
-    the whole 123-query × 3-sf sweep is driver-side only. Streaming
+    the whole catalog × 3-sf sweep is driver-side only. Streaming
     queries execute on .fn() (they drain a memory sink), which is the
     point — a broken stream source fails here too.
     """
@@ -44,11 +59,13 @@ def analysis_pass() -> int:
     spark = get_spark("preflight", shuffle_partitions=4)
     catalog = load_catalog()
     failures = []
+    seen_dirs = 0
     t0 = time.time()
     for sf_dir in SF_DIRS:
         if not os.path.isdir(sf_dir):
             print(f"preflight: SKIP missing {sf_dir}")
             continue
+        seen_dirs += 1
         for name, spec in catalog.items():
             try:
                 df = spec.fn(spark, sf_dir)
@@ -58,9 +75,33 @@ def analysis_pass() -> int:
                 failures.append((sf_dir, name, f"{type(e).__name__}: {e}"))
                 print(f"preflight: FAIL {sf_dir} {name}: {type(e).__name__}: {e}")
         print(f"preflight: analyzed {len(catalog)} queries against {sf_dir}")
+    if seen_dirs == 0:
+        print(
+            f"preflight: RED — no sf dirs found under {TESTDATA_ROOT} "
+            "(set SPARK_GRAFT_TESTDATA)"
+        )
+        return 1
     print(f"preflight: analysis pass done in {time.time() - t0:.1f}s, "
           f"{len(failures)} failure(s)")
     return len(failures)
+
+
+def tier2_parity_pass() -> int:
+    """Hash-verify every oracle-backed query OUTSIDE the driver's top-50
+    window at the snapshot scale factor (the driver only records the
+    first ~50 slots; this closes the certification gap for the rest)."""
+    from jaffle_shop_classic_spark.operators import catalog as cat_mod
+    from tools import parity
+
+    if not os.path.isdir(PARITY_SF_DIR):
+        print(f"preflight: SKIP tier-2 parity (missing {PARITY_SF_DIR})")
+        return 0
+    catalog = cat_mod.load_catalog()
+    top50 = set(cat_mod._PRIORITY)
+    names = [n for n, s in catalog.items() if n not in top50 and s.oracle is not None]
+    print(f"preflight: tier-2 parity over {len(names)} queries at {PARITY_SF_DIR}")
+    rc = parity.main([PARITY_SF_DIR, *names])
+    return rc
 
 
 def main() -> None:
@@ -69,8 +110,11 @@ def main() -> None:
         print("preflight: RED (analysis)")
         sys.exit(1)
     if "--fast" in sys.argv:
-        print("preflight: GREEN (analysis only; pytest skipped via --fast)")
+        print("preflight: GREEN (analysis only; tier-2 parity + pytest skipped via --fast)")
         return
+    if tier2_parity_pass():
+        print("preflight: RED (tier-2 parity)")
+        sys.exit(1)
     rc = subprocess.call(
         [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], cwd=REPO
     )
