@@ -132,6 +132,9 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # round-6 flagship operators (newest first)
+    "embedding_pq_encode",
+    "sim_pq_adc_topk",
     # rotated out of the top-50 in round 6 (duplicate-class reps;
     # r05-green) to make room for the round-5 flagship operators
     "dedup_simhash",

@@ -713,3 +713,266 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+# ---------------------------------------------------- product quantization
+# PQ (Jegou et al., "Product Quantization for Nearest Neighbor Search"):
+# split the D-dim vector into M subspaces, train an independent K-entry
+# codebook per subspace (deterministic Lloyd, same recipe/rounding as
+# kmeans_lloyd), and store each vector as M small codes. 64 floats
+# (256 B) become 4 codes (4 B) — 64x compression; search runs on codes
+# via a per-query distance table (ADC), never touching raw vectors.
+PQ_M = 4  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16  # codebook entries per subspace
+PQ_ITERS = 2  # same budget as KMEANS_ITERS; state rounded 6dp per update
+
+
+def _sqdist_expr(a: str, b: str) -> str:
+    """Spark SQL twin of _sqdist_sql: strict sequential fold of squared
+    element diffs (both inputs already double or double-cast here)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _pq_sqdist_sql(e: str, c: str) -> str:
+    terms = (
+        f"list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i]))"
+    )
+    return f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {terms}), (acc, x) -> acc + x)"
+
+
+def _pq_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form subvectors: (vec_id, s, subvec array<double>) — M rows
+    per vector, built map-side with one posexplode."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"s -> transform(slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
+                f"v -> CAST(v AS DOUBLE)))"
+            )
+        ).alias("s", "subvec"),
+    )
+
+
+def _pq_codebooks(sub: DataFrame) -> DataFrame:
+    """Per-subspace Lloyd loop -> (s, cid, cvec). Seed codebook for
+    subspace s = that subspace's slices of the first K vectors; every
+    update rounds coordinates to 6dp (bit-pins the iteration state
+    cross-engine, exactly like kmeans_lloyd)."""
+    from pyspark.sql import Window
+
+    cent = sub.filter(F.col("vec_id") < PQ_K).selectExpr(
+        "s", "vec_id AS cid", "transform(subvec, v -> round(v, 6)) AS cvec"
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.col("d").asc(), F.col("cid").asc())
+    for _ in range(PQ_ITERS):
+        scored = sub.join(F.broadcast(cent), "s").selectExpr(
+            "vec_id", "s", "cid", f"{_sqdist_expr('subvec', 'cvec')} AS d"
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "cid")
+        )
+        members = assigned.join(sub, ["vec_id", "s"]).select(
+            "s", "cid", F.posexplode("subvec").alias("i", "v")
+        )
+        dim_means = members.groupBy("s", "cid", "i").agg(
+            F.round(F.sum("v") / F.count(F.lit(1)), 6).alias("c")
+        )
+        cent = dim_means.groupBy("s", "cid").agg(
+            F.expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").alias(
+                "cvec"
+            )
+        )
+    return cent
+
+
+def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest final-codebook entry per (vec_id, s), distance kept:
+    (vec_id, s, cid, d)."""
+    from pyspark.sql import Window
+
+    scored = sub.join(F.broadcast(cent), "s").selectExpr(
+        "vec_id", "s", "cid", f"{_sqdist_expr('subvec', 'cvec')} AS d"
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.col("d").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cid", "d")
+    )
+
+
+def _pq_ctes() -> tuple[list[str], str]:
+    """DuckDB twin of the Lloyd loop: returns (ctes, final codebook CTE)."""
+    ctes = [
+        f"""sub AS (
+      SELECT vec_id, s,
+             list_transform(range(1, {PQ_SUBDIM + 1}),
+                            i -> CAST(embedding[s * {PQ_SUBDIM} + i] AS DOUBLE)) AS subvec
+      FROM embeddings, range(0, {PQ_M}) t(s)
+    )""",
+        f"""pc0 AS (
+      SELECT s, vec_id AS cid, list_transform(subvec, v -> round(v, 6)) AS cvec
+      FROM sub WHERE vec_id < {PQ_K}
+    )""",
+    ]
+    prev = "pc0"
+    for it in range(1, PQ_ITERS + 1):
+        ctes.append(f"""pa{it} AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM (
+          SELECT e.vec_id, e.s, c.cid,
+                 {_pq_sqdist_sql('e.subvec', 'c.cvec')} AS d
+          FROM sub e JOIN {prev} c ON e.s = c.s
+        )
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""pc{it} AS (
+      SELECT s, cid, list(c ORDER BY i) AS cvec FROM (
+        SELECT a.s, a.cid, i,
+               round(sum(e.subvec[i]) / count(*), 6) AS c
+        FROM pa{it} a JOIN sub e ON a.vec_id = e.vec_id AND a.s = e.s,
+             range(1, {PQ_SUBDIM + 1}) t(i)
+        GROUP BY a.s, a.cid, i
+      ) GROUP BY s, cid
+    )""")
+        prev = f"pc{it}"
+    ctes.append(f"""paf AS (
+      SELECT vec_id, s, cid, d FROM (
+        SELECT vec_id, s, cid, d,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM (
+          SELECT e.vec_id, e.s, c.cid,
+                 {_pq_sqdist_sql('e.subvec', 'c.cvec')} AS d
+          FROM sub e JOIN {prev} c ON e.s = c.s
+        )
+      ) WHERE rn = 1
+    )""")
+    return ctes, prev
+
+
+def _pq_encode_oracle() -> str:
+    ctes, _ = _pq_ctes()
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id,
+           array_to_string(list(cid ORDER BY s), ',') AS codes,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY s)),
+                             (acc, x) -> acc + x) / {DIM}, 9) AS mse
+    FROM paf GROUP BY vec_id
+    """
+    )
+
+
+def _pq_adc_oracle() -> str:
+    ctes, prev = _pq_ctes()
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    qsub AS (SELECT s, subvec FROM sub WHERE vec_id = 0),
+    dt AS (
+      SELECT c.s, c.cid, {_pq_sqdist_sql('q.subvec', 'c.cvec')} AS dq
+      FROM {prev} c JOIN qsub q ON c.s = q.s
+    )
+    SELECT p.vec_id,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dt.dq ORDER BY p.s)),
+                             (acc, x) -> acc + x), 6) AS adc_dist
+    FROM paf p JOIN dt ON p.s = dt.s AND p.cid = dt.cid
+    WHERE p.vec_id <> 0
+    GROUP BY p.vec_id
+    ORDER BY adc_dist ASC, p.vec_id ASC
+    LIMIT 10
+    """
+    )
+
+
+@register(
+    "embedding_pq_encode",
+    oracle=_pq_encode_oracle(),
+    doc=f"X13: product quantization encode — {PQ_M} subspaces x "
+    f"{PQ_SUBDIM} dims, K={PQ_K} codes each, {PQ_ITERS} deterministic "
+    "Lloyd iterations per subspace (seed = first K vectors' slices, "
+    "coordinates rounded 6dp per update like kmeans_lloyd). Output: "
+    "per-vector code string + sequential-fold reconstruction MSE. "
+    f"Compression {DIM * 4}B float32 -> {PQ_M}B codes (64x). Plan: the "
+    "subvector long-form is one map-side posexplode; each Lloyd step is "
+    "a broadcast of the (M*K)-row codebook + one (s,cid,dim)-key "
+    "aggregate — model state is broadcast-sized by construction and "
+    "never touches the driver; encode is the same broadcast-argmin. At "
+    "100 TB the codes table is the thing downstream ANN reads — the "
+    "raw-embedding scan happens exactly once, at encode time.",
+)
+def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _pq_sub(spark, sf_dir)
+    af = _pq_assign(sub, _pq_codebooks(sub))
+    return af.groupBy("vec_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(s, cid))), "
+            "x -> CAST(x.cid AS STRING)), ',')"
+        ).alias("codes"),
+        F.round(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(s, d))), x -> x.d), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            / F.lit(float(DIM)),
+            9,
+        ).alias("mse"),
+    )
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    doc="X13: PQ asymmetric-distance (ADC) top-k — the query stays "
+    f"full-precision; a {PQ_M}x{PQ_K}-entry distance table (query "
+    "subvector vs every codebook entry) is computed once and "
+    "broadcast, and every database vector's approximate distance is "
+    "the sequential fold of its M table lookups. No raw vector is "
+    "touched at query time: the scan reads only the 4-byte codes, the "
+    "lookup join is a broadcast on (s, cid), and the top-k is "
+    "TakeOrdered. This is the memory-bound ANN serving path at corpus "
+    "scale (RAM holds codes for billions of vectors); IVF composes in "
+    "front of it to cut the scanned fraction.",
+)
+def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _pq_sub(spark, sf_dir)
+    cent = _pq_codebooks(sub)
+    af = _pq_assign(sub, cent)
+    qsub = sub.filter(F.col("vec_id") == 0).select("s", "subvec")
+    dt = qsub.join(cent, "s").selectExpr(
+        "s", "cid", f"{_sqdist_expr('subvec', 'cvec')} AS dq"
+    )
+    return (
+        af.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dt), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(s, dq))), x -> x.dq), "
+                    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+                ),
+                6,
+            ).alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
