@@ -135,6 +135,7 @@ _TIER2 = (
     # round-6 flagship operators (newest first)
     "embedding_pq_encode",
     "sim_pq_adc_topk",
+    "curation_strip_dup_spans",
     # rotated out of the top-50 in round 6 (duplicate-class reps;
     # r05-green) to make room for the round-5 flagship operators
     "dedup_simhash",

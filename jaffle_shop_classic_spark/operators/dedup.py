@@ -992,3 +992,97 @@ def q_dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@register(
+    "curation_strip_dup_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {SPAN_N - 2}),
+                      i -> struct_pack(pos := i, g := {_SPAN_GRAM_SQL}))) AS u
+        FROM t WHERE len(toks) >= {SPAN_N}
+      )
+    ),
+    stats AS (
+      SELECT g, count(*) AS cnt, min(doc_id * 100000 + pos) AS min_ok
+      FROM occ GROUP BY g
+    ),
+    cov AS (
+      SELECT doc_id, list_sort(list(DISTINCT p)) AS cov FROM (
+        SELECT o.doc_id, unnest(range(o.pos, o.pos + {SPAN_N})) AS p
+        FROM occ o JOIN stats s USING (g)
+        WHERE s.cnt > 1 AND o.doc_id * 100000 + o.pos <> s.min_ok
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(cov.cov), 0) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(
+             CASE WHEN cov.cov IS NULL THEN toks ELSE
+               list_transform(
+                 list_filter(
+                   list_transform(range(1, len(toks) + 1),
+                                  i -> struct_pack(i := i, tok := toks[i])),
+                   s -> NOT list_contains(cov.cov, s.i)),
+                 s -> s.tok)
+             END, ' '), '')) AS clean_md5
+    FROM t LEFT JOIN cov USING (doc_id)
+    """,
+    doc=f"ExactSubstr dedup APPLIED, not just detected (Lee et al. "
+    "'Deduplicating Training Data Makes Language Models Better', "
+    f"{SPAN_N}-token granularity): every duplicated window keeps ONE "
+    "canonical occurrence (the corpus-min (doc_id, pos)) and every "
+    "other occurrence's token positions are stripped from their "
+    "documents, which are then reassembled without the copied spans — "
+    "the curation step that follows dedup_duplicate_ngram_spans's "
+    "detection. Plan: one gram stream (posexplode + element_at, "
+    "codegen), ONE shuffle on the 16-byte gram hash for the "
+    "(count, min-occurrence-key) aggregate — partial aggregation "
+    "combines map-side, so a stopword-hot gram never builds a sorted "
+    "per-gram partition the way a row_number canonicalizer would — "
+    "then the gram stream joins the stats back on the same key, "
+    "covered positions collapse to one doc-bounded sorted array per "
+    "doc, and the rewrite is a map-side higher-order filter over the "
+    "original token array (no token-stream shuffle: only gram hashes "
+    "and position integers ever ride an exchange). The canonical key "
+    "packs (doc_id, pos) into one BIGINT so min() stays a plain "
+    "numeric aggregate in both engines; 100 TB swaps the pack for a "
+    "struct-min or 128-bit key.",
+)
+def q_curation_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.selectExpr("doc_id", r"split(trim(text), '\\s+') AS tk")
+    ex = base.selectExpr("doc_id", "size(tk) AS n", "tk", "posexplode(tk) AS (pos0, tok)")
+    gram_terms = ", ".join(
+        ["tok"] + [f"element_at(tk, pos0 + {k})" for k in range(2, SPAN_N + 1)]
+    )
+    occ = ex.filter(f"pos0 <= n - {SPAN_N}").selectExpr(
+        "doc_id", "pos0 + 1 AS pos", f"md5(concat_ws(' ', {gram_terms})) AS g"
+    )
+    # the gram stream feeds both the stats aggregate and the join probe
+    # (same rationale/measurement as dedup_duplicate_ngram_spans)
+    occ = occ.localCheckpoint(eager=True)
+    stats = occ.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("min_ok"),
+    )
+    removable = occ.join(stats, "g").filter(
+        (F.col("cnt") > 1) & (F.col("doc_id") * 100000 + F.col("pos") != F.col("min_ok"))
+    )
+    cov = (
+        removable.select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {SPAN_N - 1})")).alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("p")).alias("cov"))
+    )
+    return base.join(cov, "doc_id", "left").selectExpr(
+        "doc_id",
+        "CAST(size(tk) AS BIGINT) AS n_tokens",
+        "CAST(coalesce(size(cov), 0) AS BIGINT) AS n_removed",
+        "md5(concat_ws(' ', CASE WHEN cov IS NULL THEN tk ELSE "
+        "filter(tk, (x, i) -> NOT array_contains(cov, i + 1)) END)) AS clean_md5",
+    )
