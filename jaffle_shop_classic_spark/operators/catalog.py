@@ -136,6 +136,7 @@ _TIER2 = (
     "embedding_pq_encode",
     "sim_pq_adc_topk",
     "curation_strip_dup_spans",
+    "join_bloom_prefilter",
     # rotated out of the top-50 in round 6 (duplicate-class reps;
     # r05-green) to make room for the round-5 flagship operators
     "dedup_simhash",

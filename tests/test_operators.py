@@ -459,3 +459,72 @@ def test_ivf_recall_vs_exact_topk(spark, sf_dir):
         assert len(ivf5) == 5
         hits = sum(1 for v in ivf5 if v in exact10)
         assert hits == 5, (name, ivf5, exact10)
+
+
+def test_bloom_prefilter_drops_nonmatching_rows_and_keeps_all_matches(spark, sf_dir):
+    from jaffle_shop_classic_spark.operators.extensions import bloom_prefilter
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 4500)
+    )
+    pref = bloom_prefilter(orders, "o_custkey", dim, "c_custkey")
+    n_fact, n_pref = orders.count(), pref.count()
+    # the bitmap must actually prune the fact side pre-join...
+    assert n_pref < n_fact
+    # ...while never dropping a true match (no false negatives)
+    true_matches = orders.join(dim, orders["o_custkey"] == dim["c_custkey"], "left_semi")
+    assert true_matches.exceptAll(
+        pref.join(dim, pref["o_custkey"] == dim["c_custkey"], "left_semi")
+    ).count() == 0
+
+
+def test_pq_codes_range_and_self_query_is_nearest(spark, sf_dir):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    cat = load_catalog()
+    enc = cat["embedding_pq_encode"].fn(spark, sf_dir)
+    rows = enc.collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert len(codes) == 4 and all(0 <= c < 16 for c in codes)
+        assert r["mse"] >= 0
+    # quantization must on average reconstruct better than the zero
+    # vector would (sanity that codebooks actually trained)
+    from jaffle_shop_classic_spark.functions.vector import sq_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mean_sq = e.select(F.avg(sq_norm(F.col("embedding")) / 64).alias("v")).collect()[0]["v"]
+    mean_mse = enc.select(F.avg("mse").alias("v")).collect()[0]["v"]
+    assert mean_mse < mean_sq
+
+
+def test_strip_dup_spans_removes_planted_duplicate(spark):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    import tempfile, os
+
+    # two docs share a verbatim 6-token run; doc 1 (canonical, lower id)
+    # keeps it, doc 2 loses exactly the 2 covered window starts' span
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, f"{shared} unique one tail", "en", "s", 0),
+        (2, f"intro words here {shared} closing", "en", "s", 0),
+        (3, "completely different content with no overlap at all", "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in load_catalog()["curation_strip_dup_spans"].fn(spark, d).collect()
+        }
+    assert out[1]["n_removed"] == 0  # canonical occurrence survives
+    assert out[2]["n_removed"] == 6  # the whole shared run is stripped
+    assert out[3]["n_removed"] == 0
+    # doc 2's cleaned text is its own words minus the shared run
+    import hashlib
+
+    expect = "intro words here closing"
+    assert out[2]["clean_md5"] == hashlib.md5(expect.encode()).hexdigest()

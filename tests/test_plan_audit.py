@@ -36,6 +36,7 @@ CROSS_OK = {
     "dedup_embedding_cosine",  # non-equi self pair join within label blocks
     "sim_pairs_blocked",
     "dedup_ngram_jaccard",
+    "join_bloom_prefilter",  # broadcast 1-row bloom-bitmap join
 }
 
 
