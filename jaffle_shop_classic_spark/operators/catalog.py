@@ -137,6 +137,7 @@ _TIER2 = (
     "sim_pq_adc_topk",
     "curation_strip_dup_spans",
     "join_bloom_prefilter",
+    "stream_left_outer_join",
     # rotated out of the top-50 in round 6 (duplicate-class reps;
     # r05-green) to make room for the round-5 flagship operators
     "dedup_simhash",

@@ -127,6 +127,40 @@ def interval_join_streams(
     ).select("p_id", "v_id")
 
 
+def left_outer_join_streams(
+    purchases: DataFrame, views: DataFrame, window_sec: int = 3600
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase matched with the
+    same user's views in its preceding window, or emitted null-padded
+    once the engine can prove no match will arrive.
+
+    Unlike the inner interval join (which needed a synthetic bucket
+    key), user_id is a natural equality key, so the join is a plain
+    keyed stream-stream join with an event-time range predicate. The
+    null-padded row for an unmatched purchase emits when the purchase
+    leaves the state store — only then is "no match" provable. Both
+    watermark delays derive from window_sec, same rationale as
+    interval_join_streams."""
+    wm = f"{window_sec} seconds"
+    p = purchases.withWatermark("ts", wm).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = views.withWatermark("ts", wm).select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_sec} SECONDS"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "leftOuter",
+    ).select("p_id", "v_id")
+
+
 def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming sessionization via the native session_window operator —
     merging-window state per user, bounded by the watermark."""
@@ -383,6 +417,50 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view")
     purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     return _drain(interval_join_streams(views, purchases), "stream_ij")
+
+
+@register(
+    "stream_left_outer_join",
+    # Outer-join determinism under availableNow, pinned empirically at
+    # sf0.001 AND sf0.01 (symdiff 0 at both): matched pairs emit in
+    # batch 1 (all data co-present); a null-padded row emits for an
+    # unmatched purchase iff its event time is at or below the FINAL
+    # GLOBAL watermark. Each side's watermark node tracks max event
+    # time over its own (post-filter) input, ms-truncated, minus the
+    # delay; the global watermark is the MIN of the two sides — on this
+    # data views and purchases end at different times, so using
+    # max(all ts) is measurably wrong (off-by-one-row at both sfs).
+    oracle="""
+    WITH wm AS (
+      SELECT make_timestamp(least(
+               epoch_ms(max(ts) FILTER (event_type = 'purchase')),
+               epoch_ms(max(ts) FILTER (event_type = 'view'))) * 1000)
+             - INTERVAL 3600 SECOND AS w
+      FROM events
+    ),
+    p AS (SELECT event_id AS p_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS v_id, user_id, ts AS v_ts FROM events
+          WHERE event_type = 'view'),
+    m AS (SELECT p.p_id, v.v_id FROM p JOIN v ON p.user_id = v.user_id
+          AND v.v_ts >= p.ts - INTERVAL 3600 SECOND AND v.v_ts < p.ts)
+    SELECT p_id, v_id FROM m
+    UNION ALL
+    SELECT p.p_id, NULL AS v_id FROM p, wm WHERE p.ts <= wm.w
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
+    """,
+    doc="X15: stream-stream LEFT OUTER join — purchases matched to the "
+    "same user's views of the preceding hour; purchases provably "
+    "matchless (watermark passed their event time) emit null-padded. "
+    "The equality key (user_id) partitions both state stores; state "
+    "per side is bounded by the watermark + range condition. The "
+    "oracle encodes the per-side min-watermark rule (see inline "
+    "comment), making the outer variant SQL-checkable, not rows-only.",
+)
+def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    return _drain(left_outer_join_streams(purchases, views), "stream_loj")
 
 
 @register(
