@@ -138,6 +138,7 @@ _TIER2 = (
     "curation_strip_dup_spans",
     "join_bloom_prefilter",
     "stream_left_outer_join",
+    "dedup_ngram_containment",
     # rotated out of the top-50 in round 6 (duplicate-class reps;
     # r05-green) to make room for the round-5 flagship operators
     "dedup_simhash",

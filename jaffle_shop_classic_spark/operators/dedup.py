@@ -1086,3 +1086,67 @@ def q_curation_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "md5(concat_ws(' ', CASE WHEN cov IS NULL THEN tk ELSE "
         "filter(tk, (x, i) -> NOT array_contains(cov, i + 1)) END)) AS clean_md5",
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, source, unnest({_SHINGLES_SQL}) AS s
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.s = b.s AND a.source = b.source AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_sub, c.doc_super,
+           round(CAST(c.n_common AS DOUBLE) / sa.nsh, 4) AS containment
+    FROM common c JOIN sizes sa ON sa.doc_id = c.doc_sub
+    ORDER BY containment DESC, doc_sub ASC, doc_super ASC
+    LIMIT 50
+    """,
+    doc="X13: asymmetric n-gram CONTAINMENT within blocks — "
+    "|sh(A) n sh(B)| / |sh(A)|, the Broder containment coefficient. "
+    "Jaccard misses the case a curation pipeline most wants caught: a "
+    "short document wholly quoted inside a much longer one scores low "
+    "Jaccard (union is dominated by the long doc) but containment ~1. "
+    "Same scalable shape as dedup_ngram_jaccard (shingle equi-join on "
+    "(shingle, block), count per ordered pair, divide by the CONTAINED "
+    "side's shingle count); direction matters, so pairs materialize "
+    "both ways and the divisor is per-direction. Zero-overlap pairs "
+    "never materialize. At 100 TB this runs as the verifier behind an "
+    "LSH candidate stage exactly like the Jaccard form.",
+)
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(d, "source").dropDuplicates(["doc_id", "s"])
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_sub"), F.col("b.doc_id").alias("doc_super"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_sub"), F.col("nsh").alias("nsh_sub"))
+    return (
+        common.join(sa, "doc_sub")
+        .select(
+            "doc_sub",
+            "doc_super",
+            F.round(F.col("n_common").cast("double") / F.col("nsh_sub"), 4).alias(
+                "containment"
+            ),
+        )
+        .orderBy(
+            F.col("containment").desc(), F.col("doc_sub").asc(), F.col("doc_super").asc()
+        )
+        .limit(50)
+    )
