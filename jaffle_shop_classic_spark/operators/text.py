@@ -1260,3 +1260,84 @@ def q_sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_lb_u() < F.col("rate"))
         .select("doc_id", "source", F.round(_lb_u(), 6).alias("u"))
     )
+
+
+# ------------------------------------------------- heavy hitters (Misra-Gries)
+MG_CAPACITY = 256  # summary counters per partition
+MG_FRAC = 0.02  # report tokens with freq >= 2% of the corpus token stream
+# exactness guarantee: a token with global freq > N/(C+1) survives at
+# least one partition summary (pigeonhole over partition substreams), so
+# C = 256 >= 1/MG_FRAC - 1 makes the candidate set a superset of every
+# token at or above the reporting threshold.
+
+
+def _mg_summaries(batches):
+    """Per-partition Misra-Gries summary: at most MG_CAPACITY counters,
+    whole-partition stream folded across Arrow batches, one tiny output
+    frame per partition. Tokenization mirrors tokens_col (\\s+ split) —
+    a mismatch could only shrink the candidate set, and candidates are
+    re-counted exactly anyway."""
+    import re
+
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for text in pdf["text"]:
+            for tok in re.split(r"\s+", text.strip()):
+                if not tok:
+                    continue
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < MG_CAPACITY:
+                    counters[tok] = 1
+                else:
+                    counters = {k: v - 1 for k, v in counters.items() if v > 1}
+    yield pd.DataFrame(
+        {"token": list(counters.keys()), "mg_count": list(counters.values())}
+    )
+
+
+@register(
+    "text_heavy_hitters_mg",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents),
+    n AS (SELECT count(*) AS total FROM tok)
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM tok, n
+    GROUP BY token, n.total
+    HAVING count(*) >= n.total * {MG_FRAC}
+    """,
+    doc="Corpus heavy hitters via Misra-Gries + exact recount — the "
+    "bounded-memory alternative to a full-vocabulary word count. A "
+    "plain groupBy(token) carries hash-agg state proportional to the "
+    "DISTINCT vocabulary per task (web-scale corpora: hundreds of "
+    "millions of typo-laden tokens — the classic executor-OOM agg); "
+    "here each partition folds its token stream through at most "
+    f"{MG_CAPACITY} counters inside one Arrow mapInPandas pass, only "
+    f"the <={MG_CAPACITY}-row summaries leave the executors, and the "
+    "union of summary keys (guaranteed superset of every token at or "
+    f"above {MG_FRAC:.0%} of the stream) is broadcast back for an "
+    "EXACT recount restricted to candidates — map-side partial "
+    "aggregation state is bounded by the candidate count, not the "
+    "vocabulary. Output is exact counts of exactly the at-threshold "
+    "tokens, so the nondeterministic MG internals never reach the "
+    "result and the oracle is the plain exact query. The 1-row total "
+    "for the threshold rides a broadcast join, not a driver collect.",
+)
+def q_text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    summ = d.select("text").mapInPandas(_mg_summaries, "token string, mg_count long")
+    cands = summ.select("token").distinct()
+    tok = d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    n = tok.agg(F.count(F.lit(1)).alias("total"))
+    counts = (
+        tok.join(F.broadcast(cands), "token", "semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(n))
+        .filter(F.col("freq") >= F.col("total") * F.lit(MG_FRAC))
+        .select("token", "freq")
+    )

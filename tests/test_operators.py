@@ -528,3 +528,42 @@ def test_strip_dup_spans_removes_planted_duplicate(spark):
 
     expect = "intro words here closing"
     assert out[2]["clean_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_mg_heavy_hitters_exact_when_vocab_exceeds_capacity(spark):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.operators.text import MG_CAPACITY, MG_FRAC
+    import collections
+    import os
+    import tempfile
+
+    # 2000-token vocabulary (>> the 256-counter capacity) with 5 planted
+    # heavy tokens well above the reporting fraction; exactness must
+    # survive the summaries being lossy
+    rows, truth = [], collections.Counter()
+    doc_id = 0
+    for rep in range(40):
+        body = " ".join(f"rare{(rep * 50 + i) % 2000}" for i in range(50))
+        rows.append((doc_id, body, "en", "s", 0))
+        doc_id += 1
+        for t in body.split():
+            truth[t] += 1
+    heavy_body = " ".join(f"hot{i % 5}" for i in range(60))
+    for _ in range(10):
+        rows.append((doc_id, heavy_body, "en", "s", 0))
+        doc_id += 1
+        for t in heavy_body.split():
+            truth[t] += 1
+    total = sum(truth.values())
+    expected = {t: c for t, c in truth.items() if c >= total * MG_FRAC}
+    assert len(expected) == 5 and all(t.startswith("hot") for t in expected)
+    assert len(truth) > MG_CAPACITY
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["token"]: r["freq"]
+            for r in load_catalog()["text_heavy_hitters_mg"].fn(spark, d).collect()
+        }
+    assert got == expected

@@ -37,6 +37,7 @@ CROSS_OK = {
     "sim_pairs_blocked",
     "dedup_ngram_jaccard",
     "join_bloom_prefilter",  # broadcast 1-row bloom-bitmap join
+    "text_heavy_hitters_mg",  # broadcast 1-row corpus-total join
 }
 
 
