@@ -140,6 +140,7 @@ _TIER2 = (
     "stream_left_outer_join",
     "dedup_ngram_containment",
     "text_heavy_hitters_mg",
+    "stream_chained_windows",
     # rotated out of the top-50 in round 6 (duplicate-class reps;
     # r05-green) to make room for the round-5 flagship operators
     "dedup_simhash",

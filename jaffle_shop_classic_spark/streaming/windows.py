@@ -127,6 +127,34 @@ def interval_join_streams(
     ).select("p_id", "v_id")
 
 
+def chained_windows_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Two stateful operators chained in ONE streaming query (the
+    multiple-stateful-operator capability, Spark 3.4+): 10-minute
+    tumbling counts feed a second window aggregate that rolls them into
+    per-hour peaks. The outer groupBy windows over the INNER WINDOW
+    COLUMN (window-of-window), so Spark tracks the derived event time
+    through both state stores; each stage's state is bounded by the one
+    shared watermark."""
+    inner = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        inner.groupBy(F.window(F.col("w10"), "1 hour").alias("w60"), "event_type")
+        .agg(
+            F.max("n").alias("max_10min_events"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .select(
+            F.col("w60.start").alias("hour_start"),
+            "event_type",
+            "max_10min_events",
+            "n_buckets",
+        )
+    )
+
+
 def left_outer_join_streams(
     purchases: DataFrame, views: DataFrame, window_sec: int = 3600
 ) -> DataFrame:
@@ -417,6 +445,45 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view")
     purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     return _drain(interval_join_streams(views, purchases), "stream_ij")
+
+
+@register(
+    "stream_chained_windows",
+    # Chained stateful determinism under availableNow: the inner 10-min
+    # windows finalize as the watermark passes them and flow into the
+    # outer hour aggregate; an hour window emits iff its end <= final
+    # watermark, which (hour end >= every inner end it contains) also
+    # finalizes all its inner buckets — so the emitted set is the plain
+    # batch rollup filtered to closed hours. Verified symdiff-0 at
+    # sf0.001 and sf0.01.
+    oracle="""
+    WITH wm AS (
+      SELECT make_timestamp(epoch_ms(max(ts)) * 1000) - INTERVAL 3600 SECOND AS w
+      FROM events
+    ),
+    b AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS w10, event_type,
+             count(*) AS n
+      FROM events GROUP BY w10, event_type
+    )
+    SELECT time_bucket(INTERVAL '1 hour', w10) AS hour_start, event_type,
+           CAST(max(n) AS BIGINT) AS max_10min_events,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM b, wm
+    GROUP BY hour_start, event_type, wm.w
+    HAVING hour_start + INTERVAL '1 hour' <= wm.w
+    """,
+    doc="X15: two stateful aggregations chained in one streaming query "
+    "(multiple-stateful-operator support): 10-min tumbling counts "
+    "rolled into per-hour peak load via a window-over-window groupBy. "
+    "Pre-aggregation at the finer grain is the streaming analog of "
+    "partial aggregation — the hour stage sees 6 rows per key-hour "
+    "instead of every event, so a 100x event-rate spike inflates only "
+    "the first state store. Both stores share one watermark; emitted "
+    "set is SQL-deterministic (see inline comment).",
+)
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(chained_windows_stream(stream_events(spark, sf_dir)), "stream_chain")
 
 
 @register(
