@@ -57,6 +57,13 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "zorder_orders_layout",
     "text_inverted_index",
     "text_pmi_collocations",
+    # round-6 additions
+    "embedding_pq_encode",
+    "sim_pq_adc_topk",
+    "curation_strip_dup_spans",
+    "join_bloom_prefilter",
+    "dedup_ngram_containment",
+    "text_heavy_hitters_mg",
 ]
 
 
