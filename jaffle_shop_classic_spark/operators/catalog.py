@@ -141,6 +141,8 @@ _TIER2 = (
     "dedup_ngram_containment",
     "text_heavy_hitters_mg",
     "stream_chained_windows",
+    "median_histogram_cdf",
+    "users_anomaly_zscore",
     # rotated out of the top-50 in round 6 (duplicate-class reps;
     # r05-green) to make room for the round-5 flagship operators
     "dedup_simhash",

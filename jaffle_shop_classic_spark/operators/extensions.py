@@ -1792,7 +1792,11 @@ def _bloom_check_sql(key: str, seed: int) -> str:
     "the result is EXACTLY the plain join (which is the oracle). At "
     "100 TB this is the difference between shuffling the full fact "
     "table and shuffling the ~matching slice; the bitmap costs one "
-    "dim-side aggregate regardless of fact size. "
+    "dim-side aggregate regardless of fact size. (At THIS sf the dim "
+    "also broadcasts, so Catalyst reorders the broadcast semi-join "
+    "below the probe filter — cost-equivalent here; with a "
+    "non-broadcastable dim the probe is a plain pushed-down filter "
+    "under the join exchange, which is the scale payoff.) "
     "tests/test_operators.py asserts the prefilter actually drops "
     "non-matching fact rows before the join.",
 )
@@ -1838,3 +1842,113 @@ def bloom_prefilter(
     )
     checks = " AND ".join(_bloom_check_sql(fact_key, s) for s in BLOOM_SEEDS)
     return fact.crossJoin(F.broadcast(bf)).filter(checks).drop("bm")
+
+
+@register(
+    "median_histogram_cdf",
+    oracle="""
+    WITH b AS (SELECT event_type, round(value, 2) AS v FROM events),
+    h AS (SELECT event_type, v, count(*) AS c FROM b GROUP BY event_type, v),
+    cum AS (
+      SELECT event_type, v,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+      FROM h
+    ),
+    tot AS (SELECT event_type, count(*) AS n FROM b GROUP BY event_type)
+    SELECT t.event_type, CAST(t.n AS BIGINT) AS n_events,
+           min(c.v) AS median_value
+    FROM cum c JOIN tot t USING (event_type)
+    WHERE c.cum >= ceil(t.n * 0.5)
+    GROUP BY t.event_type, t.n
+    """,
+    doc="Exact per-key median via histogram CDF — the scale path where "
+    "percentile_exact cannot go: Spark's exact `percentile` is an "
+    "ObjectHashAggregate that BUFFERS every value of a group in one "
+    "task (fine for bounded groups, an executor OOM for a hot key with "
+    "billions of rows). Here the value domain is bucketized (2dp), the "
+    "per-(key, bucket) histogram is an ordinary partial->final count, "
+    "the cumulative distribution is a window over DISTINCT buckets "
+    "(histogram-sized, not row-count-sized — the per-key sort touches "
+    "at most |value domain| rows no matter how hot the key), and the "
+    "median is the first bucket whose cumulative count reaches "
+    "ceil(n/2) (lower median — engine-pinned definition, no "
+    "interpolation ambiguity). Memory per key is O(distinct buckets) "
+    "at every stage. Generalizes to any quantile and to mergeable "
+    "multi-quantile extraction from the same histogram.",
+)
+def q_median_histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.select("event_type", F.round("value", 2).alias("v"))
+    h = b.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("v")
+    cum = h.withColumn("cum", F.sum("c").over(w))
+    tot = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cum.join(tot, "event_type")
+        .filter(F.col("cum") >= F.ceil(F.col("n") * 0.5))
+        .groupBy("event_type", "n")
+        .agg(F.min("v").alias("median_value"))
+        .select("event_type", F.col("n").alias("n_events"), "median_value")
+    )
+
+
+@register(
+    "users_anomaly_zscore",
+    # |c - mean| > 2*sigma over per-user event counts, rearranged into
+    # EXACT integer arithmetic so the flag is bit-deterministic across
+    # engines AND partitionings: with c = user's event count, n = number
+    # of users, SX = sum(c), SXX = sum(c^2):
+    #   sigma = sqrt(n*SXX - SX^2) / n, so |c - SX/n| > 2*sigma
+    #   <=>  |n*c - SX| > 2 * sqrt(n*SXX - SX^2)
+    #   <=>  (n*c - SX)^2 > 4 * (n*SXX - SX^2)
+    # both sides are exact DECIMAL(38,0) quantities — no floating-point
+    # summation order anywhere near the comparison. (events.value is
+    # uniform, max |z| ~ 1.7, so a value-level rule is vacuous by
+    # construction; per-user activity has real tails.)
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS DECIMAL(38,0)) AS c
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+             sum(c) AS sx, sum(c * c) AS sxx
+      FROM u
+    )
+    SELECT u.user_id, CAST(u.c AS BIGINT) AS n_events
+    FROM u, s
+    WHERE (s.n * u.c - s.sx) * (s.n * u.c - s.sx)
+          > 4 * (s.n * s.sxx - s.sx * s.sx)
+    """,
+    doc="Distribution-based anomaly flagging (2-sigma rule) on per-user "
+    "activity — the bot/outage detector of an event pipeline — with "
+    "the population moments in EXACT integer arithmetic: "
+    "floating-point stddev differs in its last bits between engines "
+    "and partition orders, which would make boundary users flicker; "
+    "cross-multiplying |c-mean|>2*sigma into an integer inequality "
+    "removes every float from the decision. Plan: per-user counts "
+    "(one keys-only shuffle), a 3-number global moment aggregate "
+    "broadcast back, then a map-side flag over the (already tiny) "
+    "per-user table. At 100 TB only user_id ever rides an exchange.",
+)
+def q_users_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("sx")
+    return (
+        u.crossJoin(F.broadcast(s))
+        .filter(
+            dev * dev
+            > F.lit(4) * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .select("user_id", F.col("c").cast("bigint").alias("n_events"))
+    )
