@@ -93,21 +93,24 @@ _PRIORITY = (
     "text_tfidf_topk",
     "quality_percentile_filter",
     # dedup (X13) — the minhash signature primitive is exercised inside
-    # dedup_minhash_lsh_pairs and pipeline_corpus_curation, so its slot
-    # certifies position-exact duplicate-span detection instead; the
-    # near-dup class keeps 3 reps (minhash_lsh_pairs, corpus_curation,
-    # duplicate_ngram_spans) after simhash/ngram_jaccard rotated to
-    # tier 2 in round 6 to certify the round-5 flagships
+    # dedup_minhash_lsh_pairs and pipeline_corpus_curation; the
+    # duplicate-span slot certifies curation_strip_dup_spans from round
+    # 6 (a strict superset: the same gram machinery as
+    # dedup_duplicate_ngram_spans' detection, r05-green, PLUS the
+    # canonical-occurrence strip + document rewrite)
     "dedup_exact",
-    "dedup_duplicate_ngram_spans",
+    "curation_strip_dup_spans",
     "dedup_minhash_lsh_pairs",
     "pipeline_corpus_curation",
     "decontam_ngram_overlap",
     "dedup_cluster_components",
     # similarity / embeddings (X13) — int8 quantization rotated to
-    # tier 2 (X13 keeps five other green reps)
+    # tier 2 in r6 (X13 keeps five other green reps);
+    # sim_ann_hyperplane (r05-green; the ANN-bucketing class stays
+    # certified via sim_ivf_topk's inverted-list probe) gives its slot
+    # to the round-6 product-quantization flagship
     "sim_cosine_topk",
-    "sim_ann_hyperplane",
+    "embedding_pq_encode",
     "dedup_embedding_cosine",
     "sim_ivf_topk",
     "kmeans_lloyd",
@@ -132,10 +135,9 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
-    # round-6 flagship operators (newest first)
-    "embedding_pq_encode",
+    # round-6 flagship operators (newest first; embedding_pq_encode and
+    # curation_strip_dup_spans are in the top-50)
     "sim_pq_adc_topk",
-    "curation_strip_dup_spans",
     "join_bloom_prefilter",
     "stream_left_outer_join",
     "dedup_ngram_containment",
@@ -143,8 +145,10 @@ _TIER2 = (
     "stream_chained_windows",
     "median_histogram_cdf",
     "users_anomaly_zscore",
-    # rotated out of the top-50 in round 6 (duplicate-class reps;
-    # r05-green) to make room for the round-5 flagship operators
+    # rotated out of the top-50 in round 6 (duplicate-class reps, all
+    # green when last in-window) to make room for round-5/6 flagships
+    "dedup_duplicate_ngram_spans",
+    "sim_ann_hyperplane",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "embedding_quantize_int8",
