@@ -954,7 +954,11 @@ def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = _pq_sub(spark, sf_dir)
-    cent = _pq_codebooks(sub)
+    # the trained codebook feeds BOTH the distance table and the code
+    # assignment; without materializing it the whole Lloyd subtree
+    # executes twice (Spark does no cross-branch CSE). 64 tiny rows —
+    # a production run persists the codebook as a table instead.
+    cent = _pq_codebooks(sub).localCheckpoint(eager=True)
     af = _pq_assign(sub, cent)
     qsub = sub.filter(F.col("vec_id") == 0).select("s", "subvec")
     dt = qsub.join(cent, "s").selectExpr(

@@ -446,3 +446,43 @@ def test_custom_stream_source_replays_generator_exactly(spark):
         (r["doc_id"], r["text"], r["n_words"]) for r in batch.collect()
     )
     assert got == want and len(got) == 300
+
+
+def test_left_outer_join_multibatch_contract(spark, tmp_path):
+    """The three outer-join behaviors a single-batch availableNow run
+    can mask: (1) a match whose two sides arrive in DIFFERENT batches
+    still joins (state retention across triggers); (2) an unmatched
+    purchase emits its null row only once the watermark passes it — in
+    a LATER batch than it arrived; (3) a matched purchase never also
+    emits a null row when its state is evicted."""
+    from jaffle_shop_classic_spark.streaming.windows import left_outer_join_streams
+
+    src = _write_event_batches(
+        tmp_path,
+        [
+            [
+                (101, _ns(9, 30), 7, "view", 1.0),
+                (1, _ns(10, 0), 7, "purchase", 1.0),  # matches 101 in-batch
+                (2, _ns(10, 5), 8, "purchase", 1.0),  # never matches
+                (3, _ns(12, 0), 9, "purchase", 1.0),  # matches 102 cross-batch
+            ],
+            [
+                (102, _ns(11, 30), 9, "view", 1.0),  # late view for purchase 3
+                (103, _ns(15, 0), 10, "view", 1.0),  # clock-advancer (view side)
+            ],
+        ],
+    )
+    ev = _stream_batches(spark, src)
+    ev2 = _stream_batches(spark, src)
+    got = run_stream_to_batch(
+        left_outer_join_streams(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev2.filter(F.col("event_type") == "view"),
+        ),
+        "loj_multibatch",
+    )
+    rows = {(r["p_id"], r["v_id"]) for r in got.collect()}
+    # final watermark = min(max purchase 12:00, max view 15:00) - 1h =
+    # 11:00 >= purchase 2 (10:05) -> its null row must have emitted;
+    # purchase 3 (12:00) is matched, so no watermark is needed for it
+    assert rows == {(1, 101), (3, 102), (2, None)}
