@@ -1952,3 +1952,83 @@ def q_users_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.col("c").cast("bigint").alias("n_events"))
     )
+
+
+@register(
+    "session_top_paths",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM m
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+    doc="Top user-journey paths: sessionize (30-min gap, lag/cumsum — "
+    "same session algebra as session_window_batch), concatenate each "
+    "session's event types IN EVENT-TIME ORDER, and count path "
+    "frequencies. The ordered concat is array_sort(collect_list("
+    "struct(ts, type))) — the struct sort happens inside the per-"
+    "session agg buffer (bounded by session length, never corpus "
+    "length), so no per-user window sort over the full stream is "
+    "needed beyond the one sessionization pass. Two shuffles total: "
+    "user_id for sessionization (sort rides the exchange), path for "
+    "the frequency count; top-20 is TakeOrdered. The product-analytics "
+    "staple (funnel_conversion's open-world complement: it discovers "
+    "paths instead of testing one).",
+)
+def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        # gap test at full µs precision (a seconds-cast would disagree
+        # with the oracle's INTERVAL comparison on sub-second gaps)
+        F.when(
+            (
+                F.expr("unix_micros(ts)")
+                - F.lag(F.expr("unix_micros(ts)")).over(w)
+            )
+            < 1_800_000_000,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_s"),
+    )
+    s = m.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = s.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
