@@ -567,3 +567,60 @@ def test_mg_heavy_hitters_exact_when_vocab_exceeds_capacity(spark):
             for r in load_catalog()["text_heavy_hitters_mg"].fn(spark, d).collect()
         }
     assert got == expected
+
+
+def _events_df(spark, rows):
+    # (event_id, user_id, event_type, value); ts fixed, props empty
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(seconds=eid), uid, et, v, "{}")
+        for eid, uid, et, v in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_median_histogram_cdf_lower_median_semantics(spark, tmp_path):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    import os
+
+    # even count: values 1,2,3,4 -> lower median = first bucket whose
+    # cumulative count reaches ceil(4/2)=2 -> 2.0 (NOT interpolated 2.5)
+    rows = [(i, 1, "a", float(v)) for i, v in enumerate([1, 2, 3, 4])]
+    # odd count: 10,20,30 -> 20
+    rows += [(10 + i, 1, "b", float(v)) for i, v in enumerate([10, 20, 30])]
+    d = os.path.join(str(tmp_path), "sf")
+    os.makedirs(d)
+    _events_df(spark, rows).write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["event_type"]: (r["n_events"], r["median_value"])
+        for r in load_catalog()["median_histogram_cdf"].fn(spark, d).collect()
+    }
+    assert got == {"a": (4, 2.0), "b": (3, 20.0)}
+
+
+def test_users_anomaly_zscore_flags_planted_outlier(spark, tmp_path):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    import os
+
+    # 20 users with 10 events each + one bot with 200 events:
+    # mean ~19, sigma ~41 -> only the bot exceeds 2 sigma
+    rows = []
+    eid = 0
+    for u in range(20):
+        for _ in range(10):
+            rows.append((eid, u, "x", 1.0))
+            eid += 1
+    for _ in range(200):
+        rows.append((eid, 999, "x", 1.0))
+        eid += 1
+    d = os.path.join(str(tmp_path), "sf")
+    os.makedirs(d)
+    _events_df(spark, rows).write.parquet(os.path.join(d, "events.parquet"))
+    got = load_catalog()["users_anomaly_zscore"].fn(spark, d).collect()
+    assert [(r["user_id"], r["n_events"]) for r in got] == [(999, 200)]
