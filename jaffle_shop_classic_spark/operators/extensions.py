@@ -2032,3 +2032,94 @@ def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+@register(
+    "retention_cohorts",
+    # month offset via integer year/month arithmetic — identical in
+    # both engines (no engine-specific month-diff semantics involved)
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    a AS (
+      SELECT f.cohort,
+             (year(o.o_orderdate) - year(f.cohort)) * 12
+               + (month(o.o_orderdate) - month(f.cohort)) AS month_offset,
+             o.o_custkey
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+    )
+    SELECT cohort, CAST(month_offset AS BIGINT) AS month_offset,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM a GROUP BY cohort, month_offset
+    """,
+    doc="Retention cohort matrix — the canonical warehouse analytics "
+    "query: customers grouped by first-order month (cohort), activity "
+    "counted per months-since-first-order offset. Plan: one custkey "
+    "aggregate for cohorts (keys-only shuffle), a broadcast-or-shuffle "
+    "equi-join back to the fact, and a (cohort, offset) count-distinct "
+    "which Spark expands into two partial->final aggregates. At 100 TB "
+    "the cohort table is customers-sized (<< fact), the join key is "
+    "the fact's natural key, and nothing wider than (custkey, date) "
+    "rides any exchange.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate")).cast("date")).alias("cohort")
+    )
+    a = o.join(f, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        ).alias("month_offset"),
+        "o_custkey",
+    )
+    return a.groupBy("cohort", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    ).select("cohort", F.col("month_offset").cast("bigint").alias("month_offset"), "n_customers")
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 25
+    """,
+    doc="Market-basket co-occurrence — part pairs appearing in the same "
+    "order, the support-count core of association mining. The "
+    "quadratic term is bounded by basket size (lines per order), not "
+    "corpus size: dedup to distinct (order, part), self-equi-join on "
+    "the order key (pairs explode only within a basket), then one "
+    "pair-key count with map-side combine. Top-k is TakeOrdered with "
+    "full tiebreaks. The same plan shape at 100 TB — a hot basket "
+    "(one order with thousands of parts) is the only skew risk, "
+    "handled by capping basket size upstream exactly like the LSH "
+    "hot-band cap.",
+)
+def q_copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(25)
+    )
