@@ -980,3 +980,98 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ------------------------------------------------------- semantic dedup
+SEMDEDUP_TAU = 0.35  # ~p99 of the within-cluster cosine distribution
+
+
+def _semdedup_oracle() -> str:
+    ctes, prev = _kmeans_ctes()
+    cos_raw = cosine_sql("a.embedding", "b.embedding")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    asg AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sqdist_sql('e.embedding', 'c.cvec')} ASC, c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT b.vec_id AS drop_id, a.vec_id AS keep_id, {cos_raw} AS cos
+      FROM asg a JOIN asg b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {cos_raw} >= {SEMDEDUP_TAU}
+    )
+    SELECT drop_id, keep_id, round(cos, 6) AS cosine FROM (
+      SELECT drop_id, keep_id, cos,
+             row_number() OVER (PARTITION BY drop_id
+                                ORDER BY cos DESC, keep_id ASC) AS rn
+      FROM p
+    ) WHERE rn = 1
+    """
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup (Abbas et al., 'SemDeDup: Data-efficient learning at "
+    "web-scale through semantic deduplication'): k-means partitions "
+    "the embedding space, exact cosine runs ONLY within each cluster, "
+    "and every vector with a more-canonical (lower-id) neighbor above "
+    f"tau={SEMDEDUP_TAU} is marked dropped, paired with its closest "
+    "keeper. The cluster blocking is what makes semantic dedup "
+    "tractable: the quadratic term is bounded by cluster size, and K "
+    "grows with corpus size to hold clusters constant — the plan is "
+    "the trained-centroid broadcast argmin (kmeans_lloyd) plus one "
+    "cluster-key self-equi-join, so nothing quadratic ever crosses "
+    "cluster boundaries. Threshold and argmax-keeper decisions compare "
+    "RAW sequential-fold cosines (bit-identical cross-engine); only "
+    "the reported score is rounded.",
+)
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _kmeans_centroids(spark, sf_dir).select("centroid_id", "cvec")
+    cent = cent.localCheckpoint(eager=True)  # feeds every vector's argmin once
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        _sqdist_col(F.col("embedding"), F.col("cvec")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .join(e, "vec_id")
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = F.expr(cosine_expr("a.embedding", "b.embedding"))
+    p = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("drop_id"),
+            F.col("a.vec_id").alias("keep_id"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    wk = Window.partitionBy("drop_id").orderBy(F.col("cos").desc(), F.col("keep_id").asc())
+    return (
+        p.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("drop_id", "keep_id", F.round("cos", 6).alias("cosine"))
+    )
