@@ -39,6 +39,7 @@ CROSS_OK = {
     "join_bloom_prefilter",  # broadcast 1-row bloom-bitmap join
     "text_heavy_hitters_mg",  # broadcast 1-row corpus-total join
     "users_anomaly_zscore",  # broadcast 1-row moment join
+    "dedup_semantic_clusters",  # broadcast K-centroid assignment join
 }
 
 
