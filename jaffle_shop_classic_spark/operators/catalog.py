@@ -149,6 +149,7 @@ _TIER2 = (
     "retention_cohorts",
     "copurchase_part_pairs",
     "dedup_semantic_clusters",
+    "graph_triangle_count",
     # rotated out of the top-50 in round 6 (duplicate-class reps, all
     # green when last in-window) to make room for round-5/6 flagships
     "dedup_duplicate_ngram_spans",

@@ -1150,3 +1150,111 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_SIGS_CTE},
+    bands1 AS (
+      SELECT doc_id, unnest(list_transform(range(1, {NUM_HASHES + 1}),
+             i -> CAST(i AS VARCHAR) || '|' || sig[i])) AS band_key
+      FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands1 x JOIN bands1 y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    deg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS doc_id FROM pairs UNION ALL SELECT b FROM pairs
+      ) GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT p1.a AS a, p1.b AS b, p2.b AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p2.a = p1.b
+      JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+    ),
+    tcount AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.degree,
+           coalesce(t.n_triangles, 0) AS n_triangles,
+           round(CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE)
+                 / (d.degree * (d.degree - 1)), 4) AS clustering_coef
+    FROM deg d LEFT JOIN tcount t USING (doc_id)
+    WHERE d.degree >= 2
+    """,
+    doc="Triangle counting + local clustering coefficient over the "
+    "document similarity graph (single-minhash collisions — a looser "
+    "graph than the banded LSH edge list, dense enough to carry "
+    "triangle structure). The graph-metrics complement to connected "
+    "components: components say WHICH docs cluster, the clustering "
+    "coefficient says how CLIQUE-LIKE each neighborhood is (template "
+    "families score ~1, chains of coincidental collisions score ~0 — "
+    "a ranking signal for which near-dup clusters to trust). Plan: "
+    "node-iterator triangle enumeration as two edge self-equi-joins "
+    "with every triangle counted exactly once via the a<b<c "
+    "orientation; the edge list is materialized once and feeds the "
+    "degree count plus all three join legs. At 100 TB the orientation "
+    "switches from id-order to DEGREE order (count each triangle from "
+    "its lowest-degree vertex) — the standard mitigation that bounds "
+    "the hub-vertex join fan-out.",
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    bands = sigs.selectExpr("doc_id", "posexplode(sig) AS (i, v)").selectExpr(
+        "doc_id", "concat(CAST(i + 1 AS STRING), '|', v) AS band_key"
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degree + all 3 triangle legs
+    )
+    deg = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    tri = p1.join(p2, F.col("p2.a") == F.col("p1.b")).join(
+        p3,
+        (F.col("p3.a") == F.col("p1.a")) & (F.col("p3.b") == F.col("p2.b")),
+    ).select(
+        F.col("p1.a").alias("ta"), F.col("p1.b").alias("tb"), F.col("p2.b").alias("tc")
+    )
+    tcount = (
+        tri.select(F.col("ta").alias("doc_id"))
+        .unionByName(tri.select(F.col("tb").alias("doc_id")))
+        .unionByName(tri.select(F.col("tc").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tcount, "doc_id", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                (F.lit(2) * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                4,
+            ).alias("clustering_coef"),
+        )
+    )
