@@ -486,3 +486,38 @@ def test_left_outer_join_multibatch_contract(spark, tmp_path):
     # 11:00 >= purchase 2 (10:05) -> its null row must have emitted;
     # purchase 3 (12:00) is matched, so no watermark is needed for it
     assert rows == {(1, 101), (3, 102), (2, None)}
+
+
+def test_chained_windows_multibatch_merges_before_finalizing(spark, tmp_path):
+    """An inner 10-min bucket fed from TWO micro-batches (second batch
+    inside the watermark) must finalize with the combined count before
+    the outer hour aggregate sees it — i.e. chained state merges across
+    triggers, and only closed hours emit."""
+    from jaffle_shop_classic_spark.streaming.windows import chained_windows_stream
+
+    src = _write_event_batches(
+        tmp_path,
+        [
+            [
+                (1, _ns(10, 0), 1, "x", 1.0),
+                (2, _ns(10, 3), 1, "x", 1.0),
+                (3, _ns(10, 7), 1, "x", 1.0),
+                (4, _ns(10, 15), 1, "x", 1.0),
+            ],
+            # two more for the 10:00 bucket, arriving a batch later but
+            # within the 1h watermark
+            [(5, _ns(10, 8), 1, "x", 1.0), (6, _ns(10, 9), 1, "x", 1.0)],
+            # clock advance: watermark -> 13:00, closing the 10:00 hour
+            [(7, _ns(14, 0), 1, "x", 1.0)],
+        ],
+    )
+    got = run_stream_to_batch(
+        chained_windows_stream(_stream_batches(spark, src)), "chain_multibatch"
+    )
+    rows = {
+        (r["hour_start"].hour, r["event_type"], r["max_10min_events"], r["n_buckets"])
+        for r in got.collect()
+    }
+    # hour 10: peak bucket = 5 events (1,2,3 + late 5,6), 2 buckets seen;
+    # hour 14 is NOT closed (wm 13:00) and must not emit
+    assert rows == {(10, "x", 5, 2)}
