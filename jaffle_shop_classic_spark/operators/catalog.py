@@ -150,6 +150,9 @@ _TIER2 = (
     "copurchase_part_pairs",
     "dedup_semantic_clusters",
     "graph_triangle_count",
+    "tpch_q3_style",
+    "tpch_q5_style",
+    "tpch_q10_style",
     # rotated out of the top-50 in round 6 (duplicate-class reps, all
     # green when last in-window) to make room for round-5/6 flagships
     "dedup_duplicate_ngram_spans",

@@ -2123,3 +2123,141 @@ def q_copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(25)
     )
+
+
+# ----------------------------------------------- TPC-H-style join queries
+# Multi-way-join analogs of TPC-H Q3/Q5/Q10 over the driver's star
+# schema (partsupp does not exist in the testdata; predicates adjusted
+# to its 1995-2001 date range). ORDER BY uses the ROUNDED revenue so
+# top-k cutoffs cannot flip on last-bit float noise.
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "tpch_q3_style",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           round(sum({_REV.replace('l_', 'l.l_')}), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 analog (shipping priority): segment-filtered customers "
+    "x orders x lineitem, revenue per unshipped order, top-10. The "
+    "selective dimension filter reaches the customer scan "
+    "(PushedFilters), the customer side broadcasts, and the "
+    "order-lineitem join keys on the fact's natural key; at 100 TB "
+    "AQE picks SMJ vs broadcast per actual build size. Date "
+    "predicates prune at the parquet row-group level on both fact "
+    "scans.",
+)
+def q_tpch_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.expr(_REV)), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_style",
+    oracle=f"""
+    SELECT n.n_name, round(sum({_REV.replace('l_', 'l.l_')}), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 analog (local supplier volume): the 6-way join — "
+    "customer x orders x lineitem x supplier x nation x region with "
+    "the local-supplier condition (customer and supplier share a "
+    "nation) — revenue per Asian nation. The canonical Catalyst "
+    "join-ordering workout: region->nation->supplier prune to a tiny "
+    "broadcast chain, the two fact joins key on natural keys, and the "
+    "c_nationkey = s_nationkey condition rides the supplier join as a "
+    "non-key equality filter rather than forcing an extra shuffle.",
+)
+def q_tpch_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.expr(_REV)), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10_style",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum({_REV.replace('l_', 'l.l_')}), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 analog (returned-item reporting): customers ranked by "
+    "lost revenue from returned lineitems in a two-quarter window — "
+    "fact-fact join on the order key with the returnflag filter pushed "
+    "to the lineitem scan, nation broadcast for the final decorate, "
+    "top-20 by rounded revenue via TakeOrdered.",
+)
+def q_tpch_q10_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.expr(_REV)), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
