@@ -153,6 +153,7 @@ _TIER2 = (
     "tpch_q3_style",
     "tpch_q5_style",
     "tpch_q10_style",
+    "sim_ivfpq_topk",
     # rotated out of the top-50 in round 6 (duplicate-class reps, all
     # green when last in-window) to make room for round-5/6 flagships
     "dedup_duplicate_ngram_spans",

@@ -1075,3 +1075,109 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("drop_id", "keep_id", F.round("cos", 6).alias("cosine"))
     )
+
+
+def _ivfpq_oracle() -> str:
+    kctes, kprev = _kmeans_ctes()
+    pctes, _ = _pq_ctes()
+    return (
+        "WITH "
+        + ",\n    ".join(kctes + pctes)
+        + f""",
+    ivf AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, centroid_id ASC) AS rn
+        FROM (
+          SELECT e.vec_id, c.centroid_id,
+                 {_sqdist_sql('e.embedding', 'c.cvec')} AS d
+          FROM embeddings e CROSS JOIN {kprev} c
+        )
+      ) WHERE rn = 1
+    ),
+    qc AS (SELECT centroid_id FROM ivf WHERE vec_id = 0),
+    qsub AS (SELECT s, subvec FROM sub WHERE vec_id = 0),
+    dt AS (
+      SELECT c.s, c.cid, {_pq_sqdist_sql('q.subvec', 'c.cvec')} AS dq
+      FROM pc{PQ_ITERS} c JOIN qsub q ON c.s = q.s
+    )
+    SELECT p.vec_id,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dt.dq ORDER BY p.s)),
+                             (acc, x) -> acc + x), 6) AS adc_dist
+    FROM paf p
+    JOIN ivf i ON i.vec_id = p.vec_id
+    JOIN qc ON i.centroid_id = qc.centroid_id
+    JOIN dt ON p.s = dt.s AND p.cid = dt.cid
+    WHERE p.vec_id <> 0
+    GROUP BY p.vec_id
+    ORDER BY adc_dist ASC, p.vec_id ASC
+    LIMIT 5
+    """
+    )
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    doc="IVF-PQ — the FAISS-standard billion-scale ANN layout, composed "
+    "end-to-end from this repo's own trained pieces: the Lloyd-trained "
+    f"IVF centroids (K={NUM_CENTROIDS}) partition the corpus into "
+    "inverted lists, every vector is stored only as its "
+    f"{PQ_M}x{PQ_K}-codebook PQ codes, and a query (1) argmins its "
+    "IVF list against the broadcast coarse centroids, (2) builds its "
+    "MxK ADC distance table once, and (3) scores ONLY its own list's "
+    "codes via broadcast table lookups — scan cost = list fraction x "
+    "4 bytes/vector, with neither raw embeddings nor cross-list "
+    "candidates touched at query time. At 100 TB the inverted lists "
+    "are the storage partitioning (one directory per list), so the "
+    "probe is partition pruning + a code scan; multi-probe raises "
+    "recall exactly as in sim_ivf_multiprobe_topk. The oracle replays "
+    "BOTH training loops and the full probe in SQL.",
+)
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    kcent = _kmeans_centroids(spark, sf_dir).select("centroid_id", "cvec")
+    kcent = kcent.localCheckpoint(eager=True)
+    scored = e.crossJoin(F.broadcast(kcent)).select(
+        "vec_id",
+        "centroid_id",
+        _sqdist_col(F.col("embedding"), F.col("cvec")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+    ivf = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .localCheckpoint(eager=True)  # feeds the query probe AND the list filter
+    )
+    sub = _pq_sub(spark, sf_dir)
+    pcent = _pq_codebooks(sub).localCheckpoint(eager=True)
+    af = _pq_assign(sub, pcent)
+    qc = ivf.filter(F.col("vec_id") == 0).select(F.col("centroid_id").alias("qcid"))
+    cand = ivf.join(F.broadcast(qc), F.col("centroid_id") == F.col("qcid")).select(
+        "vec_id"
+    )
+    qsub = sub.filter(F.col("vec_id") == 0).select("s", "subvec")
+    dt = qsub.join(pcent, "s").selectExpr(
+        "s", "cid", f"{_sqdist_expr('subvec', 'cvec')} AS dq"
+    )
+    return (
+        af.filter(F.col("vec_id") != 0)
+        .join(cand, "vec_id", "semi")
+        .join(F.broadcast(dt), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(s, dq))), x -> x.dq), "
+                    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+                ),
+                6,
+            ).alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )

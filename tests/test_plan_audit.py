@@ -40,6 +40,7 @@ CROSS_OK = {
     "text_heavy_hitters_mg",  # broadcast 1-row corpus-total join
     "users_anomaly_zscore",  # broadcast 1-row moment join
     "dedup_semantic_clusters",  # broadcast K-centroid assignment join
+    "sim_ivfpq_topk",  # broadcast coarse-centroid assignment join
 }
 
 
