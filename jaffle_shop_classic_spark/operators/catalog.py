@@ -154,6 +154,8 @@ _TIER2 = (
     "tpch_q5_style",
     "tpch_q10_style",
     "sim_ivfpq_topk",
+    "util_surrogate_key",
+    "audit_table_diff",
     # rotated out of the top-50 in round 6 (duplicate-class reps, all
     # green when last in-window) to make room for round-5/6 flagships
     "dedup_duplicate_ngram_spans",

@@ -2261,3 +2261,118 @@ def q_tpch_q10_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "util_surrogate_key",
+    # dbt_utils.generate_surrogate_key semantics: every component cast
+    # to string, NULL replaced by the sentinel, joined with '-', md5'd.
+    oracle="""
+    SELECT o_orderkey,
+           md5(concat_ws('-',
+               coalesce(CAST(o_custkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+               coalesce(CAST(o_orderstatus AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+               coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), '_dbt_utils_surrogate_key_null_')))
+             AS surrogate_key
+    FROM orders
+    """,
+    doc="dbt_utils.generate_surrogate_key parity (the ecosystem's most-"
+    "used macro; reference repos adopting dbt-utils call it on every "
+    "mart): md5 over '-'-joined, null-sentineled string casts of the "
+    "component columns — deterministic, collision-resistant enough for "
+    "grain keys, and identical across engines because every component "
+    "is normalized to a string first (timestamps via epoch "
+    "microseconds: engine-native timestamp rendering differs, epoch "
+    "integers do not). Map-only at any scale.",
+)
+def q_util_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    sentinel = "_dbt_utils_surrogate_key_null_"
+    parts = [
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit(sentinel)),
+        F.coalesce(F.col("o_orderstatus").cast("string"), F.lit(sentinel)),
+        # NTZ -> zoned cast is identity under the session's pinned UTC,
+        # matching DuckDB's epoch_us on the naive timestamp
+        F.coalesce(
+            F.expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS STRING)"),
+            F.lit(sentinel),
+        ),
+    ]
+    return o.select(
+        "o_orderkey", F.md5(F.concat_ws("-", *parts)).alias("surrogate_key")
+    )
+
+
+@register(
+    "audit_table_diff",
+    # dbt-audit-helper compare_relations analog: diff two versions of
+    # the per-order state (v1 = built from the first 3 lines of every
+    # order, v2 = from all lines — the same split the incremental
+    # materialization test uses), keyed by order_id.
+    oracle="""
+    WITH v1 AS (
+      SELECT l_orderkey AS order_id, CAST(count(*) AS BIGINT) AS n_lines,
+             round(sum(l_extendedprice), 2) AS amount
+      FROM lineitem WHERE l_linenumber <= 3 GROUP BY l_orderkey
+    ),
+    v2 AS (
+      SELECT l_orderkey AS order_id, CAST(count(*) AS BIGINT) AS n_lines,
+             round(sum(l_extendedprice), 2) AS amount
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT 'changed' AS op, CAST(count(*) AS BIGINT) AS n_rows FROM v1
+    JOIN v2 USING (order_id)
+    WHERE v1.n_lines <> v2.n_lines OR v1.amount <> v2.amount
+    UNION ALL
+    SELECT 'unchanged', CAST(count(*) AS BIGINT) FROM v1
+    JOIN v2 USING (order_id)
+    WHERE v1.n_lines = v2.n_lines AND v1.amount = v2.amount
+    UNION ALL
+    SELECT 'added', CAST(count(*) AS BIGINT) FROM v2
+    WHERE order_id NOT IN (SELECT order_id FROM v1)
+    UNION ALL
+    SELECT 'removed', CAST(count(*) AS BIGINT) FROM v1
+    WHERE order_id NOT IN (SELECT order_id FROM v2)
+    """,
+    doc="dbt-audit-helper compare_relations analog — the regression "
+    "check run before swapping a rebuilt mart over the old one: two "
+    "versions of the per-order state are keyed on the grain and "
+    "bucketed into added / removed / changed / unchanged with row "
+    "counts. Plan: both versions aggregate on the same key so the "
+    "diff join reuses one partitioning; added/removed are anti-joins "
+    "(keys only); value comparison happens on the pre-rounded "
+    "aggregates. At 100 TB this replaces a full-table EXCEPT (which "
+    "shuffles entire rows) with a key-partitioned column comparison.",
+)
+def q_audit_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def version(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("amount"),
+        )
+
+    v1 = version(li.filter(F.col("l_linenumber") <= 3))
+    v2 = version(li)
+    j = v1.alias("v1").join(v2.alias("v2"), "order_id")
+    same = (F.col("v1.n_lines") == F.col("v2.n_lines")) & (
+        F.col("v1.amount") == F.col("v2.amount")
+    )
+    changed = j.filter(~same).agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("changed").alias("op"), "n_rows"
+    )
+    unchanged = j.filter(same).agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("unchanged").alias("op"), "n_rows"
+    )
+    added = (
+        v2.join(v1, "order_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("added").alias("op"), "n_rows")
+    )
+    removed = (
+        v1.join(v2, "order_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("removed").alias("op"), "n_rows")
+    )
+    return changed.unionByName(unchanged).unionByName(added).unionByName(removed)
