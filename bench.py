@@ -60,10 +60,14 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     # round-6 additions
     "embedding_pq_encode",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "curation_strip_dup_spans",
     "join_bloom_prefilter",
     "dedup_ngram_containment",
+    "dedup_semantic_clusters",
     "text_heavy_hitters_mg",
+    "graph_triangle_count",
+    "tpch_q5_style",
 ]
 
 
