@@ -703,8 +703,9 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Both CC variants compute the same fixpoint (component_id = min doc_id
-# reachable over the LSH candidate graph), so they share one oracle.
-_CC_ORACLE = f"""
+# reachable over the LSH candidate graph), so they share one oracle;
+# the CTE prefix is reused by dedup_keep_best_representative.
+_CC_CTES = f"""
     WITH RECURSIVE {_SIGS_CTE},
     bands AS (
       SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sigs
@@ -729,7 +730,9 @@ _CC_ORACLE = f"""
     ),
     comp AS (
       SELECT doc_id, min(label) AS component_id FROM reach GROUP BY doc_id
-    )
+    )"""
+
+_CC_ORACLE = f"""{_CC_CTES}
     SELECT c.doc_id, c.component_id, s.n_members
     FROM comp c
     JOIN (SELECT component_id, count(*) AS n_members
@@ -1256,5 +1259,73 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("degree") * (F.col("degree") - 1)),
                 4,
             ).alias("clustering_coef"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_best_representative",
+    oracle=f"""{_CC_CTES},
+    q AS (
+      SELECT doc_id,
+             least(1.0, len(toks) / 100.0)
+               * (1.0 - CAST(len(list_filter(toks,
+                      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                      / len(toks)) AS quality
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    )
+    SELECT component_id, keeper_doc_id,
+           round(quality, 4) AS keeper_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+      SELECT c.component_id, c.doc_id AS keeper_doc_id, q.quality, s.n_members,
+             row_number() OVER (PARTITION BY c.component_id
+                                ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+      FROM comp c
+      JOIN q USING (doc_id)
+      JOIN (SELECT component_id, count(*) AS n_members
+            FROM comp GROUP BY component_id) s USING (component_id)
+    ) WHERE rn = 1
+    """,
+    doc="Quality-aware cluster representative selection — the curation "
+    "decision the min-id convention papers over: within each near-dup "
+    "component (star-contraction over the LSH candidate graph), KEEP "
+    "the highest-quality member, not the lowest id. Selection compares "
+    "the RAW per-doc quality expression (single-division rational "
+    "arithmetic, bit-identical across engines) with doc_id as the "
+    "deterministic tiebreak; only the reported score is rounded. Plan: "
+    "the clustering's O(log n) star rounds, one doc_id join against "
+    "the map-side quality projection, and a per-component argmax "
+    "window whose partitions are component-sized. This is the step "
+    "that turns cluster labels into an actual curated corpus.",
+)
+def q_dedup_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import STOPWORDS, _hits
+
+    comp = star_components(_lsh_candidate_pairs(spark, sf_dir))
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    stop_ratio = _hits(F.col("toks"), STOPWORDS).cast("double") / F.size("toks")
+    q = d.select(
+        "doc_id",
+        (F.least(F.lit(1.0), F.size("toks") / F.lit(100.0)) * (F.lit(1.0) - stop_ratio)).alias(
+            "quality"
+        ),
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(q, "doc_id")
+        .join(sizes, "component_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.round("quality", 4).alias("keeper_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
