@@ -158,3 +158,41 @@ def test_pmi_broadcasts_unigram_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_pmi_collocations")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "TakeOrderedAndProject" in plan  # top-25 is never a full sort
+
+
+def test_mg_heavy_hitters_bounded_summaries_and_broadcast_recount(spark, sf_dir):
+    # the vocabulary must never hash-aggregate raw: summaries come from
+    # an Arrow mapInPandas pass, candidates broadcast back for the
+    # exact recount (semi join build side is broadcast)
+    plan = _plan(spark, sf_dir, "text_heavy_hitters_mg")
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin LeftSemi" in plan.replace("\n", " ") or (
+        "LeftSemi" in plan and "BroadcastExchange" in plan
+    )
+
+
+def test_zorder_like_map_only_pq_encode_codebook_broadcasts(spark, sf_dir):
+    # every codebook join in PQ training/encode must broadcast the
+    # (M*K)-row model side — a sort-merge would shuffle the subvector
+    # long-form per iteration
+    plan = _plan(spark, sf_dir, "embedding_pq_encode")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q5_single_aggregate_exchange(spark, sf_dir):
+    # the 6-way join compiles to a broadcast chain: the ONLY exchange
+    # beyond broadcasts is the final aggregate's shuffle
+    plan = _plan(spark, sf_dir, "tpch_q5_style")
+    non_broadcast_exchanges = plan.count("+- Exchange") + plan.count(": Exchange")
+    assert non_broadcast_exchanges <= 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_strip_dup_spans_no_token_stream_shuffle(spark, sf_dir):
+    # only gram hashes and position integers may ride exchanges; the
+    # rewrite is a higher-order filter over the carried token array —
+    # no window/sort over the token stream
+    plan = _plan(spark, sf_dir, "curation_strip_dup_spans")
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
