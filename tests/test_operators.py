@@ -624,3 +624,36 @@ def test_users_anomaly_zscore_flags_planted_outlier(spark, tmp_path):
     _events_df(spark, rows).write.parquet(os.path.join(d, "events.parquet"))
     got = load_catalog()["users_anomaly_zscore"].fn(spark, d).collect()
     assert [(r["user_id"], r["n_events"]) for r in got] == [(999, 200)]
+
+
+def test_results_invariant_to_shuffle_partitioning(spark, sf_dir):
+    """The determinism the oracles rely on, tested directly: re-running
+    a partition-order-sensitive query with a different shuffle layout
+    must produce the identical multiset — iteration-state rounding
+    (k-means/PQ), integer decision predicates (z-score), and
+    fold-ordered sums are what guarantee it."""
+    from collections import Counter
+
+    sensitive = [
+        "kmeans_lloyd",
+        "embedding_pq_encode",
+        "curation_strip_dup_spans",
+        "text_heavy_hitters_mg",
+        "users_anomaly_zscore",
+    ]
+    cat = load_catalog()
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for name in sensitive:
+                rows = Counter(
+                    tuple(str(v) for v in r) for r in cat[name].fn(spark, sf_dir).collect()
+                )
+                assert rows, name
+                results.setdefault(name, []).append(rows)
+        for name, (a, b) in results.items():
+            assert a == b, f"{name}: result depends on shuffle partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
