@@ -157,6 +157,7 @@ _TIER2 = (
     "util_surrogate_key",
     "audit_table_diff",
     "dedup_keep_best_representative",
+    "stream_window_top_type",
     # rotated out of the top-50 in round 6 (duplicate-class reps, all
     # green when last in-window) to make room for round-5/6 flagships
     "dedup_duplicate_ngram_spans",

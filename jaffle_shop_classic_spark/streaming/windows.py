@@ -155,6 +155,32 @@ def chained_windows_stream(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def window_top_type_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming per-window top-1: window counts feed a second stateful
+    aggregate whose argmax is a struct-max — (count, event_type) max is
+    deterministic on ties (largest count, then lexicographically last
+    type), which is what makes the result oracle-checkable. A general
+    top-k keeps a k-element sorted-array state the same way."""
+    inner = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        inner.groupBy("w")
+        .agg(
+            F.max(F.struct("n", "event_type")).alias("top"),
+            F.sum("n").alias("total_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("top.event_type").alias("top_type"),
+            F.col("top.n").alias("top_n"),
+            "total_events",
+        )
+    )
+
+
 def left_outer_join_streams(
     purchases: DataFrame, views: DataFrame, window_sec: int = 3600
 ) -> DataFrame:
@@ -484,6 +510,44 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(chained_windows_stream(stream_events(spark, sf_dir)), "stream_chain")
+
+
+@register(
+    "stream_window_top_type",
+    # Same chained-stateful determinism as stream_chained_windows: the
+    # outer agg keys on the SAME window, so emission = closed windows;
+    # the struct-max argmax breaks count ties by the lexicographically
+    # last type in both engines. Symdiff-0 at sf0.001 and sf0.01.
+    oracle="""
+    WITH wm AS (
+      SELECT make_timestamp(epoch_ms(max(ts)) * 1000) - INTERVAL 3600 SECOND AS w
+      FROM events
+    ),
+    b AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws, event_type,
+             count(*) AS n
+      FROM events GROUP BY ws, event_type
+    ),
+    r AS (
+      SELECT ws, event_type, n,
+             row_number() OVER (PARTITION BY ws
+                                ORDER BY n DESC, event_type DESC) AS rn,
+             sum(n) OVER (PARTITION BY ws) AS total_events
+      FROM b
+    )
+    SELECT ws AS window_start, event_type AS top_type,
+           CAST(n AS BIGINT) AS top_n, CAST(total_events AS BIGINT) AS total_events
+    FROM r, wm WHERE rn = 1 AND ws + INTERVAL '10 minutes' <= wm.w
+    """,
+    doc="X15: streaming per-window top type — the live 'trending now' "
+    "query: window counts chained into a second stateful aggregate "
+    "whose argmax is a deterministic struct-max. Outer state is one "
+    "(top, total) pair per open window; a general top-k holds a "
+    "k-element array the same way. Closed-window emission makes it "
+    "value-hash-checkable like the other chained-stateful entries.",
+)
+def q_stream_window_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(window_top_type_stream(stream_events(spark, sf_dir)), "stream_toptype")
 
 
 @register(
