@@ -38,6 +38,12 @@ class ModelSpec:
     columns: dict[str, str] = field(default_factory=dict)  # name -> doc
     unique_key: tuple[str, ...] = ()  # incremental merge key / snapshot entity key
     check_cols: tuple[str, ...] = ()  # snapshot check-strategy columns
+    contract: dict[str, str] = field(default_factory=dict)  # name -> Spark type
+
+
+class ContractViolation(Exception):
+    """A model's output schema broke its declared contract (dbt
+    `contract: enforced` semantics)."""
 
 
 class ModelContext:
@@ -92,6 +98,7 @@ class Project:
         columns: dict[str, str] | None = None,
         unique_key: Sequence[str] = (),
         check_cols: Sequence[str] = (),
+        contract: dict[str, str] | None = None,
     ):
         def deco(fn):
             mname = name or fn.__name__
@@ -108,6 +115,7 @@ class Project:
                 columns=dict(columns or {}),
                 unique_key=tuple(unique_key),
                 check_cols=tuple(check_cols),
+                contract=dict(contract or {}),
             )
             return fn
 
@@ -158,13 +166,37 @@ class Project:
             return self._materialize(self.models[name], spark)
         raise KeyError(f"unknown relation: {name}")
 
+    @staticmethod
+    def _enforce_contract(spec: ModelSpec, df: DataFrame) -> None:
+        """dbt model contracts (`contract: enforced`): the output schema
+        must carry exactly the declared columns with the declared types.
+        Checked on the ANALYZED schema — no job runs, so a violation
+        fails before any data is written (dbt's pre-flight semantics)."""
+        if not spec.contract:
+            return
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        problems = []
+        for col, typ in spec.contract.items():
+            if col not in actual:
+                problems.append(f"missing column {col!r} ({typ})")
+            elif actual[col] != typ.lower():
+                problems.append(f"{col}: declared {typ}, got {actual[col]}")
+        for col in actual:
+            if col not in spec.contract:
+                problems.append(f"undeclared column {col!r} in output")
+        if problems:
+            raise ContractViolation(f"model {spec.name}: " + "; ".join(problems))
+
     def _materialize(self, spec: ModelSpec, spark: SparkSession) -> DataFrame:
         if spec.materialized == "incremental":
             df = self._materialize_incremental(spec, spark)
+            self._enforce_contract(spec, df)
         elif spec.materialized == "snapshot":
             df = self._materialize_snapshot(spec, spark)
+            self._enforce_contract(spec, df)
         else:
             df = spec.fn(ModelContext(self, spark, spec))
+            self._enforce_contract(spec, df)
             if spec.materialized == "table":
                 if self.warehouse_dir is not None:
                     path = f"{self.warehouse_dir}/{spec.name}"

@@ -132,3 +132,36 @@ def test_sql_model_mirrors_reference_staging_sql(spark):
     rows = built["stg_customers_sql"].orderBy("customer_id").collect()
     assert [r["customer_id"] for r in rows] == [1, 2]
     assert rows[0]["first_name"] == "Ann"
+
+
+def test_model_contract_enforced(spark):
+    """dbt `contract: enforced` semantics: declared name+type must match
+    the analyzed output schema exactly — pre-flight, before any write."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.plans.registry import ContractViolation, Project
+
+    project = Project()
+
+    @project.model(contract={"id": "bigint", "amount": "double"})
+    def good(ctx):
+        return ctx.spark.range(3).select(
+            F.col("id"), (F.col("id") * 1.5).alias("amount")
+        )
+
+    @project.model(contract={"id": "bigint", "amount": "decimal(10,2)"})
+    def bad_type(ctx):
+        return ctx.spark.range(3).select(
+            F.col("id"), (F.col("id") * 1.5).alias("amount")
+        )
+
+    @project.model(contract={"id": "bigint"})
+    def undeclared_col(ctx):
+        return ctx.spark.range(3).select(F.col("id"), F.lit("x").alias("extra"))
+
+    assert project.resolve("good", spark).count() == 3
+    with pytest.raises(ContractViolation, match="declared decimal"):
+        project.resolve("bad_type", spark)
+    with pytest.raises(ContractViolation, match="undeclared column"):
+        project.resolve("undeclared_col", spark)
