@@ -39,6 +39,7 @@ class ModelSpec:
     unique_key: tuple[str, ...] = ()  # incremental merge key / snapshot entity key
     check_cols: tuple[str, ...] = ()  # snapshot check-strategy columns
     contract: dict[str, str] = field(default_factory=dict)  # name -> Spark type
+    on_schema_change: str = "ignore"  # 'ignore' | 'fail' | 'append_new_columns'
 
 
 class ContractViolation(Exception):
@@ -99,6 +100,7 @@ class Project:
         unique_key: Sequence[str] = (),
         check_cols: Sequence[str] = (),
         contract: dict[str, str] | None = None,
+        on_schema_change: str = "ignore",
     ):
         def deco(fn):
             mname = name or fn.__name__
@@ -116,6 +118,7 @@ class Project:
                 unique_key=tuple(unique_key),
                 check_cols=tuple(check_cols),
                 contract=dict(contract or {}),
+                on_schema_change=on_schema_change,
             )
             return fn
 
@@ -256,10 +259,47 @@ class Project:
         if prev is None:
             out = new
         else:
+            prev, new = self._apply_schema_change(spec, prev, new)
             out = prev.join(
                 new.select(*spec.unique_key), list(spec.unique_key), "left_anti"
             ).unionByName(new)
         return self._write_version(spec.name, out, spark)
+
+    @staticmethod
+    def _apply_schema_change(
+        spec: ModelSpec, prev: DataFrame, new: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """dbt's ``on_schema_change`` for incremental models. Strategies
+        (spec.on_schema_change): 'ignore' (dbt default — new columns are
+        DROPPED to the stored schema), 'fail' (raise on any column-set
+        drift), 'append_new_columns' (widen the stored state with NULLs
+        for columns the model newly emits; columns removed from the
+        model stay, NULL-filled, exactly like dbt)."""
+        from pyspark.sql import functions as F
+
+        mode = spec.on_schema_change
+        prev_cols, new_cols = set(prev.columns), set(new.columns)
+        if prev_cols == new_cols:
+            return prev, new
+        if mode == "fail":
+            raise ContractViolation(
+                f"model {spec.name}: incremental schema changed "
+                f"(added {sorted(new_cols - prev_cols)}, "
+                f"removed {sorted(prev_cols - new_cols)}) and "
+                "on_schema_change='fail'"
+            )
+        if mode == "append_new_columns":
+            for c in sorted(new_cols - prev_cols):
+                prev = prev.withColumn(
+                    c, F.lit(None).cast(new.schema[c].dataType)
+                )
+            for c in sorted(prev_cols - new_cols):
+                new = new.withColumn(c, F.lit(None).cast(prev.schema[c].dataType))
+            return prev, new
+        # 'ignore' (default): conform the new batch to the stored schema
+        for c in sorted(prev_cols - new_cols):
+            new = new.withColumn(c, F.lit(None).cast(prev.schema[c].dataType))
+        return prev, new.select(*prev.columns)
 
     def _materialize_snapshot(self, spec: ModelSpec, spark: SparkSession) -> DataFrame:
         """dbt's snapshot (SCD Type-2, check strategy): the model emits

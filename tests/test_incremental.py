@@ -114,3 +114,53 @@ def test_snapshot_scd2_check_strategy(spark, tmp_path):
         (r["id"], r["val"], r["valid_from"], r["valid_to"]) for r in s3.collect()
     )
     assert rows3 == rows
+
+
+def test_incremental_on_schema_change_strategies(spark, tmp_path):
+    """dbt on_schema_change: 'ignore' drops new columns to the stored
+    schema, 'append_new_columns' widens stored state with NULLs, 'fail'
+    raises on drift."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.plans.registry import ContractViolation, Project
+
+    def make(strategy, subdir):
+        project = Project(warehouse_dir=str(tmp_path / subdir))
+        batch = {"n": 1}
+
+        @project.model(
+            name="m", materialized="incremental", unique_key=("id",),
+            on_schema_change=strategy,
+        )
+        def m(ctx):
+            base = ctx.spark.range(3).select("id", F.lit(batch["n"]).alias("v"))
+            if batch["n"] == 2:
+                base = base.withColumn("extra", F.lit("x"))
+            return base
+
+        return project, batch
+
+    # ignore: second build's 'extra' column is dropped
+    p, b = make("ignore", "ig")
+    p.run(spark, select=["m"]); b["n"] = 2; p._built.clear()
+    out = p._materialize(p.models["m"], spark)
+    assert sorted(out.columns) == ["id", "v"]
+
+    # append_new_columns: old rows get NULL extra
+    p, b = make("append_new_columns", "ap")
+    p.run(spark, select=["m"]); b["n"] = 2; p._built.clear()
+    out = p._materialize(p.models["m"], spark)
+    assert "extra" in out.columns
+    assert out.filter(F.col("extra").isNull()).count() == 0  # delete+insert replaced all ids
+    b["n"] = 3  # third batch WITHOUT extra -> new rows get NULL extra
+    p._built.clear()
+    # batch 3 emits no 'extra'; stored schema has it -> new rows NULL-filled
+    out = p._materialize(p.models["m"], spark)
+    assert out.filter(F.col("extra").isNull()).count() == out.count()
+
+    # fail: drift raises
+    p, b = make("fail", "fa")
+    p.run(spark, select=["m"]); b["n"] = 2; p._built.clear()
+    with pytest.raises(ContractViolation, match="on_schema_change"):
+        p._materialize(p.models["m"], spark)
