@@ -25,6 +25,10 @@ def generate_catalog(project: Project, built: dict | None = None) -> dict:
             "description": spec.description,
             "columns": dict(spec.columns),
         }
+        if spec.contract:
+            node["contract"] = dict(spec.contract)
+        if spec.materialized == "incremental" and spec.on_schema_change != "ignore":
+            node["on_schema_change"] = spec.on_schema_change
         if name in built:
             node["schema"] = [
                 {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
