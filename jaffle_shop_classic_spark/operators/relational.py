@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
-from .catalog import register
+from .catalog import CATALOG, register
 
 # compile-time pivot list, mirroring the Jinja `{% set payment_methods %}`
 # loop at /root/reference/models/orders.sql:1 (R12 — Python list replaces Jinja)
@@ -294,3 +294,57 @@ def q_jaffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders=load_table(spark, sf_dir, "orders"),
         lineitem=load_table(spark, sf_dir, "lineitem"),
     )
+
+
+@register(
+    "sql_model_customers_mart",
+    # identical semantics to jaffle_customers, so the oracle is shared;
+    # what this entry certifies is the AUTHORING PATH, not new algebra
+    oracle=CATALOG["jaffle_customers"].oracle,
+    doc="The reference-user migration path under the hard gate: the "
+    "customers mart authored as SQL TEXT (the reference's compiled CTE "
+    "shape, customers.sql:20-67, verbatim structure — unfused, "
+    "join-then-aggregate) and executed through Project.sql_model, "
+    "where upstream models resolve by NAME via temp views and Spark's "
+    "own analyzer (no Jinja, no SQL parser of ours). Proves a dbt "
+    "user can paste their model SQL in and get the same hash-checked "
+    "answer; the DataFrame twin (jaffle_customers) shows what the "
+    "engine-native rewrite buys on top.",
+)
+def q_sql_model_customers_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.registry import Project
+
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlmodel_src_{t}")
+    p = Project()
+    p.sql_model(
+        "sqlm_customer_orders",
+        """SELECT o_custkey AS customer_id,
+                  min(o_orderdate) AS first_order,
+                  max(o_orderdate) AS most_recent_order,
+                  count(o_orderkey) AS number_of_orders
+           FROM sqlmodel_src_orders GROUP BY o_custkey""",
+    )
+    p.sql_model(
+        "sqlm_customer_payments",
+        """SELECT o.o_custkey AS customer_id,
+                  round(sum(l.l_extendedprice), 2) AS customer_lifetime_value
+           FROM sqlmodel_src_lineitem l
+           LEFT JOIN sqlmodel_src_orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY o.o_custkey""",
+    )
+    p.sql_model(
+        "sqlm_customers_mart",
+        """SELECT c.c_custkey AS customer_id,
+                  c.c_name AS name,
+                  c.c_mktsegment AS segment,
+                  co.first_order,
+                  co.most_recent_order,
+                  co.number_of_orders,
+                  cp.customer_lifetime_value
+           FROM sqlmodel_src_customer c
+           LEFT JOIN sqlm_customer_orders co ON c.c_custkey = co.customer_id
+           LEFT JOIN sqlm_customer_payments cp ON c.c_custkey = cp.customer_id""",
+        deps=["sqlm_customer_orders", "sqlm_customer_payments"],
+    )
+    return p.resolve("sqlm_customers_mart", spark)
