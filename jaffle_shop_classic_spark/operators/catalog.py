@@ -159,6 +159,7 @@ _TIER2 = (
     "dedup_keep_best_representative",
     "stream_window_top_type",
     "sql_model_customers_mart",
+    "sample_weighted_priority",
     # rotated out of the top-50 in round 6 (duplicate-class reps, all
     # green when last in-window) to make room for round-5/6 flagships
     "dedup_duplicate_ngram_spans",

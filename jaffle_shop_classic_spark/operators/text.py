@@ -1341,3 +1341,74 @@ def q_text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") >= F.col("total") * F.lit(MG_FRAC))
         .select("token", "freq")
     )
+
+
+# --------------------------------------------- weighted priority sampling
+WEIGHTED_SAMPLE_K = 50
+_HEX12_FOLD_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, 13), "
+    "i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS DOUBLE))), "
+    "(acc, d) -> acc * 16 + d)"
+)
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             least(1.0, len(toks) / 100.0)
+               * (1.0 - CAST({_hits_sql(STOPWORDS)} AS DOUBLE) / len(toks)) AS w
+      FROM t
+    ),
+    keyed AS (
+      SELECT doc_id, w,
+             ln({_HEX12_FOLD_SQL} / 281474976710656.0) / w AS k
+      FROM q WHERE w > 0
+    )
+    SELECT doc_id, round(w, 4) AS weight
+    FROM keyed
+    ORDER BY k DESC, doc_id ASC
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+    doc="Quality-WEIGHTED sampling without replacement (Efraimidis-"
+    "Spirakis A-ES): each doc draws a deterministic uniform u from "
+    "md5(doc_id) (first 12 hex nibbles folded to an exact 48-bit "
+    "integer — portable to the oracle, unlike engine-internal RNGs) "
+    "and is ranked by ln(u)/w; the top-k of that key IS a weighted "
+    "sample without replacement, so high-quality docs are "
+    "proportionally favored while every doc keeps a nonzero chance — "
+    "the standard corpus-mix primitive between hard quality filtering "
+    "(loses diversity) and uniform sampling (wastes budget on junk). "
+    "Plan: map-only key computation, TakeOrdered top-k, no shuffle "
+    "beyond the k-row merge; reweighting an epoch is a new salt on "
+    "the md5. Key comparisons use the raw doubles (single-expression "
+    "per row, bit-identical cross-engine); only the reported weight "
+    "is rounded.",
+)
+def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    stop_ratio = _hits(F.col("toks"), STOPWORDS).cast("double") / F.size("toks")
+    q = t.select(
+        "doc_id",
+        (
+            F.least(F.lit(1.0), F.size("toks") / F.lit(100.0))
+            * (F.lit(1.0) - stop_ratio)
+        ).alias("w"),
+    ).filter(F.col("w") > 0)
+    # conv() parses the 12-hex-digit prefix to an exact decimal string;
+    # the value is < 2^48, so the double cast is exact — same integer
+    # the oracle's fold produces
+    u = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS DOUBLE)"
+        " / 281474976710656.0"
+    )
+    keyed = q.withColumn("k", F.log(u) / F.col("w"))
+    return (
+        keyed.orderBy(F.col("k").desc(), F.col("doc_id").asc())
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("doc_id", F.round("w", 4).alias("weight"))
+    )
