@@ -657,3 +657,28 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_dir):
             assert a == b, f"{name}: result depends on shuffle partitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_weighted_priority_sampling_favors_heavy_weights(spark, tmp_path):
+    """A-ES correctness signal: with quality ~0.9 vs ~0.09 (10x weight
+    ratio), the 50-doc sample from 100+100 candidates should be
+    dominated by heavy docs (a light doc needs u^10-level luck)."""
+    import os
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    # heavy: 100 long low-stopword docs; light: short docs (length
+    # factor ~0.1 of the quality formula)
+    heavy_body = " ".join(f"tok{i}" for i in range(100))
+    light_body = " ".join(f"tok{i}" for i in range(9))
+    rows = [(i, heavy_body, "en", "s", 0) for i in range(100)]
+    rows += [(100 + i, light_body, "en", "s", 0) for i in range(100)]
+    d = os.path.join(str(tmp_path), "sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = load_catalog()["sample_weighted_priority"].fn(spark, d).collect()
+    assert len(got) == 50
+    n_heavy = sum(1 for r in got if r["doc_id"] < 100)
+    assert n_heavy >= 45, n_heavy
