@@ -682,3 +682,57 @@ def test_weighted_priority_sampling_favors_heavy_weights(spark, tmp_path):
     assert len(got) == 50
     n_heavy = sum(1 for r in got if r["doc_id"] < 100)
     assert n_heavy >= 45, n_heavy
+
+
+def test_containment_catches_short_doc_quoted_in_long(spark, tmp_path):
+    """The case Jaccard under-scores: a short doc fully quoted inside a
+    much longer one must score containment ~1.0 in the short->long
+    direction and much lower the other way."""
+    import os
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, quote, "en", "s", 0),
+        (2, f"{filler} {quote}", "en", "s", 0),
+        (3, "completely unrelated text with different tokens entirely here", "en", "s", 0),
+    ]
+    d = os.path.join(str(tmp_path), "sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r["doc_sub"], r["doc_super"]): r["containment"]
+        for r in load_catalog()["dedup_ngram_containment"].fn(spark, d).collect()
+    }
+    assert got[(1, 2)] == 1.0  # short doc fully contained
+    assert got[(2, 1)] < 0.15  # the long doc is NOT contained in the short
+    assert (1, 3) not in got  # zero-overlap pairs never materialize
+
+
+def test_semdedup_drops_planted_identical_vectors(spark, tmp_path):
+    """Two identical embeddings must land in one cluster and the
+    higher-id copy must be marked dropped with cosine 1.0."""
+    import os
+
+    import numpy as np
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 64)).astype("float32")
+    vecs[25] = vecs[24]  # plant an exact duplicate pair
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 4)) for i in range(40)]
+    d = os.path.join(str(tmp_path), "sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    got = {
+        r["drop_id"]: (r["keep_id"], r["cosine"])
+        for r in load_catalog()["dedup_semantic_clusters"].fn(spark, d).collect()
+    }
+    assert 25 in got and got[25][0] == 24 and got[25][1] == 1.0
