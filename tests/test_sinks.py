@@ -99,3 +99,35 @@ def test_custom_jsonl_manifest_sink_round_trip(spark, tmp_path):
         f.write('{"doc_id": 12345, "bucket": 0}\n')
     back2, _ = read_manifest(spark, out)
     assert back2.count() == 100
+
+
+def test_compaction_rewrites_small_files_and_preserves_data(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.sources.maintenance import compact_table
+
+    frag = str(tmp_path / "fragmented")
+    src = spark.range(10_000).select(
+        "id", (F.col("id") % 97).alias("k"), F.rand(seed=1).alias("v")
+    )
+    src.repartition(64).write.parquet(frag)  # simulate small-file sprawl
+    out = str(tmp_path / "compacted")
+    stats = compact_table(spark, frag, out, target_files=4, cluster_cols=("k",))
+    assert stats["files_before"] >= 32
+    assert stats["files_after"] <= 5  # range partitioner may emit <=target
+    assert stats["rows"] == 10_000
+    # content identical
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # clustering: per-file k-ranges must be (near-)disjoint — the file
+    # count touched by a narrow predicate shrinks accordingly
+    ranged = (
+        b.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranged)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint envelopes -> file skipping works
