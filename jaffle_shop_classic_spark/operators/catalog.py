@@ -160,6 +160,7 @@ _TIER2 = (
     "stream_window_top_type",
     "sql_model_customers_mart",
     "sample_weighted_priority",
+    "quantiles_histogram_cdf",
     # rotated out of the top-50 in round 6 (duplicate-class reps, all
     # green when last in-window) to make room for round-5/6 flagships
     "dedup_duplicate_ngram_spans",

@@ -2376,3 +2376,51 @@ def q_audit_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("removed").alias("op"), "n_rows")
     )
     return changed.unionByName(unchanged).unionByName(added).unionByName(removed)
+
+
+@register(
+    "quantiles_histogram_cdf",
+    oracle="""
+    WITH b AS (SELECT event_type, round(value, 2) AS v FROM events),
+    h AS (SELECT event_type, v, count(*) AS c FROM b GROUP BY event_type, v),
+    cum AS (
+      SELECT event_type, v,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+      FROM h
+    ),
+    tot AS (SELECT event_type, count(*) AS n FROM b GROUP BY event_type),
+    qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q)
+    SELECT t.event_type, qs.q, min(c.v) AS value
+    FROM cum c
+    JOIN tot t USING (event_type)
+    CROSS JOIN qs
+    WHERE c.cum >= ceil(t.n * qs.q)
+    GROUP BY t.event_type, qs.q
+    """,
+    doc="Multi-quantile extraction from ONE histogram pass — the claim "
+    "median_histogram_cdf makes ('generalizes to any quantile'), "
+    "delivered: p25/p50/p75/p95 per key all read off the same "
+    "cumulative distribution, so adding quantiles costs one more "
+    "broadcast-joined threshold row, not another scan or sort. Same "
+    "hot-key-safe posture (per-key memory = distinct buckets); the "
+    "mergeable-summary analog of percentile_approx with EXACT "
+    "bucketized answers and a plain SQL oracle.",
+)
+def q_quantiles_histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.select("event_type", F.round("value", 2).alias("v"))
+    h = b.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    cum = h.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("event_type").orderBy("v"))
+    )
+    tot = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    qs = spark.createDataFrame([(0.25,), (0.5,), (0.75,), (0.95,)], "q double")
+    return (
+        cum.join(tot, "event_type")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.ceil(F.col("n") * F.col("q")))
+        .groupBy("event_type", "q")
+        .agg(F.min("v").alias("value"))
+    )

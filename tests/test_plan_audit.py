@@ -41,6 +41,7 @@ CROSS_OK = {
     "users_anomaly_zscore",  # broadcast 1-row moment join
     "dedup_semantic_clusters",  # broadcast K-centroid assignment join
     "sim_ivfpq_topk",  # broadcast coarse-centroid assignment join
+    "quantiles_histogram_cdf",  # broadcast 4-row quantile-threshold join
 }
 
 
