@@ -137,6 +137,12 @@ _PRIORITY = (
 _TIER2 = (
     # round-6 flagship operators (newest first; embedding_pq_encode and
     # curation_strip_dup_spans are in the top-50)
+    "text_unicode_normalize",
+    "text_strip_html",
+    "vocab_id_assign",
+    "gdpr_erase_users",
+    "window_ntile_cume",
+    "check_source_freshness",
     "sim_pq_adc_topk",
     "join_bloom_prefilter",
     "stream_left_outer_join",

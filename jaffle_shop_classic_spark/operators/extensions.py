@@ -2424,3 +2424,150 @@ def q_quantiles_histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "q")
         .agg(F.min("v").alias("value"))
     )
+
+
+# ------------------------------------------------- governance / freshness
+@register(
+    "gdpr_erase_users",
+    oracle="""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    c AS (
+      SELECT 'customer' AS table_name,
+             count(*) AS rows_before,
+             count(*) FILTER (WHERE c_custkey IN (SELECT c_custkey FROM del))
+               AS rows_removed
+      FROM customer
+    ),
+    o AS (
+      SELECT 'orders' AS table_name,
+             count(*) AS rows_before,
+             count(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM del))
+               AS rows_removed
+      FROM orders
+    )
+    SELECT table_name, rows_before, rows_removed,
+           rows_before - rows_removed AS rows_after
+    FROM (SELECT * FROM c UNION ALL SELECT * FROM o)
+    ORDER BY table_name
+    """,
+    doc="Right-to-erasure propagation (GDPR/CCPA delete cascade): a "
+    "deletion-request list (here the deterministic custkey % 97 == 0 "
+    "cohort standing in for an uploaded request file) is applied "
+    "across every table holding that subject's rows, and the audit "
+    "row per table reports before/removed/after counts — the receipt "
+    "a compliance pipeline must produce. Plan: the request list is "
+    "tiny by nature, so each fact table gets ONE broadcast left join "
+    "and a count aggregate — map-side probe, no fact-side shuffle at "
+    "any scale; the actual delete at 100 TB is the same plan with the "
+    "anti-join written back partition-aligned. Flag counting uses "
+    "count(match_key) (non-null = hit), mirroring the oracle's "
+    "FILTER(IN).",
+)
+def q_gdpr_erase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    req = (
+        cust.filter((F.col("c_custkey") % 97) == 0)
+        .select(F.col("c_custkey").alias("erase_key"))
+    )
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        flagged = df.join(
+            F.broadcast(req), F.col(key) == F.col("erase_key"), "left"
+        )
+        return flagged.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("rows_before"),
+            F.count("erase_key").alias("rows_removed"),
+            (F.count(F.lit(1)) - F.count("erase_key")).alias("rows_after"),
+        )
+
+    return (
+        audit(cust, "c_custkey", "customer")
+        .unionByName(audit(orders, "o_custkey", "orders"))
+        .orderBy("table_name")
+    )
+
+
+@register(
+    "window_ntile_cume",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    doc="X7 distribution-rank window trio: ntile quartile bucketing, "
+    "percent_rank, cume_dist per status partition — the standard "
+    "primitives for per-segment score calibration (e.g. mapping a "
+    "raw quality score to its within-language percentile before a "
+    "global threshold). The ORDER BY carries o_orderkey as a unique "
+    "tiebreaker so every rank is deterministic cross-engine. Plan: "
+    "one shuffle on the partition key, one sort within partitions, "
+    "all three functions evaluated in the same Window operator — "
+    "adding more rank functions is free once the sort is paid.",
+)
+def q_window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@register(
+    "check_source_freshness",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, max(ts) AS latest_ts FROM events GROUP BY event_type
+    )
+    SELECT event_type, latest_ts,
+           CAST(floor(date_diff('second', latest_ts, max(latest_ts) OVER ())
+                      / 3600.0) AS BIGINT) AS lag_hours,
+           CASE
+             WHEN date_diff('second', latest_ts, max(latest_ts) OVER ())
+                  <= 24 * 3600 THEN 'pass'
+             WHEN date_diff('second', latest_ts, max(latest_ts) OVER ())
+                  <= 72 * 3600 THEN 'warn'
+             ELSE 'error'
+           END AS freshness
+    FROM per
+    ORDER BY event_type
+    """,
+    doc="dbt `source freshness` analog: per source partition (event "
+    "type), how stale is the newest row, classified against "
+    "warn/error SLAs (24 h / 72 h)? The as-of instant is pinned to "
+    "the corpus-wide max timestamp so the check is deterministic "
+    "(wall-clock `now()` would break both the oracle and reruns); a "
+    "production run substitutes now() for the window max and keeps "
+    "the identical plan. Plan: one partial->final max aggregate over "
+    "the events scan (parquet footer min/max makes this near-free), "
+    "then the global max via an unbounded window over the "
+    "per-type AGGREGATE — a handful of rows regardless of corpus "
+    "size, so the single-partition window is bounded by the number "
+    "of sources, not the data. UTC session timezone pins the "
+    "epoch-second arithmetic to DuckDB's naive-timestamp date_diff.",
+)
+def q_check_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(F.max("ts").alias("latest_ts"))
+    asof = F.max("latest_ts").over(Window.partitionBy())
+    lag_s = F.unix_timestamp(asof) - F.unix_timestamp(F.col("latest_ts"))
+    return per.select(
+        "event_type",
+        "latest_ts",
+        F.floor(lag_s / 3600).cast("long").alias("lag_hours"),
+        F.when(lag_s <= 24 * 3600, "pass")
+        .when(lag_s <= 72 * 3600, "warn")
+        .otherwise("error")
+        .alias("freshness"),
+    ).orderBy("event_type")

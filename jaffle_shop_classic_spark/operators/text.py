@@ -13,6 +13,8 @@ engines; ratios round to 4dp; md5 hex is identical in Spark and DuckDB
 
 from __future__ import annotations
 
+import pandas as pd  # annotation target for the one vectorized UDF below
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1411,4 +1413,138 @@ def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.orderBy(F.col("k").desc(), F.col("doc_id").asc())
         .limit(WEIGHTED_SAMPLE_K)
         .select("doc_id", F.round("w", 4).alias("weight"))
+    )
+
+
+# ------------------------------------------------- cleaning / normalization
+@register(
+    "text_unicode_normalize",
+    oracle="""
+    WITH inj AS (
+      SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t FROM documents
+    )
+    SELECT doc_id,
+           length(t) AS n_raw,
+           length(nfc_normalize(t)) AS n_nfc,
+           md5(nfc_normalize(t)) AS checksum
+    FROM inj
+    """,
+    doc="Unicode NFC normalization — the first step of every web-scale "
+    "text pipeline (mojibake and combining-sequence variants defeat "
+    "exact dedup and tokenizer vocabularies unless the corpus is "
+    "canonicalized first). The corpus is ASCII, so the query plants "
+    "combining acute accents (U+0301 after every 'e') with a pure-JVM "
+    "replace, then canonicalizes. Spark has no built-in normalizer, so "
+    "this is the one legitimately UDF-shaped text op: a vectorized "
+    "pandas_udf over Arrow batches (pandas Series.str.normalize), never "
+    "row-at-a-time Python. Plan: map-only — no shuffle at any scale; "
+    "the UDF cost is a per-batch Arrow hop on exactly one column. "
+    "Cross-engine: CPython's unicodedata and DuckDB's utf8proc both "
+    "implement standard NFC, and md5-of-UTF-8 pins byte equality, not "
+    "just length equality. Verified: n_raw > n_nfc wherever an 'e' "
+    "existed (the e+combining pair recomposes to precomposed é).",
+)
+def q_text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    inj = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit("e"), F.lit("é")).alias("t"),
+    )
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    n = inj.select("doc_id", F.length("t").alias("n_raw"), nfc("t").alias("s"))
+    return n.select(
+        "doc_id",
+        "n_raw",
+        F.length("s").alias("n_nfc"),
+        F.md5(F.encode(F.col("s"), "UTF-8")).alias("checksum"),
+    )
+
+
+@register(
+    "text_strip_html",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, text,
+             '<html><body><p>' || replace(text, 'the', '<b>the</b>')
+               || '</p><br/></body></html>' AS html
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS cleaned
+      FROM h
+    )
+    SELECT doc_id,
+           length(cleaned) AS n_chars_clean,
+           substring(cleaned, 1, 60) AS clean_prefix,
+           cleaned = trim(text) AS matches_original
+    FROM s
+    """,
+    doc="C4-style HTML boilerplate stripping: markup tags removed with "
+    "one regex pass, whitespace re-collapsed, result trimmed. The "
+    "corpus is plain text, so the query first wraps each document in a "
+    "deterministic tag skeleton (outer html/body/p plus inline <b> "
+    "around every 'the') and then must recover the original text "
+    "exactly — `matches_original` is the self-check and is true for "
+    "every single-spaced document. Plan: two regexp_replace maps, "
+    "zero shuffles, whole-stage codegen end to end; at 100 TB this is "
+    "embarrassingly parallel scan work. The tag pattern '<[^>]*>' and "
+    "the collapse pattern ' +' parse identically in Java regex and "
+    "RE2, so the oracle twin is byte-equivalent.",
+)
+def q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.replace(F.col("text"), F.lit("the"), F.lit("<b>the</b>")),
+        F.lit("</p><br/></body></html>"),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(html, "<[^>]*>", " "), " +", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.length(cleaned).alias("n_chars_clean"),
+        F.substring(cleaned, 1, 60).alias("clean_prefix"),
+        (cleaned == F.trim(F.col("text"))).alias("matches_original"),
+    )
+
+
+@register(
+    "vocab_id_assign",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+    v AS (SELECT unnest(toks) AS token FROM t),
+    c AS (SELECT token, count(*) AS freq FROM v GROUP BY token)
+    SELECT token, freq,
+           row_number() OVER (ORDER BY freq DESC, token ASC) - 1 AS vocab_id
+    FROM c
+    """,
+    doc="Contiguous vocabulary ID assignment by corpus frequency — the "
+    "step that turns a trained tokenizer's merge table into the dense "
+    "int ids a model embeds (id 0 = most frequent, ties broken "
+    "lexically so the mapping is reproducible across runs). Plan: "
+    "token counting is the usual explode -> partial/final hash "
+    "aggregate (the only full shuffle, keyed on token); the "
+    "row_number then runs over the AGGREGATED vocabulary, which by "
+    "Zipf's law is ~1e6 rows even at 100 TB of text, so the "
+    "single-partition global sort-window is over the small derived "
+    "table, never the corpus. Contiguity requires a total order, so "
+    "that bounded single-partition step is inherent to the op, not "
+    "an accident of the implementation.",
+)
+def q_vocab_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    c = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return c.select(
+        "token", "freq", (F.row_number().over(w) - 1).alias("vocab_id")
     )

@@ -736,3 +736,104 @@ def test_semdedup_drops_planted_identical_vectors(spark, tmp_path):
         for r in load_catalog()["dedup_semantic_clusters"].fn(spark, d).collect()
     }
     assert 25 in got and got[25][0] == 24 and got[25][1] == 1.0
+
+
+def test_unicode_normalize_recomposes_planted_combining_pairs(spark, sf_dir):
+    """Every 'e' gains a combining acute pre-NFC; NFC must recompose each
+    pair to one precomposed é, so n_nfc = n_raw - (#e in the doc), and
+    the checksum must equal CPython's own NFC of the same injection."""
+    import hashlib
+    import unicodedata
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    out = {
+        r["doc_id"]: r
+        for r in load_catalog()["text_unicode_normalize"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    for r in docs[:50]:
+        injected = r["text"].replace("e", "é")
+        nfc = unicodedata.normalize("NFC", injected)
+        got = out[r["doc_id"]]
+        assert got["n_raw"] == len(injected)
+        assert got["n_nfc"] == len(nfc)
+        assert got["checksum"] == hashlib.md5(nfc.encode()).hexdigest()
+
+
+def test_strip_html_recovers_original_text(spark, sf_dir):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    df = load_catalog()["text_strip_html"].fn(spark, sf_dir)
+    # the corpus is single-spaced, so tag-strip + whitespace-collapse must
+    # reproduce the original document byte-for-byte on every row
+    assert df.filter(~F.col("matches_original")).count() == 0
+
+
+def test_vocab_ids_are_contiguous_and_frequency_ranked(spark, sf_dir):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    rows = (
+        load_catalog()["vocab_id_assign"].fn(spark, sf_dir).orderBy("vocab_id").collect()
+    )
+    assert [r["vocab_id"] for r in rows] == list(range(len(rows)))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert len({r["token"] for r in rows}) == len(rows)
+
+
+def test_gdpr_erasure_audit_counts_are_consistent(spark, sf_dir):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    rows = {r["table_name"]: r for r in load_catalog()["gdpr_erase_users"].fn(spark, sf_dir).collect()}
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    expect_c = cust.filter((F.col("c_custkey") % 97) == 0).count()
+    keys = cust.filter((F.col("c_custkey") % 97) == 0).select("c_custkey")
+    expect_o = orders.join(keys, orders.o_custkey == keys.c_custkey, "left_semi").count()
+    for name, removed, total in (
+        ("customer", expect_c, cust.count()),
+        ("orders", expect_o, orders.count()),
+    ):
+        r = rows[name]
+        assert r["rows_removed"] == removed
+        assert r["rows_before"] == total
+        assert r["rows_after"] == total - removed
+    assert expect_c > 0  # the cohort is non-empty, so the op actually erased
+
+
+def test_ntile_quartiles_are_balanced_within_status(spark, sf_dir):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    df = load_catalog()["window_ntile_cume"].fn(spark, sf_dir)
+    sizes = (
+        df.groupBy("o_orderstatus", "quartile").count().collect()
+    )
+    per_status = {}
+    for r in sizes:
+        assert 1 <= r["quartile"] <= 4
+        per_status.setdefault(r["o_orderstatus"], []).append(r["count"])
+    for status, counts in per_status.items():
+        assert len(counts) == 4 or sum(counts) < 4
+        assert max(counts) - min(counts) <= 1, (status, counts)
+    # cume_dist of the per-partition maximum row is exactly 1.0
+    assert df.filter(F.col("cum_dist") > 1.0).count() == 0
+
+
+def test_source_freshness_anchor_type_is_fresh(spark, sf_dir):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    rows = load_catalog()["check_source_freshness"].fn(spark, sf_dir).collect()
+    lags = [r["lag_hours"] for r in rows]
+    # the as-of instant IS the global max, so the newest source lags 0 h
+    assert min(lags) == 0
+    for r in rows:
+        expected = (
+            "pass" if r["lag_hours"] <= 24 else "warn" if r["lag_hours"] <= 72 else "error"
+        )
+        assert r["freshness"] == expected
