@@ -837,3 +837,38 @@ def test_source_freshness_anchor_type_is_fresh(spark, sf_dir):
             "pass" if r["lag_hours"] <= 24 else "warn" if r["lag_hours"] <= 72 else "error"
         )
         assert r["freshness"] == expected
+
+
+def test_prefix_filter_finds_planted_near_dup_and_skips_distant_pair(spark, tmp_path):
+    """A planted copy with one swapped word must surface with the exact
+    Jaccard of its shingle sets; two unrelated docs must not pair."""
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("delta", "DELTA", 1)  # one differing word
+    far = "one two three four five six seven eight nine ten " * 3
+    rows = [(0, base, "en", "s"), (1, near, "en", "s"), (2, far, "en", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df = df.withColumn("n_chars", F.length("text"))
+    d = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in load_catalog()["dedup_jaccard_prefix_filter"].fn(spark, d).collect()
+    }
+    assert (0, 1) in got  # the near-dup survives prefix filtering
+    r = got[(0, 1)]
+    # one swapped word in a 3-shingle stream perturbs <= 3 distinct
+    # shingles per side; recompute the exact expectation in Python
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    inter = len(sh(base) & sh(near))
+    union = len(sh(base) | sh(near))
+    assert r["inter"] == inter
+    assert abs(r["jaccard"] - inter / union) < 5e-5
+    assert inter / union >= 0.6
+    # no pair involving the unrelated doc
+    assert not any(2 in pair for pair in got)
