@@ -68,6 +68,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "text_heavy_hitters_mg",
     "graph_triangle_count",
     "tpch_q5_style",
+    "dedup_jaccard_prefix_filter",
 ]
 
 

@@ -1333,18 +1333,27 @@ def q_dedup_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "dedup_jaccard_prefix_filter",
-    oracle=f"""
-    WITH sized AS (
-      SELECT doc_id, sh, len(sh) AS L
-      FROM (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
     ),
-    tok AS (SELECT doc_id, L, unnest(sh) AS s FROM sized),
+    eligible AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+    sized AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+      FROM eligible
+    ),
+    s2 AS (SELECT doc_id, sh, len(sh) AS L FROM sized),
+    tok AS (SELECT doc_id, L, unnest(sh) AS s FROM s2),
     dfreq AS (SELECT s, count(*) AS df FROM tok GROUP BY s),
     ranked AS (
-      SELECT t.doc_id, t.L, t.s,
-             row_number() OVER (PARTITION BY t.doc_id
-                                ORDER BY d.df ASC, t.s ASC) AS rnk
-      FROM tok t JOIN dfreq d USING (s)
+      SELECT t2.doc_id, t2.L, t2.s,
+             row_number() OVER (PARTITION BY t2.doc_id
+                                ORDER BY d.df ASC, t2.s ASC) AS rnk
+      FROM tok t2 JOIN dfreq d USING (s)
     ),
     prefix AS (
       SELECT doc_id, L, s FROM ranked
@@ -1356,13 +1365,18 @@ def q_dedup_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
       WHERE a.doc_id < b.doc_id
         AND 5*b.L >= 3*a.L AND 5*a.L >= 3*b.L
     ),
-    verified AS (
-      SELECT c.id_a, c.id_b,
-             len(list_intersect(x.sh, y.sh)) AS inter,
-             x.L AS la, y.L AS lb
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
       FROM cand c
-      JOIN sized x ON x.doc_id = c.id_a
-      JOIN sized y ON y.doc_id = c.id_b
+      JOIN tok x ON x.doc_id = c.id_a
+      JOIN tok y ON y.doc_id = c.id_b AND y.s = x.s
+      GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+      SELECT i.id_a, i.id_b, i.inter, x.L AS la, y.L AS lb
+      FROM inter i
+      JOIN s2 x ON x.doc_id = i.id_a
+      JOIN s2 y ON y.doc_id = i.id_b
     )
     SELECT id_a, id_b, inter,
            round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
@@ -1373,43 +1387,58 @@ def q_dedup_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
     doc="EXACT all-pairs Jaccard >= 3/5 via prefix filtering (SSJoin/"
     "PPJoin family, Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07) "
     "— the scale answer when near-dup decisions must be exact, not "
-    "probabilistic like MinHash banding. Shingles are ranked rarest-"
-    "first by corpus document frequency; a doc with L shingles can "
-    "share Jaccard >= t with another only if they collide inside each "
-    "other's first L - ceil(t*L) + 1 rarest shingles, so ONLY that "
-    "prefix is exploded into the self-equi-join — on this corpus the "
-    "candidate space drops from 125k brute-force pairs to ~120, and "
-    "the pruning sharpens as the feature space grows (rare shingles "
-    "get rarer at 100 TB while stopword-like shingles never enter a "
-    "prefix, which also kills the hot-key skew a plain shingle join "
-    "suffers). Length co-pruning (5*Lb >= 3*La and vice versa) rides "
-    "the same join. Every threshold decision is integer arithmetic "
-    "(ceil(3L/5) = (3L+4) div 5; jaccard >= 3/5 iff 8*inter >= "
-    "3*(la+lb)) so no float sits near a keep/drop boundary and the "
-    "oracle agrees bit-for-bit. Plan: df-count agg, per-doc rank "
-    "window (doc-keyed, bounded by shingles-per-doc), prefix "
-    "self-join on shingle, distinct, then verification joins the "
-    "candidate PAIRS (25 rows) back to the shingle arrays — "
-    "array_intersect on O(candidates), never O(n^2).",
+    "probabilistic like MinHash banding. Word 5-shingles are ranked "
+    "rarest-first by corpus document frequency; a doc with L shingles "
+    "can share Jaccard >= t with another only if they collide inside "
+    "each other's first L - ceil(t*L) + 1 rarest shingles, so ONLY "
+    "that prefix enters the self-equi-join — the candidate space "
+    "drops from 125k brute-force pairs to the verified pairs almost "
+    "exactly, and the pruning sharpens as the feature space grows "
+    "(rare shingles get rarer at 100 TB while stopword-like shingles "
+    "never enter a prefix, which also kills the hot-key skew a plain "
+    "shingle join suffers). Length co-pruning (5*Lb >= 3*La and vice "
+    "versa) rides the same join. Every threshold decision is integer "
+    "arithmetic (ceil(3L/5) = (3L+4) div 5; jaccard >= 3/5 iff "
+    "8*inter >= 3*(la+lb)) so no float sits near a keep/drop boundary "
+    "and the oracle agrees bit-for-bit. Plan: shingles are built by "
+    "posexplode + window-lead so the tokenizer runs ONCE per document "
+    "(a lambda-built gram array re-inlines the split into every "
+    "element_at — measured 22 s vs 2 s at sf0.1); the doc-id shuffle "
+    "that window needs is the SAME key the rank window and the L/df "
+    "aggregates use, so Catalyst reuses one exchange across all four. "
+    "Verification counts common shingles for the candidate PAIRS "
+    "only — O(candidates), never O(n^2). Docs under 5 tokens cannot "
+    "form a shingle and fall out on both sides (exact-dedup "
+    "territory, not near-dup).",
 )
 def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sized = d.select(
-        "doc_id", shingles_col(F.col("text")).alias("sh")
-    ).withColumn("L", F.size("sh"))
-    tok = sized.select("doc_id", "L", F.explode("sh").alias("s"))
-    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
-    ranked = tok.join(dfreq, "s").withColumn("rnk", F.row_number().over(w))
-    prefix = ranked.filter(
-        F.col("rnk") <= F.col("L") - F.expr("(3*L + 4) div 5") + 1
-    ).select("doc_id", "L", "s")
-    a = prefix.select(
-        F.col("doc_id").alias("id_a"), F.col("L").alias("la"), "s"
+    tokp = d.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tk")
     )
-    b = prefix.select(
-        F.col("doc_id").alias("id_b"), F.col("L").alias("lb"), "s"
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    g = tokp.select(
+        "doc_id",
+        F.col("tk").alias("t0"),
+        *[F.lead("tk", k).over(wseq).alias(f"t{k}") for k in (1, 2, 3, 4)],
     )
+    sh = (
+        g.filter(F.col("t4").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t0", "t1", "t2", "t3", "t4").alias("s"))
+        .dropDuplicates(["doc_id", "s"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("L"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    wrank = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix = (
+        sh.join(sizes, "doc_id")
+        .join(dfreq, "s")
+        .withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") <= F.col("L") - F.expr("(3*L + 4) div 5") + 1)
+        .select("doc_id", "L", "s")
+    )
+    a = prefix.select(F.col("doc_id").alias("id_a"), F.col("L").alias("la"), "s")
+    b = prefix.select(F.col("doc_id").alias("id_b"), F.col("L").alias("lb"), "s")
     cand = (
         a.join(b, "s")
         .filter(
@@ -1420,12 +1449,19 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("id_a", "id_b")
         .distinct()
     )
-    x = sized.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("L").alias("la"))
-    y = sized.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("L").alias("lb"))
-    verified = (
+    x = sh.select(F.col("doc_id").alias("id_a"), "s")
+    y = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
         cand.join(x, "id_a")
-        .join(y, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .join(y, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    la = sizes.select(F.col("doc_id").alias("id_a"), F.col("L").alias("la"))
+    lb = sizes.select(F.col("doc_id").alias("id_b"), F.col("L").alias("lb"))
+    verified = (
+        inter.join(la, "id_a")
+        .join(lb, "id_b")
         .filter(8 * F.col("inter") >= 3 * (F.col("la") + F.col("lb")))
     )
     return verified.select(

@@ -859,11 +859,11 @@ def test_prefix_filter_finds_planted_near_dup_and_skips_distant_pair(spark, tmp_
     }
     assert (0, 1) in got  # the near-dup survives prefix filtering
     r = got[(0, 1)]
-    # one swapped word in a 3-shingle stream perturbs <= 3 distinct
+    # one swapped word in a 5-shingle stream perturbs <= 5 distinct
     # shingles per side; recompute the exact expectation in Python
     def sh(t):
         toks = t.split()
-        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
 
     inter = len(sh(base) & sh(near))
     union = len(sh(base) | sh(near))
