@@ -69,6 +69,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "graph_triangle_count",
     "tpch_q5_style",
     "dedup_jaccard_prefix_filter",
+    "graph_pagerank",
 ]
 
 

@@ -138,6 +138,7 @@ _TIER2 = (
     # round-6 flagship operators (newest first; embedding_pq_encode and
     # curation_strip_dup_spans are in the top-50)
     "dedup_jaccard_prefix_filter",
+    "graph_pagerank",
     "text_unicode_normalize",
     "text_strip_html",
     "vocab_id_assign",

@@ -872,3 +872,41 @@ def test_prefix_filter_finds_planted_near_dup_and_skips_distant_pair(spark, tmp_
     assert inter / union >= 0.6
     # no pair involving the unrelated doc
     assert not any(2 in pair for pair in got)
+
+
+def test_pagerank_matches_python_integer_reference(spark, sf_dir):
+    """Replay the exact integer-arithmetic PageRank in pure Python over
+    the SAME LSH edge set and demand bit-identical rank units."""
+    from collections import defaultdict
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.operators.dedup import (
+        PR_ITERS,
+        PR_SCALE,
+        _lsh_candidate_pairs,
+    )
+
+    pairs = _lsh_candidate_pairs(spark, sf_dir).collect()
+    adj = defaultdict(list)  # src -> [dst]
+    for r in pairs:
+        adj[r["doc_a"]].append(r["doc_b"])
+        adj[r["doc_b"]].append(r["doc_a"])
+    n = len(adj)
+    assert n > 0
+    base = (15 * PR_SCALE) // (100 * n)
+    rank = {u: PR_SCALE // n for u in adj}
+    for _ in range(PR_ITERS):
+        msgs = defaultdict(int)
+        for u, nbrs in adj.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                msgs[v] += c
+        rank = {v: base + (85 * s) // 100 for v, s in msgs.items()}
+
+    got = {
+        r["doc_id"]: r["rank_unit"]
+        for r in load_catalog()["graph_pagerank"].fn(spark, sf_dir).collect()
+    }
+    assert got == rank
+    # rank mass stays within truncation loss of the full unit
+    assert 0.9 * PR_SCALE < sum(got.values()) <= PR_SCALE

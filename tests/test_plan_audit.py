@@ -42,6 +42,7 @@ CROSS_OK = {
     "dedup_semantic_clusters",  # broadcast K-centroid assignment join
     "sim_ivfpq_topk",  # broadcast coarse-centroid assignment join
     "quantiles_histogram_cdf",  # broadcast 4-row quantile-threshold join
+    "graph_pagerank",  # broadcast 1-row teleport/init constants join
 }
 
 
