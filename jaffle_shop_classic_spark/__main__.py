@@ -1,10 +1,12 @@
-"""CLI: seed / run / test / docs — mirrors the reference's entry points
-(/root/reference/README.md:46-71: `dbt seed`, `dbt run`, `dbt test`,
-`dbt docs generate`).
+"""CLI: seed / run / test / docs / snapshot / curate — mirrors the
+reference's entry points (/root/reference/README.md:46-71: `dbt seed`,
+`dbt run`, `dbt test`, `dbt docs generate`) plus the corpus-build verb
+for the LLM-pipeline surface.
 
     python -m jaffle_shop_classic_spark run --warehouse /tmp/wh
     python -m jaffle_shop_classic_spark test
     python -m jaffle_shop_classic_spark docs --out catalog.json
+    python -m jaffle_shop_classic_spark curate --sf-dir ... --out /tmp/corpus
 """
 
 from __future__ import annotations
@@ -21,10 +23,23 @@ from .testing.checks import run_checks
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="jaffle_shop_classic_spark")
-    ap.add_argument("command", choices=["seed", "run", "test", "docs", "snapshot"])
+    ap.add_argument(
+        "command", choices=["seed", "run", "test", "docs", "snapshot", "curate"]
+    )
     ap.add_argument("--seed-dir", default=DEFAULT_SEED_DIR)
     ap.add_argument("--warehouse", default=None, help="parquet output dir for table models")
-    ap.add_argument("--out", default=None, help="docs: output JSON path")
+    ap.add_argument("--out", default=None, help="docs: output JSON path; curate: corpus output dir")
+    ap.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="curate: input tables directory (documents.parquet)",
+    )
+    ap.add_argument(
+        "--target-files",
+        type=int,
+        default=8,
+        help="curate: parquet file budget for the curated corpus",
+    )
     ap.add_argument(
         "--at",
         type=int,
@@ -40,6 +55,46 @@ def main(argv=None) -> int:
         return 2
 
     spark = get_spark("jaffle_cli")
+
+    if args.command == "curate":
+        # end-to-end training-corpus build: quality gate -> exact dedup ->
+        # LSH near-dup removal (pipeline_corpus_curation), then a
+        # lang-partitioned, range-clustered parquet corpus. The dbt-run
+        # analog for the LLM-pipeline half of the engine.
+        if args.out is None:
+            print("error: curate needs --out <corpus dir>", file=sys.stderr)
+            return 2
+        from .operators.catalog import load_catalog
+        from .sources.parquet import load_table
+
+        docs = load_table(spark, args.sf_dir, "documents")
+        keep = load_catalog()["pipeline_corpus_curation"].fn(spark, args.sf_dir)
+        curated = docs.join(keep, "doc_id", "left_semi")
+        n_in, n_keep = docs.count(), curated.count()
+        out = os.path.join(args.out, "corpus")
+        # range-cluster on (lang, doc_id): each output file covers one
+        # contiguous id range inside one lang dir — bounded file count
+        # AND per-file min/max envelopes for id-range skipping
+        (
+            curated.repartitionByRange(args.target_files, "lang", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out)
+        assert back.count() == n_keep
+        per_lang = {r["lang"]: r["count"] for r in back.groupBy("lang").count().collect()}
+        n_files = sum(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(out)
+            for f in fs
+        )
+        print(f"curate: {n_in} docs in -> {n_keep} kept ({n_in - n_keep} dropped)")
+        for lang in sorted(per_lang):
+            print(f"  lang={lang}: {per_lang[lang]} docs")
+        print(f"wrote {out}: {n_files} parquet files, partitioned by lang")
+        return 0
+
     project = build_project(warehouse_dir=args.warehouse)
     load_jaffle_sources(project, spark, args.seed_dir)
 

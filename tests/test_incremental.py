@@ -164,3 +164,29 @@ def test_incremental_on_schema_change_strategies(spark, tmp_path):
     p.run(spark, select=["m"]); b["n"] = 2; p._built.clear()
     with pytest.raises(ContractViolation, match="on_schema_change"):
         p._materialize(p.models["m"], spark)
+
+
+def test_curate_cli_verb(spark, tmp_path, sf_dir):
+    """`python -m jaffle_shop_classic_spark curate` — the dbt-run analog
+    for the LLM-pipeline half: curated corpus equals the semi-join of
+    documents with the certified curation survivors, lang-partitioned."""
+    from jaffle_shop_classic_spark.__main__ import main
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    out = str(tmp_path / "corpus_out")
+    assert main(["curate", "--sf-dir", sf_dir, "--out", out]) == 0
+    back = spark.read.parquet(f"{out}/corpus")
+    keep = load_catalog()["pipeline_corpus_curation"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    expect = docs.join(keep, "doc_id", "left_semi")
+    assert back.count() == expect.count() > 0
+    # partition column survives the round trip and covers every language
+    assert {r["lang"] for r in back.select("lang").distinct().collect()} == {
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    }
+    # identical id sets (curation decisions preserved by the write)
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in expect.select("doc_id").collect()
+    }
+    assert main(["curate", "--sf-dir", sf_dir]) == 2  # --out required
