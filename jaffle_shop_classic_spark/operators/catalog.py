@@ -139,6 +139,7 @@ _TIER2 = (
     # curation_strip_dup_spans are in the top-50)
     "dedup_jaccard_prefix_filter",
     "graph_pagerank",
+    "json_variant_extract",
     "text_unicode_normalize",
     "text_strip_html",
     "vocab_id_assign",
