@@ -140,6 +140,7 @@ _TIER2 = (
     "dedup_jaccard_prefix_filter",
     "graph_pagerank",
     "json_variant_extract",
+    "distinct_exact_bitmap",
     "text_unicode_normalize",
     "text_strip_html",
     "vocab_id_assign",

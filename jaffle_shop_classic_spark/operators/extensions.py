@@ -2606,3 +2606,46 @@ def q_json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get("v", "$.k", "bigint") % 10).alias("k_bucket"),
     )
     return out.filter(F.col("k").isNotNull())
+
+
+@register(
+    "distinct_exact_bitmap",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_distinct_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="EXACT distinct counting via mergeable roaring-style bitmaps "
+    "(Spark's bitmap_bucket_number / bitmap_construct_agg / "
+    "bitmap_count) — the third point on the distinct-count spectrum "
+    "next to count(DISTINCT) and HLL sketches: unlike count(DISTINCT) "
+    "its partial state is a fixed-width bitmap per 32768-value bucket "
+    "(mergeable across partitions, days, and incremental refreshes "
+    "with a bit_or — count(DISTINCT) partials are the raw value sets "
+    "and cannot be merged without re-deduplicating), and unlike HLL "
+    "(sketch_hll_mergeable) the answer is exact, not ±2%%. The "
+    "standard pattern for incrementally-maintained exact uniques in "
+    "lakehouse aggregation tables. Plan: map-side bucket/position "
+    "projection, partial->final bitmap OR-aggregate keyed on (type, "
+    "bucket), then a tiny sum of per-bucket popcounts per key — "
+    "shuffle carries bitmaps, never user ids. The oracle states the "
+    "same quantity as plain COUNT(DISTINCT); equal output is the "
+    "exactness proof.",
+)
+def q_distinct_exact_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    buckets = e.selectExpr(
+        "event_type",
+        "bitmap_bucket_number(user_id) AS bucket",
+        "bitmap_bit_position(user_id) AS pos",
+    )
+    per_bucket = buckets.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"),
+        F.sum("n").alias("n_events"),
+    )
