@@ -910,3 +910,35 @@ def test_pagerank_matches_python_integer_reference(spark, sf_dir):
     assert got == rank
     # rank mass stays within truncation loss of the full unit
     assert 0.9 * PR_SCALE < sum(got.values()) <= PR_SCALE
+
+
+def test_variant_extract_typed_values_and_missing_path_null(spark, sf_dir):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    df = load_catalog()["json_variant_extract"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    # typed extraction: k is a bigint and the derived bucket is consistent
+    assert all(isinstance(r["k"], int) and r["k_bucket"] == r["k"] % 10 for r in rows)
+    # a path absent from every document yields typed NULL on every row
+    assert all(r["absent_is_null"] for r in rows)
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    got = {
+        r["event_type"]: (r["n_distinct_users"], r["n_events"])
+        for r in load_catalog()["distinct_exact_bitmap"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        r["event_type"]: (r["d"], r["n"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()
+    }
+    assert got == want
