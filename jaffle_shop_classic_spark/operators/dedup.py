@@ -1422,10 +1422,15 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("tk").alias("t0"),
         *[F.lead("tk", k).over(wseq).alias(f"t{k}") for k in (1, 2, 3, 4)],
     )
+    # the distinct shingle stream feeds FOUR consumers (sizes, df counts,
+    # prefix ranking, pair verification) — materialize it once instead of
+    # re-running the posexplode + window per consumer (same measurement
+    # rationale as the gram stream in curation_strip_dup_spans)
     sh = (
         g.filter(F.col("t4").isNotNull())
         .select("doc_id", F.concat_ws(" ", "t0", "t1", "t2", "t3", "t4").alias("s"))
         .dropDuplicates(["doc_id", "s"])
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("L"))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
