@@ -141,6 +141,7 @@ _TIER2 = (
     "graph_pagerank",
     "json_variant_extract",
     "distinct_exact_bitmap",
+    "cdc_upsert_with_deletes",
     "text_unicode_normalize",
     "text_strip_html",
     "vocab_id_assign",

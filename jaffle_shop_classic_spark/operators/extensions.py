@@ -2649,3 +2649,59 @@ def q_distinct_exact_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"),
         F.sum("n").alias("n_events"),
     )
+
+
+@register(
+    "cdc_upsert_with_deletes",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, event_id, ts, event_type, op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ops
+    )
+    SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
+           event_type AS latest_type
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
+    """,
+    doc="CDC compaction WITH tombstones — the full MERGE semantics a "
+    "Debezium/outbox stream needs: each change row carries an op "
+    "(upsert or delete; here 'error' events stand in for delete "
+    "markers), the latest op per key wins, and a key whose newest "
+    "change is a delete vanishes from the state table instead of "
+    "resurfacing its stale pre-delete row. One extra predicate on "
+    "top of upsert_latest_state's window — the tombstone filter "
+    "applies AFTER the latest-row pick, which is the part naive "
+    "implementations get wrong (filtering deletes BEFORE the window "
+    "resurrects the previous version of a deleted key). Plan: "
+    "identical to the plain upsert — one key shuffle, one window, "
+    "map-side tombstone predicate; at scale the change batch "
+    "semi-joins the base table before the window so only touched "
+    "keys re-compact.",
+)
+def q_cdc_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ops = e.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("event_type").alias("latest_type"),
+        )
+        .orderBy("user_id")
+    )

@@ -942,3 +942,34 @@ def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_cdc_tombstone_deletes_key_and_does_not_resurrect_stale_row(spark, tmp_path):
+    """A key whose NEWEST change is a delete must vanish entirely — the
+    naive filter-deletes-before-window implementation would emit the
+    stale pre-delete row instead."""
+    import datetime
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: upsert then delete -> must be ABSENT
+        (1, t0, 1, "click", 0.0, "{}"),
+        (2, t0 + datetime.timedelta(hours=1), 1, "error", 0.0, "{}"),
+        # user 2: delete then upsert -> latest wins, must be PRESENT
+        (3, t0, 2, "error", 0.0, "{}"),
+        (4, t0 + datetime.timedelta(hours=1), 2, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "cdc")
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    got = {
+        r["user_id"]: r["latest_type"]
+        for r in load_catalog()["cdc_upsert_with_deletes"].fn(spark, d).collect()
+    }
+    assert got == {2: "purchase"}
