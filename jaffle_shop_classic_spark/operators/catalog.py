@@ -139,6 +139,7 @@ _TIER2 = (
     # curation_strip_dup_spans are in the top-50)
     "dedup_jaccard_prefix_filter",
     "graph_pagerank",
+    "graph_label_propagation",
     "json_variant_extract",
     "distinct_exact_bitmap",
     "cdc_upsert_with_deletes",

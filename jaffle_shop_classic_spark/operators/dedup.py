@@ -1593,3 +1593,105 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r AS rank_unit",
         f"round(CAST(r AS DOUBLE) / {PR_SCALE}, 8) AS rank",
     ).orderBy(F.col("rank_unit").desc(), F.col("doc_id").asc())
+
+
+LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    cte = []
+    prev = "l0"
+    for k in range(1, LPA_ITERS + 1):
+        cte.append(f"""
+    c{k} AS (
+      SELECT e.dst AS doc_id, l.label, count(*) AS cnt
+      FROM edges e JOIN {prev} l ON l.doc_id = e.src
+      GROUP BY e.dst, l.label
+    ),
+    l{k} AS (
+      SELECT doc_id, label FROM (
+        SELECT doc_id, label,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{k}"
+    return f"""
+    WITH {_SIGS_CTE},
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sigs),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+    {','.join(cte)},
+    sized AS (
+      SELECT label AS community, count(*) AS n_members
+      FROM l{LPA_ITERS} GROUP BY label
+    )
+    SELECT l.doc_id, l.label AS community, s.n_members
+    FROM l{LPA_ITERS} l JOIN sized s ON s.community = l.label
+    ORDER BY l.doc_id
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="Community detection via synchronous label propagation (4 "
+    "rounds) on the LSH similarity graph — the finer-grained sibling "
+    "of connected components: CC merges everything reachable, LPA "
+    "splits a component into densely-linked sub-communities, which "
+    "for near-dup curation separates 'same template family' from "
+    "'same transitive chain'. Classic async LPA is visit-order-"
+    "dependent and unreproducible; this is the deterministic "
+    "synchronous form — every round each node adopts the most "
+    "frequent label among its neighbors with ties broken by min "
+    "label, so the (count desc, label asc) argmax is exact integer "
+    "arithmetic and the unrolled SQL twin hash-matches. Plan per "
+    "round: one (dst, label) count aggregate + one per-node "
+    "row_number window, both keyed on the node — the same Pregel "
+    "exchange shape as PageRank, fixed rounds in one job, edges "
+    "checkpointed once. Labels are node ids (longs); nothing "
+    "unbounded accumulates per key at any scale.",
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(LPA_ITERS):
+        counts = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "label")
+        )
+    sized = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        labels.select("doc_id", F.col("label").alias("community"))
+        .join(sized, "community")
+        .select("doc_id", "community", "n_members")
+        .orderBy("doc_id")
+    )

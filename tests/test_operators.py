@@ -973,3 +973,51 @@ def test_cdc_tombstone_deletes_key_and_does_not_resurrect_stale_row(spark, tmp_p
         for r in load_catalog()["cdc_upsert_with_deletes"].fn(spark, d).collect()
     }
     assert got == {2: "purchase"}
+
+
+def test_label_propagation_matches_python_sync_reference_and_refines_cc(spark, sf_dir):
+    """Replay the deterministic synchronous LPA in pure Python over the
+    SAME LSH edge set (argmax by count desc, label asc) and demand
+    identical labels; also check LPA communities never straddle a
+    connected component."""
+    from collections import Counter, defaultdict
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.operators.dedup import (
+        LPA_ITERS,
+        _lsh_candidate_pairs,
+    )
+
+    pairs = _lsh_candidate_pairs(spark, sf_dir).collect()
+    adj = defaultdict(list)
+    for r in pairs:
+        adj[r["doc_a"]].append(r["doc_b"])
+        adj[r["doc_b"]].append(r["doc_a"])
+    label = {u: u for u in adj}
+    for _ in range(LPA_ITERS):
+        nxt = {}
+        for v, nbrs in adj.items():
+            c = Counter(label[u] for u in nbrs)
+            nxt[v] = min(l for l, n in c.items() if n == max(c.values()))
+        label = nxt
+
+    rows = load_catalog()["graph_label_propagation"].fn(spark, sf_dir).collect()
+    got = {r["doc_id"]: r["community"] for r in rows}
+    assert got == label
+    sizes = Counter(label.values())
+    assert all(r["n_members"] == sizes[r["community"]] for r in rows)
+
+    # refinement: two nodes sharing an LPA community are CC-connected
+    comp = {u: u for u in adj}
+    changed = True
+    while changed:
+        changed = False
+        for u, nbrs in adj.items():
+            m = min([comp[u]] + [comp[v] for v in nbrs])
+            if m < comp[u]:
+                comp[u] = m
+                changed = True
+    by_community = defaultdict(set)
+    for u, l in label.items():
+        by_community[l].add(comp[u])
+    assert all(len(comps) == 1 for comps in by_community.values())
