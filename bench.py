@@ -70,6 +70,8 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "tpch_q5_style",
     "dedup_jaccard_prefix_filter",
     "graph_pagerank",
+    "graph_label_propagation",
+    "cdc_upsert_with_deletes",
 ]
 
 
