@@ -78,18 +78,26 @@ _PRIORITY = (
     "percentile_exact",
     "session_window_batch",
     "tpch_q1_style",
-    # data-engineering operators
+    # data-engineering operators — funnel_conversion / range_join_bucketed
+    # (r06-green duplicate-class reps: window+join machinery is also
+    # certified by window_range_frame, topk_per_group, join_semi,
+    # asof_join_last_signup) rotate out for the round-6 exact-mergeable
+    # bitmap flagship and the delete+insert incremental materialization
+    # path (the one reference-surface semantic the driver had never
+    # hash-checked, dbt_project.yml:22-27)
     "train_test_split_hash",
     "upsert_latest_state",
     "sample_stratified_quota",
-    "funnel_conversion",
-    "range_join_bucketed",
+    "distinct_exact_bitmap",
+    "incremental_orders_state",
     # text analysis (X12) — text_quality_score's class is also covered
     # by quality_percentile_filter below, so its slot certifies the
-    # bigram-LM scorer instead
+    # bigram-LM scorer instead; text_lang_id (r06-green, X12 keeps four
+    # other green reps) gives its slot to the round-6 semantic-dedup
+    # flagship
     "text_token_stats",
     "text_lm_score",
-    "text_lang_id",
+    "dedup_semantic_clusters",
     "text_tfidf_topk",
     "quality_percentile_filter",
     # dedup (X13) — the minhash signature primitive is exercised inside
@@ -98,36 +106,48 @@ _PRIORITY = (
     # 6 (a strict superset: the same gram machinery as
     # dedup_duplicate_ngram_spans' detection, r05-green, PLUS the
     # canonical-occurrence strip + document rewrite)
+    # decontam_ngram_overlap (r06-green; near-dup shingle machinery is
+    # already certified by dedup_minhash_lsh_pairs +
+    # pipeline_corpus_curation + curation_strip_dup_spans) gives its
+    # slot to the round-6 exact all-pairs PPJoin flagship
     "dedup_exact",
     "curation_strip_dup_spans",
     "dedup_minhash_lsh_pairs",
     "pipeline_corpus_curation",
-    "decontam_ngram_overlap",
+    "dedup_jaccard_prefix_filter",
     "dedup_cluster_components",
     # similarity / embeddings (X13) — int8 quantization rotated to
     # tier 2 in r6 (X13 keeps five other green reps);
     # sim_ann_hyperplane (r05-green; the ANN-bucketing class stays
     # certified via sim_ivf_topk's inverted-list probe) gives its slot
     # to the round-6 product-quantization flagship
+    # dedup_embedding_cosine (r06-green; the embedding-cosine class now
+    # has dedup_semantic_clusters certified above plus sim_cosine_topk)
+    # gives its slot to the round-6 CDC-tombstone flagship
     "sim_cosine_topk",
     "embedding_pq_encode",
-    "dedup_embedding_cosine",
+    "cdc_upsert_with_deletes",
     "sim_ivf_topk",
     "kmeans_lloyd",
     # round-5 flagship classes, certified by the hard signal from r06
     "scd2_user_state_history",
     "text_pmi_collocations",
     "sample_temperature_mix",
-    # multimodal
-    "mm_frame_sample",
+    # multimodal — mm_frame_sample (r06-green duplicate-class rep)
+    # gives its slot to the round-6 integer-exact PageRank flagship
+    "graph_pagerank",
     "mm_feature_extract",
     # UDF surface + bespoke join/reshape ops (X16)
     "udf_apply_in_pandas",
     "asof_join_last_signup",
     "unpivot_amounts",
     # streaming (X15) — oracle-backed: availableNow+append over a static
-    # file emits the deterministic watermark-closed window set
-    "stream_tumbling_counts",
+    # file emits the deterministic watermark-closed window set.
+    # stream_tumbling_counts (r06-green; the tumbling-count class is a
+    # strict subset of stream_session_windows' machinery) gives its
+    # slot to the left-outer streaming join — the hardest determinism
+    # argument in the repo (per-side min watermark, null emission)
+    "stream_left_outer_join",
     "stream_session_windows",
 )
 
@@ -135,14 +155,13 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
-    # round-6 flagship operators (newest first; embedding_pq_encode and
-    # curation_strip_dup_spans are in the top-50)
-    "dedup_jaccard_prefix_filter",
-    "graph_pagerank",
+    # round-6 flagship operators not yet promoted to the top-50
+    # (dedup_jaccard_prefix_filter, graph_pagerank,
+    # dedup_semantic_clusters, distinct_exact_bitmap,
+    # cdc_upsert_with_deletes, incremental_orders_state and
+    # stream_left_outer_join were rotated into _PRIORITY in round 7)
     "graph_label_propagation",
     "json_variant_extract",
-    "distinct_exact_bitmap",
-    "cdc_upsert_with_deletes",
     "text_unicode_normalize",
     "text_strip_html",
     "vocab_id_assign",
@@ -151,7 +170,6 @@ _TIER2 = (
     "check_source_freshness",
     "sim_pq_adc_topk",
     "join_bloom_prefilter",
-    "stream_left_outer_join",
     "dedup_ngram_containment",
     "text_heavy_hitters_mg",
     "stream_chained_windows",
@@ -160,7 +178,6 @@ _TIER2 = (
     "session_top_paths",
     "retention_cohorts",
     "copurchase_part_pairs",
-    "dedup_semantic_clusters",
     "graph_triangle_count",
     "tpch_q3_style",
     "tpch_q5_style",
@@ -173,8 +190,15 @@ _TIER2 = (
     "sql_model_customers_mart",
     "sample_weighted_priority",
     "quantiles_histogram_cdf",
-    # rotated out of the top-50 in round 6 (duplicate-class reps, all
+    # rotated out of the top-50 in rounds 6-7 (duplicate-class reps, all
     # green when last in-window) to make room for round-5/6 flagships
+    "decontam_ngram_overlap",
+    "mm_frame_sample",
+    "text_lang_id",
+    "funnel_conversion",
+    "range_join_bucketed",
+    "dedup_embedding_cosine",
+    "stream_tumbling_counts",
     "dedup_duplicate_ngram_spans",
     "sim_ann_hyperplane",
     "dedup_simhash",

@@ -1010,14 +1010,16 @@ def q_dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame
       )
     ),
     stats AS (
-      SELECT g, count(*) AS cnt, min(doc_id * 100000 + pos) AS min_ok
+      SELECT g, count(*) AS cnt,
+             min(struct_pack(d := doc_id, p := pos)) AS min_ok
       FROM occ GROUP BY g
     ),
     cov AS (
       SELECT doc_id, list_sort(list(DISTINCT p)) AS cov FROM (
         SELECT o.doc_id, unnest(range(o.pos, o.pos + {SPAN_N})) AS p
         FROM occ o JOIN stats s USING (g)
-        WHERE s.cnt > 1 AND o.doc_id * 100000 + o.pos <> s.min_ok
+        WHERE s.cnt > 1
+          AND NOT (o.doc_id = s.min_ok.d AND o.pos = s.min_ok.p)
       ) GROUP BY doc_id
     )
     SELECT t.doc_id,
@@ -1051,9 +1053,9 @@ def q_dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     "doc, and the rewrite is a map-side higher-order filter over the "
     "original token array (no token-stream shuffle: only gram hashes "
     "and position integers ever ride an exchange). The canonical key "
-    "packs (doc_id, pos) into one BIGINT so min() stays a plain "
-    "numeric aggregate in both engines; 100 TB swaps the pack for a "
-    "struct-min or 128-bit key.",
+    "is a lexicographic struct-min over (doc_id, pos) — a plain "
+    "mergeable aggregate in both engines, collision-free at any "
+    "document length.",
 )
 def q_curation_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1068,12 +1070,16 @@ def q_curation_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gram stream feeds both the stats aggregate and the join probe
     # (same rationale/measurement as dedup_duplicate_ngram_spans)
     occ = occ.localCheckpoint(eager=True)
+    # canonical occurrence = lexicographic min over (doc_id, pos) via a
+    # struct-min — a plain mergeable aggregate in both engines with no
+    # packed-key collision risk at any document length (the former
+    # doc_id*100000+pos pack silently collided past 100k tokens)
     stats = occ.groupBy("g").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("min_ok"),
+        F.min(F.struct("doc_id", "pos")).alias("min_ok"),
     )
     removable = occ.join(stats, "g").filter(
-        (F.col("cnt") > 1) & (F.col("doc_id") * 100000 + F.col("pos") != F.col("min_ok"))
+        (F.col("cnt") > 1) & (F.struct("doc_id", "pos") != F.col("min_ok"))
     )
     cov = (
         removable.select(

@@ -1967,7 +1967,8 @@ def q_users_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT user_id, ts, event_id, event_type,
              sum(new_s) OVER (
-               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
              ) AS sid
       FROM m
     ),

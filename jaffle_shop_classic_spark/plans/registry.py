@@ -174,16 +174,29 @@ class Project:
         """dbt model contracts (`contract: enforced`): the output schema
         must carry exactly the declared columns with the declared types.
         Checked on the ANALYZED schema — no job runs, so a violation
-        fails before any data is written (dbt's pre-flight semantics)."""
+        fails before any data is written (dbt's pre-flight semantics).
+        Declared types are parsed into DataType objects, so equivalent
+        spellings normalize ('bigint'=='long', 'decimal(10, 2)' with a
+        space, mixed case) instead of spuriously violating."""
         if not spec.contract:
             return
-        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        from pyspark.sql.types import _parse_datatype_string
+
+        actual = {f.name: f.dataType for f in df.schema.fields}
         problems = []
         for col, typ in spec.contract.items():
             if col not in actual:
                 problems.append(f"missing column {col!r} ({typ})")
-            elif actual[col] != typ.lower():
-                problems.append(f"{col}: declared {typ}, got {actual[col]}")
+                continue
+            try:
+                declared = _parse_datatype_string(typ)
+            except Exception:
+                problems.append(f"{col}: unparseable declared type {typ!r}")
+                continue
+            if actual[col] != declared:
+                problems.append(
+                    f"{col}: declared {typ}, got {actual[col].simpleString()}"
+                )
         for col in actual:
             if col not in spec.contract:
                 problems.append(f"undeclared column {col!r} in output")
@@ -191,12 +204,14 @@ class Project:
             raise ContractViolation(f"model {spec.name}: " + "; ".join(problems))
 
     def _materialize(self, spec: ModelSpec, spark: SparkSession) -> DataFrame:
+        # incremental/snapshot enforce the contract on the model's own
+        # output INSIDE their materializers, before _write_version — a
+        # contract-violating batch must never persist a new version
+        # (the next run would read corrupted state as `prev`).
         if spec.materialized == "incremental":
             df = self._materialize_incremental(spec, spark)
-            self._enforce_contract(spec, df)
         elif spec.materialized == "snapshot":
             df = self._materialize_snapshot(spec, spark)
-            self._enforce_contract(spec, df)
         else:
             df = spec.fn(ModelContext(self, spark, spec))
             self._enforce_contract(spec, df)
@@ -255,6 +270,8 @@ class Project:
         shuffles only keys, and a lakehouse MERGE INTO with partition
         pruning replaces the full-state rewrite."""
         new = spec.fn(ModelContext(self, spark, spec))
+        # pre-flight: a contract-violating batch must not persist state
+        self._enforce_contract(spec, new)
         prev = self._read_latest(spec.name, spark)
         if prev is None:
             out = new
@@ -318,6 +335,10 @@ class Project:
 
         at = int(getattr(self, "snapshot_at", 0))
         cur = spec.fn(ModelContext(self, spark, spec))
+        # pre-flight on the model's OWN output (valid_from/valid_to are
+        # engine-added metadata, outside the user's declared contract);
+        # a violating batch must not persist a new snapshot version
+        self._enforce_contract(spec, cur)
         key = list(spec.unique_key)
         checks = list(spec.check_cols) or [
             c for c in cur.columns if c not in spec.unique_key

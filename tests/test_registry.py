@@ -165,3 +165,90 @@ def test_model_contract_enforced(spark):
         project.resolve("bad_type", spark)
     with pytest.raises(ContractViolation, match="undeclared column"):
         project.resolve("undeclared_col", spark)
+
+
+def test_contract_type_spellings_normalize(spark):
+    """Equivalent type spellings must NOT violate: 'long'=='bigint',
+    'decimal(10, 2)' with a space, mixed case. Declared strings are
+    parsed into DataType objects before comparison."""
+    from jaffle_shop_classic_spark.plans.registry import Project
+
+    project = Project()
+
+    @project.model(
+        contract={"id": "long", "amount": "DECIMAL(10, 2)", "name": "String"}
+    )
+    def spellings(ctx):
+        return ctx.spark.range(3).select(
+            F.col("id"),
+            F.col("id").cast("decimal(10,2)").alias("amount"),
+            F.lit("x").alias("name"),
+        )
+
+    assert project.resolve("spellings", spark).count() == 3
+
+
+def test_incremental_contract_preflight_no_persist(spark, tmp_path):
+    """A contract-violating incremental batch must not persist a new
+    version — the next run's `prev` state stays uncorrupted (dbt's
+    pre-flight 'before any data is written' semantics)."""
+    from jaffle_shop_classic_spark.plans.registry import ContractViolation, Project
+
+    project = Project(warehouse_dir=str(tmp_path))
+    state = {"schema": "good"}
+
+    @project.model(
+        name="inc",
+        materialized="incremental",
+        unique_key=("id",),
+        contract={"id": "bigint", "v": "bigint"},
+    )
+    def inc(ctx):
+        df = ctx.spark.range(3).select(F.col("id"), (F.col("id") * 10).alias("v"))
+        if state["schema"] == "bad":
+            return df.withColumn("v", F.col("v").cast("double"))
+        return df
+
+    project.run(spark)
+    assert project._latest_version("inc") == 1
+
+    state["schema"] = "bad"
+    with pytest.raises(ContractViolation):
+        project.run(spark)
+    # the violating batch wrote nothing: stored state is still v1, intact
+    assert project._latest_version("inc") == 1
+    prev = project._read_latest("inc", spark)
+    assert prev.schema["v"].dataType.simpleString() == "bigint"
+    assert prev.count() == 3
+
+
+def test_snapshot_contract_preflight_no_persist(spark, tmp_path):
+    """Snapshot contracts are checked on the model's OWN output (the
+    engine-added valid_from/valid_to are outside the contract) and a
+    violating run must not write a new snapshot version."""
+    from jaffle_shop_classic_spark.plans.registry import ContractViolation, Project
+
+    project = Project(warehouse_dir=str(tmp_path))
+    state = {"schema": "good"}
+
+    @project.model(
+        name="snap",
+        materialized="snapshot",
+        unique_key=("id",),
+        contract={"id": "bigint", "status": "string"},
+    )
+    def snap(ctx):
+        df = ctx.spark.range(2).select(F.col("id"), F.lit("open").alias("status"))
+        if state["schema"] == "bad":
+            return df.withColumn("extra", F.lit(1))
+        return df
+
+    project.snapshot_at = 1
+    project.run(spark)
+    assert project._latest_version("snap") == 1
+
+    state["schema"] = "bad"
+    project.snapshot_at = 2
+    with pytest.raises(ContractViolation, match="undeclared column"):
+        project.run(spark)
+    assert project._latest_version("snap") == 1
