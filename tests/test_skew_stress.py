@@ -1,0 +1,186 @@
+"""Planted-skew stress tier: the scale arguments in SCALING.md are
+otherwise only asserted on uniform sf data. This fixture plants the two
+classic adversaries — one user owning 10% of the event stream, and one
+boilerplate template shared by half the document corpus — and asserts
+the defensive paths (hot-band cap, salted join, AQE skew-split,
+Misra-Gries heavy hitters) demonstrably FIRE on them, via both plan and
+output assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+TEMPLATE = " ".join(f"the of and a to in is it{i % 3}" for i in range(8))
+N_TEMPLATE = 200  # > MAX_BAND_SIZE: every template band bucket is hot
+N_NORMAL = 60
+HOT_USER = 7
+N_EVENTS = 30_000
+HOT_FRAC = 0.10
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    """A synthetic sf dir whose documents/events tables carry planted
+    skew. Catalog queries run on it unmodified (they only read the
+    tables they need)."""
+    base = tmp_path_factory.mktemp("skewed_sf")
+
+    docs = []
+    # 50%+ of the corpus is one boilerplate template: identical text ->
+    # identical minhash signature -> every band bucket has N_TEMPLATE
+    # members, far over MAX_BAND_SIZE=64
+    for i in range(N_TEMPLATE):
+        docs.append((i, TEMPLATE, "en", "web", len(TEMPLATE)))
+    # distinct normal docs (unique token streams -> singleton buckets)
+    for i in range(N_NORMAL):
+        text = " ".join(f"tok{i}x{j}" for j in range(20))
+        docs.append((N_TEMPLATE + i, text, "en", "web", len(text)))
+    # one planted near-dup pair among the normal docs: 19/20 tokens
+    # shared -> nearly identical shingle sets -> same band buckets
+    a = " ".join(f"pair{j}" for j in range(20))
+    b = " ".join(f"pair{j}" for j in range(19)) + " differs"
+    docs.append((9000, a, "en", "web", len(a)))
+    docs.append((9001, b, "en", "web", len(b)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(4).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+    # events: HOT_USER owns 10% of the stream, the rest spread over 1k users
+    n_hot = int(N_EVENTS * HOT_FRAC)
+    ev = (
+        spark.range(N_EVENTS)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+            F.when(F.col("id") < n_hot, F.lit(HOT_USER))
+            .otherwise(F.pmod(F.col("id") * 2654435761, F.lit(1000)) + 100)
+            .alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("buy")),
+                (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.col("id") % 97).cast("double").alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    ev.repartition(8).write.mode("overwrite").parquet(f"{base}/events.parquet")
+    # pre-materialized user dim: the AQE skew rule only matches
+    # SMJ(Sort(Shuffle), Sort(Shuffle)) — a distinct's post-shuffle
+    # HashAggregate on the dim side would break the pattern, which is
+    # itself a scale lesson: land dims as tables before the fact join
+    ev.select("user_id").distinct().withColumn(
+        "grp", F.pmod(F.col("user_id"), F.lit(10))
+    ).write.mode("overwrite").parquet(f"{base}/users_dim.parquet")
+    return str(base)
+
+
+def test_hot_band_cap_fires_on_boilerplate_corpus(spark, skew_dir):
+    """Pre-cap, the template's band buckets hold N_TEMPLATE members;
+    post-cap they are gone entirely — the cap demonstrably fires."""
+    from jaffle_shop_classic_spark.operators.dedup import (
+        MAX_BAND_SIZE,
+        _bands_expr,
+        capped_bands,
+        minhash_signatures,
+    )
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    d = load_table(spark, skew_dir, "documents")
+    bands = minhash_signatures(d).selectExpr(
+        "doc_id", f"explode({_bands_expr('sig')}) AS band_key"
+    )
+    pre = bands.groupBy("band_key").count()
+    assert pre.agg(F.max("count")).collect()[0][0] >= N_TEMPLATE > MAX_BAND_SIZE
+    post = capped_bands(bands).groupBy("band_key").count()
+    assert post.agg(F.max("count")).collect()[0][0] <= MAX_BAND_SIZE
+
+
+def test_lsh_pairs_bounded_and_recall_kept_under_skew(spark, skew_dir):
+    """The LSH candidate join on the planted corpus must NOT expand the
+    ~20k-pair template clique (cap drops those buckets; exact dedup owns
+    identical docs), yet must still surface the planted near-dup pair."""
+    fn = load_catalog()["dedup_minhash_lsh_pairs"].fn
+    rows = fn(spark, skew_dir).collect()
+    template_pairs = [
+        r for r in rows if r["doc_a"] < N_TEMPLATE and r["doc_b"] < N_TEMPLATE
+    ]
+    assert template_pairs == []  # the quadratic clique never materialized
+    planted = [r for r in rows if (r["doc_a"], r["doc_b"]) == (9000, 9001)]
+    assert len(planted) == 1 and planted[0]["est_jaccard"] >= 0.5
+
+
+def test_heavy_hitters_finds_template_tokens_under_skew(spark, skew_dir):
+    """Misra-Gries + exact recount must report the boilerplate tokens
+    (each >2% of the token stream) and no normal-doc token."""
+    fn = load_catalog()["text_heavy_hitters_mg"].fn
+    got = {r["token"] for r in fn(spark, skew_dir).collect()}
+    assert {"the", "of", "and", "a", "to", "in", "is"} <= got
+    assert not any(t.startswith("tok") for t in got)
+
+
+def test_aqe_skew_join_splits_hot_user_partition(spark, skew_dir):
+    """With broadcast disabled (the fact-fact case), AQE must detect the
+    hot user's oversized shuffle partition and split it: the executed
+    plan carries the skew=true SMJ marker, and results equal the plain
+    join."""
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    ev = load_table(spark, skew_dir, "events").select("event_id", "user_id")
+    dim = spark.read.parquet(f"{skew_dir}/users_dim.parquet")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # local-mode analog of 1000-executor sizing: partitions small
+        # enough that the hot user's partition is >2x the median
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.shuffle.partitions": "64",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = ev.join(dim, "user_id")
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    # AQE demonstrably split the hot partition
+    assert "skew=true" in plan and "AQEShuffleRead skewed" in plan
+    assert n == ev.join(dim, "user_id").count() == N_EVENTS
+
+
+def test_salted_join_flattens_hot_user(spark, skew_dir):
+    """salted_join on the 10%-hot stream: same result as the plain join,
+    and the hot key's rows demonstrably spread across all salt groups."""
+    from jaffle_shop_classic_spark.functions.skew import (
+        SALT_COL,
+        salt_column,
+        salted_join,
+    )
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    ev = load_table(spark, skew_dir, "events").select("event_id", "user_id")
+    dim = ev.select("user_id").distinct().withColumn("flag", F.lit(1))
+    plain = ev.join(dim, "user_id").count()
+    salted = salted_join(ev, dim, "user_id", num_salts=8).count()
+    assert plain == salted == N_EVENTS
+
+    hot = ev.filter(F.col("user_id") == HOT_USER)
+    n_hot = hot.count()
+    groups = (
+        hot.withColumn(SALT_COL, salt_column(8, F.col("user_id"), F.col("event_id")))
+        .groupBy(SALT_COL)
+        .count()
+        .collect()
+    )
+    assert len(groups) == 8
+    # no salt group holds more than ~2x the even share
+    assert max(r["count"] for r in groups) < n_hot / 8 * 2
