@@ -72,6 +72,11 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "graph_pagerank",
     "graph_label_propagation",
     "cdc_upsert_with_deletes",
+    # round-7 additions
+    "fuzzy_join_levenshtein",
+    "quality_lr_classifier",
+    "sim_sparse_tfidf_pairs",
+    "event_ewma_smoothing",
 ]
 
 

@@ -155,6 +155,12 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # round-7 flagship operators (newest first)
+    "fuzzy_join_levenshtein",
+    "quality_lr_classifier",
+    "sim_sparse_tfidf_pairs",
+    "event_ewma_smoothing",
+    "source_orc_roundtrip",
     # round-6 flagship operators not yet promoted to the top-50
     # (dedup_jaccard_prefix_filter, graph_pagerank,
     # dedup_semantic_clusters, distinct_exact_bitmap,

@@ -2706,3 +2706,169 @@ def q_cdc_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    WITH cand AS (
+      SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+             a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand
+       AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT part_a, part_b, name_a, name_b, lev_dist
+    FROM cand WHERE lev_dist <= 3
+    ORDER BY lev_dist ASC, part_a ASC, part_b ASC
+    LIMIT 50
+    """,
+    doc="Record linkage / fuzzy entity resolution: edit-distance join on "
+    "part names with BLOCKING — the join key is (brand, first letter), "
+    "so the quadratic levenshtein comparison runs only inside blocks "
+    "(the classic Fellegi-Sunter blocking step) and never as a cross "
+    "join. At 100 TB: blocks shuffle on their key like any equi-join "
+    "(levenshtein is a post-join filter, JVM codegen in Spark), block "
+    "sizes are bounded by the blocking key's selectivity, and a hot "
+    "block (one mega-brand) falls under the same salting/cap toolkit "
+    "as every other skewed equi-join in this repo. Multi-pass blocking "
+    "(union of several cheap keys: sorted-neighborhood, phonetic, "
+    "q-gram) raises recall the same way LSH multi-banding does; the "
+    "per-block verify stays identical. Levenshtein itself is exact "
+    "and engine-portable (same DP definition in Spark and DuckDB).",
+)
+def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (
+                F.substring(F.col("a.p_name"), 1, 1)
+                == F.substring(F.col("b.p_name"), 1, 1)
+            )
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("bigint")
+            .alias("lev_dist"),
+        )
+        .filter(F.col("lev_dist") <= 3)
+        .orderBy(F.col("lev_dist").asc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "event_ewma_smoothing",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           round(sum(b.value * power(0.5, a.rn - b.rn))
+                 / sum(power(0.5, a.rn - b.rn)), 6) AS ewma
+    FROM r a JOIN r b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+    GROUP BY a.user_id, a.event_id
+    """,
+    doc="Per-key exponentially-weighted moving average (alpha=0.5, "
+    "window 10) over the event stream — the feature-engineering "
+    "staple for behavioral models. Spark plan: ONE window sort per "
+    "user (row_number + frame-bounded collect_list share the same "
+    "(user_id, ts, event_id) exchange+sort), then the weighted fold "
+    "runs map-side over the 10-element frame array via JVM "
+    "higher-order aggregate — no self-join, no second shuffle. The "
+    "frame bound (ROWS 9 PRECEDING) is what makes this scale: state "
+    "per row is O(window), never O(history), the same bound a "
+    "streaming twin would enforce via watermark. The oracle computes "
+    "the identical weighted mean as a banded self-join (DuckDB lacks "
+    "frame-ordered list aggregation) — 10 bounded terms per row, so "
+    "the 6dp round absorbs fold-order float noise.",
+)
+def q_event_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-9, 0)
+    r = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "hist", F.collect_list(F.struct("rn", "value")).over(frame)
+    )
+    wsum = F.aggregate(
+        F.col("hist"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["value"] * F.pow(F.lit(0.5), F.col("rn") - s["rn"]),
+    )
+    wnorm = F.aggregate(
+        F.col("hist"),
+        F.lit(0.0),
+        lambda acc, s: acc + F.pow(F.lit(0.5), F.col("rn") - s["rn"]),
+    )
+    return r.select(
+        "user_id", "event_id", F.round(wsum / wnorm, 6).alias("ewma")
+    )
+
+
+_MD5_HEX8_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, 9), "
+    "i -> CAST(instr('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT))), "
+    "(acc, d) -> acc * 16 + d)"
+)
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           CAST(sum({_MD5_HEX8_SQL}) AS BIGINT) AS content_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="ORC source/sink round trip, VALUE-certified: the documents "
+    "table is written to ORC (Spark's built-in columnar alternative "
+    "to parquet — zlib/zstd stripes, predicate-pushdown indexes) and "
+    "read back, and the oracle computes the identical per-language "
+    "aggregate over the ORIGINAL parquet — so any codec-level value "
+    "corruption (encoding, nulls, unicode) breaks the hash match. "
+    "The content checksum is a SUM of per-row md5-prefix integers: "
+    "order-independent and mergeable, so it scales as an ordinary "
+    "partial->final aggregate (the same trick incremental pipelines "
+    "use for cross-format migration audits — never a sorted "
+    "string_agg, which would single-partition the corpus). The ORC "
+    "write itself is map-side parallel per partition.",
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"jaffle_orc_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    d.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    checksum = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum(checksum).cast("bigint").alias("content_checksum"),
+    )

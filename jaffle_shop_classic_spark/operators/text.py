@@ -1548,3 +1548,237 @@ def q_vocab_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "token", "freq", (F.row_number().over(w) - 1).alias("vocab_id")
     )
+
+
+# ------------------------------------------- trained quality classifier
+LR_ITERS = 15
+LR_RATE = 2.0
+
+_LR_FEAT_SQL = """
+    feat AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS x1,
+             round(CAST(length(regexp_replace(text, '[^aeiouAEIOU]', '', 'g')) AS DOUBLE)
+                   / greatest(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')), 1), 6) AS x2,
+             round(ln(1.0 + length(text)) / 10, 6) AS x3
+      FROM documents
+    )"""
+
+
+def _lr_oracle() -> str:
+    ctes = [_LR_FEAT_SQL, "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS d)"]
+    for i in range(LR_ITERS):
+        ctes.append(f"""
+    s{i} AS (
+      SELECT f.y, f.x1, f.x2, f.x3, w.a, w.b, w.c, w.d,
+             1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2 + w.d * f.x3))) AS p
+      FROM feat f CROSS JOIN w{i} w
+    ),
+    w{i + 1} AS (
+      SELECT round(max(a) - {LR_RATE} * sum(p - y) / count(*), 6) AS a,
+             round(max(b) - {LR_RATE} * sum((p - y) * x1) / count(*), 6) AS b,
+             round(max(c) - {LR_RATE} * sum((p - y) * x2) / count(*), 6) AS c,
+             round(max(d) - {LR_RATE} * sum((p - y) * x3) / count(*), 6) AS d
+      FROM s{i}
+    )""")
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT max(w.a) AS w_bias, max(w.b) AS w_alpha_frac,
+           max(w.c) AS w_vowel_frac, max(w.d) AS w_log_len,
+           CAST(sum(CASE WHEN ((w.a + w.b * f.x1 + w.c * f.x2 + w.d * f.x3) > 0)
+                              = (f.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM feat f CROSS JOIN w{LR_ITERS} w
+    """
+    )
+
+
+@register(
+    "quality_lr_classifier",
+    oracle=_lr_oracle(),
+    doc=f"Trained quality/language classifier — full-batch logistic "
+    f"regression, {LR_ITERS} gradient-descent iterations (lr={LR_RATE}), "
+    "the fastText-style linear-filter stage real curation pipelines "
+    "train over cheap surface features (GPT-3's quality filter was "
+    "exactly this shape). Features: alpha fraction, vowel fraction, "
+    "log-length — all map-side string ops rounded 6dp so both engines "
+    "train on bit-identical inputs. Each iteration is ONE broadcast of "
+    "the 4-number weight row + ONE partial->final gradient aggregate "
+    "(sum((p-y)*x_j)/n); weights round to 6dp per update, pinning the "
+    "whole trajectory cross-engine exactly like kmeans_lloyd's "
+    "centroid state. The accuracy predicate (z > 0) is an inner "
+    "product of 6dp-rounded values with a fixed evaluation order, so "
+    "the count is knife-edge-free. At 100 TB: model state is O(1), "
+    "per-iteration cost is one corpus scan with a 4-double aggregate "
+    "— mini-batching or L-BFGS changes the step rule, not the plan "
+    "shape. The DuckDB oracle replays the full training loop in "
+    "chained CTEs.",
+)
+def q_quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    alpha_len = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    feat = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.round(
+            alpha_len.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6
+        ).alias("x1"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^aeiouAEIOU]", "")).cast("double")
+            / F.greatest(alpha_len, F.lit(1)),
+            6,
+        ).alias("x2"),
+        F.round(F.log(1.0 + F.length("text")) / 10, 6).alias("x3"),
+    )
+    # features are read once and reused by every GD iteration (4 doubles
+    # per doc); the per-iteration weight checkpoint keeps the plan depth
+    # CONSTANT instead of growing with the iteration count — without it
+    # iteration k's lazy plan embeds all k-1 predecessors and analysis
+    # time dominates (measured 9s -> ~1s at sf0.01). 1 row, never
+    # driver-collected. At 100 TB the checkpoint becomes a table write,
+    # same as the k-means centroid state.
+    feat = feat.localCheckpoint(eager=True)
+    w = feat.sparkSession.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], "a double, b double, c double, d double"
+    )
+    z = F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2") + F.col("d") * F.col("x3")
+    p = 1.0 / (1.0 + F.exp(-z))
+    n = F.count(F.lit(1))
+    for _ in range(LR_ITERS):
+        scored = feat.crossJoin(F.broadcast(w)).withColumn("p", p)
+        w = scored.agg(
+            F.round(F.max("a") - LR_RATE * F.sum(F.col("p") - F.col("y")) / n, 6).alias("a"),
+            F.round(
+                F.max("b") - LR_RATE * F.sum((F.col("p") - F.col("y")) * F.col("x1")) / n, 6
+            ).alias("b"),
+            F.round(
+                F.max("c") - LR_RATE * F.sum((F.col("p") - F.col("y")) * F.col("x2")) / n, 6
+            ).alias("c"),
+            F.round(
+                F.max("d") - LR_RATE * F.sum((F.col("p") - F.col("y")) * F.col("x3")) / n, 6
+            ).alias("d"),
+        ).localCheckpoint(eager=True)
+    correct = ((z > 0) == (F.col("y") == 1.0)).cast("int")
+    return (
+        feat.crossJoin(F.broadcast(w))
+        .agg(
+            F.max("a").alias("w_bias"),
+            F.max("b").alias("w_alpha_frac"),
+            F.max("c").alias("w_vowel_frac"),
+            F.max("d").alias("w_log_len"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+# --------------------------------------- sparse tf-idf cosine similarity
+SPARSE_DF_FRAC = 0.02  # prune terms appearing in >2% of docs (stopword tail)
+
+
+@register(
+    "sim_sparse_tfidf_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks, trim(text) AS txt FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [txt] END) AS term
+      FROM t
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    kept AS (
+      SELECT tf.doc_id, tf.term, df.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE df.df <= greatest(2, n.n_docs * {SPARSE_DF_FRAC})
+    ),
+    nrm AS (
+      SELECT doc_id, round(sqrt(sum(w * w)), 6) AS nrm FROM kept GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM kept a JOIN kept b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      WHERE a.df >= 2 AND b.df >= 2
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b,
+           round(d.dot / (x.nrm * y.nrm), 6) AS cosine
+    FROM dots d JOIN nrm x ON d.doc_a = x.doc_id
+                JOIN nrm y ON d.doc_b = y.doc_id
+    ORDER BY cosine DESC, doc_a ASC, doc_b ASC
+    LIMIT 50
+    """,
+    doc="Sparse-vector cosine similarity in tf-idf space via an "
+    "INVERTED-INDEX self-join over 3-gram shingles (the shingle "
+    "multiset is the sparse dimension — unigrams are useless on a "
+    "bounded vocabulary, and at corpus scale shingles are what "
+    "near-dup scoring keys on anyway) — the lexical complement of "
+    "the dense embedding path (sim_cosine_topk): docs sharing no "
+    "shingle never meet, so the pair stream is O(sum_t df_t^2) over "
+    f"the PRUNED vocabulary, never O(n^2). The df <= {SPARSE_DF_FRAC}"
+    " * N cut drops the boilerplate tail before the join — the same "
+    "hot-key discipline as the LSH band cap (a corpus-wide shingle "
+    "would otherwise form a quadratic bucket); df=1 shingles still "
+    "count toward norms (semantics) but are skipped by the pair "
+    "join (they cannot produce a pair). Shuffles: (doc,shingle) tf "
+    "agg, shingle-keyed pair join, pair-keyed dot agg — each on the "
+    "natural key. Weights round 6dp pre-join so both engines dot "
+    "identical values; the bounded per-pair overlap keeps the 6dp "
+    "cosine round fold-order-safe. At 100 TB this IS the BM25/"
+    "dup-candidate scorer: the inverted index is the stored "
+    "artifact and the prefix-filter family (dedup_jaccard_"
+    "prefix_filter) bounds the same join harder when thresholds "
+    "allow.",
+)
+def q_sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import exploded_shingles  # runtime import (dedup imports text)
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.transform(exploded_shingles).select("doc_id", F.col("s").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= F.greatest(F.lit(2.0), F.col("n_docs") * SPARSE_DF_FRAC))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("w"),
+        )
+    )
+    # feeds both the norm aggregate and both sides of the pair join
+    kept = kept.localCheckpoint(eager=True)
+    nrm = kept.groupBy("doc_id").agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nrm"))
+    joinable = kept.filter(F.col("df") >= 2)
+    a, b = joinable.alias("a"), joinable.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    x = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    y = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(50)
+    )

@@ -1,0 +1,113 @@
+"""Behavioral tests for the round-7 operators (oracle parity is covered
+by test_oracle_parity.py; these pin SEMANTICS on controlled inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_fuzzy_join_finds_planted_typo_pair(spark, tmp_path):
+    """Two same-brand parts whose names differ by one edit must pair at
+    lev_dist=1; cross-brand twins must NOT (blocking is intentional)."""
+    rows = [
+        (1, "red widget", "Brand#1"),
+        (2, "red widgets", "Brand#1"),  # 1 edit, same block
+        (3, "red widget", "Brand#2"),  # identical name, other block
+        (4, "blue bolt", "Brand#1"),  # same brand, different first letter
+        (5, "completely different", "Brand#1"),
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    got = {
+        (r["part_a"], r["part_b"]): r["lev_dist"]
+        for r in load_catalog()["fuzzy_join_levenshtein"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2): 1}
+
+
+def test_ewma_weights_recent_events_more(spark, tmp_path):
+    """A step change in value: EWMA must sit strictly between the old
+    and new levels and closer to the new one (alpha=0.5 halves each
+    step back)."""
+    rows = [
+        (i, f"2024-01-01 00:0{i}:00", 1, "view", 0.0 if i < 5 else 100.0, "{}")
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in load_catalog()["event_ewma_smoothing"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[4] == 0.0  # before the step: flat history
+    assert 50.0 < got[5] <= 100.0  # first high value dominates (weight 1/2)
+    assert got[9] > got[5]  # keeps converging toward 100
+    assert got[9] < 100.0  # old zeros still in the window
+
+
+def test_lr_classifier_beats_majority_on_separable_corpus(spark, tmp_path):
+    """On a linearly separable corpus (en = alpha-heavy text, other =
+    digit-heavy), 5 GD iterations must beat the majority-class baseline
+    and move the alpha-fraction weight positive."""
+    rows = []
+    for i in range(60):
+        rows.append((i, "alpha words only here " * 3, "en", "web", 66))
+    for i in range(40):
+        rows.append((100 + i, "12345 67890 11111 22222 " * 3, "zh", "web", 72))
+    _write_docs(spark, tmp_path, rows)
+    r = load_catalog()["quality_lr_classifier"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 100
+    assert r["n_correct"] > 60  # beats predicting the majority class
+    assert r["w_alpha_frac"] > 0  # alpha fraction predicts 'en'
+
+
+def test_sparse_tfidf_pairs_ranks_shared_shingles_first(spark, tmp_path):
+    """Docs sharing rare shingles must out-rank docs sharing none; a
+    boilerplate shingle present in EVERY doc is pruned by the df cut
+    and alone produces no pair."""
+    boiler = "copyright footer text"
+    rows = [
+        (1, f"unique alpha beta gamma delta {boiler}", "en", "web", 1),
+        (2, f"unique alpha beta gamma other {boiler}", "en", "web", 1),
+        (3, f"totally different content stream {boiler}", "en", "web", 1),
+        # many docs carrying only the boilerplate => df(boiler shingles) high
+        *[(10 + i, f"filler{i} filler{i}b {boiler}", "en", "web", 1) for i in range(200)],
+    ]
+    _write_docs(spark, tmp_path, rows)
+    rows_out = load_catalog()["sim_sparse_tfidf_pairs"].fn(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in rows_out}
+    assert (1, 2) in pairs  # rare shared shingles pair up
+    # boilerplate-only docs must not pair via the pruned hot shingles
+    assert not any(a >= 10 and b >= 10 for a, b in pairs)
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    """Full-row equality through the ORC write/read cycle, including
+    unicode text."""
+    rows = [
+        (1, "héllo wörld ünïcode", "de", "web", 19),
+        (2, "plain ascii text", "en", "web", 16),
+        (3, None, "en", "web", 0),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    d = load_table(spark, str(tmp_path), "documents")
+    d.write.mode("overwrite").orc(f"{tmp_path}/docs_orc")
+    back = spark.read.orc(f"{tmp_path}/docs_orc")
+    assert sorted(map(tuple, d.collect())) == sorted(map(tuple, back.collect()))
+    # and the catalog aggregate runs green on the same fixture
+    out = load_catalog()["source_orc_roundtrip"].fn(spark, str(tmp_path)).collect()
+    assert sum(r["n_docs"] for r in out) == 3
