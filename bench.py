@@ -77,6 +77,8 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "quality_lr_classifier",
     "sim_sparse_tfidf_pairs",
     "event_ewma_smoothing",
+    "corpus_token_ids",
+    "decimal_exact_pricing",
 ]
 
 

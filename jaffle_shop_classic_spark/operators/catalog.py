@@ -156,6 +156,10 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "users_anomaly_mad",
+    "event_time_weighted_avg",
+    "decimal_exact_pricing",
+    "corpus_token_ids",
     "fuzzy_join_levenshtein",
     "quality_lr_classifier",
     "sim_sparse_tfidf_pairs",

@@ -1010,16 +1010,21 @@ def q_dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame
       )
     ),
     stats AS (
-      SELECT g, count(*) AS cnt,
-             min(struct_pack(d := doc_id, p := pos)) AS min_ok
+      SELECT g, count(*) AS cnt, min(doc_id) AS dmin
       FROM occ GROUP BY g
+    ),
+    pmin AS (
+      SELECT o.g, min(o.pos) AS pmin
+      FROM occ o JOIN stats s USING (g)
+      WHERE o.doc_id = s.dmin
+      GROUP BY o.g
     ),
     cov AS (
       SELECT doc_id, list_sort(list(DISTINCT p)) AS cov FROM (
         SELECT o.doc_id, unnest(range(o.pos, o.pos + {SPAN_N})) AS p
-        FROM occ o JOIN stats s USING (g)
+        FROM occ o JOIN stats s USING (g) JOIN pmin m USING (g)
         WHERE s.cnt > 1
-          AND NOT (o.doc_id = s.min_ok.d AND o.pos = s.min_ok.p)
+          AND NOT (o.doc_id = s.dmin AND o.pos = m.pmin)
       ) GROUP BY doc_id
     )
     SELECT t.doc_id,
@@ -1053,9 +1058,9 @@ def q_dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     "doc, and the rewrite is a map-side higher-order filter over the "
     "original token array (no token-stream shuffle: only gram hashes "
     "and position integers ever ride an exchange). The canonical key "
-    "is a lexicographic struct-min over (doc_id, pos) — a plain "
-    "mergeable aggregate in both engines, collision-free at any "
-    "document length.",
+    "is the lexicographic min over (doc_id, pos), decomposed into two "
+    "hash-aggregable bigint mins on the gram key — collision-free at "
+    "any document length, no sort aggregate.",
 )
 def q_curation_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1070,16 +1075,27 @@ def q_curation_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gram stream feeds both the stats aggregate and the join probe
     # (same rationale/measurement as dedup_duplicate_ngram_spans)
     occ = occ.localCheckpoint(eager=True)
-    # canonical occurrence = lexicographic min over (doc_id, pos) via a
-    # struct-min — a plain mergeable aggregate in both engines with no
-    # packed-key collision risk at any document length (the former
-    # doc_id*100000+pos pack silently collided past 100k tokens)
+    # canonical occurrence = lexicographic min over (doc_id, pos),
+    # decomposed into TWO plain bigint min aggregates on the same gram
+    # key (min doc_id per gram, then min pos within that doc): a
+    # struct-min would be collision-free too but Spark plans struct
+    # aggregation buffers as SortAggregate (sorting every gram
+    # partition), and the former doc_id*100000+pos pack silently
+    # collided past 100k-token documents. Both aggregates stay
+    # HashAggregate and every join rides the one gram-hash key.
     stats = occ.groupBy("g").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.min(F.struct("doc_id", "pos")).alias("min_ok"),
+        F.min("doc_id").alias("dmin"),
     )
-    removable = occ.join(stats, "g").filter(
-        (F.col("cnt") > 1) & (F.struct("doc_id", "pos") != F.col("min_ok"))
+    joined = occ.join(stats, "g")
+    pmin = (
+        joined.filter(F.col("doc_id") == F.col("dmin"))
+        .groupBy("g")
+        .agg(F.min("pos").alias("pmin"))
+    )
+    removable = joined.join(pmin, "g").filter(
+        (F.col("cnt") > 1)
+        & ~((F.col("doc_id") == F.col("dmin")) & (F.col("pos") == F.col("pmin")))
     )
     cov = (
         removable.select(

@@ -2872,3 +2872,165 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc"),
         F.sum(checksum).cast("bigint").alias("content_checksum"),
     )
+
+
+@register(
+    "users_anomaly_mad",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    med AS (
+      SELECT CAST(round(2 * quantile_cont(n_events, 0.5)) AS BIGINT) AS m2 FROM c
+    ),
+    dev AS (
+      SELECT c.user_id, c.n_events, abs(4 * c.n_events - 2 * med.m2) AS d4
+      FROM c CROSS JOIN med
+    ),
+    mad AS (
+      SELECT CAST(round(quantile_cont(d4, 0.5)) AS BIGINT) AS mad4 FROM dev
+    )
+    SELECT dev.user_id, dev.n_events
+    FROM dev CROSS JOIN mad
+    WHERE 10000 * dev.d4 > 22239 * mad.mad4
+    ORDER BY user_id
+    """,
+    doc="Robust outlier detection via MEDIAN absolute deviation — the "
+    "resistant twin of users_anomaly_zscore (one mega-user inflates "
+    "mean AND stddev, hiding itself from a z-score; the median "
+    "ignores it). Flag |c - median| > 1.5 * 1.4826 * MAD (the 1.5 "
+    "sensitivity keeps the flag non-vacuous on the near-uniform bench "
+    "corpus; production dials 2-3). Every float "
+    "is eliminated from the decision: interpolated medians of "
+    "integers land on quarter-units, so deviations are carried as "
+    "exact 4x-scaled BIGINTs (d4 = |4c - 2*median*2|, mad4 = "
+    "4*MAD) and the threshold cross-multiplies to 10000*d4 > "
+    "22239*mad4 — the same integer-exactness discipline as the "
+    "z-score query, so the knife-edge flag can never disagree "
+    "across engines. Plan: per-user count (keys-only shuffle), two "
+    "1-row quantile aggregates broadcast back, map-side flag. At "
+    "100 TB the exact median swaps for approx_percentile with an "
+    "epsilon documented on the threshold.",
+)
+def q_users_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    med = c.agg(
+        F.round(2 * F.percentile("n_events", F.lit(0.5))).cast("bigint").alias("m2")
+    )
+    dev = c.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        "n_events",
+        F.abs(4 * F.col("n_events") - 2 * F.col("m2")).alias("d4"),
+    )
+    mad = dev.agg(
+        F.round(F.percentile("d4", F.lit(0.5))).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(10000 * F.col("d4") > 22239 * F.col("mad4"))
+        .select("user_id", "n_events")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "event_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+             - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dt_us) / sum(dt_us), 6) AS twa_value,
+           CAST(sum(dt_us) AS BIGINT) AS span_us
+    FROM s WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(dt_us) > 0
+    ORDER BY user_id
+    """,
+    doc="Time-weighted average over an IRREGULAR event stream — each "
+    "reading holds until the next one, so its weight is the interval "
+    "it was live (step-function integral / elapsed span), the correct "
+    "aggregate for sensor/price/state series where arithmetic mean "
+    "over-weights bursts. The interval arithmetic is exact BIGINT "
+    "microseconds (epoch_us both engines); only the value*interval "
+    "products are floats, summed per user (bounded group size) under "
+    "a 6dp round. Plan: ONE window sort on (user_id, ts, event_id) "
+    "producing lead() deltas, then the same exchange carries the "
+    "groupBy — one shuffle total. The last event per user has no "
+    "successor and drops out (open interval), zero-span users are "
+    "excluded exactly in both engines via the integer HAVING.",
+)
+def q_event_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt_us"),
+    )
+    return (
+        s.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twa_value"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "decimal_exact_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS gross_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+             AS disc_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+             AS total_discount
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Money-exact pricing rollup: every monetary quantity is cast to "
+    "DECIMAL(18,2) at the scan and all arithmetic stays in decimal — "
+    "sums are EXACT (associative, partition-order-independent), so "
+    "unlike every double-summing query in this catalog the output "
+    "needs NO rounding and the cross-engine hash matches bit-for-bit "
+    "by construction. This is the financial-reporting discipline: a "
+    "double sum over 100 TB of line items drifts with partition "
+    "count; a decimal sum cannot. The double->decimal(2) cast itself "
+    "is unambiguous (binary doubles are never exact .005 midpoints, "
+    "so round-to-nearest has no ties). Fixed final precisions "
+    "(38,2)/(38,4) pin the schema across engines. Plan: plain "
+    "partial->final hash aggregate on a 2-value key — decimal adds "
+    "in unscaled longs JVM-side, same cost class as the double sum.",
+)
+def q_decimal_exact_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one_minus = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(price).cast("decimal(38,2)").alias("gross_revenue"),
+            F.sum(price * one_minus).cast("decimal(38,4)").alias("disc_revenue"),
+            F.sum(price * disc).cast("decimal(38,4)").alias("total_discount"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1782,3 +1782,68 @@ def q_sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
         .limit(50)
     )
+
+
+@register(
+    "corpus_token_ids",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(pos := i, tok := toks[i]))) AS u
+        FROM t
+      )
+    ),
+    freq AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
+    vocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY f DESC, tok ASC) - 1 AS BIGINT)
+             AS vocab_id
+      FROM freq
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           list(v.vocab_id ORDER BY tok.pos) AS token_ids
+    FROM tok JOIN vocab v ON tok.tok = v.tok
+    GROUP BY tok.doc_id
+    ORDER BY tok.doc_id
+    """,
+    doc="Corpus integer-encoding: apply the frequency-ranked vocabulary "
+    "(same ranking as vocab_id_assign) to every document, emitting "
+    "the position-ordered id array — the tokenize->encode step that "
+    "turns a text corpus into model-ready input. Plan: ONE "
+    "posexplode token stream feeds both the vocabulary aggregate "
+    "(Zipf-bounded, broadcast back) and the encode join, so the "
+    "corpus is scanned once; the id arrays reassemble via "
+    "array_sort(collect_list(struct(pos, id))) inside the per-doc "
+    "agg buffer — bounded by document length, the same bound "
+    "text_inverted_index enforces per term. The encode join is "
+    "map-side (broadcast dictionary); only (doc_id, pos, id) "
+    "triples ride the final shuffle. At 100 TB the vocabulary is "
+    "the stored artifact and this query is the pure-encode pass "
+    "over new data.",
+)
+def q_corpus_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.selectExpr("doc_id", r"split(trim(text), '\\s+') AS tk")
+    tok = base.selectExpr("doc_id", "posexplode(tk) AS (pos0, tok)")
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+    vocab = freq.select(
+        "tok", (F.row_number().over(w) - 1).cast("bigint").alias("vocab_id")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos0, vocab_id))), "
+                "x -> x.vocab_id)"
+            ).alias("token_ids"),
+        )
+        .orderBy("doc_id")
+    )

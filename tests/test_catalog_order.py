@@ -19,9 +19,21 @@ _REQUIRED_IN_WINDOW = {
     "text": {"text_token_stats", "text_tfidf_topk", "quality_percentile_filter"},
     "dedup": {"dedup_exact", "dedup_minhash_lsh_pairs", "dedup_cluster_components"},
     "similarity": {"sim_cosine_topk", "sim_ivf_topk", "kmeans_lloyd"},
-    "multimodal": {"mm_frame_sample", "mm_feature_extract"},
+    # round 7: mm_frame_sample / stream_tumbling_counts (r06-green
+    # duplicate-class reps) rotated to Tier 2 for graph_pagerank and
+    # stream_left_outer_join
+    "multimodal": {"mm_feature_extract"},
     "udfs": {"udf_apply_in_pandas", "asof_join_last_signup"},
-    "streaming": {"stream_tumbling_counts", "stream_session_windows"},
+    "streaming": {"stream_left_outer_join", "stream_session_windows"},
+    # round 7: the round-6 flagships promoted into the hard signal
+    "round7_promotions": {
+        "dedup_jaccard_prefix_filter",
+        "graph_pagerank",
+        "dedup_semantic_clusters",
+        "distinct_exact_bitmap",
+        "cdc_upsert_with_deletes",
+        "incremental_orders_state",
+    },
     # round 5: map_ops / text_repetition_ratio (duplicate-class reps of
     # array_vector_norm / the 5-strong text block) rotated to Tier 2 to
     # re-certify the X3 top-k and X8 exact-percentile classes

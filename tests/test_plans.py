@@ -174,10 +174,21 @@ def test_mg_heavy_hitters_bounded_summaries_and_broadcast_recount(spark, sf_dir)
 def test_zorder_like_map_only_pq_encode_codebook_broadcasts(spark, sf_dir):
     # every codebook join in PQ training/encode must broadcast the
     # (M*K)-row model side — a sort-merge would shuffle the subvector
-    # long-form per iteration
+    # long-form per iteration. Since round 7 the trained codebook is a
+    # session-cached localCheckpoint (see similarity._TRAINED), so the
+    # TRAINING plan is inspected directly and the encode query's final
+    # plan must broadcast the checkpointed codebook.
+    from jaffle_shop_classic_spark.operators.similarity import _pq_codebooks, _pq_sub
+
+    train_df = _pq_codebooks(_pq_sub(spark, sf_dir))
+    train_plan = train_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" not in train_plan
+    assert train_plan.count("BroadcastHashJoin") >= 2  # one per Lloyd iteration
     plan = _plan(spark, sf_dir, "embedding_pq_encode")
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 1  # encode argmin join
 
 
 def test_tpch_q5_single_aggregate_exchange(spark, sf_dir):

@@ -111,3 +111,82 @@ def test_orc_roundtrip_preserves_values(spark, tmp_path):
     # and the catalog aggregate runs green on the same fixture
     out = load_catalog()["source_orc_roundtrip"].fn(spark, str(tmp_path)).collect()
     assert sum(r["n_docs"] for r in out) == 3
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(
+        f"{path}/events.parquet"
+    )
+
+
+def test_mad_flags_outlier_zscore_misses(spark, tmp_path):
+    """The classic robustness case: one mega-user so extreme it inflates
+    mean+stddev. MAD must flag it; its presence must not drag normal
+    users into the flag set."""
+    rows = []
+    eid = 0
+    for u in range(20):  # 20 normal users, 10 events each
+        for i in range(10):
+            rows.append((eid, f"2024-01-01 0{i % 10}:00:00", u, "view", 1.0, "{}"))
+            eid += 1
+    for i in range(500):  # the mega-user
+        rows.append((eid, "2024-01-02 00:00:00", 99, "view", 1.0, "{}"))
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in load_catalog()["users_anomaly_mad"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {99: 500}
+
+
+def test_time_weighted_avg_weights_by_interval(spark, tmp_path):
+    """Value 10 held for 9 minutes then 100 for 1 minute: TWA = 19,
+    while the naive mean of readings would say 40."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "v", 10.0, "{}"),
+        (2, "2024-01-01 00:09:00", 1, "v", 100.0, "{}"),
+        (3, "2024-01-01 00:10:00", 1, "v", 55.0, "{}"),  # closes the span
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = load_catalog()["event_time_weighted_avg"].fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0]["twa_value"] == 19.0
+    assert r[0]["span_us"] == 10 * 60 * 1_000_000
+
+
+def test_decimal_pricing_is_exact_under_repartition(spark, sf_dir):
+    """Decimal sums must be identical regardless of partitioning — the
+    property double sums lack. Also Decimal output scale is pinned."""
+    from decimal import Decimal
+
+    fn = load_catalog()["decimal_exact_pricing"].fn
+    a = fn(spark, sf_dir).collect()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = fn(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(isinstance(r["disc_revenue"], Decimal) for r in a)
+
+
+def test_corpus_token_ids_roundtrip_decode(spark, tmp_path):
+    """Encoding then decoding through the vocabulary must reproduce the
+    original token stream; most-frequent token gets id 0."""
+    rows = [
+        (1, "a a a b c", "en", "web", 9),
+        (2, "b a c c a", "en", "web", 9),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r["token_ids"]
+        for r in load_catalog()["corpus_token_ids"].fn(spark, str(tmp_path)).collect()
+    }
+    # freq: a=5 -> 0, c=3 -> 1, b=2 -> 2
+    assert out[1] == [0, 0, 0, 2, 1]
+    assert out[2] == [2, 0, 1, 1, 0]
