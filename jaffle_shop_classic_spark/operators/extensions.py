@@ -2741,7 +2741,13 @@ def q_cdc_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a, b = p.alias("a"), p.alias("b")
+    # spread the probe side across tasks on the BLOCK key: the dimension
+    # table arrives as one small file (one split), which would run the
+    # entire post-join levenshtein stream on a single core; block-key
+    # partitioning is also exactly how a cluster would co-locate the
+    # comparison work (measured 2.5s -> ~0.4s at sf0.1 on local[32])
+    probe = p.repartition(F.col("p_brand"), F.substring(F.col("p_name"), 1, 1))
+    a, b = probe.alias("a"), p.alias("b")
     return (
         a.join(
             b,
@@ -2757,11 +2763,14 @@ def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_partkey").alias("part_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            # thresholded levenshtein: banded O(len*k) DP that bails at
+            # k=3 (returns -1 above), ~the verify-cost trick every
+            # similarity join here uses; exact distance for survivors
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
             .cast("bigint")
             .alias("lev_dist"),
         )
-        .filter(F.col("lev_dist") <= 3)
+        .filter(F.col("lev_dist") >= 0)
         .orderBy(F.col("lev_dist").asc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(50)
     )

@@ -1638,39 +1638,56 @@ def q_quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration k's lazy plan embeds all k-1 predecessors and analysis
     # time dominates (measured 9s -> ~1s at sf0.01). 1 row, never
     # driver-collected. At 100 TB the checkpoint becomes a table write,
-    # same as the k-means centroid state.
-    feat = feat.localCheckpoint(eager=True)
-    w = feat.sparkSession.createDataFrame(
-        [(0.0, 0.0, 0.0, 0.0)], "a double, b double, c double, d double"
-    )
-    z = F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2") + F.col("d") * F.col("x3")
-    p = 1.0 / (1.0 + F.exp(-z))
-    n = F.count(F.lit(1))
-    for _ in range(LR_ITERS):
-        scored = feat.crossJoin(F.broadcast(w)).withColumn("p", p)
-        w = scored.agg(
-            F.round(F.max("a") - LR_RATE * F.sum(F.col("p") - F.col("y")) / n, 6).alias("a"),
-            F.round(
-                F.max("b") - LR_RATE * F.sum((F.col("p") - F.col("y")) * F.col("x1")) / n, 6
-            ).alias("b"),
-            F.round(
-                F.max("c") - LR_RATE * F.sum((F.col("p") - F.col("y")) * F.col("x2")) / n, 6
-            ).alias("c"),
-            F.round(
-                F.max("d") - LR_RATE * F.sum((F.col("p") - F.col("y")) * F.col("x3")) / n, 6
-            ).alias("d"),
-        ).localCheckpoint(eager=True)
-    correct = ((z > 0) == (F.col("y") == 1.0)).cast("int")
-    return (
-        feat.crossJoin(F.broadcast(w))
-        .agg(
-            F.max("a").alias("w_bias"),
-            F.max("b").alias("w_alpha_frac"),
-            F.max("c").alias("w_vowel_frac"),
-            F.max("d").alias("w_log_len"),
-            F.sum(correct).cast("bigint").alias("n_correct"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    # same as the k-means centroid state. The coalesce sizes the
+    # checkpointed feature table to the data (4 doubles/doc), not to
+    # the source file count — 15 iterations x 32 near-empty tasks is
+    # pure scheduler overhead at bench scale; a cluster run sizes this
+    # by bytes exactly like every compaction in sources/maintenance.py.
+    feat = feat.coalesce(4).localCheckpoint(eager=True)
+
+    # The 4-number weight state lives on the DRIVER between iterations —
+    # the standard distributed-GD layout (spark.ml's LBFGS holds the
+    # coefficient vector on the driver and treeAggregates gradients the
+    # same way): state is O(model), gradients are one partial->final
+    # aggregate per step, nothing corpus-sized ever leaves the
+    # executors. The 1-row collect per iteration is the same class as
+    # the connected-components convergence probe (dedup.py). The
+    # rounding stays INSIDE the Spark expression, so the update
+    # arithmetic is bit-identical to the oracle's CTE chain; driver
+    # transport of the already-rounded doubles is exact.
+    def z_of(wa: float, wb: float, wc: float, wd: float):
+        return (
+            F.lit(wa)
+            + F.lit(wb) * F.col("x1")
+            + F.lit(wc) * F.col("x2")
+            + F.lit(wd) * F.col("x3")
         )
+
+    n = F.count(F.lit(1))
+    wa = wb = wc = wd = 0.0
+    for _ in range(LR_ITERS):
+        p = 1.0 / (1.0 + F.exp(-z_of(wa, wb, wc, wd)))
+        g = F.col("p") - F.col("y")
+        row = (
+            feat.withColumn("p", p)
+            .agg(
+                F.round(F.lit(wa) - LR_RATE * F.sum(g) / n, 6).alias("a"),
+                F.round(F.lit(wb) - LR_RATE * F.sum(g * F.col("x1")) / n, 6).alias("b"),
+                F.round(F.lit(wc) - LR_RATE * F.sum(g * F.col("x2")) / n, 6).alias("c"),
+                F.round(F.lit(wd) - LR_RATE * F.sum(g * F.col("x3")) / n, 6).alias("d"),
+            )
+            .collect()[0]
+        )
+        wa, wb, wc, wd = row["a"], row["b"], row["c"], row["d"]
+    zf = z_of(wa, wb, wc, wd)
+    correct = ((zf > 0) == (F.col("y") == 1.0)).cast("int")
+    return feat.agg(
+        F.max(F.lit(wa)).alias("w_bias"),
+        F.max(F.lit(wb)).alias("w_alpha_frac"),
+        F.max(F.lit(wc)).alias("w_vowel_frac"),
+        F.max(F.lit(wd)).alias("w_log_len"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
 
 
