@@ -43,7 +43,6 @@ CROSS_OK = {
     "sim_ivfpq_topk",  # broadcast coarse-centroid assignment join
     "quantiles_histogram_cdf",  # broadcast 4-row quantile-threshold join
     "graph_pagerank",  # broadcast 1-row teleport/init constants join
-    "quality_lr_classifier",  # broadcast 1-row weight-state join per GD step
     "users_anomaly_mad",  # broadcast 1-row median/MAD joins
     "sim_sparse_tfidf_pairs",  # broadcast 1-row corpus-size (N) join for idf
 }
