@@ -156,6 +156,10 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "tpch_q2_style",
+    "tpch_q18_style",
+    "pivot_dynamic",
+    "incremental_revenue_rollup",
     "users_anomaly_mad",
     "event_time_weighted_avg",
     "decimal_exact_pricing",

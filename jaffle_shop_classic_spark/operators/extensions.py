@@ -3043,3 +3043,198 @@ def q_decimal_exact_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "tpch_q2_style",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice AS min_price
+    FROM part p
+    WHERE p.p_retailprice = (
+      SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    ORDER BY p.p_brand ASC, p.p_partkey ASC
+    """,
+    doc="TPC-H Q2's correlated-subquery shape (cheapest supplier per "
+    "part, here: cheapest part(s) per brand) DECORRELATED the way "
+    "every engine's optimizer rewrites it: the per-group scalar "
+    "subquery becomes one group-level min aggregate joined back on "
+    "the correlation key — O(n) + one small join instead of a "
+    "rescan per outer row. Ties all surface (Q2 semantics), and the "
+    "equality predicate compares the engine's own stored doubles "
+    "(no arithmetic), so it is exact in both engines. The oracle "
+    "keeps the CORRELATED form — DuckDB decorrelates it internally "
+    "— certifying that the manual Spark rewrite implements the "
+    "subquery semantics, not an approximation of them. At 100 TB "
+    "the aggregate side is brand-cardinality rows: broadcast.",
+)
+def q_tpch_q2_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").alias("p")
+    m = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_brand").alias("mb"))
+        .agg(F.min("p_retailprice").alias("mp"))
+    )
+    return (
+        p.join(
+            F.broadcast(m),
+            (F.col("p.p_brand") == F.col("mb"))
+            & (F.col("p.p_retailprice") == F.col("mp")),
+        )
+        .select(
+            F.col("p.p_brand").alias("p_brand"),
+            "p_partkey",
+            "p_name",
+            F.col("p.p_retailprice").alias("min_price"),
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@register(
+    "tpch_q18_style",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(big.sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 200
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY big.sum_qty DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 (large-volume customers): aggregate-then-join — the "
+    "HAVING filter shrinks the fact table BEFORE it meets orders/"
+    "customer, so the expensive joins see only qualifying keys (the "
+    "optimizer cannot push a sum() predicate; writing the aggregate "
+    "innermost is the query author's job, same discipline dbt marts "
+    "teach). The quantity sum is exact despite double typing: "
+    "quantities are integer-valued and the sums stay far below 2^53, "
+    "so the HAVING threshold has no float knife-edge in either "
+    "engine. Plan: one l_orderkey aggregate (partial->final), "
+    "filtered keys join orders then broadcast-ish customer; top-100 "
+    "is TakeOrdered.",
+)
+def q_tpch_q18_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "pivot_dynamic",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Dynamic pivot — the column set is DISCOVERED from the data "
+    "(distinct event_type, sorted), then the pivot compiles to the "
+    "same conditional-count aggregate as the declared-values form "
+    "(pivot_native / R9). The two-phase shape is the production "
+    "reality for 'one column per category' reports where the "
+    "category set drifts: phase 1 is a distinct aggregate over the "
+    "pivot column (category-cardinality rows — driver-safe by "
+    "definition, or the pivot could not be a schema), phase 2 is "
+    "one partial->final aggregate. Spark's df.pivot() without "
+    "values does exactly this internally; values are passed sorted "
+    "so the column order is deterministic. The oracle hardcodes "
+    "the discovered set — schema equality IS part of the check.",
+)
+def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    values = [
+        r["event_type"]
+        for r in e.select("event_type").distinct().orderBy("event_type").collect()
+    ]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", values)
+        .agg(F.count(F.lit(1)))
+        .orderBy("user_id")
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(v), F.lit(0)).cast("bigint").alias(v) for v in values]
+    )
+
+
+@register(
+    "incremental_revenue_rollup",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="Incremental aggregate-view maintenance via MERGEABLE partial "
+    "state: the order stream is processed as two batches (orderdate "
+    "before/after 1998-01-01 — the incremental refresh boundary), "
+    "each producing per-key partials (count, decimal sum); the "
+    "refresh MERGES partials (sum of counts, sum of sums) instead "
+    "of rescanning history. The oracle computes the rollup directly "
+    "over all orders — the hash match PROVES merge-of-partials == "
+    "full recompute, which is the entire correctness obligation of "
+    "an incremental materialized view (and why the state is decimal: "
+    "double partials would drift by merge order). At 100 TB only "
+    "the new batch is scanned per refresh and the stored state is "
+    "key-cardinality rows; this composes with the delete+insert "
+    "incremental materialization (incremental_orders_state) which "
+    "maintains row-level state the same way.",
+)
+def q_incremental_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def partial(batch):
+        return (
+            batch.join(c, batch["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(price).alias("ps"),
+            )
+        )
+
+    merged = partial(o.filter(F.col("o_orderdate") < cut)).unionByName(
+        partial(o.filter(F.col("o_orderdate") >= cut))
+    )
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_orders"),
+            F.sum("ps").cast("decimal(38,2)").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

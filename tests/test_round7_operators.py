@@ -190,3 +190,64 @@ def test_corpus_token_ids_roundtrip_decode(spark, tmp_path):
     # freq: a=5 -> 0, c=3 -> 1, b=2 -> 2
     assert out[1] == [0, 0, 0, 2, 1]
     assert out[2] == [2, 0, 1, 1, 0]
+
+
+def test_q2_decorrelation_surfaces_all_ties(spark, tmp_path):
+    """Two parts tied at the brand minimum must BOTH appear (correlated
+    = semantics, not distinct-on)."""
+    rows = [
+        (1, "a", "B1", "t", 1, 5.0),
+        (2, "b", "B1", "t", 1, 5.0),  # tie at the min
+        (3, "c", "B1", "t", 1, 9.0),
+        (4, "d", "B2", "t", 1, 7.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    got = [
+        (r["p_brand"], r["p_partkey"])
+        for r in load_catalog()["tpch_q2_style"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("B1", 1), ("B1", 2), ("B2", 4)]
+
+
+def test_incremental_rollup_merge_equals_direct(spark, sf_dir):
+    """merge-of-partials == direct recompute — asserted engine-side on
+    the same data the oracle certifies."""
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    got = {
+        (r["c_mktsegment"]): (r["n_orders"], r["revenue"])
+        for r in load_catalog()["incremental_revenue_rollup"].fn(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    direct = {
+        r["c_mktsegment"]: (r["n"], r["s"])
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_pivot_dynamic_discovers_new_category(spark, tmp_path):
+    """An unseen category must become a column automatically — the whole
+    point of the dynamic form."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:00:01", 1, "brand_new_type", 1.0, "{}"),
+        (3, "2024-01-01 00:00:02", 2, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    df = load_catalog()["pivot_dynamic"].fn(spark, str(tmp_path))
+    assert df.columns == ["user_id", "brand_new_type", "view"]
+    got = {r["user_id"]: (r["brand_new_type"], r["view"]) for r in df.collect()}
+    assert got == {1: (1, 1), 2: (0, 1)}
