@@ -778,3 +778,101 @@ def merge_stream_into_state(events: DataFrame, state_dir: str):
         )
 
     return events.writeStream.foreachBatch(_merge).trigger(availableNow=True)
+
+
+# ----------------------------------------- bounded-buffer stateful EWMA
+EWMA_STATE_SCHEMA = "tss array<long>, eids array<long>, vals array<double>, n long"
+EWMA_OUT_SCHEMA = "user_id long, n_events long, ewma double"
+EWMA_WINDOW = 10
+
+
+def _ewma_state_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user EWMA over the LAST 10
+    events by event time (alpha=0.5) — a bounded-BUFFER state machine,
+    the shape running_user_stats' O(1) scalars can't express: state is
+    the top-10 (ts, event_id, value) triples per key, merged with each
+    micro-batch, re-sorted, truncated. O(window) state per key forever,
+    the exact batch semantics of event_ewma_smoothing's final row.
+
+    Spark 4's transformWithStateInPandas is the successor API for this
+    (typed ValueState/ListState + timers); it requires protobuf at
+    runtime, absent in this environment, and the GroupState form below
+    is semantically identical for a buffer this small."""
+    import pandas as pd
+
+    recs, n = [], 0
+    if state.exists:
+        tss, eids, vals, n = state.get
+        recs = list(zip(tss, eids, vals))
+    for pdf in pdf_iter:
+        n += len(pdf)
+        recs.extend(
+            zip(pdf["ts_us"].tolist(), pdf["event_id"].tolist(), pdf["value"].tolist())
+        )
+    recs.sort(key=lambda r: (r[0], r[1]), reverse=True)
+    keep = recs[:EWMA_WINDOW]
+    num = sum(v * 0.5**k for k, (_, _, v) in enumerate(keep))
+    den = sum(0.5**k for k in range(len(keep)))
+    state.update(
+        ([r[0] for r in keep], [r[1] for r in keep], [r[2] for r in keep], n)
+    )
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma": [round(num / den, 6)]}
+    )
+
+
+def ewma_state_stream(events: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_state_fn,
+            outputStructType=EWMA_OUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+@register(
+    "stream_ewma_last10",
+    # availableNow over a static file = ONE micro-batch, so update mode
+    # emits exactly one row per user holding the full-history result:
+    # the weighted mean of the last 10 events by (ts, event_id), weights
+    # 0.5^k from most recent — plain SQL over the same file. The Python
+    # fold runs in ascending weight order? No: descending recency, same
+    # fixed order as the SQL sum over k — both bounded to 10 terms, 6dp
+    # round absorbs fold-order noise.
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) - 1 AS k,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(value * power(0.5, k)) / sum(power(0.5, k)), 6) AS ewma
+    FROM r WHERE k < {EWMA_WINDOW}
+    GROUP BY user_id
+    """,
+    doc="X15: custom BUFFER-state streaming operator — per-user EWMA "
+    "over the last 10 events via applyInPandasWithState, the state "
+    "shape (bounded sorted buffer, merged/truncated per micro-batch) "
+    "that neither windowed aggregation nor O(1) running stats can "
+    "express. State is O(window) per key regardless of stream "
+    "length; late events within the buffer horizon fold in correctly "
+    "because the buffer re-sorts on event time. The streaming twin "
+    "of event_ewma_smoothing's final row per user, and oracle-backed "
+    "(availableNow = one batch = deterministic update output).",
+)
+def q_stream_ewma_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(
+        ewma_state_stream(stream_events(spark, sf_dir)), "stream_ewma", "update"
+    )

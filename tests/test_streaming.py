@@ -521,3 +521,34 @@ def test_chained_windows_multibatch_merges_before_finalizing(spark, tmp_path):
     # hour 10: peak bucket = 5 events (1,2,3 + late 5,6), 2 buckets seen;
     # hour 14 is NOT closed (wm 13:00) and must not emit
     assert rows == {(10, "x", 5, 2)}
+
+
+def test_ewma_buffer_state_merges_across_batches(spark, tmp_path):
+    """The last-10 EWMA buffer must carry across micro-batches: after
+    batch 2, each user's EWMA reflects the MERGED, re-sorted history —
+    including a late event that lands between batch-1 events — and
+    update mode emits a fresh row per touched key per batch."""
+    from jaffle_shop_classic_spark.streaming.windows import (
+        ewma_state_stream,
+        run_stream_to_batch,
+    )
+
+    src = _write_event_batches(
+        tmp_path,
+        [
+            [(1, _ns(10, 0), 7, "x", 0.0), (2, _ns(10, 2), 7, "x", 0.0)],
+            # batch 2: one new event at the head, one LATE event that
+            # sorts between the batch-1 rows
+            [(4, _ns(10, 3), 7, "x", 100.0), (3, _ns(10, 1), 7, "x", 100.0)],
+        ],
+    )
+    got = run_stream_to_batch(
+        ewma_state_stream(_stream_batches(spark, src)), "ewma_multibatch", "update"
+    )
+    rows = sorted(
+        ((r["n_events"], r["ewma"]) for r in got.collect()),
+    )
+    # batch 1: events (0, 0) newest-first -> ewma 0.0
+    # batch 2 merged order newest-first: v=[100, 0, 100, 0],
+    # weights 1, .5, .25, .125 -> (100 + 25) / 1.875 = 66.666667
+    assert rows == [(2, 0.0), (4, 66.666667)]
