@@ -156,6 +156,8 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "events_ohlc_bars",
+    "impute_group_median",
     "stream_ewma_last10",
     "tpch_q2_style",
     "tpch_q18_style",

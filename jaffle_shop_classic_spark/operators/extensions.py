@@ -3238,3 +3238,128 @@ def q_incremental_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "events_ohlc_bars",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, value,
+             (epoch_us(ts) // 600000000) * 600000000 AS bucket_us,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord
+      FROM events
+    )
+    SELECT user_id,
+           make_timestamp(bucket_us) AS bar_start,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM k
+    GROUP BY user_id, bucket_us
+    ORDER BY user_id, bar_start
+    """,
+    doc="Time-series downsampling to OHLC bars (open/high/low/close per "
+    "user per 10-minute bucket) — the resample primitive for metric "
+    "and market data. open/close use min_by/max_by (arg_min/arg_max) "
+    "over a COLLISION-FREE ordering key: zero-padded epoch-micros "
+    "concatenated with the event id, so lexicographic string order "
+    "equals the (ts, event_id) total order and first/last are "
+    "deterministic even under equal timestamps (a bare min_by(ts) "
+    "tie is engine-arbitrary — the bug this key exists to kill). "
+    "Values are raw stored doubles, selected not computed, so no "
+    "rounding is needed anywhere. Plan: single partial->final hash "
+    "aggregate on (user, bucket) — min_by/max_by carry (value, key) "
+    "pairs map-side exactly like min/max; bucketing is epoch "
+    "arithmetic pinned identically in both engines (the "
+    "tumbling_window discipline). One shuffle at any scale.",
+)
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket_us = (F.unix_micros("ts") / F.lit(600000000)).cast("bigint") * F.lit(
+        600000000
+    )
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        e.select(
+            "user_id",
+            "value",
+            bucket_us.alias("bucket_us"),
+            ordkey.alias("ord"),
+        )
+        .groupBy("user_id", "bucket_us")
+        .agg(
+            F.min_by("value", F.col("ord")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ord")).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("bucket_us")).alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+        .orderBy("user_id", "bar_start")
+    )
+
+
+@register(
+    "impute_group_median",
+    oracle="""
+    WITH nm AS (
+      SELECT user_id, value FROM events WHERE event_type <> 'error'
+    ),
+    mu AS (SELECT user_id, quantile_cont(value, 0.5) AS mu FROM nm GROUP BY user_id),
+    mg AS (SELECT quantile_cont(value, 0.5) AS mg FROM nm)
+    SELECT e.event_id, e.user_id,
+           CASE WHEN e.event_type = 'error'
+                THEN round(coalesce(mu.mu, mg.mg), 6)
+                ELSE e.value END AS value_imputed,
+           (e.event_type = 'error') AS was_imputed
+    FROM events e LEFT JOIN mu USING (user_id) CROSS JOIN mg
+    """,
+    doc="Group-median imputation — the feature-repair step before model "
+    "training: readings flagged unreliable (here: 'error' events) are "
+    "replaced by their USER's median of reliable readings, falling "
+    "back to the corpus median for users with no reliable history — "
+    "median, not mean, so one corrupt mega-value cannot poison the "
+    "fill (the users_anomaly_mad robustness argument applied to "
+    "repair). Exact interpolated medians (the percentile_exact-"
+    "certified function) keep the fill deterministic cross-engine; "
+    "untouched rows pass the stored double through unmodified. Plan: "
+    "one per-user aggregate joined back on the key, one 1-row global "
+    "broadcast, map-side CASE — the imputation itself never "
+    "shuffles the fact stream. At 100 TB the per-user median table "
+    "is user-cardinality (ordinary keyed join); approx_percentile "
+    "swaps in with a documented epsilon.",
+)
+def q_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    nm = e.filter(F.col("event_type") != "error").select("user_id", "value")
+    mu = nm.groupBy("user_id").agg(F.percentile("value", F.lit(0.5)).alias("mu"))
+    mg = nm.agg(F.percentile("value", F.lit(0.5)).alias("mg"))
+    return (
+        e.join(mu, "user_id", "left")
+        .crossJoin(F.broadcast(mg))
+        .select(
+            "event_id",
+            "user_id",
+            F.when(
+                F.col("event_type") == "error",
+                F.round(F.coalesce(F.col("mu"), F.col("mg")), 6),
+            )
+            .otherwise(F.col("value"))
+            .alias("value_imputed"),
+            (F.col("event_type") == "error").alias("was_imputed"),
+        )
+    )

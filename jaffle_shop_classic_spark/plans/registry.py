@@ -253,6 +253,20 @@ class Project:
             return None
         return spark.read.parquet(f"{self.warehouse_dir}/{name}/v{v}")
 
+    def read_version(self, name: str, spark: SparkSession, version: int) -> DataFrame:
+        """Time travel: read a specific historical version of an
+        incremental/snapshot model's stored state (the Delta/Iceberg
+        `VERSION AS OF` analog). Versions are immutable once written —
+        _write_version never overwrites — so every past refresh stays
+        queryable for audits, reproductions, and diffing (pair with
+        audit_table_diff to explain what a refresh changed)."""
+        if version not in self._versions(name):
+            raise ValueError(
+                f"{name}: version {version} not found "
+                f"(available: {self._versions(name)})"
+            )
+        return spark.read.parquet(f"{self.warehouse_dir}/{name}/v{version}")
+
     def _write_version(self, name: str, df: DataFrame, spark: SparkSession) -> DataFrame:
         if self.warehouse_dir is None:
             raise ValueError(f"{name}: incremental/snapshot models need a warehouse_dir")

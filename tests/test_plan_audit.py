@@ -44,6 +44,7 @@ CROSS_OK = {
     "quantiles_histogram_cdf",  # broadcast 4-row quantile-threshold join
     "graph_pagerank",  # broadcast 1-row teleport/init constants join
     "users_anomaly_mad",  # broadcast 1-row median/MAD joins
+    "impute_group_median",  # broadcast 1-row global-median fallback join
     "sim_sparse_tfidf_pairs",  # broadcast 1-row corpus-size (N) join for idf
 }
 

@@ -252,3 +252,32 @@ def test_snapshot_contract_preflight_no_persist(spark, tmp_path):
     with pytest.raises(ContractViolation, match="undeclared column"):
         project.run(spark)
     assert project._latest_version("snap") == 1
+
+
+def test_time_travel_reads_immutable_versions(spark, tmp_path):
+    """Each incremental refresh writes an immutable version; read_version
+    reproduces any historical state (VERSION AS OF), and asking for a
+    missing version fails loudly."""
+    from jaffle_shop_classic_spark.plans.registry import Project
+
+    project = Project(warehouse_dir=str(tmp_path))
+    state = {"hi": 3}
+
+    @project.model(name="inc_tt", materialized="incremental", unique_key=("id",))
+    def inc_tt(ctx):
+        return ctx.spark.range(state["hi"]).select(
+            F.col("id"), (F.col("id") * 100).alias("v")
+        )
+
+    project.run(spark)
+    state["hi"] = 5  # second refresh adds ids 3,4
+    project.run(spark)
+
+    v1 = project.read_version("inc_tt", spark, 1)
+    v2 = project.read_version("inc_tt", spark, 2)
+    assert v1.count() == 3 and v2.count() == 5
+    assert {r["id"] for r in v1.collect()} == {0, 1, 2}
+    # historical state is untouched by later refreshes
+    assert {r["v"] for r in v1.collect()} == {0, 100, 200}
+    with pytest.raises(ValueError, match="version 9 not found"):
+        project.read_version("inc_tt", spark, 9)

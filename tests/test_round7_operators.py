@@ -251,3 +251,41 @@ def test_pivot_dynamic_discovers_new_category(spark, tmp_path):
     assert df.columns == ["user_id", "brand_new_type", "view"]
     got = {r["user_id"]: (r["brand_new_type"], r["view"]) for r in df.collect()}
     assert got == {1: (1, 1), 2: (0, 1)}
+
+
+def test_ohlc_open_close_deterministic_under_ts_ties(spark, tmp_path):
+    """Two events at the SAME timestamp: the event_id tiebreak must make
+    open/close deterministic (bare min_by(ts) would be arbitrary)."""
+    rows = [
+        (2, "2024-01-01 00:00:00", 1, "v", 20.0, "{}"),
+        (1, "2024-01-01 00:00:00", 1, "v", 10.0, "{}"),  # same ts, lower id
+        (3, "2024-01-01 00:05:00", 1, "v", 99.0, "{}"),
+        (4, "2024-01-01 00:07:00", 1, "v", 5.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = load_catalog()["events_ohlc_bars"].fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    bar = r[0]
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (10.0, 99.0, 5.0, 5.0)
+    assert bar["n_events"] == 4
+
+
+def test_impute_uses_user_median_then_global(spark, tmp_path):
+    """User 1's error event gets USER-1's median; a user with only error
+    events falls back to the global median; clean rows pass through."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 10.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "view", 30.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "error", 999.0, "{}"),  # -> 20 (user median)
+        (4, "2024-01-01 00:03:00", 2, "error", 888.0, "{}"),  # -> global median
+        (5, "2024-01-01 00:04:00", 3, "view", 50.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_id"]: (r["value_imputed"], r["was_imputed"])
+        for r in load_catalog()["impute_group_median"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (10.0, False)
+    assert got[3] == (20.0, True)  # median of {10, 30}
+    assert got[4] == (30.0, True)  # global median of {10, 30, 50}
+    assert got[5] == (50.0, False)
