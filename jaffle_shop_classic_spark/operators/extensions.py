@@ -3363,3 +3363,89 @@ def q_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "error").alias("was_imputed"),
         )
     )
+
+
+CF_BASKET_CAP = 20  # heavy-basket truncation: keep each customer's top-20 items
+
+
+@register(
+    "cf_item_cosine",
+    oracle=f"""
+    WITH ui0 AS (
+      SELECT o.o_custkey AS u, l.l_partkey AS i, count(*) AS f
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey, l.l_partkey
+    ),
+    ui AS (
+      SELECT u, i FROM (
+        SELECT u, i,
+               row_number() OVER (PARTITION BY u ORDER BY f DESC, i ASC) AS rn
+        FROM ui0
+      ) WHERE rn <= {CF_BASKET_CAP}
+    ),
+    deg AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT p.item_a, p.item_b, p.n_common,
+           round(p.n_common / sqrt(CAST(da.n AS DOUBLE) * db.n), 6) AS cosine
+    FROM pairs p JOIN deg da ON da.i = p.item_a JOIN deg db ON db.i = p.item_b
+    ORDER BY cosine DESC, item_a ASC, item_b ASC
+    LIMIT 50
+    """,
+    doc="Item-item collaborative filtering (binary cosine over the "
+    "customer-item matrix) — the 'customers who bought X also bought Y' "
+    "scorer, and a different grain from copurchase_part_pairs (shared "
+    f"CUSTOMERS across all orders, normalized by item popularity so "
+    "blockbuster items don't dominate). The pair stream is "
+    "O(sum_u basket_u^2), so the HEAVY-BASKET TRUNCATION (top-"
+    f"{CF_BASKET_CAP} items per customer by purchase frequency, "
+    "deterministic id tiebreak) is applied first — the standard CF "
+    "skew control (a crawler account with 10k items would otherwise "
+    "contribute 50M pairs); degrees are computed AFTER capping so the "
+    "cosine is exact over the capped matrix. Plan: per-user window "
+    "cap (one user-key sort), self-equi-join on the user key, pair "
+    "aggregate, two broadcast degree joins; integer counts until the "
+    "one final rounded division. Swap in minhash item sketches when "
+    "even capped baskets are too hot.",
+)
+def q_cf_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ui0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.partitionBy("u").orderBy(F.col("f").desc(), F.col("i").asc())
+    ui = (
+        ui0.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CF_BASKET_CAP)
+        .select("u", "i")
+    )
+    ui = ui.localCheckpoint(eager=True)  # feeds degrees AND both join sides
+    deg = ui.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = ui.alias("a"), ui.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    da = deg.select(F.col("i").alias("item_a"), F.col("n").alias("na"))
+    db = deg.select(F.col("i").alias("item_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(da), "item_a")
+        .join(F.broadcast(db), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / F.sqrt(F.col("na").cast("double") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("item_a").asc(), F.col("item_b").asc())
+        .limit(50)
+    )

@@ -1864,3 +1864,120 @@ def q_corpus_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------- naive Bayes classifier
+@register(
+    "lang_nb_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id, d.lang, t.tok
+      FROM documents d, unnest({_TOKENS_SQL.replace('text', 'd.text')}) AS t(tok)
+    ),
+    langs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    vocab AS (SELECT DISTINCT tok FROM tok),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    ltok AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM tok GROUP BY lang),
+    ctl AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY lang, tok),
+    model AS (
+      SELECT l.lang, v.tok,
+             ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (lt.nl + vs.v)) AS logp
+      FROM langs l CROSS JOIN vocab v CROSS JOIN vsize vs
+      JOIN ltok lt ON lt.lang = l.lang
+      LEFT JOIN ctl c ON c.lang = l.lang AND c.tok = v.tok
+    ),
+    dtok AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    scores AS (
+      SELECT dt.doc_id, m.lang,
+             round(ln(CAST(l.n_docs AS DOUBLE) / t.n)
+                   + sum(dt.c * m.logp), 6) AS score
+      FROM dtok dt
+      JOIN model m ON m.tok = dt.tok
+      JOIN langs l ON l.lang = m.lang
+      CROSS JOIN total t
+      GROUP BY dt.doc_id, m.lang, l.n_docs, t.n
+    ),
+    pred AS (
+      SELECT doc_id, lang AS pred_lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang ASC) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+    doc="Trained multinomial Naive Bayes language classifier — the "
+    "count-based sibling of quality_lr_classifier: the model IS a pair "
+    "of aggregates (per-language token counts + priors, Laplace "
+    "smoothing (c+1)/(N_l+V)), so training is exactly-portable integer "
+    "arithmetic and only the final log-space scoring touches floats. "
+    "Scoring joins each document's token counts against the "
+    "(vocabulary x language) log-likelihood grid — Zipf-bounded, "
+    "broadcast at any corpus scale — sums per (doc, lang), rounds 6dp, "
+    "and argmaxes with a language tiebreak so the decision is "
+    "deterministic cross-engine. Output: the confusion matrix. At "
+    "100 TB: training is two partial->final aggregates over the token "
+    "stream; scoring is one broadcast join + one (doc,lang) aggregate. "
+    "The NB/LR pair brackets the standard linear-classifier toolkit "
+    "real curation stacks train (fastText-style).",
+)
+def q_lang_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    vocab = tok.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    ltok = tok.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
+    ctl = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    model = (
+        langs.select("lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(vsize))
+        .join(ltok, "lang")
+        .join(ctl, ["lang", "tok"], "left")
+        .select(
+            "lang",
+            "tok",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("nl") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    dtok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    scores = (
+        dtok.join(F.broadcast(model), "tok")
+        .join(F.broadcast(langs), "lang")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang", "n_docs", "n")
+        .agg(F.sum(F.col("c") * F.col("logp")).alias("s"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("n")) + F.col("s"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").asc())
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        d.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -45,6 +45,7 @@ CROSS_OK = {
     "graph_pagerank",  # broadcast 1-row teleport/init constants join
     "users_anomaly_mad",  # broadcast 1-row median/MAD joins
     "impute_group_median",  # broadcast 1-row global-median fallback join
+    "lang_nb_classifier",  # vocab x language smoothing grid (the model itself)
     "sim_sparse_tfidf_pairs",  # broadcast 1-row corpus-size (N) join for idf
 }
 

@@ -289,3 +289,51 @@ def test_impute_uses_user_median_then_global(spark, tmp_path):
     assert got[3] == (20.0, True)  # median of {10, 30}
     assert got[4] == (30.0, True)  # global median of {10, 30, 50}
     assert got[5] == (50.0, False)
+
+
+def test_nb_classifier_separates_disjoint_vocabularies(spark, tmp_path):
+    """Languages with disjoint vocabularies must classify perfectly —
+    the confusion matrix is diagonal."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "hello world again hello", "en", "web", 1))
+    for i in range(20):
+        rows.append((100 + i, "bonjour monde encore bonjour", "fr", "web", 1))
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in load_catalog()["lang_nb_classifier"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {("en", "en"): 30, ("fr", "fr"): 20}
+
+
+def test_cf_cosine_normalizes_popularity(spark, tmp_path):
+    """Two niche items always bought together must out-score a pair that
+    co-occurs only via a blockbuster item's popularity."""
+    # customers 1-3 buy niche pair (10, 11); everyone buys blockbuster 99
+    rows = []
+    ok = 0
+    for u in (1, 2, 3):
+        for i in (10, 11, 99):
+            rows.append((ok, u, i)); ok += 1
+    for u in range(4, 20):
+        rows.append((ok, u, 99)); ok += 1
+        rows.append((ok, u, 50 + u)); ok += 1  # singleton items
+    orders = [(k, u) for k, u, _ in [(r[0], r[1], r[2]) for r in rows]]
+    spark.createDataFrame(
+        [(k, u, "O", 1.0, "2024-01-01", "p") for k, u in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(k, i, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-02") for k, _, i in [(r[0], r[1], r[2]) for r in rows]],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/lineitem.parquet")
+    out = load_catalog()["cf_item_cosine"].fn(spark, str(tmp_path)).collect()
+    scores = {(r["item_a"], r["item_b"]): r["cosine"] for r in out}
+    assert scores[(10, 11)] == 1.0  # perfect niche pair
+    # blockbuster pairs exist but are popularity-penalized
+    assert all(v < 1.0 for (a, b), v in scores.items() if 99 in (a, b))
