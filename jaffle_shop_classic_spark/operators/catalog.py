@@ -156,6 +156,8 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "segment_sales_trend",
+    "chi2_feature_select",
     "lang_nb_classifier",
     "cf_item_cosine",
     "events_ohlc_bars",

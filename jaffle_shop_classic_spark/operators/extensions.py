@@ -3449,3 +3449,76 @@ def q_cf_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("item_a").asc(), F.col("item_b").asc())
         .limit(50)
     )
+
+
+@register(
+    "segment_sales_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(date_diff('day', DATE '1970-01-01', o.o_orderdate) AS BIGINT) AS x,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    agg AS (
+      SELECT seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DECIMAL(38,2)) AS sxy
+      FROM pts GROUP BY seg
+    )
+    SELECT seg, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+           round((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx) / n,
+                 4) AS intercept
+    FROM agg ORDER BY seg
+    """,
+    doc="Per-segment OLS trend (daily revenue vs time): closed-form "
+    "simple linear regression where every sufficient statistic "
+    "(n, Σx, Σx², Σy, Σxy) is an EXACT aggregate — x is integer "
+    "epoch-days, y is decimal money, so the five statistics are "
+    "bit-identical across engines and partitionings, and floats "
+    "appear only in the final slope/intercept division (rounded). "
+    "This is the mergeable-statistics discipline applied to model "
+    "fitting: the same five numbers support incremental refresh "
+    "(add a batch's partials) and distributed fit at any scale — "
+    "one partial->final aggregate per segment, zero iterations, "
+    "zero shuffles beyond the join+agg. The grouped-regression "
+    "primitive behind trend dashboards and drift monitors.",
+)
+def q_segment_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pts = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint").alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    agg = pts.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).cast("decimal(38,2)").alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx")
+    ) / F.col("n")
+    return agg.select(
+        "seg",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    ).orderBy("seg")

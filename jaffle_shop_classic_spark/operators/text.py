@@ -1981,3 +1981,94 @@ def q_lang_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@register(
+    "chi2_feature_select",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT d.doc_id, d.lang, t.tok
+      FROM documents d, unnest({_TOKENS_SQL.replace('text', 'd.text')}) AS t(tok)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM documents GROUP BY lang),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM pres GROUP BY tok),
+    atl AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS a FROM pres GROUP BY lang, tok),
+    grid AS (
+      SELECT l.lang, t.tok, l.nl, t.df, coalesce(x.a, 0) AS a, n.n
+      FROM nl l CROSS JOIN dft t CROSS JOIN n
+      LEFT JOIN atl x ON x.lang = l.lang AND x.tok = t.tok
+    ),
+    scored AS (
+      SELECT lang, tok,
+             round(CAST(n AS DOUBLE)
+                   * (a * (n - df - nl + a) - (df - a) * (nl - a))
+                   * (a * (n - df - nl + a) - (df - a) * (nl - a))
+                   / (CAST(df AS DOUBLE) * (n - df) * nl * (n - nl)), 4) AS chi2
+      FROM grid WHERE df > 0 AND df < n
+    )
+    SELECT lang, tok, chi2 FROM (
+      SELECT lang, tok, chi2,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY chi2 DESC, tok ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    ORDER BY lang, chi2 DESC, tok
+    """,
+    doc="Chi-squared feature selection — which tokens are statistically "
+    "associated with which language, the classical feature-ranking "
+    "step in front of NB/LR text classifiers. The 2x2 contingency "
+    "table per (token, language) is built from three integer "
+    "aggregates (doc-presence per token, per language, per pair — "
+    "zeros restored via the Zipf-bounded vocabulary x language grid), "
+    "so chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) is a single "
+    "deterministic double expression over exact integers, rounded "
+    "BEFORE the per-language top-5 window so ranks can't flip "
+    "cross-engine. One token-presence shuffle + broadcast grid "
+    "joins; constant-degenerate tokens (df=0 or df=N) are excluded "
+    "exactly in both engines.",
+)
+def q_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pres = d.select(
+        "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).distinct()
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nl = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
+    dft = pres.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    atl = pres.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    grid = (
+        nl.crossJoin(F.broadcast(dft))
+        .crossJoin(F.broadcast(n))
+        .join(atl, ["lang", "tok"], "left")
+        .select(
+            "lang", "tok", "nl", "df", F.coalesce(F.col("a"), F.lit(0)).alias("a"), "n"
+        )
+    )
+    det = F.col("a") * (F.col("n") - F.col("df") - F.col("nl") + F.col("a")) - (
+        F.col("df") - F.col("a")
+    ) * (F.col("nl") - F.col("a"))
+    chi2 = F.round(
+        F.col("n").cast("double")
+        * det
+        * det
+        / (
+            F.col("df").cast("double")
+            * (F.col("n") - F.col("df"))
+            * F.col("nl")
+            * (F.col("n") - F.col("nl"))
+        ),
+        4,
+    )
+    scored = grid.filter((F.col("df") > 0) & (F.col("df") < F.col("n"))).select(
+        "lang", "tok", chi2.alias("chi2")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("chi2").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "tok", "chi2")
+        .orderBy("lang", F.col("chi2").desc(), "tok")
+    )

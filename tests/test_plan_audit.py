@@ -46,6 +46,7 @@ CROSS_OK = {
     "users_anomaly_mad",  # broadcast 1-row median/MAD joins
     "impute_group_median",  # broadcast 1-row global-median fallback join
     "lang_nb_classifier",  # vocab x language smoothing grid (the model itself)
+    "chi2_feature_select",  # vocab x language contingency grid + 1-row N join
     "sim_sparse_tfidf_pairs",  # broadcast 1-row corpus-size (N) join for idf
 }
 

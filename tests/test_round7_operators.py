@@ -337,3 +337,45 @@ def test_cf_cosine_normalizes_popularity(spark, tmp_path):
     assert scores[(10, 11)] == 1.0  # perfect niche pair
     # blockbuster pairs exist but are popularity-penalized
     assert all(v < 1.0 for (a, b), v in scores.items() if 99 in (a, b))
+
+
+def test_ols_recovers_planted_slope(spark, tmp_path):
+    """A perfectly linear revenue series must recover its slope and
+    intercept exactly (closed-form on exact statistics)."""
+    # y = 100*x + 50 on days x = 19723..19732 (Jan 2024)
+    rows = []
+    for k in range(10):
+        day = f"2024-01-{k + 1:02d}"
+        rows.append((k, 1, "O", float(100 * (19723 + k) + 50), day, "p"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "c", 0, 0.0, "SEG1")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    r = load_catalog()["segment_sales_trend"].fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0]["slope"] == 100.0
+    assert r[0]["intercept"] == 50.0
+
+
+def test_chi2_ranks_discriminative_tokens_first(spark, tmp_path):
+    """A token exclusive to one language must out-rank a token shared
+    uniformly by all documents (which scores ~0)."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "shared exclusive_en shared", "en", "web", 1))
+    for i in range(30):
+        rows.append((100 + i, "shared exclusive_fr shared", "fr", "web", 1))
+    _write_docs(spark, tmp_path, rows)
+    out = load_catalog()["chi2_feature_select"].fn(spark, str(tmp_path)).collect()
+    top_en = [r["tok"] for r in out if r["lang"] == "en"][0]
+    top_fr = [r["tok"] for r in out if r["lang"] == "fr"][0]
+    assert top_en in ("exclusive_en", "exclusive_fr")  # both perfectly discriminate en
+    assert top_fr in ("exclusive_en", "exclusive_fr")
+    shared_scores = [r["chi2"] for r in out if r["tok"] == "shared"]
+    assert all(s == 0.0 for s in shared_scores)
