@@ -79,6 +79,10 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "event_ewma_smoothing",
     "corpus_token_ids",
     "decimal_exact_pricing",
+    "lang_nb_classifier",
+    "cf_item_cosine",
+    "events_ohlc_bars",
+    "segment_sales_trend",
 ]
 
 
