@@ -156,6 +156,9 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "drift_psi_monitor",
+    "embedding_jl_project",
+    "source_jsonl_roundtrip",
     "segment_sales_trend",
     "chi2_feature_select",
     "lang_nb_classifier",

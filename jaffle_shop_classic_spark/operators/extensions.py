@@ -3522,3 +3522,155 @@ def q_segment_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 4).alias("intercept"),
     ).orderBy("seg")
+
+
+@register(
+    "drift_psi_monitor",
+    oracle="""
+    WITH ref AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ),
+    cur AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    ),
+    edges AS (
+      SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+      FROM ref
+    ),
+    rb AS (
+      SELECT 1 + list_reduce(list_prepend(0, list_transform(edges.e,
+               x -> CASE WHEN ref.v > x THEN 1 ELSE 0 END)),
+               (a, b) -> a + b) AS bin,
+             count(*) AS n
+      FROM ref, edges GROUP BY 1
+    ),
+    cb AS (
+      SELECT 1 + list_reduce(list_prepend(0, list_transform(edges.e,
+               x -> CASE WHEN cur.v > x THEN 1 ELSE 0 END)),
+               (a, b) -> a + b) AS bin,
+             count(*) AS n
+      FROM cur, edges GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT sum(n) + 10 FROM rb) AS tr, (SELECT sum(n) + 10 FROM cb) AS tc
+    ),
+    grid AS (SELECT unnest(range(1, 11)) AS bin)
+    SELECT g.bin,
+           CAST(coalesce(rb.n, 0) AS BIGINT) AS ref_n,
+           CAST(coalesce(cb.n, 0) AS BIGINT) AS cur_n,
+           round(((coalesce(rb.n, 0) + 1.0) / tot.tr - (coalesce(cb.n, 0) + 1.0) / tot.tc)
+                 * ln(((coalesce(rb.n, 0) + 1.0) / tot.tr)
+                      / ((coalesce(cb.n, 0) + 1.0) / tot.tc)), 8) AS psi_contrib
+    FROM grid g LEFT JOIN rb ON rb.bin = g.bin LEFT JOIN cb ON cb.bin = g.bin
+    CROSS JOIN tot
+    ORDER BY g.bin
+    """,
+    doc="Population-stability-index drift monitor — the production "
+    "data-quality check that catches a shifted feature distribution "
+    "before it poisons a model: bin the CURRENT period's order values "
+    "into the REFERENCE period's deciles and accumulate "
+    "(p-q)*ln(p/q) per bin (sum the psi_contrib column for the "
+    "headline PSI; >0.2 = act). Bin edges come from one exact-"
+    "percentile aggregate over the reference, broadcast; bin "
+    "assignment is a fold of strict > comparisons against the edge "
+    "array, so boundary values land identically in both engines "
+    "(no float arithmetic in the decision, only comparisons of "
+    "identical stored doubles). Laplace +1 smoothing keeps empty "
+    "bins finite and deterministic. Plan: two scans (or one with a "
+    "period CASE), one 1-row edge broadcast, two 10-row count "
+    "aggregates — drift monitoring at 100 TB costs two passes and "
+    "shuffles 20 rows.",
+)
+def q_drift_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    ref = o.filter(F.col("o_orderdate") < cutoff).select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = o.filter(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_totalprice").alias("v")
+    )
+    edges = ref.agg(
+        F.percentile("v", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])).alias("e")
+    )
+    bin_col = F.lit(1) + F.aggregate(
+        F.col("e"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.col("v") > x, 1).otherwise(0),
+    )
+
+    def binned(side):
+        return (
+            side.crossJoin(F.broadcast(edges))
+            .select(bin_col.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    rb = binned(ref).select("bin", F.col("n").alias("rn"))
+    cb = binned(cur).select("bin", F.col("n").alias("cn"))
+    tot = rb.agg((F.sum("rn") + 10).alias("tr")).crossJoin(
+        cb.agg((F.sum("cn") + 10).alias("tc"))
+    )
+    grid = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    p = (F.coalesce(F.col("rn"), F.lit(0)) + 1.0) / F.col("tr")
+    q = (F.coalesce(F.col("cn"), F.lit(0)) + 1.0) / F.col("tc")
+    return (
+        grid.join(rb, "bin", "left")
+        .join(cb, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce(F.col("rn"), F.lit(0)).cast("bigint").alias("ref_n"),
+            F.coalesce(F.col("cn"), F.lit(0)).cast("bigint").alias("cur_n"),
+            F.round((p - q) * F.log(p / q), 8).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({_MD5_HEX8_SQL}) AS BIGINT) AS content_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="JSON-lines source/sink round trip, value-certified the same "
+    "way as source_orc_roundtrip: documents are written as JSONL "
+    "(the interchange format most ingestion pipelines actually "
+    "receive), read back under an EXPLICIT schema (schema inference "
+    "on JSON is a correctness trap — a batch of all-numeric strings "
+    "silently changes the column type), and the per-language "
+    "aggregate + order-independent md5-prefix-sum checksum is "
+    "compared against the parquet originals — so escaping, unicode, "
+    "and null handling through the JSON codec are value-checked, "
+    "not assumed. Only exactly-representable types ride the trip "
+    "(bigint, string); doubles would need explicit round-trip "
+    "formatting guarantees. Map-side parallel write, ordinary "
+    "partial->final aggregate.",
+)
+def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"jaffle_jsonl_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, lang string, n_chars long, text string"
+    ).json(path)
+    checksum = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(checksum).cast("bigint").alias("content_checksum"),
+    )

@@ -1219,3 +1219,70 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+# ----------------------------------------- JL random-projection reduction
+JL_OUT_DIM = 16
+
+
+def _jl_matrix() -> list[list[int]]:
+    """Deterministic +/-1 projection matrix, derived from hashlib md5 of
+    the cell coordinates at module import. The matrix is embedded as a
+    LITERAL in both the Spark plan and the oracle SQL text, so parity
+    has no cross-engine hash dependency at all — the same trick a
+    production job uses to pin a random projection across reruns
+    (seeded generation, stored artifact)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl|{j}|{i}".encode()).digest()[0] % 2 else -1
+            for i in range(DIM)
+        ]
+        for j in range(JL_OUT_DIM)
+    ]
+
+
+_JL = _jl_matrix()
+_JL_SQL = "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in _JL) + "]"
+_JL_SPARK = (
+    "array(" + ", ".join("array(" + ", ".join(str(v) for v in row) + ")" for row in _JL) + ")"
+)
+
+
+@register(
+    "embedding_jl_project",
+    oracle=f"""
+    WITH m AS (SELECT {_JL_SQL} AS r)
+    SELECT vec_id,
+           list_transform(range(1, {JL_OUT_DIM + 1}),
+             j -> round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, {DIM + 1}),
+                      i -> CAST(embedding[i] AS DOUBLE) * m.r[j][i])),
+                    (acc, v) -> acc + v) / 4.0, 6)) AS reduced
+    FROM embeddings CROSS JOIN m
+    ORDER BY vec_id
+    """,
+    doc=f"Johnson-Lindenstrauss dimensionality reduction ({DIM}->"
+    f"{JL_OUT_DIM} dims): y = Rx/sqrt(k) with a +/-1 Achlioptas "
+    "projection matrix — the cheap pre-step that makes downstream "
+    "ANN/dedup distance computations 4x cheaper while preserving "
+    "pairwise distances within (1 +/- eps) (certified by the planted "
+    "distance-preservation test). The matrix is a deterministic "
+    "seeded artifact inlined into the plan (16x64 ints — broadcast "
+    "by construction); the projection is a map-only higher-order "
+    "fold per row, zero shuffles, and the sequential fold order is "
+    "identical in both engines so the 6dp round is stable. At "
+    "100 TB this runs as a map stage in front of any embedding "
+    "operator in this catalog (PQ, IVF, SemDeDup compose "
+    "unchanged on the reduced vectors).",
+)
+def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.selectExpr(
+        "vec_id",
+        f"transform(sequence(1, {JL_OUT_DIM}), "
+        f"j -> round(aggregate(zip_with(embedding, element_at({_JL_SPARK}, j), "
+        "(x, r) -> CAST(x AS DOUBLE) * r), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v) / 4.0, 6)) AS reduced",
+    ).orderBy("vec_id")

@@ -379,3 +379,78 @@ def test_chi2_ranks_discriminative_tokens_first(spark, tmp_path):
     assert top_fr in ("exclusive_en", "exclusive_fr")
     shared_scores = [r["chi2"] for r in out if r["tok"] == "shared"]
     assert all(s == 0.0 for s in shared_scores)
+
+
+def test_psi_flat_when_periods_identical(spark, tmp_path):
+    """Identical before/after distributions must yield ~zero PSI in
+    every bin; a shifted current period must not."""
+    rows = []
+    k = 0
+    for period, year in (("ref", "1997"), ("cur", "2000")):
+        for i in range(200):
+            rows.append((k, 1, "O", float(100 + (i % 100)), f"{year}-06-01", "p"))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    out = load_catalog()["drift_psi_monitor"].fn(spark, str(tmp_path)).collect()
+    psi = sum(r["psi_contrib"] for r in out)
+    assert abs(psi) < 0.01  # identical distributions -> no drift signal
+    assert sum(r["ref_n"] for r in out) == sum(r["cur_n"] for r in out) == 200
+
+
+def test_jl_projection_preserves_pairwise_distances(spark, sf_dir):
+    """The JL property: squared distances in the 16-dim projection track
+    the 64-dim originals — median ratio near 1, spread bounded. This is
+    the whole point of the operator, asserted on real embeddings."""
+    import math
+
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    red = {
+        r["vec_id"]: r["reduced"]
+        for r in load_catalog()["embedding_jl_project"].fn(spark, sf_dir).collect()
+    }
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").limit(60).collect()
+    }
+    ids = sorted(orig)[:40]
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        d_o = sum((float(x) - float(y)) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_r = sum((x - y) ** 2 for x, y in zip(red[a], red[b]))
+        if d_o > 0:
+            ratios.append(d_r / d_o)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.6 < med < 1.4  # unbiased estimator, k=16 spread
+    assert sum(1 for r in ratios if 0.3 < r < 2.5) >= len(ratios) * 0.9
+
+
+def test_jsonl_roundtrip_preserves_unicode(spark, tmp_path):
+    rows = [
+        (1, 'quote " backslash \\ newline\nunicode héllo', "de", "web", 40),
+        (2, "plain", "en", "web", 5),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = load_catalog()["source_jsonl_roundtrip"].fn(spark, str(tmp_path)).collect()
+    assert sum(r["n_docs"] for r in out) == 2
+    # checksum equality with a direct computation over the originals
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    direct = (
+        load_table(spark, str(tmp_path), "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint"))
+            .cast("bigint")
+            .alias("cs")
+        )
+        .collect()
+    )
+    want = {r["lang"]: r["cs"] for r in direct}
+    assert {r["lang"]: r["content_checksum"] for r in out} == want
