@@ -83,6 +83,8 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "cf_item_cosine",
     "events_ohlc_bars",
     "segment_sales_trend",
+    "drift_psi_monitor",
+    "embedding_jl_project",
 ]
 
 

@@ -3270,11 +3270,13 @@ def q_incremental_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic even under equal timestamps (a bare min_by(ts) "
     "tie is engine-arbitrary — the bug this key exists to kill). "
     "Values are raw stored doubles, selected not computed, so no "
-    "rounding is needed anywhere. Plan: single partial->final hash "
-    "aggregate on (user, bucket) — min_by/max_by carry (value, key) "
-    "pairs map-side exactly like min/max; bucketing is epoch "
-    "arithmetic pinned identically in both engines (the "
-    "tumbling_window discipline). One shuffle at any scale.",
+    "rounding is needed anywhere. Plan: single partial->final "
+    "aggregate on (user, bucket), one shuffle at any scale — Spark "
+    "plans the min_by/max_by pair buffers as SortAggregate (struct "
+    "buffers aren't hash-agg-eligible), a sort on the GROUPING key "
+    "only, still no window/self-join over the event stream; "
+    "bucketing is epoch arithmetic pinned identically in both "
+    "engines (the tumbling_window discipline).",
 )
 def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

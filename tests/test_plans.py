@@ -207,3 +207,40 @@ def test_strip_dup_spans_no_token_stream_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "curation_strip_dup_spans")
     assert "Window" not in plan
     assert "SortAggregate" not in plan
+
+
+def test_jl_projection_is_map_only(spark, sf_dir):
+    # the projection must be a pure map stage: no Exchange except the
+    # final presentation sort, no joins (the matrix is a literal)
+    plan = _plan(spark, sf_dir, "embedding_jl_project", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1  # only the ORDER BY vec_id sort
+
+
+def test_ohlc_single_aggregate_exchange(spark, sf_dir):
+    # one partial->final aggregate on (user, bucket), one data exchange,
+    # no joins/windows. Spark plans min_by/max_by's (value, ord) pair
+    # buffer as SortAggregate (declarative struct buffers aren't
+    # hash-agg-eligible) — the sort is on the GROUPING key only, the
+    # standard sort-based-agg cost, not a window over the event stream.
+    plan = _plan(spark, sf_dir, "events_ohlc_bars", mode="simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ols_trend_exchanges_only_aggregate_keys(spark, sf_dir):
+    # the five sufficient statistics aggregate on the segment key; the
+    # customer join must broadcast (dimension side)
+    plan = _plan(spark, sf_dir, "segment_sales_trend")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_join_blocks_on_equi_keys(spark, sf_dir):
+    # blocking must compile to an equi-join on (brand, first letter) —
+    # a cartesian/BNLJ would mean the blocking key was lost
+    plan = _plan(spark, sf_dir, "fuzzy_join_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # the verify predicate rides the join
