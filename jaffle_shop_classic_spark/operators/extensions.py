@@ -3676,3 +3676,49 @@ def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(checksum).cast("bigint").alias("content_checksum"),
     )
+
+
+@register(
+    "revenue_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month, revenue,
+           round(CASE WHEN lag(revenue) OVER (ORDER BY month) IS NULL THEN NULL
+                      ELSE (CAST(revenue AS DOUBLE)
+                            / CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE) - 1)
+                        * 100 END, 4) AS growth_pct
+    FROM m ORDER BY month
+    """,
+    doc="Month-over-month revenue growth — the reporting staple on top "
+    "of any mart: exact-decimal monthly sums (partition-order-"
+    "independent), then one lag window over the MONTH-cardinality "
+    "aggregate (the global window is over ~tens of rows by "
+    "construction, never the fact stream — the vocab_id_assign "
+    "argument). The growth ratio is the only float, computed from "
+    "two exact decimals and rounded. First month emits NULL growth "
+    "in both engines (no synthetic zero). date_trunc month "
+    "boundaries are timezone-pinned by the session's UTC setting.",
+)
+def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        F.col("month").cast("date").alias("month"),
+        "revenue",
+        F.round(
+            F.when(prev.isNull(), F.lit(None)).otherwise(
+                (F.col("revenue").cast("double") / prev.cast("double") - 1) * 100
+            ),
+            4,
+        ).alias("growth_pct"),
+    ).orderBy("month")

@@ -381,6 +381,50 @@ class Project:
         out = closed.unionByName(closing).unionByName(still_open).unionByName(opening)
         return self._write_version(spec.name, out, spark)
 
+    # -- dbt-style graph selectors ----------------------------------------
+    def _ancestors(self, name: str) -> set[str]:
+        out: set[str] = set()
+        frontier = [name]
+        while frontier:
+            n = frontier.pop()
+            deps = self.models[n].deps if n in self.models else ()
+            for d in deps:
+                if d in self.models and d not in out:
+                    out.add(d)
+                    frontier.append(d)
+        return out
+
+    def _descendants(self, name: str) -> set[str]:
+        out: set[str] = set()
+        frontier = [name]
+        while frontier:
+            n = frontier.pop()
+            for m, spec in self.models.items():
+                if n in spec.deps and m not in out:
+                    out.add(m)
+                    frontier.append(m)
+        return out
+
+    def select_set(self, select: Sequence[str]) -> set[str]:
+        """Resolve dbt graph-selector syntax: `model` (just the model),
+        `+model` (model and all ancestors), `model+` (model and all
+        descendants), `+model+` (both). Unknown names fail loudly —
+        a typo'd selector silently running nothing is the classic dbt
+        footgun this guards against."""
+        wanted: set[str] = set()
+        for tok in select:
+            plus_pre = tok.startswith("+")
+            plus_post = tok.endswith("+")
+            name = tok.strip("+")
+            if name not in self.models:
+                raise KeyError(f"unknown model in selector {tok!r}: {name}")
+            wanted.add(name)
+            if plus_pre:
+                wanted |= self._ancestors(name)
+            if plus_post:
+                wanted |= self._descendants(name)
+        return wanted
+
     def topo_order(self) -> list[str]:
         ts = TopologicalSorter(
             {name: [d for d in spec.deps if d in self.models] for name, spec in self.models.items()}
@@ -388,10 +432,14 @@ class Project:
         return list(ts.static_order())  # raises CycleError on cycles
 
     def run(self, spark: SparkSession, select: Sequence[str] | None = None) -> dict[str, DataFrame]:
-        """Materialize all (or selected) models in dependency order."""
+        """Materialize all (or selected) models in dependency order.
+        ``select`` accepts dbt graph selectors (`+model`, `model+`,
+        `+model+`); upstream models a selected model `ref()`s are built
+        regardless (they must exist to resolve), exactly as dbt assumes
+        upstream relations exist in the warehouse."""
         self._built.clear()
         order = self.topo_order()
-        wanted = set(select) if select else None
+        wanted = self.select_set(select) if select else None
         for name in order:
             if wanted is None or name in wanted or self._needed_by(name, wanted):
                 self._materialize(self.models[name], spark)

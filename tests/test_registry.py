@@ -281,3 +281,42 @@ def test_time_travel_reads_immutable_versions(spark, tmp_path):
     assert {r["v"] for r in v1.collect()} == {0, 100, 200}
     with pytest.raises(ValueError, match="version 9 not found"):
         project.read_version("inc_tt", spark, 9)
+
+
+def test_graph_selectors_dbt_syntax(spark):
+    """dbt selector parity: +model pulls ancestors, model+ pulls
+    descendants, +model+ pulls both; a typo'd name fails loudly."""
+    from jaffle_shop_classic_spark.plans.registry import Project
+
+    p = Project()
+    p.add_source("src", spark.range(3).withColumnRenamed("id", "n"))
+
+    @p.model(name="a", deps=("src",))
+    def a(ctx):
+        return ctx.ref("src")
+
+    @p.model(name="b", deps=("a",))
+    def b(ctx):
+        return ctx.ref("a")
+
+    @p.model(name="c", deps=("b",))
+    def c(ctx):
+        return ctx.ref("b")
+
+    @p.model(name="d", deps=("a",))
+    def d(ctx):
+        return ctx.ref("a")
+
+    assert p.select_set(["+b"]) == {"a", "b"}
+    assert p.select_set(["b+"]) == {"b", "c"}
+    assert p.select_set(["+b+"]) == {"a", "b", "c"}
+    assert p.select_set(["a+"]) == {"a", "b", "c", "d"}
+    assert p.select_set(["c"]) == {"c"}
+    with pytest.raises(KeyError, match="unknown model"):
+        p.select_set(["+nope"])
+
+    # run() with a selector builds exactly the selection (+ lazily
+    # resolved upstream refs, which don't appear as selected outputs)
+    built = p.run(spark, select=["b+"])
+    assert {"b", "c"} <= set(built)
+    assert "d" not in built
