@@ -1435,22 +1435,28 @@ def q_dedup_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tokp = d.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tk")
-    )
-    wseq = Window.partitionBy("doc_id").orderBy("pos")
-    g = tokp.select(
-        "doc_id",
-        F.col("tk").alias("t0"),
-        *[F.lead("tk", k).over(wseq).alias(f"t{k}") for k in (1, 2, 3, 4)],
+    # 5-gram stream via posexplode + element_at on the CARRIED token
+    # array — zero shuffles, one codegen span (same measured rationale
+    # as exploded_shingles: the earlier lead()-window form forced a
+    # (doc_id, pos) sort over the full token stream before any shingle
+    # existed; warm medians 1.5s -> 0.6s at sf0.1). The tokenize stays
+    # in its own select below the explode so split() runs once per doc,
+    # not per exploded row (exploded_shingles' inlining pitfall).
+    base = d.selectExpr("doc_id", r"split(trim(text), '\\s+') AS tk")
+    ex = base.selectExpr(
+        "doc_id", "size(tk) AS n", "tk", "posexplode(tk) AS (pos, tok)"
     )
     # the distinct shingle stream feeds FOUR consumers (sizes, df counts,
     # prefix ranking, pair verification) — materialize it once instead of
-    # re-running the posexplode + window per consumer (same measurement
-    # rationale as the gram stream in curation_strip_dup_spans)
+    # re-running the explode per consumer (same measurement rationale as
+    # the gram stream in curation_strip_dup_spans)
     sh = (
-        g.filter(F.col("t4").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "t0", "t1", "t2", "t3", "t4").alias("s"))
+        ex.filter("pos <= n - 5")
+        .selectExpr(
+            "doc_id",
+            "concat_ws(' ', tok, element_at(tk, pos + 2), element_at(tk, pos + 3), "
+            "element_at(tk, pos + 4), element_at(tk, pos + 5)) AS s",
+        )
         .dropDuplicates(["doc_id", "s"])
         .localCheckpoint(eager=True)
     )
