@@ -3722,3 +3722,53 @@ def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("growth_pct"),
     ).orderBy("month")
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+    doc="Running COUNT(DISTINCT) over a stream — a window frame cannot "
+    "hold distinct state, so the textbook rewrite applies: flag each "
+    "row as the FIRST occurrence of its (user, event_type) via "
+    "row_number, then a plain cumulative sum of flags. State per "
+    "window is O(1) after the rewrite (the distinctness was paid in "
+    "the first window's shuffle, keyed on (user, type)); the second "
+    "window re-shuffles on user_id only. This is the construction "
+    "streaming engines call 'distinct aggregation over append "
+    "windows' and warehouses hand-optimize — here it is two window "
+    "functions with deterministic (ts, event_id) tiebreaks. At "
+    "100 TB both shuffles are keyed and the flags column is one "
+    "byte per row.",
+)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn(
+            "first_seen", F.when(F.row_number().over(w1) == 1, 1).otherwise(0)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w2).cast("bigint").alias("distinct_types_so_far"),
+        )
+    )
