@@ -1286,3 +1286,149 @@ def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(x, r) -> CAST(x AS DOUBLE) * r), CAST(0 AS DOUBLE), "
         "(acc, v) -> acc + v) / 4.0, 6)) AS reduced",
     ).orderBy("vec_id")
+
+
+# ------------------------------------------------ hybrid retrieval (RRF)
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_TOPK = 10
+RRF_POOL = 50  # depth of each ranked list feeding the fusion
+
+
+def _rrf_oracle() -> str:
+    from .text import _TOKENS_SQL
+
+    return f"""
+    WITH dense AS (
+      SELECT vec_id AS doc_id, rank_d FROM (
+        SELECT b.vec_id,
+               row_number() OVER (
+                 ORDER BY round({cosine_sql('q.embedding', 'b.embedding')}, 6) DESC,
+                          b.vec_id ASC) AS rank_d
+        FROM embeddings b CROSS JOIN (
+          SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE b.vec_id <> 0
+      ) WHERE rank_d <= {RRF_POOL}
+    ),
+    t AS (SELECT doc_id, {_TOKENS_SQL} AS toks, trim(text) AS txt FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [txt] END) AS term
+      FROM t
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    wts AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    sparse AS (
+      SELECT doc_id, rank_s FROM (
+        SELECT b.doc_id,
+               row_number() OVER (
+                 ORDER BY round(sum(b.w * q.w), 6) DESC, b.doc_id ASC) AS rank_s
+        FROM wts b JOIN (SELECT term, w FROM wts WHERE doc_id = 0) q
+          ON b.term = q.term
+        WHERE b.doc_id <> 0
+        GROUP BY b.doc_id
+      ) WHERE rank_s <= {RRF_POOL}
+    )
+    SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({RRF_K} + d.rank_d), 0)
+                 + coalesce(1.0 / ({RRF_K} + s.rank_s), 0), 8) AS rrf_score
+    FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT {RRF_TOPK}
+    """
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=_rrf_oracle(),
+    doc="Hybrid retrieval with reciprocal-rank fusion — THE modern "
+    "search-stack pattern: a dense ranked list (embedding cosine vs "
+    f"the query vector) and a sparse ranked list (tf-idf shingle "
+    "dot-product vs the query document) are each cut at depth "
+    f"{RRF_POOL} and fused as sum(1/({RRF_K}+rank)) — rank fusion "
+    "needs no score calibration between the two spaces, which is "
+    "why RRF won over weighted-score mixing in practice. Both ranks "
+    "order by ROUNDED scores with id tiebreaks, so list membership "
+    "and fusion are deterministic cross-engine; a doc present in "
+    "only one list contributes only that term (FULL OUTER fusion). "
+    "Plan: the dense arm is the sim_cosine_topk shape (broadcast "
+    "1-row query, narrow score projection, TakeOrdered-depth "
+    "window); the sparse arm joins the inverted weight table "
+    "against the query doc's terms only — query-term-cardinality "
+    "probe, never all-pairs. At 100 TB each arm is an existing "
+    "certified index path (IVF-PQ / inverted index); the fusion "
+    "itself touches 2x{RRF_POOL} rows.",
+)
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text import tokens_col  # runtime import (text has no dep on this)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dense_scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(F.expr(cosine_expr("embedding", "qe")), 6).alias("cs"),
+        )
+    )
+    wd = Window.orderBy(F.col("cs").desc(), F.col("doc_id").asc())
+    dense = (
+        dense_scored.withColumn("rank_d", F.row_number().over(wd))
+        .filter(F.col("rank_d") <= RRF_POOL)
+        .select("doc_id", "rank_d")
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    from .dedup import exploded_shingles
+
+    tok = d.transform(exploded_shingles).select("doc_id", F.col("s").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    wts = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("w"),
+        )
+    )
+    qw = wts.filter(F.col("doc_id") == 0).select("term", F.col("w").alias("qw"))
+    sparse_scored = (
+        wts.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qw), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("w") * F.col("qw")), 6).alias("ss"))
+    )
+    ws = Window.orderBy(F.col("ss").desc(), F.col("doc_id").asc())
+    sparse = (
+        sparse_scored.withColumn("rank_s", F.row_number().over(ws))
+        .filter(F.col("rank_s") <= RRF_POOL)
+        .select("doc_id", "rank_s")
+    )
+
+    fused = dense.join(sparse, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("rank_d")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rank_s")), F.lit(0.0)),
+            8,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
+        RRF_TOPK
+    )

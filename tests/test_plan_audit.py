@@ -48,6 +48,7 @@ CROSS_OK = {
     "lang_nb_classifier",  # vocab x language smoothing grid (the model itself)
     "chi2_feature_select",  # vocab x language contingency grid + 1-row N join
     "drift_psi_monitor",  # broadcast 1-row decile-edge + totals joins
+    "hybrid_retrieval_rrf",  # broadcast 1-row query vector + corpus-size joins
     "sim_sparse_tfidf_pairs",  # broadcast 1-row corpus-size (N) join for idf
 }
 

