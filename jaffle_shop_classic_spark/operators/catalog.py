@@ -156,6 +156,7 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "vocab_oov_rate",
     "hybrid_retrieval_rrf",
     "window_running_distinct",
     "revenue_mom_growth",

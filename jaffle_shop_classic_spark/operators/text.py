@@ -2072,3 +2072,67 @@ def q_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "tok", "chi2")
         .orderBy("lang", F.col("chi2").desc(), "tok")
     )
+
+
+VOCAB_TOP_K = 20
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.source, t.tok
+      FROM documents d, unnest({_TOKENS_SQL.replace('text', 'd.text')}) AS t(tok)
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+        FROM tok GROUP BY tok
+      ) WHERE rn <= {VOCAB_TOP_K}
+    )
+    SELECT tok.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (vocab.tok IS NULL) AS BIGINT) AS n_oov,
+           round(CAST(count(*) FILTER (vocab.tok IS NULL) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab ON tok.tok = vocab.tok
+    GROUP BY tok.source
+    ORDER BY tok.source
+    """,
+    doc=f"Out-of-vocabulary rate per source against the top-{VOCAB_TOP_K} "
+    "frequency-ranked vocabulary — the tokenizer-coverage monitor every "
+    "training pipeline runs before committing a vocab: a source whose "
+    "OOV rate spikes is about to shred into <unk>/byte-fallback tokens "
+    "and needs vocab retraining or exclusion (the drift_psi_monitor "
+    "idea applied to the token space). Plan: one token aggregate "
+    "builds the Zipf-bounded vocabulary (broadcast), the OOV flag is "
+    "a map-side broadcast LEFT join null-check, and the per-source "
+    "rollup is one partial->final aggregate — two scans of the token "
+    "stream, no corpus-sized state.",
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select("tok", F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("tok").asc())).alias("rn"))
+        .filter(F.col("rn") <= VOCAB_TOP_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("bigint").alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
