@@ -156,6 +156,10 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "rfm_customer_segments",
+    "skyline_pareto_parts",
+    "event_markov_transitions",
+    "k_anonymity_audit",
     "vocab_oov_rate",
     "hybrid_retrieval_rrf",
     "window_running_distinct",

@@ -3772,3 +3772,237 @@ def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("first_seen").over(w2).cast("bigint").alias("distinct_types_so_far"),
         )
     )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary,
+           ntile(5) OVER (PARTITION BY c_mktsegment
+                          ORDER BY recency_days DESC, c_custkey) AS r_score,
+           ntile(5) OVER (PARTITION BY c_mktsegment
+                          ORDER BY frequency ASC, c_custkey) AS f_score,
+           ntile(5) OVER (PARTITION BY c_mktsegment
+                          ORDER BY monetary ASC, c_custkey) AS m_score
+    FROM agg JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation — the "
+    "marketing-analytics staple one layer above the jaffle marts: "
+    "exact per-customer aggregates off one keyed shuffle of orders "
+    "(decimal money sum, order-independent), recency anchored to the "
+    "dataset's max order date via a broadcast 1-row aggregate (no "
+    "wall-clock in the query — deterministic and oracle-portable), "
+    "then ntile(5) scores per market segment. Partitioning the score "
+    "windows by c_mktsegment keeps every sort shard-sized (the "
+    "sample_quality_deciles argument); for one giant segment at "
+    "100 TB the swap is percentile_approx quintile BOUNDARIES "
+    "broadcast into a map-side bucket assignment. Ties break on "
+    "c_custkey so scores are deterministic, not partition-ordered. "
+    "Customers with zero orders are out of scope by definition "
+    "(inner join). Reference surface analog: the customer mart's "
+    "lifetime-value column (models/customers.sql) extended to the "
+    "standard three-axis score.",
+)
+def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor_date"))
+    agg = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("anchor_date", "last_order"))
+    )
+    j = agg.join(c, agg.o_custkey == c.c_custkey)
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("recency_days").desc(), F.col("c_custkey")
+    )
+    wf = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("frequency").asc(), F.col("c_custkey")
+    )
+    wm = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("monetary").asc(), F.col("c_custkey")
+    )
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+
+
+@register(
+    "event_markov_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    )
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY src), 4) AS p
+    FROM pairs WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "streams — the model behind next-event prediction and "
+    "session-flow dashboards. One keyed window (user_id, ordered by "
+    "ts with event_id tiebreak — the session_top_paths determinism "
+    "rule) pairs each event with its successor via lead(); "
+    "cross-user transitions never appear because the window "
+    "partition IS the user. Then an ordinary partial->final count on "
+    "(src, dst) — at most |event_types|^2 groups, so the row-"
+    "normalizing second window runs over a constant-cardinality "
+    "frame (9 types -> <=81 rows), never the event stream. At 100 TB "
+    "the only data-sized cost is the per-user sort, which is the "
+    "same shuffle every sessionization query already pays; the "
+    "matrix itself is broadcast-sized by construction.",
+)
+def q_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 4).alias("p"),
+    )
+
+
+@register(
+    "skyline_pareto_parts",
+    oracle="""
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size <= p.p_size AND q.p_retailprice >= p.p_retailprice
+        AND (q.p_size < p.p_size OR q.p_retailprice > p.p_retailprice)
+    )
+    """,
+    doc="Skyline (Pareto-frontier) query: parts not dominated on "
+    "(minimize p_size, maximize p_retailprice) — the price-"
+    "efficiency frontier. The oracle states the O(n^2) NOT EXISTS "
+    "definition; the engine runs the distributed two-phase plan: "
+    "(1) a per-batch LOCAL skyline inside one Arrow mapInPandas pass "
+    "(sort by size asc/price desc, keep rows beating the running "
+    "price cummax — skyline(skyline(S)) = skyline(S), so per-batch "
+    "pruning is lossless), which collapses each partition to at most "
+    "|distinct sizes| candidates; (2) the EXACT merge on the tiny "
+    "survivor set via two windows — max price within equal size, and "
+    "a rangeBetween(unboundedPreceding, -1) running best over "
+    "strictly smaller sizes. A row survives iff it tops its own size "
+    "group AND strictly beats every smaller size's best. The global "
+    "ordered window in phase 2 runs over the candidate set (bounded "
+    "by 50 distinct sizes x partitions after local pruning), never "
+    "the raw table — the standard distributed-skyline shape "
+    "(Borzsony et al., ICDE 2001). Equal (size, price) duplicates "
+    "are mutually non-dominated and all survive in both engines.",
+)
+def q_skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 — Arrow batch interface
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+
+    def local_skyline(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["p_size", "p_retailprice"], ascending=[True, False]
+            ).reset_index(drop=True)
+            # per-size best price, and the running best over strictly
+            # SMALLER sizes (cummax over group-first rows, shifted one
+            # group back, spread to the rest of the group via ffill —
+            # the first size group keeps NaN = "nothing smaller exists")
+            gmax = pdf.groupby("p_size")["p_retailprice"].transform("max")
+            first_of_size = ~pdf["p_size"].duplicated()
+            prev_best = (
+                gmax[first_of_size].cummax().shift(1).reindex(pdf.index).ffill()
+            )
+            keep = (pdf["p_retailprice"] == gmax) & (
+                prev_best.isna() | (pdf["p_retailprice"] > prev_best)
+            )
+            yield pdf.loc[keep, ["p_partkey", "p_size", "p_retailprice"]]
+
+    cand = p.mapInPandas(local_skyline, schema=p.schema)
+    wsize = Window.partitionBy("p_size")
+    wrun = Window.orderBy("p_size").rangeBetween(Window.unboundedPreceding, -1)
+    return (
+        cand.withColumn("gmax", F.max("p_retailprice").over(wsize))
+        .withColumn("prev_best", F.max("p_retailprice").over(wrun))
+        .where(
+            (F.col("p_retailprice") == F.col("gmax"))
+            & (
+                F.col("prev_best").isNull()
+                | (F.col("p_retailprice") > F.col("prev_best"))
+            )
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < 10 AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc="k-anonymity audit over quasi-identifiers — the privacy "
+    "pre-release gate: group the table by the quasi-identifier "
+    "tuple (nationkey, mktsegment — the columns an adversary could "
+    "link from public data) and flag every equivalence class "
+    "smaller than k=10; rows in flagged classes are re-"
+    "identifiable and need suppression or generalization before "
+    "the dataset ships (companion to gdpr_erase_users and "
+    "pii_redact in the governance suite). One partial->final hash "
+    "aggregate on the QI key — group cardinality is the product of "
+    "QI domains (125 here), so the audit output is dashboard-sized "
+    "regardless of table size, and the k threshold is evaluated "
+    "map-free on the aggregate. At 100 TB this is the same plan; "
+    "generalization ladders (bucketing acctbal, dropping QI "
+    "columns) re-run the identical audit on coarser keys.",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    ).withColumn("at_risk", F.col("group_size") < 10)

@@ -50,6 +50,7 @@ CROSS_OK = {
     "drift_psi_monitor",  # broadcast 1-row decile-edge + totals joins
     "hybrid_retrieval_rrf",  # broadcast 1-row query vector + corpus-size joins
     "sim_sparse_tfidf_pairs",  # broadcast 1-row corpus-size (N) join for idf
+    "rfm_customer_segments",  # broadcast 1-row recency-anchor join
 }
 
 

@@ -469,3 +469,79 @@ def test_rrf_fuses_both_arms(spark, sf_dir):
     # every score is a sum of at most two reciprocal-rank terms
     max_possible = round(2 / (RRF_K + 1), 8)
     assert all(0 < s <= max_possible for s in scores)
+
+
+def test_skyline_keeps_exact_pareto_frontier(spark, tmp_path):
+    """Planted 2-D dominance: only non-dominated (size, price) points
+    survive; equal-point duplicates are mutually non-dominated and BOTH
+    survive; in-group lower prices and equal-price-larger-size rows die."""
+    rows = [
+        (1, 1, 50.0),   # frontier (smallest size)
+        (2, 2, 80.0),   # frontier
+        (3, 2, 70.0),   # dominated in-group by 2
+        (4, 3, 80.0),   # dominated by 2 (same price, larger size)
+        (5, 5, 90.0),   # frontier
+        (6, 5, 90.0),   # duplicate of 5 — survives too
+        (7, 9, 85.0),   # dominated by 5
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_size int, p_retailprice double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    got = {
+        r["p_partkey"]
+        for r in load_catalog()["skyline_pareto_parts"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1, 2, 5, 6}
+
+
+def test_markov_rows_are_per_user_and_probs_normalize(spark, tmp_path):
+    """Transitions never cross user boundaries, and outgoing
+    probabilities sum to 1 per source state."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a", 0.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "b", 0.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "a", 0.0, "{}"),
+        # user 2 starts with "b": no a->b transition may leak from user 1's tail "a"
+        (4, "2024-01-01 00:00:00", 2, "b", 0.0, "{}"),
+        (5, "2024-01-01 00:01:00", 2, "c", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    out = load_catalog()["event_markov_transitions"].fn(spark, str(tmp_path)).collect()
+    got = {(r["src"], r["dst"]): (r["n"], r["p"]) for r in out}
+    assert got == {("a", "b"): (1, 1.0), ("b", "a"): (1, 0.5), ("b", "c"): (1, 0.5)}
+
+
+def test_rfm_scores_monotone_in_metrics(spark, sf_dir):
+    """Within one market segment, a strictly larger monetary total can
+    never receive a lower m_score (ntile is monotone in the sort key),
+    and all scores stay in 1..5."""
+    out = load_catalog()["rfm_customer_segments"].fn(spark, sf_dir).collect()
+    assert out, "rfm produced no rows"
+    by_seg = {}
+    for r in out:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+        by_seg.setdefault(r["c_mktsegment"], []).append((r["monetary"], r["m_score"]))
+    for rows in by_seg.values():
+        rows.sort()
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores), "m_score not monotone in monetary"
+
+
+def test_k_anonymity_flags_small_groups_only(spark, tmp_path):
+    """A QI class of size 9 is at risk at k=10; one of size 10 is not."""
+    rows = [(i, f"c{i}", 1, 0.0, "SEG_A") for i in range(9)] + [
+        (100 + i, f"d{i}", 2, 0.0, "SEG_B") for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): (r["group_size"], r["at_risk"])
+        for r in load_catalog()["k_anonymity_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, "SEG_A"): (9, True), (2, "SEG_B"): (10, False)}
