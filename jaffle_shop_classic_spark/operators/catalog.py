@@ -156,6 +156,9 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "benford_first_digit",
+    "revenue_concentration_gini",
+    "assoc_rules_lift",
     "rfm_customer_segments",
     "skyline_pareto_parts",
     "event_markov_transitions",

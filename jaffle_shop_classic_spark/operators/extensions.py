@@ -4006,3 +4006,218 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("group_size")
     ).withColumn("at_risk", F.col("group_size") < 10)
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (), 4) AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 4) AS exp_share,
+           round(sum(n) OVER ()
+                 * pow(CAST(n AS DOUBLE) / sum(n) OVER ()
+                       - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 4) AS chi2_term
+    FROM g
+    """,
+    doc="Benford's-law first-digit audit over order totals — the "
+    "classic fraud/data-quality screen: the observed share of each "
+    "leading significant digit vs the log10(1+1/d) expectation, "
+    "with per-digit chi-squared contributions (sum them and compare "
+    "against the 8-df critical value to flag the table). The digit "
+    "is extracted from EXACT integer cents (round(x*100) as bigint, "
+    "then the first character of its decimal rendering) — never "
+    "from floating log10(x), whose rounding at powers of ten flips "
+    "digits between engines. One map-side projection + a 9-group "
+    "aggregate; the share-normalizing window runs over at most 9 "
+    "rows (the markov-matrix argument), so the audit is a single "
+    "scan at any scale.",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = (
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = o.select(digit).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy()
+    total = F.sum("n").over(w)
+    obs = F.col("n").cast("double") / total
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return g.select(
+        "digit",
+        "n",
+        F.round(obs, 4).alias("obs_share"),
+        F.round(exp, 4).alias("exp_share"),
+        F.round(total * F.pow(obs - exp, 2) / exp, 4).alias("chi2_term"),
+    )
+
+
+@register(
+    "revenue_concentration_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, x,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY x ASC, o_custkey ASC) AS i
+      FROM rev JOIN customer ON c_custkey = o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(x) AS DECIMAL(38,2)) AS total_revenue,
+           round(2.0 * CAST(sum(i * x) AS DOUBLE)
+                   / (count(*) * CAST(sum(x) AS DOUBLE))
+                 - (count(*) + 1.0) / count(*), 4) AS gini
+    FROM ranked GROUP BY c_mktsegment
+    """,
+    doc="Gini coefficient of revenue concentration per market segment — "
+    "the Lorenz-curve summary behind 'top 1% of customers drive X% "
+    "of revenue' dashboards. Exact decimal per-customer revenue off "
+    "one keyed shuffle, a segment-partitioned rank window (ties on "
+    "equal revenue cannot change sum(i*x), so the custkey tiebreak "
+    "is for determinism only), then the closed form "
+    "G = 2*sum(i*x)/(n*sum(x)) - (n+1)/n per segment from two exact "
+    "decimal sums — the only float is the final ratio, computed from "
+    "identical exact inputs in both engines and rounded. Score "
+    "windows shard by segment (the rfm_customer_segments argument); "
+    "a single giant segment at 100 TB swaps the exact rank for "
+    "histogram-CDF binning exactly like median_histogram_cdf.",
+)
+def q_revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    j = rev.join(c, rev.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("x").asc(), F.col("o_custkey").asc()
+    )
+    ranked = j.select(
+        "c_mktsegment", "x", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    six = F.sum(F.col("i") * F.col("x"))
+    return ranked.groupBy("c_mktsegment").agg(
+        n.cast("bigint").alias("n_customers"),
+        sx.cast("decimal(38,2)").alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * six.cast("double") / (n * sx.cast("double"))
+            - (n + F.lit(1.0)) / n,
+            4,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "assoc_rules_lift",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM d),
+    item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+             FROM d GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) / ia.n_item, 4) AS conf_a_to_b,
+           round(CAST(n_ab AS DOUBLE) / ib.n_item, 4) AS conf_b_to_a,
+           round(CAST(n_ab AS DOUBLE) * nb.n_baskets
+                 / (ia.n_item * CAST(ib.n_item AS DOUBLE)), 4) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN nb
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT 50
+    """,
+    doc="Association rules with confidence and lift on top of the "
+    "co-purchase support counts (copurchase_part_pairs): pair "
+    "supports from the basket-bounded self-equi-join, item supports "
+    "from a plain keyed count, basket count N from a broadcast 1-row "
+    "aggregate, then conf(a->b)=n_ab/n_a, conf(b->a)=n_ab/n_b and "
+    "lift = n_ab*N/(n_a*n_b) via two broadcast joins against the "
+    "dimension-sized item-support table. All inputs to the float "
+    "ratios are exact bigints, so cross-engine parity is a rounding "
+    "formality. The min-support HAVING prunes the rule set before "
+    "the joins; top-k orders by the ROUNDED lift with full "
+    "tiebreaks so the cutoff cannot flip on last-bit noise. Same "
+    "plan at 100 TB: supports shuffle on their keys, the item table "
+    "stays broadcastable (it is the part dimension), and the only "
+    "skew risk is the hot-basket cap copurchase already documents.",
+)
+def q_assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    nb = d.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets"))
+    item = d.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 4).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_b"), 4).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(50)
+    )

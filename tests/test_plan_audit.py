@@ -51,6 +51,7 @@ CROSS_OK = {
     "hybrid_retrieval_rrf",  # broadcast 1-row query vector + corpus-size joins
     "sim_sparse_tfidf_pairs",  # broadcast 1-row corpus-size (N) join for idf
     "rfm_customer_segments",  # broadcast 1-row recency-anchor join
+    "assoc_rules_lift",  # broadcast 1-row basket-count (N) join
 }
 
 

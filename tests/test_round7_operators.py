@@ -545,3 +545,81 @@ def test_k_anonymity_flags_small_groups_only(spark, tmp_path):
         for r in load_catalog()["k_anonymity_audit"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {(1, "SEG_A"): (9, True), (2, "SEG_B"): (10, False)}
+
+
+def test_benford_digit_exact_at_power_of_ten_boundary(spark, tmp_path):
+    """Digits come from exact integer cents: 1000.00 -> 1, 999.99 -> 9
+    (a float-log10 extraction would misclassify the boundary)."""
+    rows = [
+        (1, 1, "O", 1000.00, "2024-01-01 00:00:00", "1-URGENT"),
+        (2, 1, "O", 999.99, "2024-01-01 00:00:00", "1-URGENT"),
+        (3, 1, "O", 100.00, "2024-01-01 00:00:00", "1-URGENT"),
+        (4, 1, "O", 95.50, "2024-01-01 00:00:00", "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r["digit"]: r["n"]
+        for r in load_catalog()["benford_first_digit"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 2, 9: 2}
+
+
+def test_gini_zero_for_equality_and_max_for_monopoly(spark, tmp_path):
+    """Four equal customers -> G=0; one customer with all the revenue
+    -> G=(n-1)/n=0.75 (discrete-population closed form)."""
+    orders = [
+        # SEG_EQ: four customers, 100 each
+        *[(i, i, "O", 100.0, "2024-01-01 00:00:00", "1-URGENT") for i in range(1, 5)],
+        # SEG_MONO: three zero-ish customers and one whale
+        *[
+            (10 + i, 10 + i, "O", 0.01, "2024-01-01 00:00:00", "1-URGENT")
+            for i in range(3)
+        ],
+        (14, 14, "O", 10000.0, "2024-01-01 00:00:00", "1-URGENT"),
+    ]
+    custs = [(i, f"c{i}", 0, 0.0, "SEG_EQ") for i in range(1, 5)] + [
+        (i, f"c{i}", 0, 0.0, "SEG_MONO") for i in (10, 11, 12, 14)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        custs, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {
+        r["c_mktsegment"]: r["gini"]
+        for r in load_catalog()["revenue_concentration_gini"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["SEG_EQ"] == 0.0
+    assert abs(got["SEG_MONO"] - 0.75) < 0.001  # whale dominates; 0.01s nudge it a hair
+
+
+def test_assoc_lift_one_under_independence(spark, tmp_path):
+    """{A,B} x3 plus {A} x1: conf(a->b)=0.75, conf(b->a)=1.0 and
+    lift = n_ab*N/(n_a*n_b) = 3*4/(4*3) = exactly 1."""
+    rows = [
+        *[(k, 100, k, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00") for k in (1, 2, 3)],
+        *[(k, 200, k, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00") for k in (1, 2, 3)],
+        (4, 100, 4, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/lineitem.parquet")
+    out = load_catalog()["assoc_rules_lift"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["part_a"], r["part_b"], r["n_ab"]) == (100, 200, 3)
+    assert (r["conf_a_to_b"], r["conf_b_to_a"], r["lift"]) == (0.75, 1.0, 1.0)
