@@ -1,12 +1,16 @@
-"""CLI: seed / run / test / docs / snapshot / curate — mirrors the
-reference's entry points (/root/reference/README.md:46-71: `dbt seed`,
-`dbt run`, `dbt test`, `dbt docs generate`) plus the corpus-build verb
-for the LLM-pipeline surface.
+"""CLI: seed / run / test / docs / snapshot / curate / query / sql —
+mirrors the reference's entry points (/root/reference/README.md:46-71:
+`dbt seed`, `dbt run`, `dbt test`, `dbt docs generate`) plus the
+corpus-build verb for the LLM-pipeline surface and ad-hoc access: any
+catalog operator by name, or arbitrary Spark SQL over the warehouse
+tables (the `dbt show` / warehouse-console analog).
 
     python -m jaffle_shop_classic_spark run --warehouse /tmp/wh
     python -m jaffle_shop_classic_spark test
     python -m jaffle_shop_classic_spark docs --out catalog.json
     python -m jaffle_shop_classic_spark curate --sf-dir ... --out /tmp/corpus
+    python -m jaffle_shop_classic_spark query --name rfm_customer_segments
+    python -m jaffle_shop_classic_spark sql -e "SELECT count(*) FROM orders"
 """
 
 from __future__ import annotations
@@ -24,8 +28,12 @@ from .testing.checks import run_checks
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="jaffle_shop_classic_spark")
     ap.add_argument(
-        "command", choices=["seed", "run", "test", "docs", "snapshot", "curate"]
+        "command",
+        choices=["seed", "run", "test", "docs", "snapshot", "curate", "query", "sql"],
     )
+    ap.add_argument("--name", default=None, help="query: catalog entry to run (omit to list)")
+    ap.add_argument("-e", "--expr", default=None, help="sql: the SQL text to run")
+    ap.add_argument("--limit", type=int, default=20, help="query/sql: rows to display")
     ap.add_argument("--seed-dir", default=DEFAULT_SEED_DIR)
     ap.add_argument("--warehouse", default=None, help="parquet output dir for table models")
     ap.add_argument("--out", default=None, help="docs: output JSON path; curate: corpus output dir")
@@ -50,11 +58,45 @@ def main(argv=None) -> int:
 
     import os
 
-    if not os.path.isdir(args.seed_dir):
+    if args.command not in ("curate", "query", "sql") and not os.path.isdir(
+        args.seed_dir
+    ):
         print(f"error: seed dir not found: {args.seed_dir}", file=sys.stderr)
         return 2
 
     spark = get_spark("jaffle_cli")
+
+    if args.command == "query":
+        from .operators.catalog import load_catalog
+
+        catalog = load_catalog()
+        if args.name is None:
+            for name in catalog:
+                print(name)
+            return 0
+        if args.name not in catalog:
+            print(f"error: unknown query '{args.name}' (run without --name to list)", file=sys.stderr)
+            return 2
+        df = catalog[args.name].fn(spark, args.sf_dir)
+        df.show(args.limit, truncate=False)
+        print(f"{args.name}: {df.count()} rows @ {args.sf_dir}")
+        return 0
+
+    if args.command == "sql":
+        # the warehouse-console analog: every testdata table is a view,
+        # plus the jaffle marts under their model names so `ref()`-style
+        # SQL ports run verbatim
+        if args.expr is None:
+            print("error: sql needs -e/--expr <SQL>", file=sys.stderr)
+            return 2
+        from .sources.parquet import load_tables
+
+        for name, df in load_tables(spark, args.sf_dir).items():
+            df.createOrReplaceTempView(name)
+        out = spark.sql(args.expr)
+        out.show(args.limit, truncate=False)
+        print(f"{out.count()} rows @ {args.sf_dir}")
+        return 0
 
     if args.command == "curate":
         # end-to-end training-corpus build: quality gate -> exact dedup ->

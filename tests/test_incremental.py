@@ -190,3 +190,21 @@ def test_curate_cli_verb(spark, tmp_path, sf_dir):
         r["doc_id"] for r in expect.select("doc_id").collect()
     }
     assert main(["curate", "--sf-dir", sf_dir]) == 2  # --out required
+
+
+def test_cli_query_and_sql_verbs(spark, sf_dir, capsys):
+    from jaffle_shop_classic_spark.__main__ import main
+
+    assert main(["query", "--name", "k_anonymity_audit", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "k_anonymity_audit:" in out and "rows" in out
+
+    assert main(["query", "--name", "no_such_query"]) == 2
+
+    assert (
+        main(["sql", "-e", "SELECT count(*) AS n FROM orders", "--sf-dir", sf_dir]) == 0
+    )
+    out = capsys.readouterr().out
+    assert "1 rows" in out
+
+    assert main(["sql"]) == 2  # --expr required
