@@ -85,6 +85,10 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "segment_sales_trend",
     "drift_psi_monitor",
     "embedding_jl_project",
+    "rfm_customer_segments",
+    "skyline_pareto_parts",
+    "assoc_rules_lift",
+    "benford_first_digit",
 ]
 
 

@@ -32,6 +32,12 @@ def main(argv=None) -> int:
         choices=["seed", "run", "test", "docs", "snapshot", "curate", "query", "sql"],
     )
     ap.add_argument("--name", default=None, help="query: catalog entry to run (omit to list)")
+    ap.add_argument(
+        "--select",
+        nargs="+",
+        default=None,
+        help="run: dbt graph selectors (model, +model, model+, +model+)",
+    )
     ap.add_argument("-e", "--expr", default=None, help="sql: the SQL text to run")
     ap.add_argument("--limit", type=int, default=20, help="query/sql: rows to display")
     ap.add_argument("--seed-dir", default=DEFAULT_SEED_DIR)
@@ -170,9 +176,15 @@ def main(argv=None) -> int:
             print(f"{name} [snapshot @ {project.snapshot_at}]: {df.count()} rows, {open_rows} open")
         return 0
 
-    built = project.run(spark)
+    try:
+        built = project.run(spark, select=args.select if args.command == "run" else None)
+    except KeyError as exc:
+        print(f"error: {exc.args[0]}", file=sys.stderr)
+        return 2
     if args.command == "run":
         for name in project.topo_order():
+            if name not in built:
+                continue
             spec = project.models[name]
             print(f"{name} [{spec.materialized}]: {built[name].count()} rows")
         return 0

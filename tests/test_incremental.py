@@ -208,3 +208,13 @@ def test_cli_query_and_sql_verbs(spark, sf_dir, capsys):
     assert "1 rows" in out
 
     assert main(["sql"]) == 2  # --expr required
+
+
+def test_cli_run_select_builds_only_subgraph(spark, capsys):
+    from jaffle_shop_classic_spark.__main__ import main
+
+    assert main(["run", "--select", "+stg_customers"]) == 0
+    out = capsys.readouterr().out
+    assert "stg_customers" in out
+    assert "customers" not in out.replace("stg_customers", "")  # mart not built
+    assert main(["run", "--select", "no_such_model"]) == 2
