@@ -156,6 +156,7 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "contrastive_hard_negatives",
     "benford_first_digit",
     "revenue_concentration_gini",
     "assoc_rules_lift",

@@ -1432,3 +1432,72 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
         RRF_TOPK
     )
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS anchor_id, n.vec_id AS neg_id,
+             a.label AS anchor_label, n.label AS neg_label,
+             round({cosine_sql('a.embedding', 'n.embedding')}, 6) AS cosine
+      FROM b a JOIN b n ON a.bucket = n.bucket AND a.label <> n.label
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY anchor_id ORDER BY cosine DESC, neg_id ASC) AS rnk
+      FROM p WHERE cosine < 0.98
+    )
+    SELECT anchor_id, neg_id, anchor_label, neg_label, cosine, rnk
+    FROM r WHERE rnk <= 2
+    """,
+    doc="Contrastive hard-negative mining — the triplet-construction "
+    "step of embedding/contrastive training data: for EVERY anchor, "
+    "the top-2 most-similar vectors carrying a DIFFERENT label "
+    "(hard because they sit close in embedding space yet must be "
+    "pushed apart), with a cosine<0.98 guard so mislabeled "
+    "near-duplicates never become negatives. The pair space is "
+    "bounded by the hyperplane-LSH bucket (the sim_ann_hyperplane "
+    "bucketing — byte-identical literal hyperplanes in both "
+    "engines), so the quadratic term is sum-of-bucket-sizes "
+    "squared, never n²; per-anchor top-2 is one keyed window over "
+    "the bucket-join output. Ranking happens on the ROUNDED cosine "
+    "with a neg_id tiebreak, so the cutoff cannot flip on last-bit "
+    "float noise. At 100 TB: more planes shrink buckets (recall "
+    "dial), hot buckets are ordinary skewed equi-join keys, and "
+    "multi-probe unioning adjacent buckets raises recall without "
+    "widening any single join.",
+)
+def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "label", "embedding", _bucket_col("embedding").alias("bucket")
+    )
+    a, n = b.alias("a"), b.alias("n")
+    pairs = a.join(
+        n,
+        (F.col("a.bucket") == F.col("n.bucket"))
+        & (F.col("a.label") != F.col("n.label")),
+    ).select(
+        F.col("a.vec_id").alias("anchor_id"),
+        F.col("n.vec_id").alias("neg_id"),
+        F.col("a.label").alias("anchor_label"),
+        F.col("n.label").alias("neg_label"),
+        F.round(
+            F.expr(cosine_expr("a.embedding", "n.embedding")), 6
+        ).alias("cosine"),
+    ).where(F.col("cosine") < 0.98)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("anchor_id", "neg_id", "anchor_label", "neg_label", "cosine", "rnk")
+    )

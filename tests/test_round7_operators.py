@@ -623,3 +623,21 @@ def test_assoc_lift_one_under_independence(spark, tmp_path):
     r = out[0]
     assert (r["part_a"], r["part_b"], r["n_ab"]) == (100, 200, 3)
     assert (r["conf_a_to_b"], r["conf_b_to_a"], r["lift"]) == (0.75, 1.0, 1.0)
+
+
+def test_hard_negatives_are_cross_label_ranked_and_dedup_guarded(spark, sf_dir):
+    """Every mined negative crosses labels, passes the near-dup guard
+    (cosine < 0.98), and per-anchor rows are top-2 ranked by cosine."""
+    out = load_catalog()["contrastive_hard_negatives"].fn(spark, sf_dir).collect()
+    assert out, "no hard negatives mined"
+    per_anchor = {}
+    for r in out:
+        assert r["anchor_label"] != r["neg_label"]
+        assert r["cosine"] < 0.98
+        assert r["rnk"] in (1, 2)
+        per_anchor.setdefault(r["anchor_id"], []).append((r["rnk"], r["cosine"]))
+    for rows in per_anchor.values():
+        rows.sort()
+        assert len(rows) <= 2
+        if len(rows) == 2:  # rank 1 is at least as similar as rank 2
+            assert rows[0][1] >= rows[1][1]
