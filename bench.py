@@ -89,6 +89,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "skyline_pareto_parts",
     "assoc_rules_lift",
     "benford_first_digit",
+    "contrastive_hard_negatives",
 ]
 
 

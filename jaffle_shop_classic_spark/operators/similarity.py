@@ -27,7 +27,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_expr, cosine_sql, dot_expr
+from ..functions.vector import cosine_expr, cosine_sql, dot_expr, sq_norm_expr
 from ..sources.parquet import load_table
 from .catalog import register
 
@@ -35,11 +35,13 @@ DIM = 64
 NUM_PLANES = 4  # 16 buckets over ~n docs; tune to target bucket size
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(n: int = NUM_PLANES) -> list[list[float]]:
     """Deterministic +/-1 hyperplanes from md5(plane|dim) — same literals
-    reach both engines."""
+    reach both engines. The first NUM_PLANES rows are shared by every
+    plane count (md5 keyed on (plane, dim) only), so a finer bucket is
+    always a refinement of the coarse one."""
     planes = []
-    for j in range(NUM_PLANES):
+    for j in range(n):
         row = []
         for i in range(DIM):
             h = hashlib.md5(f"{j}|{i}".encode()).hexdigest()
@@ -49,22 +51,25 @@ def _hyperplanes() -> list[list[float]]:
 
 
 PLANES = _hyperplanes()
+# finer 64-bucket variant for all-anchor mining, where every bucket is
+# self-joined (vs the 16-bucket ANN path that probes ONE bucket)
+FINE_PLANES = _hyperplanes(6)
 
 
-def _bucket_col(emb: str):
-    # one F.expr for all 4 plane dots: the Column form built 64 F.lit
+def _bucket_col(emb: str, planes: list[list[float]] = PLANES):
+    # one F.expr for all plane dots: the Column form built 64 F.lit
     # calls per plane (256 Py4J round trips) at plan-build time
     parts = []
-    for plane in PLANES:
+    for plane in planes:
         lit = "array(" + ", ".join(f"{v}D" for v in plane) + ")"
         d = dot_expr(emb, lit)
         parts.append(f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END")
     return F.expr("concat(" + ", ".join(parts) + ")")
 
 
-def _bucket_sql(emb: str) -> str:
+def _bucket_sql(emb: str, planes: list[list[float]] = PLANES) -> str:
     parts = []
-    for plane in PLANES:
+    for plane in planes:
         lit = "[" + ", ".join(str(v) for v in plane) + "]"
         d = (
             f"list_sum(list_transform(range(1, {DIM + 1}), "
@@ -1438,13 +1443,18 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contrastive_hard_negatives",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, label, embedding, {_bucket_sql('embedding')} AS bucket
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding,
+                   e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) AS nemb,
+             {_bucket_sql('embedding', FINE_PLANES)} AS bucket
       FROM embeddings
     ),
     p AS (
       SELECT a.vec_id AS anchor_id, n.vec_id AS neg_id,
              a.label AS anchor_label, n.label AS neg_label,
-             round({cosine_sql('a.embedding', 'n.embedding')}, 6) AS cosine
+             round(list_sum(list_transform(range(1, 65),
+               i -> a.nemb[i] * n.nemb[i])), 6) AS cosine
       FROM b a JOIN b n ON a.bucket = n.bucket AND a.label <> n.label
     ),
     r AS (
@@ -1461,23 +1471,34 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(hard because they sit close in embedding space yet must be "
     "pushed apart), with a cosine<0.98 guard so mislabeled "
     "near-duplicates never become negatives. The pair space is "
-    "bounded by the hyperplane-LSH bucket (the sim_ann_hyperplane "
-    "bucketing — byte-identical literal hyperplanes in both "
-    "engines), so the quadratic term is sum-of-bucket-sizes "
-    "squared, never n²; per-anchor top-2 is one keyed window over "
-    "the bucket-join output. Ranking happens on the ROUNDED cosine "
-    "with a neg_id tiebreak, so the cutoff cannot flip on last-bit "
-    "float noise. At 100 TB: more planes shrink buckets (recall "
-    "dial), hot buckets are ordinary skewed equi-join keys, and "
-    "multi-probe unioning adjacent buckets raises recall without "
-    "widening any single join.",
+    "bounded by a 6-plane (64-bucket) refinement of the "
+    "sim_ann_hyperplane bucketing — byte-identical literal "
+    "hyperplanes in both engines; the finer grid matters because "
+    "ALL buckets self-join here (vs the ANN path probing one), so "
+    "the quadratic term is sum-of-bucket-sizes squared, never n². "
+    "Vectors are L2-normalized ONCE map-side before the join, so "
+    "each pair costs a single 64-term dot instead of dot+two "
+    "norms — the pre-normalization that makes all-pairs cosine "
+    "affordable anywhere. Per-anchor top-2 is one keyed window "
+    "over the bucket-join output; ranking happens on the ROUNDED "
+    "cosine with a neg_id tiebreak, so the cutoff cannot flip on "
+    "last-bit float noise. At 100 TB: more planes shrink buckets "
+    "(recall dial), hot buckets are ordinary skewed equi-join "
+    "keys, and multi-probe unioning adjacent buckets raises "
+    "recall without widening any single join.",
 )
 def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
+    nrm = f"sqrt({sq_norm_expr('embedding')})"
     b = e.select(
-        "vec_id", "label", "embedding", _bucket_col("embedding").alias("bucket")
+        "vec_id",
+        "label",
+        F.expr(f"transform(embedding, x -> CAST(x AS DOUBLE) / {nrm})").alias(
+            "nemb"
+        ),
+        _bucket_col("embedding", FINE_PLANES).alias("bucket"),
     )
     a, n = b.alias("a"), b.alias("n")
     pairs = a.join(
@@ -1489,9 +1510,7 @@ def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n.vec_id").alias("neg_id"),
         F.col("a.label").alias("anchor_label"),
         F.col("n.label").alias("neg_label"),
-        F.round(
-            F.expr(cosine_expr("a.embedding", "n.embedding")), 6
-        ).alias("cosine"),
+        F.round(F.expr(dot_expr("a.nemb", "n.nemb")), 6).alias("cosine"),
     ).where(F.col("cosine") < 0.98)
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cosine").desc(), F.col("neg_id").asc()
