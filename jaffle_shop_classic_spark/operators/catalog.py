@@ -156,6 +156,8 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "ab_test_welch_ttest",
+    "forecast_backtest_mape",
     "contrastive_hard_negatives",
     "benford_first_digit",
     "revenue_concentration_gini",

@@ -4221,3 +4221,155 @@ def q_assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(50)
     )
+
+
+@register(
+    "ab_test_welch_ttest",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, cohort,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DECIMAL(38,12)) AS sv,
+             CAST(sum(v * v) AS DECIMAL(38,12)) AS svv
+      FROM assigned GROUP BY event_type, cohort
+    ),
+    w AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             CAST(a.sv AS DOUBLE) / a.n AS mean_a,
+             CAST(b.sv AS DOUBLE) / b.n AS mean_b,
+             (CAST(a.svv AS DOUBLE) - pow(CAST(a.sv AS DOUBLE), 2) / a.n)
+               / (a.n - 1) AS var_a,
+             (CAST(b.svv AS DOUBLE) - pow(CAST(b.sv AS DOUBLE), 2) / b.n)
+               / (b.n - 1) AS var_b
+      FROM s a JOIN s b ON a.event_type = b.event_type
+      WHERE a.cohort = 'A' AND b.cohort = 'B'
+    )
+    SELECT event_type, n_a, n_b,
+           round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 3) AS t_stat
+    FROM w
+    """,
+    doc="A/B experiment readout — Welch's t statistic per metric "
+    "(event_type) between two deterministic user cohorts "
+    "(user_id parity — the hash-split assignment every experiment "
+    "platform uses, so assignment is reproducible and join-free). "
+    "The moments are EXACT: values are cast to decimal(18,6) and "
+    "both sum and sum-of-squares accumulate as decimal(38,12) — "
+    "associative and partition-order-independent, so mean/variance "
+    "derive from bit-identical inputs in both engines and only the "
+    "final float division is rounded (the decimal_exact_pricing "
+    "argument applied to second moments). One partial->final "
+    "aggregate on (metric, cohort) — cohort count is 2 by "
+    "construction, so the self-join at the end is on a "
+    "metric-cardinality frame. Same single-scan plan at 100 TB.",
+)
+def q_ab_test_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("cohort"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    s = assigned.groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("decimal(38,12)").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,12)").alias("svv"),
+    )
+    a = s.where(F.col("cohort") == "A").alias("a")
+    b = s.where(F.col("cohort") == "B").alias("b")
+    j = a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+    mean_a = F.col("a.sv").cast("double") / F.col("a.n")
+    mean_b = F.col("b.sv").cast("double") / F.col("b.n")
+    var_a = (
+        F.col("a.svv").cast("double")
+        - F.pow(F.col("a.sv").cast("double"), 2) / F.col("a.n")
+    ) / (F.col("a.n") - 1)
+    var_b = (
+        F.col("b.svv").cast("double")
+        - F.pow(F.col("b.sv").cast("double"), 2) / F.col("b.n")
+    ) / (F.col("b.n") - 1)
+    return j.select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round(
+            (mean_a - mean_b) / F.sqrt(var_a / F.col("a.n") + var_b / F.col("b.n")),
+            3,
+        ).alias("t_stat"),
+    )
+
+
+@register(
+    "forecast_backtest_mape",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month, revenue,
+           forecast,
+           round(abs(CAST(revenue AS DOUBLE) - CAST(forecast AS DOUBLE))
+                 / CAST(revenue AS DOUBLE), 4) AS ape
+    FROM (
+      SELECT month, revenue,
+             lag(revenue, 12) OVER (ORDER BY month) AS forecast
+      FROM m
+    )
+    WHERE forecast IS NOT NULL
+    ORDER BY month
+    """,
+    doc="Forecast backtesting — the seasonal-naive baseline (predict "
+    "this month = same month last year) scored with per-month "
+    "absolute percentage error; averaging ape gives MAPE, the "
+    "metric every forecasting pipeline reports before trying "
+    "anything fancier. Exact decimal monthly sums "
+    "(order-independent), then one lag(12) window over the "
+    "MONTH-cardinality aggregate (tens of rows by construction — "
+    "the revenue_mom_growth argument), and the only float is the "
+    "final ratio of two exact decimals, rounded. Months without a "
+    "year-ago twin emit no row (no synthetic zeros to poison the "
+    "average). At 100 TB the plan is unchanged: the window input "
+    "is the aggregate, never the fact stream.",
+)
+def q_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    fc = F.lag("revenue", 12).over(w)
+    return (
+        m.select(
+            F.col("month").cast("date").alias("month"),
+            "revenue",
+            fc.alias("forecast"),
+        )
+        .where(F.col("forecast").isNotNull())
+        .select(
+            "month",
+            "revenue",
+            "forecast",
+            F.round(
+                F.abs(
+                    F.col("revenue").cast("double") - F.col("forecast").cast("double")
+                )
+                / F.col("revenue").cast("double"),
+                4,
+            ).alias("ape"),
+        )
+        .orderBy("month")
+    )

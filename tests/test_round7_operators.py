@@ -641,3 +641,47 @@ def test_hard_negatives_are_cross_label_ranked_and_dedup_guarded(spark, sf_dir):
         assert len(rows) <= 2
         if len(rows) == 2:  # rank 1 is at least as similar as rank 2
             assert rows[0][1] >= rows[1][1]
+
+
+def test_welch_t_recovers_planted_cohort_gap(spark, tmp_path):
+    """Even users at ~10, odd users at ~20 with equal tiny variance:
+    t = -10/sqrt(var/4 + var/4) with var=1/3 -> -24.495 exactly at 3dp."""
+    vals = {0: [10.0, 11.0], 2: [10.0, 11.0], 1: [20.0, 21.0], 3: [20.0, 21.0]}
+    rows = []
+    i = 0
+    for uid, vs in vals.items():
+        for v in vs:
+            rows.append((i, "2024-01-01 00:00:00", uid, "click", v, "{}"))
+            i += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    out = load_catalog()["ab_test_welch_ttest"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"], r["mean_a"], r["mean_b"]) == (4, 4, 10.5, 20.5)
+    assert r["t_stat"] == -24.495
+
+
+def test_seasonal_naive_forecast_pairs_with_year_ago_month(spark, tmp_path):
+    """13 months of revenue: only the 13th has a year-ago twin; its
+    forecast is month 1's revenue and ape = |150-100|/150."""
+    rows = []
+    for i in range(13):
+        y, mth = 2020 + (i // 12), (i % 12) + 1
+        rev = 100.0 if i == 0 else (150.0 if i == 12 else 50.0 + i)
+        rows.append((i, 1, "O", rev, f"{y}-{mth:02d}-15 00:00:00", "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    out = load_catalog()["forecast_backtest_mape"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert float(r["forecast"]) == 100.0 and float(r["revenue"]) == 150.0
+    assert r["ape"] == 0.3333
