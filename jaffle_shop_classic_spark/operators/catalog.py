@@ -156,6 +156,7 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "entity_resolution_clusters",
     "ab_test_welch_ttest",
     "forecast_backtest_mape",
     "contrastive_hard_negatives",

@@ -4373,3 +4373,98 @@ def q_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "entity_resolution_clusters",
+    oracle="""
+    WITH RECURSIVE cand AS (
+      SELECT a.p_partkey AS src, b.p_partkey AS dst
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand
+       AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+       AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (
+      SELECT src, dst FROM cand
+      UNION ALL
+      SELECT dst, src FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS p_partkey FROM edges),
+    reach(p_partkey, label) AS (
+      SELECT p_partkey, p_partkey FROM nodes
+      UNION
+      SELECT e.dst, r.label
+      FROM reach r JOIN edges e ON e.src = r.p_partkey
+      WHERE r.label < e.dst
+    ),
+    comp AS (
+      SELECT p_partkey, min(label) AS entity_id FROM reach GROUP BY p_partkey
+    )
+    SELECT c.p_partkey, c.entity_id, s.n_members
+    FROM comp c
+    JOIN (SELECT entity_id, count(*) AS n_members
+          FROM comp GROUP BY entity_id) s
+      ON c.entity_id = s.entity_id
+    """,
+    doc="End-to-end entity resolution: fuzzy blocking -> pairwise match "
+    "scoring -> transitive-closure clustering, composed from the "
+    "certified pieces (fuzzy_join_levenshtein's blocked edit-distance "
+    "candidates feeding dedup_cluster_components' hash-min label "
+    "propagation). Each resolved part gets entity_id = min partkey of "
+    "its match component (the canonical survivor every MDM pipeline "
+    "picks) plus the cluster size; unmatched singletons emit no row. "
+    "The quadratic comparison runs only inside (brand, first-letter) "
+    "blocks; clustering is the same monotone-fixpoint loop as CC "
+    "(near-dup entity graphs are shallow), lazily localCheckpoint-ed "
+    "per round — at 100 TB the checkpoints become durable and hot "
+    "blocks salt exactly like any skewed equi-join key. Oracle is the "
+    "identical fixpoint as a recursive min-label closure.",
+)
+def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a, b = p.alias("a"), p.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (
+                F.substring(F.col("a.p_name"), 1, 1)
+                == F.substring(F.col("b.p_name"), 1, 1)
+            )
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(F.col("a.p_partkey").alias("src"), F.col("b.p_partkey").alias("dst"))
+    )
+    edges = cand.unionByName(
+        cand.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.groupBy(F.col("src").alias("p_partkey"))
+        .agg(F.min("dst").alias("mn"))
+        .select("p_partkey", F.least(F.col("p_partkey"), F.col("mn")).alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(8):
+        prop = edges.join(labels, edges.src == labels.p_partkey).select(
+            F.col("dst").alias("p_partkey"), "label"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("p_partkey")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:  # labels only decrease -> fixpoint
+            break
+        prev_sum = new_sum
+    comp = labels.select("p_partkey", F.col("label").alias("entity_id"))
+    sizes = comp.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    # keyed join, not broadcast: entity count grows with node count
+    return comp.join(sizes, "entity_id").select("p_partkey", "entity_id", "n_members")

@@ -685,3 +685,23 @@ def test_seasonal_naive_forecast_pairs_with_year_ago_month(spark, tmp_path):
     r = out[0]
     assert float(r["forecast"]) == 100.0 and float(r["revenue"]) == 150.0
     assert r["ape"] == 0.3333
+
+
+def test_entity_resolution_merges_transitive_chain(spark, tmp_path):
+    """A~B and B~C (1 edit each) chain into ONE entity even though A and
+    C are 2 edits apart; blocked strangers and singletons emit nothing."""
+    rows = [
+        (1, "red widget", "Brand#1"),
+        (2, "red widgets", "Brand#1"),   # 1 edit from 1
+        (3, "red widgetsx", "Brand#1"),  # 1 edit from 2, 2 from 1
+        (4, "red widget", "Brand#2"),    # other block — never compared
+        (5, "zzz unique", "Brand#1"),    # singleton
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    got = {
+        r["p_partkey"]: (r["entity_id"], r["n_members"])
+        for r in load_catalog()["entity_resolution_clusters"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
