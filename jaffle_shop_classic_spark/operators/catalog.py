@@ -156,6 +156,8 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "conversion_latency_percentiles",
+    "user_max_drawdown",
     "entity_resolution_clusters",
     "ab_test_welch_ttest",
     "forecast_backtest_mape",

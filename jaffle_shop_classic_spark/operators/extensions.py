@@ -4468,3 +4468,109 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # keyed join, not broadcast: entity count grows with node count
     return comp.join(sizes, "entity_id").select("p_partkey", "entity_id", "n_members")
+
+
+@register(
+    "conversion_latency_percentiles",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             CAST(date_diff('microsecond', fv.first_view, min(e.ts)) AS DOUBLE)
+               / 1000000 AS delay_s
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND fv.first_view IS NOT NULL
+        AND e.ts >= fv.first_view
+      GROUP BY e.user_id, fv.first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(delay_s, 0.5), 2) AS p50_s,
+           round(quantile_cont(delay_s, 0.9), 2) AS p90_s,
+           round(quantile_cont(delay_s, 0.99), 2) AS p99_s
+    FROM conv
+    """,
+    doc="Time-to-convert latency percentiles — the funnel companion "
+    "metric (funnel_conversion counts WHO converts; this measures HOW "
+    "LONG first view -> first subsequent purchase takes). First-view "
+    "per user is one conditional aggregate; the first purchase AT OR "
+    "AFTER it is a keyed join + filtered min on the same user key, so "
+    "both shuffles ride user_id. Delay is exact integer microseconds "
+    "cast once to double (never float timestamp math), and the "
+    "interpolated percentiles run over the CONVERTED-USER aggregate "
+    "(one row per converter, not the event stream). At 100 TB the "
+    "global exact percentile swaps for percentile_approx (the "
+    "percentile_exact/approx pair documents that trade).",
+)
+def q_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    fv = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    )
+    conv = (
+        e.join(fv, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("first_view").isNotNull()
+            & (F.col("ts") >= F.col("first_view"))
+        )
+        .groupBy("user_id", "first_view")
+        .agg(
+            (
+                (F.unix_micros(F.min("ts")) - F.unix_micros(F.col("first_view"))).cast(
+                    "double"
+                )
+                / 1000000
+            ).alias("delay_s")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.percentile("delay_s", 0.5), 2).alias("p50_s"),
+        F.round(F.percentile("delay_s", 0.9), 2).alias("p90_s"),
+        F.round(F.percentile("delay_s", 0.99), 2).alias("p99_s"),
+    )
+
+
+@register(
+    "user_max_drawdown",
+    oracle="""
+    WITH dd AS (
+      SELECT user_id,
+             value / max(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) - 1 AS drawdown
+      FROM events
+    )
+    SELECT user_id,
+           round(min(drawdown), 4) AS max_drawdown,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM dd GROUP BY user_id
+    """,
+    doc="Maximum drawdown per user value series — the running-peak "
+    "decline metric (finance's risk staple, equally useful for "
+    "engagement-decay monitoring): a cumulative max over each user's "
+    "(ts, event_id)-ordered stream, then the worst value/peak ratio. "
+    "One keyed window + one aggregate sharing the same user_id "
+    "exchange; tiebreak on event_id makes the running peak "
+    "deterministic under equal timestamps (the session_top_paths "
+    "rule). events.value > 0 is a data invariant (asserted by the "
+    "profile/test suite), so the ratio is total. Per-user windows "
+    "shard by key; no global ordering anywhere.",
+)
+def q_user_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = e.select(
+        "user_id", (F.col("value") / F.max("value").over(w) - 1).alias("drawdown")
+    )
+    return dd.groupBy("user_id").agg(
+        F.round(F.min("drawdown"), 4).alias("max_drawdown"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

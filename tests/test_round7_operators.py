@@ -705,3 +705,46 @@ def test_entity_resolution_merges_transitive_chain(spark, tmp_path):
         for r in load_catalog()["entity_resolution_clusters"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+
+
+def test_conversion_latency_counts_only_post_view_purchases(spark, tmp_path):
+    """A purchase BEFORE the first view must not convert; the delay is
+    first-view -> FIRST subsequent purchase."""
+    rows = [
+        # user 1: purchase at t0 (pre-view, ignored), view t1, purchases t3 and t5
+        (1, "2024-01-01 00:00:00", 1, "purchase", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01 00:04:00", 1, "purchase", 1.0, "{}"),
+        (4, "2024-01-01 00:06:00", 1, "purchase", 1.0, "{}"),
+        # user 2: views but never purchases
+        (5, "2024-01-01 00:00:00", 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    out = load_catalog()["conversion_latency_percentiles"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_converted"] == 1
+    assert r["p50_s"] == 180.0  # 00:01 -> 00:04, not the pre-view purchase
+
+
+def test_max_drawdown_tracks_running_peak(spark, tmp_path):
+    """Series 100, 80, 120, 60: worst peak-relative decline is 60/120-1
+    = -0.5 (not 60/100-1), because the peak updates at 120."""
+    vals = [100.0, 80.0, 120.0, 60.0]
+    rows = [
+        (i, f"2024-01-01 00:0{i}:00", 1, "view", v, "{}") for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    out = load_catalog()["user_max_drawdown"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["max_drawdown"] == -0.5 and out[0]["n_events"] == 4
