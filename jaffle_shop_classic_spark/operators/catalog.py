@@ -156,6 +156,8 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "cohort_ltv_curve",
+    "referential_integrity_profile",
     "conversion_latency_percentiles",
     "user_max_drawdown",
     "entity_resolution_clusters",

@@ -4574,3 +4574,148 @@ def q_user_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("drawdown"), 4).alias("max_drawdown"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             date_trunc('month', min(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+      SELECT f.cohort_month,
+             date_diff('month', f.cohort_month,
+                       date_trunc('month', o.o_orderdate)) AS age_months,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS revenue
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_month AS DATE) AS cohort_month, age_months,
+           revenue,
+           CAST(sum(revenue) OVER (
+                  PARTITION BY cohort_month ORDER BY age_months
+                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2))
+             AS cumulative_ltv
+    FROM monthly
+    WHERE age_months <= 12
+    """,
+    doc="Cohort lifetime-value curve — the retention companion in "
+    "revenue terms: customers cohorted by first-order month, revenue "
+    "bucketed by cohort age, and an exact-decimal running LTV per "
+    "cohort for the first year. Two keyed aggregates share the "
+    "o_custkey exchange (first-order month, then the join back to "
+    "the fact); the cumulative window runs over the (cohort × "
+    "age≤12) aggregate — a few hundred rows by construction, never "
+    "the order stream (the revenue_mom_growth argument). Decimal "
+    "sums keep every partial partition-order-independent, so the "
+    "curve is bit-identical at any cluster size.",
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    monthly = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort_month"))
+                * 12
+                + (
+                    F.month(F.date_trunc("month", "o_orderdate"))
+                    - F.month("cohort_month")
+                )
+            )
+            .cast("bigint")
+            .alias("age_months"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue")
+        )
+        .where(F.col("age_months") <= 12)
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        F.col("cohort_month").cast("date").alias("cohort_month"),
+        "age_months",
+        "revenue",
+        F.sum("revenue").over(w).cast("decimal(38,2)").alias("cumulative_ltv"),
+    )
+
+
+@register(
+    "referential_integrity_profile",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relationship,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer),
+           (SELECT CAST(count(*) AS BIGINT) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+    """,
+    doc="One-query referential-integrity profile across the star "
+    "schema's four foreign keys — the fleet view the per-relationship "
+    "`relationships` test (T4) feeds one row at a time: child count "
+    "and orphan count per FK, computed as LEFT ANTI joins (the T4 "
+    "plan) and unioned into a four-row dashboard. Each anti-join "
+    "broadcasts its parent when dimension-sized (part/customer/"
+    "nation) and shuffles on the key for the fact-fact pair, exactly "
+    "as the individual tests do; the union is of 1-row aggregates. "
+    "At 100 TB each FK audit is an independent keyed anti-join — "
+    "embarrassingly parallel across relationships.",
+)
+def q_referential_integrity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def audit(name, child, key, parent, pkey):
+        total = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        orphans = (
+            child.join(parent, child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        return (
+            total.join(orphans)
+            .select(
+                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+
+    return (
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(
+            audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )

@@ -52,6 +52,7 @@ CROSS_OK = {
     "sim_sparse_tfidf_pairs",  # broadcast 1-row corpus-size (N) join for idf
     "rfm_customer_segments",  # broadcast 1-row recency-anchor join
     "assoc_rules_lift",  # broadcast 1-row basket-count (N) join
+    "referential_integrity_profile",  # 1-row total x 1-row orphan-count joins
 }
 
 

@@ -748,3 +748,61 @@ def test_max_drawdown_tracks_running_peak(spark, tmp_path):
     out = load_catalog()["user_max_drawdown"].fn(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0]["max_drawdown"] == -0.5 and out[0]["n_events"] == 4
+
+
+def test_ltv_curve_accumulates_within_cohort(spark, tmp_path):
+    """Two customers in one cohort: month-0 and month-2 revenue, with the
+    cumulative carrying month-0 forward through month 2."""
+    rows = [
+        (1, 1, "O", 100.0, "2020-01-10 00:00:00", "1-URGENT"),
+        (2, 2, "O", 50.0, "2020-01-20 00:00:00", "1-URGENT"),
+        (3, 1, "O", 30.0, "2020-03-05 00:00:00", "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r["age_months"]: (float(r["revenue"]), float(r["cumulative_ltv"]))
+        for r in load_catalog()["cohort_ltv_curve"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (150.0, 150.0), 2: (30.0, 180.0)}
+
+
+def test_referential_profile_counts_planted_orphans(spark, tmp_path):
+    """One orphan order (missing customer) shows up in exactly its FK row."""
+    spark.createDataFrame(
+        [(1, 1, "O", 10.0, "2020-01-01 00:00:00", "1-URGENT"),
+         (2, 99, "O", 10.0, "2020-01-01 00:00:00", "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2020-01-01 00:00:00")],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "p", "B", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(
+        [(0, "n", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+    got = {
+        r["relationship"]: (r["n_child"], r["n_orphans"])
+        for r in load_catalog()["referential_integrity_profile"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["orders.o_custkey->customer"] == (2, 1)
+    assert got["lineitem.l_orderkey->orders"] == (1, 0)
+    assert got["customer.c_nationkey->nation"] == (1, 0)
