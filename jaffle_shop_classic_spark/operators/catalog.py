@@ -156,6 +156,9 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "feature_hashing",
+    "target_encode_kfold",
+    "attribution_last_touch",
     "cohort_ltv_curve",
     "referential_integrity_profile",
     "conversion_latency_percentiles",

@@ -4719,3 +4719,126 @@ def q_referential_integrity_profile(spark: SparkSession, sf_dir: str) -> DataFra
             audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
         )
     )
+
+
+@register(
+    "target_encode_kfold",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment AS seg, o_orderkey % 3 AS fold,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    pf AS (
+      SELECT seg, fold, CAST(count(*) AS BIGINT) AS n_f,
+             CAST(sum(y) AS DECIMAL(38,2)) AS s_f
+      FROM j GROUP BY seg, fold
+    ),
+    pc AS (
+      SELECT seg, CAST(sum(n_f) AS BIGINT) AS n,
+             CAST(sum(s_f) AS DECIMAL(38,2)) AS s
+      FROM pf GROUP BY seg
+    )
+    SELECT pf.seg AS c_mktsegment, CAST(pf.fold AS BIGINT) AS fold,
+           (pc.n - pf.n_f) AS n_oof,
+           round(CAST(pc.s - pf.s_f AS DOUBLE) / (pc.n - pf.n_f), 4) AS te
+    FROM pf JOIN pc ON pf.seg = pc.seg
+    WHERE pc.n > pf.n_f
+    """,
+    doc="K-fold target encoding — the leakage-safe categorical feature: "
+    "each fold's encoding for a category is the target mean computed "
+    "from the OTHER folds only (out-of-fold), so a row never sees its "
+    "own label. Folds are deterministic (o_orderkey % 3 — the "
+    "hash-split discipline of train_test_split_hash), and the "
+    "out-of-fold mean comes from exact decimal (sum, count) partials: "
+    "per-(category, fold) partials roll up to per-category totals, and "
+    "oof = (total - own fold) / (n - n_own) — the subtraction trick "
+    "that computes all K folds from ONE pass instead of K scans. Only "
+    "the final ratio is float, rounded. Categories living entirely in "
+    "one fold emit no row (no self-leakage fallback; consumers apply "
+    "the global prior). At 100 TB: one keyed aggregate on the fact, "
+    "then category-cardinality joins — the encoding table is "
+    "dimension-sized by construction.",
+)
+def q_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("o_orderkey") % 3).alias("fold"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    pf = j.groupBy("seg", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum("y").cast("decimal(38,2)").alias("s_f"),
+    )
+    pc = pf.groupBy("seg").agg(
+        F.sum("n_f").cast("bigint").alias("n"),
+        F.sum("s_f").cast("decimal(38,2)").alias("s"),
+    )
+    return (
+        pf.join(pc, "seg")
+        .where(F.col("n") > F.col("n_f"))
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("fold").cast("bigint").alias("fold"),
+            (F.col("n") - F.col("n_f")).alias("n_oof"),
+            F.round(
+                (F.col("s") - F.col("s_f")).cast("double")
+                / (F.col("n") - F.col("n_f")),
+                4,
+            ).alias("te"),
+        )
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH attributed AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS attributed_value
+    FROM attributed
+    WHERE event_type = 'purchase' AND channel IS NOT NULL
+    GROUP BY channel
+    """,
+    doc="Last-touch attribution — each purchase credits the user's most "
+    "recent PRECEDING non-purchase event (the marketing-analytics "
+    "default before anyone argues about multi-touch): one keyed "
+    "window per user with last_value(... IGNORE NULLS) over an "
+    "open-ended preceding frame (Spark F.last(ignorenulls) — the "
+    "carry-forward idiom SCD readers use), deterministic under "
+    "timestamp ties via the event_id tiebreak. Purchases with no "
+    "prior touch emit nothing (no synthetic 'direct' channel — "
+    "consumers decide). Then a channel-cardinality aggregate. The "
+    "window rides the same user_id sort every sessionization query "
+    "pays; state per row is one string, frame or no frame.",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.select("event_type", "value", channel.alias("channel"))
+        .where((F.col("event_type") == "purchase") & F.col("channel").isNotNull())
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

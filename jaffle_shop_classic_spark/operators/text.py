@@ -2136,3 +2136,55 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+N_HASH_FEATURES = 32
+
+
+def _md5_int8_sql(expr: str) -> str:
+    """First 8 hex digits of md5(expr) as a BIGINT — DuckDB twin of
+    Spark's conv(substring(md5(x),1,8),16,10)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, 9), "
+        f"i -> CAST(instr('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 AS BIGINT))), "
+        "(acc, d) -> acc * 16 + d)"
+    )
+
+
+@register(
+    "feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST({_md5_int8_sql('tok')} % {N_HASH_FEATURES} AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM toks WHERE tok <> ''
+    GROUP BY doc_id, bucket
+    """,
+    doc="Feature hashing (the 'hashing trick') — sparse bag-of-words "
+    "features WITHOUT any vocabulary pass: each token maps straight "
+    "to bucket = md5-int mod 32, emitted as (doc, bucket, count) "
+    "sparse triples. This is the scale answer vocab_id_assign trades "
+    "against: no global vocabulary state, no broadcast, no second "
+    "scan — one explode + one (doc, bucket) hash aggregate, "
+    "embarrassingly map-parallel, collisions traded for O(1) memory "
+    "(Weinberger et al., ICML 2009). The hash is the first 8 md5 hex "
+    "digits folded to a bigint — byte-identical in both engines (the "
+    "checksum-audit construction), never an engine-internal hash. "
+    "Output stays sparse: at most min(doc_len, 32) rows per doc.",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % N_HASH_FEATURES
+    ).cast("int")
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

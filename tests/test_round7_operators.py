@@ -806,3 +806,64 @@ def test_referential_profile_counts_planted_orphans(spark, tmp_path):
     assert got["orders.o_custkey->customer"] == (2, 1)
     assert got["lineitem.l_orderkey->orders"] == (1, 0)
     assert got["customer.c_nationkey->nation"] == (1, 0)
+
+
+def test_target_encoding_excludes_own_fold(spark, tmp_path):
+    """One category, two folds: each fold's te is the OTHER fold's mean,
+    never the pooled mean."""
+    # orderkeys 0,3 -> fold 0 (values 10, 20); orderkey 1 -> fold 1 (value 99)
+    rows = [
+        (0, 1, "O", 10.0, "2020-01-01 00:00:00", "1-URGENT"),
+        (3, 1, "O", 20.0, "2020-01-01 00:00:00", "1-URGENT"),
+        (1, 1, "O", 99.0, "2020-01-01 00:00:00", "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "c", 0, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {
+        r["fold"]: (r["n_oof"], r["te"])
+        for r in load_catalog()["target_encode_kfold"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (1, 99.0), 1: (2, 15.0)}
+
+
+def test_last_touch_credits_most_recent_prior_channel(spark, tmp_path):
+    """view -> click -> purchase credits click; a purchase with no prior
+    touch emits nothing."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "purchase", 40.0, "{}"),
+        (4, "2024-01-01 00:00:00", 2, "purchase", 7.0, "{}"),  # no prior touch
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        r["channel"]: (r["n_purchases"], r["attributed_value"])
+        for r in load_catalog()["attribution_last_touch"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {"click": (1, 40.0)}
+
+
+def test_feature_hashing_counts_are_token_counts(spark, tmp_path):
+    """Bucket counts per doc sum to the doc's token count, and repeated
+    tokens land in one bucket."""
+    rows = [(1, "apple apple banana", "en", "s", 18)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = load_catalog()["feature_hashing"].fn(spark, str(tmp_path)).collect()
+    assert sum(r["n"] for r in out) == 3
+    assert max(r["n"] for r in out) == 2  # the doubled 'apple' bucket
+    assert all(0 <= r["bucket"] < 32 for r in out)
