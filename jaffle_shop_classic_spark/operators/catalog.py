@@ -156,6 +156,8 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "dau_wau_rollup",
+    "recommend_copurchase_topk",
     "feature_hashing",
     "target_encode_kfold",
     "attribution_last_touch",

@@ -4842,3 +4842,148 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "dau_wau_rollup",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+      SELECT CAST(u.day + CAST(i AS INT) AS DATE) AS day, u.user_id
+      FROM ud u, unnest(range(0, 7)) AS t(i)
+    ),
+    wau AS (
+      SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+      FROM contrib c JOIN days d ON c.day = d.day
+      GROUP BY c.day
+    ),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT dau.day, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+    doc="DAU/WAU active-user rollup — the engagement dashboard's "
+    "headline pair, with WAU as a SLIDING 7-day count distinct. A "
+    "frame cannot hold distinct state, so the scalable rewrite: dedup "
+    "to (user, day) once, EXPLODE each user-day into the 7 trailing "
+    "windows it serves (a constant ×7 expansion of the already-"
+    "deduped table, not the event stream), equi-join to the observed "
+    "day spine to drop phantom future days, and count distinct per "
+    "target day — every shuffle keyed, no range join, no "
+    "BroadcastNestedLoop. This is the contribution-expansion trick "
+    "streaming engines use for sliding distinct aggregation "
+    "(stream_sliding_counts is its event-count twin). At 100 TB the "
+    "×7 rides the user-day table (≈ users × active-days), and the "
+    "per-day distinct is an ordinary partial->final on (day, user).",
+)
+def q_dau_wau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day", "user_id"
+    ).select(F.date_add("day", F.col("i")).alias("day"), "user_id")
+    wau = (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    return dau.join(wau, "day")
+
+
+@register(
+    "recommend_copurchase_topk",
+    oracle="""
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair AS (
+      SELECT a.l_partkey AS part_x, b.l_partkey AS part_y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY part_x, part_y
+    ),
+    cand AS (
+      SELECT cp.o_custkey, pair.part_y AS rec_part,
+             CAST(sum(pair.n) AS BIGINT) AS score
+      FROM cp JOIN pair ON pair.part_x = cp.l_partkey
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cp own
+        WHERE own.o_custkey = cp.o_custkey AND own.l_partkey = pair.part_y
+      )
+      GROUP BY cp.o_custkey, pair.part_y
+    )
+    SELECT o_custkey, rec_part, score, rnk FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_custkey ORDER BY score DESC, rec_part ASC) AS rnk
+      FROM cand
+    ) WHERE rnk <= 3
+    """,
+    doc="Item-to-user co-purchase recommendations — the batch recsys "
+    "staple: candidate items are parts co-ordered with anything the "
+    "customer already bought, scored by summed co-occurrence support, "
+    "with ALREADY-OWNED parts excluded (anti-join) and top-3 per "
+    "customer under deterministic (score, part) ordering. Every stage "
+    "is keyed: the pair table is the basket-bounded self-join "
+    "copurchase_part_pairs certifies, candidates join on the owned "
+    "part key, ownership exclusion is a left-anti on (customer, "
+    "part), and top-k is one window on the customer key. cf_item_"
+    "cosine is the normalized-similarity sibling; this is the raw-"
+    "support variant with the serving-side join to users. Skew: a "
+    "blockbuster part is a hot join key — the cap/salt toolkit "
+    "applies; at 100 TB the pair table is truncated per item "
+    "(top-M partners) before the user join, exactly like cf's "
+    "heavy-basket cap.",
+)
+def q_recommend_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_x"),
+            F.col("b.l_partkey").alias("part_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cand = (
+        cp.join(pair, cp.l_partkey == pair.part_x)
+        .select("o_custkey", F.col("part_y").alias("rec_part"), "n")
+        .join(
+            cp.select("o_custkey", F.col("l_partkey").alias("rec_part")),
+            ["o_custkey", "rec_part"],
+            "left_anti",
+        )
+        .groupBy("o_custkey", "rec_part")
+        .agg(F.sum("n").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("score").desc(), F.col("rec_part").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "rec_part", "score", "rnk")
+    )

@@ -867,3 +867,57 @@ def test_feature_hashing_counts_are_token_counts(spark, tmp_path):
     assert sum(r["n"] for r in out) == 3
     assert max(r["n"] for r in out) == 2  # the doubled 'apple' bucket
     assert all(0 <= r["bucket"] < 32 for r in out)
+
+
+def test_wau_is_trailing_7day_distinct(spark, tmp_path):
+    """User A active day 1 only, user B active day 5: DAU(5)=1 but
+    WAU(5)=2 (A's day-1 activity is within the trailing week); by the
+    spine rule no phantom days beyond observed days appear."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-05 10:00:00", 2, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        str(r["day"]): (r["dau"], r["wau"])
+        for r in load_catalog()["dau_wau_rollup"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {"2024-01-01": (1, 1), "2024-01-05": (1, 2)}
+
+
+def test_recommendations_exclude_owned_and_rank_by_support(spark, tmp_path):
+    """Customer 1 owns part 10; parts 20 (2 co-orders) and 30 (1) are
+    candidates ranked by support; owned part 10 never recommended."""
+    orders = [
+        (1, 1, "O", 1.0, "2020-01-01 00:00:00", "1-URGENT"),
+        (2, 9, "O", 1.0, "2020-01-01 00:00:00", "1-URGENT"),
+        (3, 9, "O", 1.0, "2020-01-01 00:00:00", "1-URGENT"),
+    ]
+    li = [
+        (1, 10), (2, 10), (2, 20), (3, 10), (3, 20), (3, 30),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2020-01-01 00:00:00") for ok, pk in li],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/lineitem.parquet")
+    recs = {
+        (r["o_custkey"], r["rnk"]): (r["rec_part"], r["score"])
+        for r in load_catalog()["recommend_copurchase_topk"].fn(spark, str(tmp_path)).collect()
+    }
+    assert recs[(1, 1)] == (20, 2) and recs[(1, 2)] == (30, 1)
+    assert all(part != 10 for (cust, _), (part, _) in recs.items() if cust == 1)
