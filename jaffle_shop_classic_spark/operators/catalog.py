@@ -156,6 +156,8 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "dedup_incremental_lsh",
+    "source_schema_evolution",
     "dau_wau_rollup",
     "recommend_copurchase_topk",
     "feature_hashing",

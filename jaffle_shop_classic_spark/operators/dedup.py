@@ -1723,3 +1723,55 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "community", "n_members")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH {_SIGS_CTE},
+    bands AS (
+      SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sigs
+    ),
+    new_b AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+    idx_b AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS index_doc
+      FROM new_b n JOIN idx_b i ON n.band_key = i.band_key
+    )
+    SELECT new_doc,
+           CAST(count(*) AS BIGINT) AS n_index_matches,
+           min(index_doc) AS first_match
+    FROM hits GROUP BY new_doc
+    """,
+    doc="INCREMENTAL near-dup gate — the production ingest shape "
+    "dedup_minhash_lsh_pairs' batch self-join becomes once a corpus "
+    "exists: the arriving batch (doc_id % 10 = 0 here stands in for "
+    "'today's crawl') probes the EXISTING corpus index by band key, "
+    "asymmetrically — no new×new pairs, no index×index pairs, just "
+    "new-vs-index. The asymmetry is the scale win: the index side's "
+    "band table is precomputed state (in production a bucketed table "
+    "keyed on band_key, appended once per batch), so each ingest "
+    "shuffles only its own batch and the probe is a keyed equi-join "
+    "into co-located buckets. Output is the collision report per new "
+    "doc (match count + canonical first match) that the ingest "
+    "pipeline uses to drop or route duplicates. Same hot-band cap "
+    "story as the batch join.",
+)
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    bands = sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
+    new_b = bands.where(F.col("doc_id") % 10 == 0)
+    idx_b = bands.where(F.col("doc_id") % 10 != 0)
+    hits = (
+        new_b.alias("n")
+        .join(idx_b.alias("i"), F.col("n.band_key") == F.col("i.band_key"))
+        .select(
+            F.col("n.doc_id").alias("new_doc"), F.col("i.doc_id").alias("index_doc")
+        )
+        .distinct()
+    )
+    return hits.groupBy("new_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_index_matches"),
+        F.min("index_doc").alias("first_match"),
+    )

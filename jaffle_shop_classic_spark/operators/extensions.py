@@ -4987,3 +4987,57 @@ def q_recommend_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("o_custkey", "rec_part", "score", "rnk")
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT CAST(1 AS INT) AS batch,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 2 = 0) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 2 = 0) AS n_null_priority
+    UNION ALL
+    SELECT CAST(2 AS INT),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 2 = 1),
+           CAST(0 AS BIGINT)
+    """,
+    doc="Schema-evolution round trip — the additive-column lakehouse "
+    "contract, value-checked: batch 1 lands WITHOUT o_orderpriority, "
+    "batch 2 lands WITH it, and a mergeSchema read over both must "
+    "union the schemas and backfill NULLs for the old batch — never "
+    "error, never silently drop the column (the read-side half of "
+    "the on_schema_change write-side policy plans/registry.py "
+    "enforces). The audit aggregate pins exactly that: per batch, "
+    "row count and NULL count of the evolved column; the oracle "
+    "states the expected semantics directly from the source table. "
+    "At 100 TB mergeSchema's footer-union cost is why production "
+    "pins schemas in a catalog — the docstring trade documented on "
+    "sources/parquet.py applies; the semantics checked here are the "
+    "same either way.",
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"jaffle_schema_evo_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("batch")
+    ).write.mode("overwrite").parquet(f"{root}/b1")
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", F.lit(2).alias("batch")
+    ).write.mode("overwrite").parquet(f"{root}/b2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/b1", f"{root}/b2"
+    )
+    return merged.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_priority"),
+    )

@@ -921,3 +921,25 @@ def test_recommendations_exclude_owned_and_rank_by_support(spark, tmp_path):
     }
     assert recs[(1, 1)] == (20, 2) and recs[(1, 2)] == (30, 1)
     assert all(part != 10 for (cust, _), (part, _) in recs.items() if cust == 1)
+
+
+def test_incremental_lsh_never_pairs_within_a_side(spark, sf_dir):
+    """Every reported match joins a new doc (id%10==0) to an index doc
+    (id%10!=0) — the asymmetry that makes ingest-side dedup cheap."""
+    out = load_catalog()["dedup_incremental_lsh"].fn(spark, sf_dir).collect()
+    for r in out:
+        assert r["new_doc"] % 10 == 0
+        assert r["first_match"] % 10 != 0
+        assert r["n_index_matches"] >= 1
+
+
+def test_schema_evolution_backfills_nulls_for_old_batch(spark, sf_dir):
+    """Batch 1 (written without the column) reads back all-NULL; batch 2
+    reads back fully populated."""
+    got = {
+        r["batch"]: (r["n_rows"], r["n_null_priority"])
+        for r in load_catalog()["source_schema_evolution"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1][0] == got[1][1] > 0  # every old row NULL
+    assert got[2][1] == 0 and got[2][0] > 0
