@@ -90,6 +90,11 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "assoc_rules_lift",
     "benford_first_digit",
     "contrastive_hard_negatives",
+    "entity_resolution_clusters",
+    "dau_wau_rollup",
+    "recommend_copurchase_topk",
+    "feature_hashing",
+    "dedup_incremental_lsh",
 ]
 
 
