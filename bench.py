@@ -95,6 +95,11 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "recommend_copurchase_topk",
     "feature_hashing",
     "dedup_incremental_lsh",
+    "sketch_cms_frequencies",
+    "graph_khop_reach",
+    "eval_auc_mannwhitney",
+    "dp_noisy_group_counts",
+    "seq_pattern_funnel",
 ]
 
 

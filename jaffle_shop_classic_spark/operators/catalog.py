@@ -44,6 +44,7 @@ _MODULES = (
     "jaffle_shop_classic_spark.operators.similarity",
     "jaffle_shop_classic_spark.operators.multimodal",
     "jaffle_shop_classic_spark.operators.udfs",
+    "jaffle_shop_classic_spark.operators.mining",
     "jaffle_shop_classic_spark.streaming.windows",
 )
 
@@ -76,7 +77,13 @@ _PRIORITY = (
     # X11 class stays certified via array_vector_norm)
     "topk_per_group",
     "percentile_exact",
-    "session_window_batch",
+    # session_window_batch (r01..r06-green) hands its slot to
+    # seq_pattern_funnel — a strict superset of the same 30-min-gap
+    # sessionization algebra (identical lag/cumsum with event_id
+    # tiebreaks) PLUS the ordered per-session agg and the
+    # MATCH_RECOGNIZE-style regex, so X14's batch class stays certified
+    # while the sequence-pattern family gains driver evidence
+    "seq_pattern_funnel",
     "tpch_q1_style",
     # data-engineering operators — funnel_conversion / range_join_bucketed
     # (r06-green duplicate-class reps: window+join machinery is also
@@ -156,6 +163,13 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "sketch_cms_frequencies",
+    # rotated out of the top-50 for seq_pattern_funnel (same session
+    # algebra, superset machinery); r01..r06-green when in-window
+    "session_window_batch",
+    "graph_khop_reach",
+    "eval_auc_mannwhitney",
+    "dp_noisy_group_counts",
     "dedup_incremental_lsh",
     "source_schema_evolution",
     "dau_wau_rollup",

@@ -38,8 +38,11 @@ _REQUIRED_IN_WINDOW = {
     # array_vector_norm / the 5-strong text block) rotated to Tier 2 to
     # re-certify the X3 top-k and X8 exact-percentile classes
     "topk_and_percentiles": {"topk_per_group", "percentile_exact"},
+    # round 7: session_window_batch handed its slot to seq_pattern_funnel,
+    # which carries the SAME CAST(sum(...) AS BIGINT) session-id algebra
+    # (the hugeint regression surface) plus the sequence-regex family
     "hugeint_regressions": {
-        "session_window_batch",
+        "seq_pattern_funnel",
         "train_test_split_hash",
     },
 }

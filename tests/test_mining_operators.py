@@ -1,0 +1,194 @@
+"""Behavioral tests for the mining/sketch/eval/privacy operators
+(operators/mining.py). Oracle parity is covered by
+test_oracle_parity.py; these pin SEMANTICS on planted inputs."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+
+
+def _write_lineitem(spark, path, order_parts):
+    rows = [
+        (ok, pk, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O", "1995-01-01")
+        for ok, parts in order_parts
+        for i, pk in enumerate(parts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/lineitem.parquet")
+
+
+def test_cms_overcounts_but_never_undercounts(spark, tmp_path):
+    """CMS one-sided error: est >= true for every probed token, and the
+    planted heavy hitter must surface as the top estimate."""
+    rows = [(i, "zzz", "en", "src0", 3) for i in range(50)] + [
+        (100 + i, f"tok{i} filler", "en", "src0", 10) for i in range(30)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = load_catalog()["sketch_cms_frequencies"].fn(spark, str(tmp_path)).collect()
+    assert out[0]["tok"] == "zzz"
+    assert out[0]["true_n"] == 50
+    for r in out:
+        assert r["cms_est"] >= r["true_n"], r
+        assert r["overcount"] == r["cms_est"] - r["true_n"]
+
+
+def test_khop_chain_distances_and_support_threshold(spark, tmp_path):
+    """A support-2 chain 1-2-3-4-5: BFS from seed 1 reaches exactly
+    depth 3 (node 5 is 4 hops away), and a pair sharing only ONE order
+    (1, 9) never becomes an edge."""
+    order_parts = [
+        (1, [1, 2]), (2, [1, 2]),
+        (3, [2, 3]), (4, [2, 3]),
+        (5, [3, 4]), (6, [3, 4]),
+        (7, [4, 5]), (8, [4, 5]),
+        (9, [1, 9]),  # support 1 -> no edge
+    ]
+    _write_lineitem(spark, tmp_path, order_parts)
+    got = {
+        r["node"]: r["dist"]
+        for r in load_catalog()["graph_khop_reach"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_auc_separable_is_one_and_ties_are_half(spark, tmp_path):
+    """Perfectly separable scores give AUC=1; all-equal scores give the
+    exact tie credit 0.5."""
+    # even user_ids -> cohort A: purchases strictly above non-purchases
+    rows_a = [
+        (i, "2024-01-01 00:00:00", 2, "purchase", 100.0 + i, "{}")
+        for i in range(5)
+    ] + [
+        (10 + i, "2024-01-01 00:00:00", 4, "view", float(i), "{}")
+        for i in range(5)
+    ]
+    # odd user_ids -> cohort B: every score identical (pure ties)
+    rows_b = [
+        (20 + i, "2024-01-01 00:00:00", 3, "purchase" if i < 4 else "view", 7.0, "{}")
+        for i in range(10)
+    ]
+    _write_events(spark, tmp_path, rows_a + rows_b)
+    got = {
+        r["cohort"]: r
+        for r in load_catalog()["eval_auc_mannwhitney"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["A"]["auc"] == 1.0
+    assert (got["A"]["n_pos"], got["A"]["n_neg"]) == (5, 5)
+    assert got["B"]["auc"] == 0.5
+
+
+def test_auc_matches_pairwise_definition(spark, sf_dir):
+    """On real data the rank-statistic AUC must equal the O(P*N)
+    pairwise definition: mean over (pos, neg) pairs of
+    1[s_p > s_n] + 0.5*1[s_p = s_n]."""
+    import duckdb
+
+    got = {
+        r["cohort"]: r["auc"]
+        for r in load_catalog()["eval_auc_mannwhitney"].fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = dict(
+        con.execute(
+            """
+            WITH l AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+                     value AS s,
+                     event_type = 'purchase' AS y
+              FROM events
+            )
+            SELECT p.cohort,
+                   round(avg(CASE WHEN p.s > n.s THEN 1.0
+                                  WHEN p.s = n.s THEN 0.5
+                                  ELSE 0.0 END), 6)
+            FROM l p JOIN l n ON p.cohort = n.cohort
+            WHERE p.y AND NOT n.y
+            GROUP BY p.cohort
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_dp_noise_is_bounded_and_deterministic(spark, tmp_path):
+    """Seeded Laplace noise: |noisy - true| <= b*ln(1e6), reproducible
+    across runs, and distinct groups draw distinct noise."""
+    rows = [(i, "x", "en", "src0", 1) for i in range(100)] + [
+        (200 + i, "x", "de", "src1", 1) for i in range(40)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    fn = load_catalog()["dp_noisy_group_counts"].fn
+    out1 = {(r["lang"], r["source"]): r["noisy_n"] for r in fn(spark, str(tmp_path)).collect()}
+    out2 = {(r["lang"], r["source"]): r["noisy_n"] for r in fn(spark, str(tmp_path)).collect()}
+    assert out1 == out2  # seeded -> reproducible release
+    true = {("en", "src0"): 100, ("de", "src1"): 40}
+    bound = math.log(1e6) + 1e-9
+    noises = []
+    for k, v in out1.items():
+        noise = v - true[k]
+        assert abs(noise) <= bound, (k, noise)
+        noises.append(round(noise, 3))
+    assert noises[0] != noises[1]  # per-group keys -> independent draws
+
+
+def test_funnel_regex_matches_and_error_aborts(spark, tmp_path):
+    """view->click->purchase converts; view->ERROR->purchase does not;
+    a >30-min gap splits the session so the pattern cannot span it."""
+    rows = [
+        # user 1, one session: v c p => converted
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 10:02:00", 1, "purchase", 1.0, "{}"),
+        # user 2, one session: v e p => error aborts the funnel
+        (4, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+        (5, "2024-01-01 10:01:00", 2, "error", 1.0, "{}"),
+        (6, "2024-01-01 10:02:00", 2, "purchase", 1.0, "{}"),
+        # user 3: view, then purchase 31 min later => session split, no match
+        (7, "2024-01-01 10:00:00", 3, "view", 1.0, "{}"),
+        (8, "2024-01-01 10:31:00", 3, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = load_catalog()["seq_pattern_funnel"].fn(spark, str(tmp_path)).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert [(r["seq"], r["funnel_hit"], r["converted"]) for r in by_user[1]] == [
+        ("vcp", "vcp", 1)
+    ]
+    assert [(r["seq"], r["funnel_hit"], r["converted"]) for r in by_user[2]] == [
+        ("vep", "", 0)
+    ]
+    assert [(r["sid"], r["seq"], r["converted"]) for r in by_user[3]] == [
+        (1, "v", 0),
+        (2, "p", 0),
+    ]
