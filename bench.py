@@ -100,6 +100,9 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "eval_auc_mannwhitney",
     "dp_noisy_group_counts",
     "seq_pattern_funnel",
+    "sketch_hll_portable",
+    "weighted_median_price",
+    "user_activity_islands",
 ]
 
 

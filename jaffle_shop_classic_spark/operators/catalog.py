@@ -163,6 +163,10 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "sketch_hll_portable",
+    "weighted_median_price",
+    "user_activity_islands",
+    "stream_static_enrich",
     "sketch_cms_frequencies",
     # rotated out of the top-50 for seq_pattern_funnel (same session
     # algebra, superset machinery); r01..r06-green when in-window

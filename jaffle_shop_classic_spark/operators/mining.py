@@ -466,3 +466,260 @@ def q_seq_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("seq", FUNNEL_PATTERN, 0).alias("funnel_hit"),
         F.when(F.col("seq").rlike(FUNNEL_PATTERN), 1).otherwise(0).alias("converted"),
     ).orderBy(F.col("user_id").asc(), F.col("sid").asc())
+
+
+# ------------------------------------------------- portable HyperLogLog
+# m = 2^8 = 256 registers (standard error 1.04/sqrt(256) ~ 6.5%); the
+# 60-bit hash is the first 15 md5 hex digits so BOTH engines derive
+# identical registers. alpha_m evaluated once here and inlined as the
+# same double literal into both plans.
+HLL_M = 256
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_TWO53 = 1 << 53
+
+
+def _md5_int15_sql(expr: str) -> str:
+    """First 15 hex digits of md5(expr) as a BIGINT (60 bits) — DuckDB
+    twin of Spark's conv(substring(md5(x),1,15),16,10)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, 16), "
+        f"i -> CAST(instr('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 AS BIGINT))), "
+        "(acc, d) -> acc * 16 + d)"
+    )
+
+
+@register(
+    "sketch_hll_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             {_md5_int15_sql("CAST(event_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    b AS (SELECT event_type, hv FROM h
+          UNION ALL SELECT '__all__', hv FROM h),
+    r AS (
+      SELECT event_type, hv % {HLL_M} AS bucket,
+             max(CASE WHEN hv // {HLL_M} = 0 THEN 53
+                      ELSE 53 - length(bin(hv // {HLL_M})) END) AS m
+      FROM b GROUP BY event_type, bucket
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT) AS sp
+      FROM r GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, ({HLL_M} - np) AS v,
+             CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+               * CAST({_TWO53} AS DOUBLE)
+               / CAST(({HLL_M} - np) * CAST({_TWO53} AS BIGINT) + sp
+                      AS DOUBLE) AS raw
+      FROM s
+    ),
+    x AS (
+      SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__all__', CAST(count(DISTINCT event_id) AS BIGINT) FROM events
+    )
+    SELECT x.event_type, x.n_exact,
+           round(CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0
+                      THEN {HLL_M}.0 * ln({HLL_M}.0 / v)
+                      ELSE raw END, 1) AS hll_est
+    FROM est JOIN x USING (event_type)
+    ORDER BY event_type ASC
+    """,
+    doc="PORTABLE HyperLogLog (Flajolet et al. 2007) — the distinct-count "
+    "sketch rebuilt on an md5 hash family so the whole estimator "
+    "(registers, harmonic mean, linear-counting fallback) is hash-"
+    "certified against DuckDB computing the SAME registers — upgrading "
+    "the HLL family from sketch_hll_mergeable's rows-only status "
+    "(engine-internal sketch bytes) to full value parity. Register "
+    "math is integer-exact end to end: bucket = low 8 hash bits, "
+    "rho = leading-zero rank via length(bin(w)) (no floating log2), "
+    "and the harmonic denominator accumulates as Σ 2^(53-M_j) in "
+    "BIGINT units — the one double division happens after both "
+    "engines hold identical integers. Registers merge by cell-wise "
+    "max, which is exactly how the '__all__' row is produced (a "
+    "union-of-streams sketch, not a re-scan). Exact counts ride "
+    "alongside so the error is visible in the certified output. At "
+    "100 TB: per-partition register sets (256 rows each) merge "
+    "associatively — the same partial->final shape as every sketch "
+    "here, with O(m) state per group.",
+)
+def q_sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    b = h.unionAll(h.select(F.lit("__all__").alias("event_type"), "hv"))
+    w = F.expr(f"hv div {HLL_M}")
+    rho = F.when(w == 0, F.lit(53)).otherwise(53 - F.length(F.bin(w)))
+    r = b.groupBy("event_type", (F.col("hv") % HLL_M).alias("bucket")).agg(
+        F.max(rho).alias("m")
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)"))
+        .cast("bigint")
+        .alias("sp"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA)
+        * float(HLL_M * HLL_M)
+        * float(_TWO53)
+        / ((HLL_M - F.col("np")) * F.lit(_TWO53) + F.col("sp")).cast("double")
+    )
+    v = HLL_M - F.col("np")
+    est = s.select(
+        "event_type",
+        F.round(
+            F.when((raw <= 2.5 * HLL_M) & (v > 0), HLL_M * F.log(HLL_M / v.cast("double")))
+            .otherwise(raw),
+            1,
+        ).alias("hll_est"),
+    )
+    x = e.groupBy("event_type").agg(
+        F.countDistinct("event_id").cast("bigint").alias("n_exact")
+    ).unionAll(
+        e.agg(
+            F.lit("__all__").alias("event_type"),
+            F.countDistinct("event_id").cast("bigint").alias("n_exact"),
+        )
+    )
+    return (
+        x.join(est, "event_type")
+        .select("event_type", "n_exact", "hll_est")
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+# ------------------------------------------------ weighted order stats
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+      FROM lineitem GROUP BY l_returnflag, price
+    ),
+    c AS (
+      SELECT l_returnflag, price, wt,
+             CAST(sum(wt) OVER (
+               PARTITION BY l_returnflag ORDER BY price
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum,
+             CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT)
+               AS total
+      FROM g
+    )
+    SELECT l_returnflag, min(price) AS weighted_median,
+           max(total) AS total_weight
+    FROM c WHERE 2 * cum >= total
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC
+    """,
+    doc="Weighted median — order statistics where each row carries an "
+    "integer weight (price weighted by quantity: 'the price at which "
+    "half the UNITS ship', not half the line items — what percentile_"
+    "exact cannot express). The decision rule is integer-exact: "
+    "quantities are whole-valued doubles cast to BIGINT, the "
+    "cumulative and total weights are BIGINT window sums over the "
+    "per-distinct-price aggregate, and the median is min(price) where "
+    "2*cum >= total — no floating accumulation anywhere, so both "
+    "engines pick the identical row even at tie boundaries. Plan: one "
+    "hash aggregate to distinct prices (bounded by price cardinality), "
+    "one per-flag window (sort rides the l_returnflag exchange), one "
+    "filter+min. At 100 TB swap the exact pass for the histogram-CDF "
+    "route (median_histogram_cdf) once price cardinality itself "
+    "explodes; the weighted rule is unchanged.",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wt"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price",
+        "wt",
+        F.sum("wt").over(wcum).cast("bigint").alias("cum"),
+        F.sum("wt").over(wall).cast("bigint").alias("total"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.max("total").alias("total_weight"),
+        )
+        .orderBy(F.col("l_returnflag").asc())
+    )
+
+
+# ----------------------------------------------------- gaps and islands
+@register(
+    "user_activity_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    a AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+      FROM d
+    )
+    SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM a GROUP BY user_id, anchor
+    ORDER BY user_id ASC, start_day ASC
+    """,
+    doc="Gaps-and-islands — maximal runs of CONSECUTIVE active days per "
+    "user, the calendar-granularity complement to 30-min-gap "
+    "sessionization (streaks, uptime ranges, contiguous coverage "
+    "audits all reduce to this). The classic integer trick: within an "
+    "island, day minus row_number is CONSTANT, so one dense "
+    "per-user window plus a (user, anchor) aggregate finds every "
+    "island with no self-join and no iteration — day arithmetic stays "
+    "in exact DATE/INT space. Plan: distinct to user-days first "
+    "(bounded by users x active days, far smaller than the event "
+    "stream), then window and aggregate share the user_id exchange. "
+    "Two shuffles at any scale.",
+)
+def q_user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    a = d.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"),
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("day"))
+            .cast("int"),
+        ).alias("anchor"),
+    )
+    return (
+        a.groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .drop("anchor")
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy(F.col("user_id").asc(), F.col("start_day").asc())
+    )

@@ -720,6 +720,37 @@ def q_stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_static_enrich",
+    # no watermark, no state: every micro-batch row is enriched and
+    # appended, so availableNow over a static file emits exactly the
+    # batch left-join result — plain SQL.
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+           c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="X15: stream-static enrichment join — each micro-batch of the "
+    "event stream broadcast-joins a BATCH dimension (customer market "
+    "segment). Spark re-resolves the static side per micro-batch, so "
+    "dimension updates between triggers are picked up and the join "
+    "itself holds ZERO streaming state — the standard shape for "
+    "attaching reference data to an event firehose, and the one "
+    "streaming join that needs no watermark at all. Oracle: the "
+    "append-mode result is exactly the batch left join.",
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return _drain(
+        enrich_with_static_dim(stream_events(spark, sf_dir), dim),
+        "stream_static_enrich",
+    )
+
+
 def enrich_with_static_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each micro-batch of the event
     stream equi-joins a *batch* dimension table (here: customer market

@@ -192,3 +192,77 @@ def test_funnel_regex_matches_and_error_aborts(spark, tmp_path):
         (1, "v", 0),
         (2, "p", 0),
     ]
+
+
+def test_hll_estimate_tracks_exact_and_merges(spark, sf_dir):
+    """Portable HLL: every group's estimate within 25% of exact (m=256
+    => ~6.5% standard error), and the '__all__' merged row covers the
+    union (exact side: event_ids are globally unique)."""
+    rows = load_catalog()["sketch_hll_portable"].fn(spark, sf_dir).collect()
+    by_type = {r["event_type"]: r for r in rows}
+    assert "__all__" in by_type
+    per_type_sum = sum(
+        r["n_exact"] for t, r in by_type.items() if t != "__all__"
+    )
+    assert by_type["__all__"]["n_exact"] == per_type_sum
+    for t, r in by_type.items():
+        rel_err = abs(r["hll_est"] - r["n_exact"]) / r["n_exact"]
+        assert rel_err < 0.25, (t, r)
+
+
+def test_weighted_median_follows_units_not_rows(spark, tmp_path):
+    """One heavy line (qty 10) must pull the weighted median to its
+    price even though the row-median of prices is lower."""
+    order_parts = []  # reuse lineitem writer with explicit quantities
+    rows = [
+        # flag A: prices 1,2 at qty 1; price 3 at qty 10 -> median 3.0
+        (1, 1, 1, 0, 1.0, 1.0, 0.0, 0.0, "A", "O", "1995-01-01"),
+        (1, 2, 1, 1, 1.0, 2.0, 0.0, 0.0, "A", "O", "1995-01-01"),
+        (1, 3, 1, 2, 10.0, 3.0, 0.0, 0.0, "A", "O", "1995-01-01"),
+        # flag B: equal weights -> lower-median convention picks 5.0
+        (2, 4, 1, 0, 1.0, 5.0, 0.0, 0.0, "B", "O", "1995-01-01"),
+        (2, 5, 1, 1, 1.0, 6.0, 0.0, 0.0, "B", "O", "1995-01-01"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: (r["weighted_median"], r["total_weight"])
+        for r in load_catalog()["weighted_median_price"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (3.0, 12), "B": (5.0, 2)}
+
+
+def test_islands_split_on_calendar_gaps(spark, tmp_path):
+    """Consecutive days merge into one island; a single missing day
+    splits; duplicate events on one day count once."""
+    rows = [
+        (1, "2024-01-01 09:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 17:00:00", 1, "click", 1.0, "{}"),  # same day
+        (3, "2024-01-02 09:00:00", 1, "view", 1.0, "{}"),
+        (4, "2024-01-03 09:00:00", 1, "view", 1.0, "{}"),
+        # Jan 4 missing -> island break
+        (5, "2024-01-05 09:00:00", 1, "view", 1.0, "{}"),
+        (6, "2024-03-01 09:00:00", 2, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = [
+        (r["user_id"], str(r["start_day"]), str(r["end_day"]), r["n_days"])
+        for r in load_catalog()["user_activity_islands"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, "2024-01-01", "2024-01-03", 3),
+        (1, "2024-01-05", "2024-01-05", 1),
+        (2, "2024-03-01", "2024-03-01", 1),
+    ]
+
+
+# stream_static_enrich is value-certified by its DuckDB oracle (parity)
+# and by tests/test_streaming.py::test_stream_static_enrichment_equals_batch,
+# which compares the drained stream against the batch join on real data.
