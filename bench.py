@@ -103,6 +103,8 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "sketch_hll_portable",
     "weighted_median_price",
     "user_activity_islands",
+    "eval_ndcg_at_k",
+    "eval_calibration_bins",
 ]
 
 

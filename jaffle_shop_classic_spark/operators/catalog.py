@@ -163,6 +163,8 @@ _PRIORITY = (
 # first, then everything else in registration order.
 _TIER2 = (
     # round-7 flagship operators (newest first)
+    "eval_ndcg_at_k",
+    "eval_calibration_bins",
     "sketch_hll_portable",
     "weighted_median_price",
     "user_activity_islands",

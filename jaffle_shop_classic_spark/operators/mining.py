@@ -18,6 +18,8 @@ crosses an engine boundary, and rounding only at the final projection.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -723,3 +725,195 @@ def q_user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "start_day", "end_day", "n_days")
         .orderBy(F.col("user_id").asc(), F.col("start_day").asc())
     )
+
+
+# ------------------------------------------------- ranking evaluation
+NDCG_K = 10
+# 1/log2(rank+1) precomputed ONCE here and inlined as identical double
+# literals into both plans — neither engine ever calls log2, so there is
+# no libm ULP surface in the discount table.
+_NDCG_DISC = [1 / math.log2(i + 1) for i in range(1, NDCG_K + 1)]
+_DISC_SQL = "[" + ", ".join(repr(x) for x in _NDCG_DISC) + "]"
+_DISC_SPARK = "array(" + ", ".join(f"{x!r}D" for x in _NDCG_DISC) + ")"
+# graded relevance: purchase=3, click=2, view=1, rest 0; gain = 2^rel-1
+_REL_SQL = (
+    "CASE event_type WHEN 'purchase' THEN 7.0 WHEN 'click' THEN 3.0 "
+    "WHEN 'view' THEN 1.0 ELSE 0.0 END"
+)
+
+
+@register(
+    "eval_ndcg_at_k",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id,
+             CAST({_REL_SQL} AS DOUBLE) AS gain,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id ASC
+             ) AS INT) AS rn
+      FROM events
+    ),
+    topk AS (SELECT * FROM ranked WHERE rn <= {NDCG_K}),
+    lists AS (
+      SELECT user_id,
+             list(gain * ({_DISC_SQL})[rn] ORDER BY rn ASC) AS dterms,
+             list(gain ORDER BY gain DESC) AS gdesc,
+             CAST(count(*) AS BIGINT) AS n_ranked
+      FROM topk GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, n_ranked,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), dterms),
+                         (a, x) -> a + x) AS dcg,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, length(gdesc) + 1),
+                              i -> gdesc[i] * ({_DISC_SQL})[i])),
+               (a, x) -> a + x) AS idcg
+      FROM lists
+    )
+    SELECT user_id, n_ranked,
+           round(dcg, 6) AS dcg,
+           round(idcg, 6) AS idcg,
+           CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) ELSE 0.0 END
+             AS ndcg
+    FROM folded ORDER BY user_id ASC
+    """,
+    doc="nDCG@10 ranking evaluation — the retrieval/recommendation "
+    "metric (Järvelin & Kekäläinen 2002) the AUC entry cannot express "
+    "(AUC scores a global ordering; nDCG scores per-query TOP-K "
+    "position quality with graded relevance). Here each user's events "
+    "ranked by value are scored against graded event-type relevance "
+    "(purchase>click>view). Float determinism is engineered, not "
+    "hoped for: the discount table 1/log2(r+1) is precomputed once "
+    "and inlined as identical literals (no libm log2 in either "
+    "plan), and BOTH fold sums (DCG over rank order, IDCG over "
+    "gain-desc order) run as explicit LEFT FOLDS over ordered lists, "
+    "so the two engines add the same doubles in the same order — "
+    "bit-identical before the final round. Plan: one per-user window "
+    "(top-k prune rides it) + one per-user agg sharing the exchange; "
+    "per-group state is K elements. Same two-step plan per query "
+    "group at 100 TB.",
+)
+def q_eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    ranked = e.select(
+        "user_id",
+        F.expr(_REL_SQL).cast("double").alias("gain"),
+        F.row_number().over(w).cast("int").alias("rn"),
+    ).where(F.col("rn") <= NDCG_K)
+    term = ranked.withColumn(
+        "dterm", F.col("gain") * F.element_at(F.expr(_DISC_SPARK), F.col("rn"))
+    )
+    lists = term.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rn, dterm))), x -> x.dterm)"
+        ).alias("dterms"),
+        F.expr("reverse(array_sort(collect_list(gain)))").alias("gdesc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+    )
+    folded = lists.select(
+        "user_id",
+        "n_ranked",
+        F.expr("aggregate(dterms, 0.0D, (a, x) -> a + x)").alias("dcg"),
+        F.expr(
+            "aggregate(transform(sequence(1, size(gdesc)), "
+            f"i -> element_at(gdesc, i) * element_at({_DISC_SPARK}, i)), "
+            "0.0D, (a, x) -> a + x)"
+        ).alias("idcg"),
+    )
+    return folded.select(
+        "user_id",
+        "n_ranked",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.when(F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6))
+        .otherwise(0.0)
+        .alias("ndcg"),
+    ).orderBy(F.col("user_id").asc())
+
+
+# -------------------------------------------- probability calibration
+# fixed logistic score: p = sigmoid((value - 35) / 20), centered near
+# the value median so the 10 fixed-width bins all receive mass
+_CALIB_P_SQL = "1.0 / (1.0 + exp(-(value - 35.0) / 20.0))"
+
+
+@register(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH s AS (
+      SELECT round({_CALIB_P_SQL}, 6) AS p6,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    t AS (
+      SELECT CAST(least(floor(p6 * 10), 9) AS INT) AS bin, y,
+             CAST(round(p6 * 1000000) AS BIGINT) AS pm,
+             CAST(round((p6 - y) * (p6 - y) * 1000000000000) AS BIGINT)
+               AS sq
+      FROM s
+    ),
+    b AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pm) AS BIGINT) AS sum_pm,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(sq) AS BIGINT) AS sum_sq
+      FROM t GROUP BY bin
+    )
+    SELECT bin, n,
+           round(CAST(sum_pm AS DOUBLE) / 1000000.0 / n, 6) AS mean_p,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+           round(CAST(sum_sq AS DOUBLE) / 1000000000000.0 / n, 6)
+             AS brier
+    FROM b ORDER BY bin ASC
+    """,
+    doc="Probability-calibration reliability diagram + per-bin Brier "
+    "score — the companion metric to AUC (AUC measures ranking; "
+    "calibration measures whether predicted probabilities MEAN what "
+    "they say: in a well-calibrated bin, mean_p ~ frac_pos). The "
+    "probability is a fixed logistic score of the event value "
+    "against the purchase label; bins are FIXED-WIDTH deciles of p "
+    "(no ntile, so no global sort). Float discipline: p is rounded "
+    "to 6dp immediately after the one exp() call, then every "
+    "aggregate runs in scaled-INTEGER units (p*1e6 and squared-error"
+    "*1e12 as BIGINT) — sums are exact and order-independent, and "
+    "the only doubles that cross engines are identical per-row "
+    "values. One partial->final hash aggregate on a 10-value key; "
+    "map-parallel at any scale.",
+)
+def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        F.round(F.expr(_CALIB_P_SQL), 6).alias("p6"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    t = s.select(
+        F.least(F.floor(F.col("p6") * 10), F.lit(9)).cast("int").alias("bin"),
+        "y",
+        F.round(F.col("p6") * 1000000, 0).cast("bigint").alias("pm"),
+        F.round(
+            (F.col("p6") - F.col("y")) * (F.col("p6") - F.col("y")) * 1e12, 0
+        )
+        .cast("bigint")
+        .alias("sq"),
+    )
+    b = t.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pm").cast("bigint").alias("sum_pm"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum("sq").cast("bigint").alias("sum_sq"),
+    )
+    return b.select(
+        "bin",
+        "n",
+        F.round(F.col("sum_pm").cast("double") / 1000000.0 / F.col("n"), 6).alias(
+            "mean_p"
+        ),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias("frac_pos"),
+        F.round(
+            F.col("sum_sq").cast("double") / 1e12 / F.col("n"), 6
+        ).alias("brier"),
+    ).orderBy(F.col("bin").asc())

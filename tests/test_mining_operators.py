@@ -266,3 +266,63 @@ def test_islands_split_on_calendar_gaps(spark, tmp_path):
 # stream_static_enrich is value-certified by its DuckDB oracle (parity)
 # and by tests/test_streaming.py::test_stream_static_enrichment_equals_batch,
 # which compares the drained stream against the batch join on real data.
+
+
+def test_ndcg_perfect_ordering_is_one_and_inversion_penalized(spark, tmp_path):
+    """A user whose value-ranking matches relevance exactly scores
+    ndcg=1; the same relevance multiset ranked WORST scores the
+    hand-computed minimum; an all-zero-relevance user scores 0."""
+    rows = [
+        # user 2 (cohort irrelevant here): perfect order p > c > v
+        (1, "2024-01-01 00:00:00", 2, "purchase", 30.0, "{}"),
+        (2, "2024-01-01 00:00:00", 2, "click", 20.0, "{}"),
+        (3, "2024-01-01 00:00:00", 2, "view", 10.0, "{}"),
+        # user 3: worst order v > c > p
+        (4, "2024-01-01 00:00:00", 3, "view", 30.0, "{}"),
+        (5, "2024-01-01 00:00:00", 3, "click", 20.0, "{}"),
+        (6, "2024-01-01 00:00:00", 3, "purchase", 10.0, "{}"),
+        # user 4: nothing relevant
+        (7, "2024-01-01 00:00:00", 4, "error", 30.0, "{}"),
+        (8, "2024-01-01 00:00:00", 4, "signup", 20.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: r
+        for r in load_catalog()["eval_ndcg_at_k"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[2]["ndcg"] == 1.0
+    disc = [1 / math.log2(i + 1) for i in range(1, 4)]
+    dcg_worst = 1 * disc[0] + 3 * disc[1] + 7 * disc[2]
+    idcg = 7 * disc[0] + 3 * disc[1] + 1 * disc[2]
+    assert got[3]["ndcg"] == round(dcg_worst / idcg, 6)
+    assert got[3]["ndcg"] < 1.0
+    assert got[4]["ndcg"] == 0.0 and got[4]["idcg"] == 0.0
+
+
+def test_calibration_bins_recover_planted_rates(spark, tmp_path):
+    """Events planted so one bin is perfectly calibrated (frac_pos ==
+    mean_p within the bin) and another is maximally miscalibrated
+    (high p, zero positives) with the Brier gap to prove it."""
+    # value=35 -> p=0.5 exactly (bin 5); 2 of 4 are purchases
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "purchase", 35.0, "{}"),
+        (2, "2024-01-01 00:00:00", 1, "purchase", 35.0, "{}"),
+        (3, "2024-01-01 00:00:00", 1, "view", 35.0, "{}"),
+        (4, "2024-01-01 00:00:00", 1, "view", 35.0, "{}"),
+        # value=95 -> p=sigmoid(3)=0.952574 (bin 9); zero purchases
+        (5, "2024-01-01 00:00:00", 2, "view", 95.0, "{}"),
+        (6, "2024-01-01 00:00:00", 2, "view", 95.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["bin"]: r
+        for r in load_catalog()["eval_calibration_bins"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {5, 9}
+    b5 = got[5]
+    assert (b5["n"], b5["mean_p"], b5["frac_pos"]) == (4, 0.5, 0.5)
+    assert b5["brier"] == 0.25  # (0.5-y)^2 = 0.25 for every row
+    b9 = got[9]
+    p9 = round(1 / (1 + math.exp(-3.0)), 6)
+    assert (b9["n"], b9["mean_p"], b9["frac_pos"]) == (2, p9, 0.0)
+    assert b9["brier"] == round(p9 * p9, 6)  # confident and wrong
