@@ -105,6 +105,9 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "user_activity_islands",
     "eval_ndcg_at_k",
     "eval_calibration_bins",
+    "graph_degree_powerlaw",
+    "source_vocab_overlap",
+    "quantile_normalize_groups",
 ]
 
 

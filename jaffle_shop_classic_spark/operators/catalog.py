@@ -165,6 +165,9 @@ _TIER2 = (
     # round-7 flagship operators (newest first)
     "eval_ndcg_at_k",
     "eval_calibration_bins",
+    "graph_degree_powerlaw",
+    "source_vocab_overlap",
+    "quantile_normalize_groups",
     "sketch_hll_portable",
     "weighted_median_price",
     "user_activity_islands",

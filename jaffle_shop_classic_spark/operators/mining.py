@@ -917,3 +917,279 @@ def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_sq").cast("double") / 1e12 / F.col("n"), 6
         ).alias("brier"),
     ).orderBy(F.col("bin").asc())
+
+
+# ------------------------------------------- graph degree audit
+@register(
+    "graph_degree_powerlaw",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= {KHOP_MIN_SUPPORT}
+    ),
+    e AS (SELECT pa AS s, pb AS t FROM p UNION ALL SELECT pb, pa FROM p),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM e GROUP BY s),
+    h AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tail,
+             CAST(sum(CAST(round(ln(CAST(degree AS DOUBLE) / 1.5), 9)
+                           AS DECIMAL(28,9)) ) AS DECIMAL(38,9)) AS slog
+      FROM deg WHERE degree >= 2
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_edges,
+           (SELECT max(degree) FROM deg) AS max_degree,
+           n_tail,
+           round(1.0 + CAST(n_tail AS DOUBLE) / CAST(slog AS DOUBLE), 4)
+             AS alpha_hill
+    FROM h
+    """,
+    doc="Graph degree audit with a power-law tail fit — the health "
+    "check run before any graph algorithm at scale (a heavy-tailed "
+    "degree distribution predicts hot-key skew in every neighbor "
+    "join; PageRank/label-prop docs assume it). Degrees come from "
+    "one count on the support-thresholded co-purchase edge list; the "
+    "tail exponent is the discrete Hill/Clauset MLE alpha = 1 + "
+    "n/Σln(d/(dmin-0.5)) over nodes with degree >= dmin=2. Float "
+    "discipline: each ln term is rounded once to 9dp and accumulated "
+    "as DECIMAL — the sum is exact and partition-order-independent, "
+    "so both engines divide identical numbers (same pattern as the "
+    "calibration bins' scaled integers, applied to logs). Plan: the "
+    "certified basket-bounded pair join, one degree aggregate, one "
+    "1-row summary — nothing quadratic, nothing iterative.",
+)
+def q_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= KHOP_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    e = p.select(F.col("pa").alias("s")).unionAll(p.select(F.col("pb").alias("s")))
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    h = deg.where(F.col("degree") >= 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum(
+            F.round(F.log(F.col("degree").cast("double") / 1.5), 9).cast(
+                "decimal(28,9)"
+            )
+        )
+        .cast("decimal(38,9)")
+        .alias("slog"),
+    )
+    totals = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("degree").alias("max_degree"),
+    )
+    n_edges = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        totals.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            "n_tail",
+            F.round(
+                1.0 + F.col("n_tail").cast("double") / F.col("slog").cast("double"),
+                4,
+            ).alias("alpha_hill"),
+        )
+    )
+
+
+# ------------------------------------------- cross-source vocabulary
+@register(
+    "source_vocab_overlap",
+    oracle=f"""
+    WITH st AS (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY source_a, source_b
+    )
+    SELECT i.source_a, i.source_b, i.n_inter,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.source_a
+    JOIN sz sb ON sb.source = i.source_b
+    ORDER BY jaccard DESC, source_a ASC, source_b ASC
+    LIMIT 30
+    """,
+    doc="Cross-source vocabulary overlap — the corpus-survey matrix run "
+    "before mixing data sources (high token-set Jaccard between two "
+    "crawls predicts heavy cross-source duplication; the number that "
+    "decides whether dedup must run globally or per-source). "
+    "Structure: dedup to (source, token) FIRST (vocab-cardinality per "
+    "source, Zipf-bounded), then a token-keyed self-join — the pair "
+    "stream per token is (sources containing it choose 2), bounded by "
+    "the SOURCE count (~20), never by corpus size; set sizes come "
+    "from one count and Jaccard is pure arithmetic on three bigints. "
+    "The same inverted-index-join shape as sim_sparse_tfidf_pairs "
+    "with the document axis collapsed to sources. At 100 TB the "
+    "(source, token) dedup is the only corpus-sized pass; everything "
+    "after runs on vocabularies.",
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("jaccard").desc(), F.col("source_a").asc(), F.col("source_b").asc()
+        )
+        .limit(30)
+    )
+
+
+# --------------------------------------------- quantile normalization
+@register(
+    "quantile_normalize_groups",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderkey, o_orderpriority AS grp, o_totalprice AS price,
+             CAST(row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS n_g
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderkey, grp, price,
+             CASE WHEN n_g > 1
+                  THEN CAST(r - 1 AS DOUBLE) / (n_g - 1)
+                  ELSE 0.5 END AS p
+      FROM g
+    ),
+    ref AS (
+      SELECT o_totalprice AS ref_price,
+             CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS idx,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM orders
+    ),
+    mapped AS (
+      SELECT o_orderkey, grp, price,
+             CAST(1 + round(p * (
+               (SELECT max(n) FROM ref) - 1)) AS BIGINT) AS idx
+      FROM ranked
+    )
+    SELECT m.o_orderkey, m.grp, m.price, r.ref_price AS normalized_price
+    FROM mapped m JOIN ref r ON m.idx = r.idx
+    ORDER BY m.o_orderkey ASC
+    """,
+    doc="Quantile normalization — map every group's value distribution "
+    "onto the GLOBAL reference distribution (the cross-batch feature-"
+    "alignment transform from bioinformatics/feature-store practice: "
+    "after it, every o_orderpriority group has identical marginal "
+    "price distribution, so downstream models can't learn the group "
+    "from the feature's scale). Rule is rank-arithmetic only: "
+    "within-group percent p = (r-1)/(n_g-1) from integer ranks with "
+    "full (value, key) tiebreaks, reference index = 1+round(p*(N-1)) "
+    "— both engines derive identical doubles from identical integers, "
+    "and the final lookup is an integer equi-join into the globally "
+    "ranked reference. The global row_number is the one scale caveat: "
+    "at 100 TB swap the exact reference rank for the equi-depth "
+    "histogram table (quantiles_histogram_cdf) — the mapping rule is "
+    "unchanged. Per-group windows ride the group exchange.",
+)
+def q_quantile_normalize_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wg = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    g = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("price"),
+        F.row_number().over(wg).cast("bigint").alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("bigint")
+        .alias("n_g"),
+    )
+    ranked = g.select(
+        "o_orderkey",
+        "grp",
+        "price",
+        F.when(
+            F.col("n_g") > 1,
+            (F.col("r") - 1).cast("double") / (F.col("n_g") - 1),
+        )
+        .otherwise(0.5)
+        .alias("p"),
+    )
+    wr = Window.orderBy("o_totalprice", "o_orderkey")
+    ref = o.select(
+        F.col("o_totalprice").alias("ref_price"),
+        F.row_number().over(wr).cast("bigint").alias("idx"),
+    )
+    n = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mapped = ranked.crossJoin(F.broadcast(n)).select(
+        "o_orderkey",
+        "grp",
+        "price",
+        (1 + F.round(F.col("p") * (F.col("n") - 1), 0)).cast("bigint").alias("idx"),
+    )
+    return (
+        mapped.join(ref, "idx")
+        .select(
+            "o_orderkey",
+            "grp",
+            "price",
+            F.col("ref_price").alias("normalized_price"),
+        )
+        .orderBy(F.col("o_orderkey").asc())
+    )

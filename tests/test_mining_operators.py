@@ -326,3 +326,64 @@ def test_calibration_bins_recover_planted_rates(spark, tmp_path):
     p9 = round(1 / (1 + math.exp(-3.0)), 6)
     assert (b9["n"], b9["mean_p"], b9["frac_pos"]) == (2, p9, 0.0)
     assert b9["brier"] == round(p9 * p9, 6)  # confident and wrong
+
+
+def test_degree_powerlaw_star_graph(spark, tmp_path):
+    """A 5-leaf star (every edge at support 2): hub degree 5, leaves
+    degree 1, Hill tail holds exactly the hub."""
+    # edges hub(0)-leaf(i): two orders each containing {0, i}
+    order_parts = []
+    ok = 1
+    for leaf in range(1, 6):
+        order_parts += [(ok, [0, leaf]), (ok + 1, [0, leaf])]
+        ok += 2
+    _write_lineitem(spark, tmp_path, order_parts)
+    row = load_catalog()["graph_degree_powerlaw"].fn(spark, str(tmp_path)).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["max_degree"], row["n_tail"]) == (
+        6, 5, 5, 1
+    )
+    assert row["alpha_hill"] == round(1 + 1 / round(math.log(5 / 1.5), 9), 4)
+
+
+def test_vocab_overlap_identical_and_disjoint_sources(spark, tmp_path):
+    """Identical token sets give Jaccard 1.0; disjoint sets give 0."""
+    rows = [
+        (1, "x y", "en", "srcA", 3),
+        (2, "y x x", "en", "srcB", 5),
+        (3, "z", "en", "srcC", 1),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_inter"], r["jaccard"])
+        for r in load_catalog()["source_vocab_overlap"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[("srcA", "srcB")] == (2, 1.0)
+    assert ("srcA", "srcC") not in got  # zero intersection -> no pair row
+
+
+def test_quantile_normalize_aligns_group_marginals(spark, tmp_path):
+    """After normalization, a low-scale and a high-scale group map onto
+    the SAME global quantile values — their marginals coincide."""
+    rows = [
+        (1, 1, "O", 1.0, "1995-01-01", "U"),
+        (2, 1, "O", 2.0, "1995-01-01", "U"),
+        (3, 1, "O", 3.0, "1995-01-01", "U"),
+        (4, 1, "O", 100.0, "1995-01-01", "V"),
+        (5, 1, "O", 200.0, "1995-01-01", "V"),
+        (6, 1, "O", 300.0, "1995-01-01", "V"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    out = load_catalog()["quantile_normalize_groups"].fn(spark, str(tmp_path)).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["normalized_price"])
+    assert sorted(by_grp["U"]) == sorted(by_grp["V"])  # aligned marginals
+    # rank order within each group is preserved
+    u = {r["price"]: r["normalized_price"] for r in out if r["grp"] == "U"}
+    assert u[1.0] < u[2.0] < u[3.0]

@@ -53,6 +53,8 @@ CROSS_OK = {
     "rfm_customer_segments",  # broadcast 1-row recency-anchor join
     "assoc_rules_lift",  # broadcast 1-row basket-count (N) join
     "referential_integrity_profile",  # 1-row total x 1-row orphan-count joins
+    "graph_degree_powerlaw",  # 1-row summary x 1-row edge-count/Hill joins
+    "quantile_normalize_groups",  # broadcast 1-row corpus-size (N) join
 }
 
 
