@@ -108,6 +108,8 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "graph_degree_powerlaw",
     "source_vocab_overlap",
     "quantile_normalize_groups",
+    "bootstrap_mean_ci",
+    "decay_weighted_revenue",
 ]
 
 

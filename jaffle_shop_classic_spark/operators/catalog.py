@@ -165,6 +165,8 @@ _TIER2 = (
     # round-7 flagship operators (newest first)
     "eval_ndcg_at_k",
     "eval_calibration_bins",
+    "bootstrap_mean_ci",
+    "decay_weighted_revenue",
     "graph_degree_powerlaw",
     "source_vocab_overlap",
     "quantile_normalize_groups",

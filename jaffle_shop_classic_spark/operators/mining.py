@@ -1193,3 +1193,172 @@ def q_quantile_normalize_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderkey").asc())
     )
+
+
+# ------------------------------------------------ bootstrap inference
+BOOT_B = 16  # bootstrap replicas
+BOOT_SEED = "bb1"
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH wtd AS (
+      SELECT grp, b,
+             CAST(round(-ln((CAST({_md5_int8_sql(
+                 f"'{BOOT_SEED}|' || CAST(b AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)"
+             )} % 1000000 AS DOUBLE) + 0.5) / 1000000.0), 9)
+               AS DECIMAL(28,9)) AS w,
+             price
+      FROM (SELECT o.o_orderpriority AS grp, o.o_totalprice AS price,
+                   o.o_orderkey, b.b
+            FROM orders o, (SELECT unnest(range(0, {BOOT_B})) AS b) b)
+    ),
+    means AS (
+      SELECT grp, b,
+             round(CAST(sum(CAST(round(CAST(w AS DOUBLE) * price, 6)
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(CAST(sum(w) AS DECIMAL(38,9)) AS DOUBLE), 4)
+               AS m
+      FROM wtd GROUP BY grp, b
+    ),
+    ranked AS (
+      SELECT grp, m,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY m ASC, b ASC)
+                  AS INT) AS r
+      FROM means
+    )
+    SELECT grp,
+           min(CASE WHEN r = 2 THEN m END) AS ci_lo,
+           min(CASE WHEN r = {BOOT_B - 1} THEN m END) AS ci_hi
+    FROM ranked GROUP BY grp
+    ORDER BY grp ASC
+    """,
+    doc="Bootstrap confidence intervals for the group mean WITHOUT "
+    "resampling passes — the Bayesian bootstrap (Rubin 1981): each of "
+    "16 replicas reweights every row by an Exponential(1) draw and "
+    "takes the weighted mean; the replicate spread estimates the "
+    "sampling distribution. The draws are SEEDED AND PORTABLE "
+    "(-ln(u) with u from md5(seed|replica|key) — the DP operator's "
+    "inverse-CDF trick applied to inference), so the whole CI is "
+    "value-certified, and all 16 replicas ride ONE scan: explode x16, "
+    "one (group, replica) aggregate with weights and weighted values "
+    "accumulated as rounded DECIMALs (exact, order-independent), one "
+    "tiny rank over 16 means per group. CI bounds are the 2nd/15th "
+    "order statistics (~±6% tails). At 100 TB: the x16 expansion is "
+    "map-side and the aggregate is partial->final — the same shape as "
+    "any rollup; B scales linearly and independently of data size.",
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rep = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderkey",
+        F.explode(F.array([F.lit(i) for i in range(BOOT_B)])).alias("b"),
+    )
+    key = F.concat(
+        F.lit(f"{BOOT_SEED}|"),
+        F.col("b").cast("string"),
+        F.lit("|"),
+        F.col("o_orderkey").cast("string"),
+    )
+    u = (
+        (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 1000000)
+        .cast("double")
+        + 0.5
+    ) / 1000000.0
+    wtd = rep.select(
+        "grp",
+        "b",
+        F.round(-F.log(u), 9).cast("decimal(28,9)").alias("w"),
+        "price",
+    )
+    means = wtd.groupBy("grp", "b").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("w").cast("double") * F.col("price"), 6).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+            / F.sum("w").cast("decimal(38,9)").cast("double"),
+            4,
+        ).alias("m")
+    )
+    ranked = means.select(
+        "grp",
+        "m",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy(F.col("m").asc(), F.col("b").asc()))
+        .cast("int")
+        .alias("r"),
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.min(F.when(F.col("r") == 2, F.col("m"))).alias("ci_lo"),
+            F.min(F.when(F.col("r") == BOOT_B - 1, F.col("m"))).alias("ci_hi"),
+        )
+        .orderBy(F.col("grp").asc())
+    )
+
+
+# ------------------------------------------------- time-decay scoring
+DECAY_HALF_DAYS = 180.0
+
+
+@register(
+    "decay_weighted_revenue",
+    oracle=f"""
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+    w AS (
+      SELECT o.o_custkey,
+             CAST(round(
+               exp(-CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(a.mx AS DATE)) AS DOUBLE)
+                   / {DECAY_HALF_DAYS!r})
+               * o.o_totalprice, 6) AS DECIMAL(38,6)) AS wx
+      FROM orders o, anchor a
+    )
+    SELECT o_custkey,
+           round(CAST(sum(wx) AS DOUBLE), 2) AS decayed_revenue
+    FROM w GROUP BY o_custkey
+    ORDER BY decayed_revenue DESC, o_custkey ASC
+    LIMIT 20
+    """,
+    doc="Exponential time-decay revenue scoring — the recency weighting "
+    "recsys and churn models apply to every monetary feature (a "
+    "purchase 6 months ago counts 1/e of one today; cohort_ltv_curve "
+    "is the undecayed complement). The decay age is an exact integer "
+    "day difference against the broadcast 1-row max-date anchor, so "
+    "exp() receives identical doubles in both engines; each weighted "
+    "term rounds once to 6dp and accumulates as DECIMAL — exact, "
+    "order-independent sums (the calibration-bins discipline). Plan: "
+    "1-row anchor broadcast, map-side weight, one partial->final "
+    "aggregate on the customer key, TakeOrdered top-20. The anchor "
+    "makes the score reproducible for a fixed dataset; production "
+    "passes 'now' explicitly.",
+)
+def q_decay_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    w = o.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.round(
+            F.exp(
+                -F.datediff(F.col("mx").cast("date"), F.col("o_orderdate").cast("date"))
+                .cast("double")
+                / DECAY_HALF_DAYS
+            )
+            * F.col("o_totalprice"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("wx"),
+    )
+    return (
+        w.groupBy("o_custkey")
+        .agg(F.round(F.sum("wx").cast("double"), 2).alias("decayed_revenue"))
+        .orderBy(F.col("decayed_revenue").desc(), F.col("o_custkey").asc())
+        .limit(20)
+    )

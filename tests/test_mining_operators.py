@@ -387,3 +387,54 @@ def test_quantile_normalize_aligns_group_marginals(spark, tmp_path):
     # rank order within each group is preserved
     u = {r["price"]: r["normalized_price"] for r in out if r["grp"] == "U"}
     assert u[1.0] < u[2.0] < u[3.0]
+
+
+def test_bootstrap_ci_brackets_true_mean_and_is_deterministic(spark, tmp_path):
+    """Planted tight distribution: the CI must bracket the true mean,
+    stay narrow, and reproduce exactly across runs (seeded draws)."""
+    rows = [
+        (i, 1, "O", 100.0 + (i % 5), "1995-01-01", "P1") for i in range(200)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    fn = load_catalog()["bootstrap_mean_ci"].fn
+    r1 = fn(spark, str(tmp_path)).collect()
+    r2 = fn(spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    row = r1[0]
+    true_mean = sum(100.0 + (i % 5) for i in range(200)) / 200
+    assert row["ci_lo"] <= true_mean <= row["ci_hi"]
+    assert row["ci_hi"] - row["ci_lo"] < 1.0  # sd~1.4, n=200 -> tight CI
+
+
+def test_decay_weights_recent_revenue_more(spark, tmp_path):
+    """Same total spend: the customer whose orders are recent must
+    outscore the one whose orders are years old."""
+    rows = [
+        # anchor order fixes max(o_orderdate)
+        (1, 1, "O", 1000.0, "2000-01-01", "P1"),
+        # customer 2: same 1000 but 3 years before the anchor
+        (2, 2, "O", 1000.0, "1997-01-01", "P1"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r["o_custkey"]: r["decayed_revenue"]
+        for r in load_catalog()["decay_weighted_revenue"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == 1000.0  # zero age -> weight exactly 1
+    import datetime
+
+    age = (datetime.date(2000, 1, 1) - datetime.date(1997, 1, 1)).days
+    assert got[2] == round(round(1000.0 * math.exp(-age / 180.0), 6), 2)
+    assert got[2] < got[1]

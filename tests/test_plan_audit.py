@@ -55,6 +55,7 @@ CROSS_OK = {
     "referential_integrity_profile",  # 1-row total x 1-row orphan-count joins
     "graph_degree_powerlaw",  # 1-row summary x 1-row edge-count/Hill joins
     "quantile_normalize_groups",  # broadcast 1-row corpus-size (N) join
+    "decay_weighted_revenue",  # broadcast 1-row max-date anchor join
 }
 
 
