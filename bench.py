@@ -110,6 +110,9 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "quantile_normalize_groups",
     "bootstrap_mean_ci",
     "decay_weighted_revenue",
+    "graph_minplus_distance",
+    "xcorr_daily_lags",
+    "attribution_position_based",
 ]
 
 

@@ -165,6 +165,9 @@ _TIER2 = (
     # round-7 flagship operators (newest first)
     "eval_ndcg_at_k",
     "eval_calibration_bins",
+    "graph_minplus_distance",
+    "xcorr_daily_lags",
+    "attribution_position_based",
     "bootstrap_mean_ci",
     "decay_weighted_revenue",
     "graph_degree_powerlaw",

@@ -1362,3 +1362,271 @@ def q_decay_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_revenue").desc(), F.col("o_custkey").asc())
         .limit(20)
     )
+
+
+# -------------------------------------- weighted shortest paths (min-plus)
+@register(
+    "graph_minplus_distance",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(101 - least(count(*), 100) AS BIGINT) AS w
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= {KHOP_MIN_SUPPORT}
+    ),
+    e AS (SELECT pa AS s, pb AS t, w FROM p
+          UNION ALL SELECT pb, pa, w FROM p),
+    seed AS (SELECT min(s) AS node FROM e),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seed),
+    d1 AS (
+      SELECT t AS node, min(d0.dist + e.w) AS dist
+      FROM e JOIN d0 ON e.s = d0.node GROUP BY t
+      UNION ALL SELECT node, dist FROM d0
+    ),
+    d1m AS (SELECT node, min(dist) AS dist FROM d1 GROUP BY node),
+    d2 AS (
+      SELECT t AS node, min(d1m.dist + e.w) AS dist
+      FROM e JOIN d1m ON e.s = d1m.node GROUP BY t
+      UNION ALL SELECT node, dist FROM d1m
+    ),
+    d2m AS (SELECT node, min(dist) AS dist FROM d2 GROUP BY node),
+    d3 AS (
+      SELECT t AS node, min(d2m.dist + e.w) AS dist
+      FROM e JOIN d2m ON e.s = d2m.node GROUP BY t
+      UNION ALL SELECT node, dist FROM d2m
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM d3 GROUP BY node
+    ORDER BY dist ASC, node ASC
+    """,
+    doc="Weighted shortest paths by bounded min-plus relaxation "
+    "(Bellman-Ford, 3 rounds) — graph_khop_reach's hop-count metric "
+    "upgraded to a WEIGHTED distance: edge cost 101-min(support,100) "
+    "makes strong co-purchase ties short, so the result ranks parts "
+    "by affinity-distance from the seed, and a 2-hop path through "
+    "strong ties can beat a direct weak edge (which hop counting "
+    "cannot express). Each round is one keyed equi-join + min-"
+    "aggregate — the min-plus semiring on the SAME Pregel exchange "
+    "shape as PageRank (sum-times) and hash-min components (min-"
+    "min); all arithmetic is BIGINT, so convergence is engine-"
+    "portable. Fixed depth keeps it one Catalyst plan; unbounded "
+    "diameters switch to the checkpointed loop + monotone-sum "
+    "convergence guard of dedup_cluster_components.",
+)
+def q_graph_minplus_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= KHOP_MIN_SUPPORT)
+        .select(
+            "pa",
+            "pb",
+            (101 - F.least(F.col("cnt"), F.lit(100))).cast("bigint").alias("w"),
+        )
+    )
+    e = p.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t"), "w"
+    ).unionAll(p.select(F.col("pb").alias("s"), F.col("pa").alias("t"), "w"))
+    e = e.localCheckpoint(eager=False)
+    cur = e.agg(F.min("s").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(KHOP_DEPTH):
+        relaxed = (
+            e.join(cur.hint("broadcast"), e["s"] == cur["node"])
+            .select(F.col("t").alias("node"), (cur["dist"] + e["w"]).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        cur = (
+            relaxed.unionAll(cur)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return cur.select("node", F.col("dist").cast("bigint").alias("dist")).orderBy(
+        F.col("dist").asc(), F.col("node").asc()
+    )
+
+
+# -------------------------------------------- lagged cross-correlation
+XCORR_MAX_LAG = 7
+
+
+@register(
+    "xcorr_daily_lags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS BIGINT) AS x,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY day
+    ),
+    lagged AS (
+      SELECT l.lag, a.x, b.y
+      FROM daily a
+      JOIN (SELECT unnest(range(0, {XCORR_MAX_LAG + 1})) AS lag) l ON true
+      JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+    ),
+    m AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS xcorr
+    FROM m ORDER BY lag ASC
+    """,
+    doc="Lagged cross-correlation between two daily event series (does "
+    "view volume predict purchase volume k days later?) — the signal-"
+    "analysis primitive behind lead-indicator discovery and marketing-"
+    "mix lag estimation. Pearson r at each lag 0..7 is computed from "
+    "SIX integer sums (n, Σx, Σy, Σxy, Σx², Σy² — counts are BIGINT, "
+    "so every moment is exact and partition-order-independent; the "
+    "Welch-t trick extended to covariance); the only floating ops are "
+    "the final sqrt and division. The lag alignment is an equi-join "
+    "on day+k over the DAY-cardinality rollup (×8 on days, never on "
+    "events). At 100 TB the daily rollup is the only corpus-sized "
+    "aggregate; everything downstream is O(days × lags).",
+)
+def q_xcorr_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = daily.select(
+        "day",
+        "x",
+        F.explode(
+            F.array([F.lit(i) for i in range(XCORR_MAX_LAG + 1)])
+        ).alias("lag"),
+    )
+    b = daily.select(F.col("day").alias("bday"), "y")
+    lagged = a.join(
+        b, F.date_add(F.col("day"), F.col("lag")) == F.col("bday")
+    ).select("lag", "x", "y")
+    m = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("xcorr"),
+    ).orderBy(F.col("lag").asc())
+
+
+# ------------------------------------------ position-based attribution
+@register(
+    "attribution_position_based",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS conv_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type,
+             CAST(row_number() OVER (
+               PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+             ) AS BIGINT) AS pos,
+             CAST(count(*) OVER (PARTITION BY e.user_id) AS BIGINT) AS n
+      FROM events e JOIN conv c ON e.user_id = c.user_id
+      WHERE e.ts < c.conv_ts AND e.event_type <> 'purchase'
+    ),
+    credited AS (
+      SELECT event_type,
+             CAST(round(CAST(CASE
+               WHEN n = 1 THEN 1.0
+               WHEN n = 2 THEN 0.5
+               WHEN pos = 1 OR pos = n THEN 0.4
+               ELSE CAST(0.2 AS DOUBLE) / (n - 2)
+             END AS DOUBLE), 9) AS DECIMAL(28,9)) AS credit
+      FROM touches
+    )
+    SELECT event_type,
+           round(CAST(sum(credit) AS DOUBLE), 4) AS total_credit
+    FROM credited GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+    doc="Position-based (U-shaped 40/20/40) multi-touch attribution — "
+    "the standard complement to attribution_last_touch: the first and "
+    "last touchpoints before a user's first conversion each earn 40% "
+    "credit and the middle touches split the remaining 20% evenly "
+    "(1-touch journeys get 100%, 2-touch get 50/50). Per-journey "
+    "position and length come from ONE user-keyed window pair riding "
+    "a single exchange; per-touch credit is a pure CASE (the fraction "
+    "0.2/(n-2) is the same double in both engines because n is an "
+    "exact BIGINT), rounded once and summed as DECIMAL so channel "
+    "totals are exact and order-independent. The pre-conversion "
+    "filter is an equi-join against the 1-row-per-user first-"
+    "conversion aggregate. Same two-shuffle plan at any scale.",
+)
+def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    t = (
+        e.join(conv, "user_id")
+        .where((F.col("ts") < F.col("conv_ts")) & (F.col("event_type") != "purchase"))
+    )
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    touches = t.select(
+        "event_type",
+        F.row_number().over(wp).cast("bigint").alias("pos"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    return (
+        touches.select(
+            "event_type",
+            F.round(credit, 9).cast("decimal(28,9)").alias("credit"),
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.sum("credit").cast("double"), 4).alias("total_credit"))
+        .orderBy(F.col("event_type").asc())
+    )

@@ -438,3 +438,71 @@ def test_decay_weights_recent_revenue_more(spark, tmp_path):
     age = (datetime.date(2000, 1, 1) - datetime.date(1997, 1, 1)).days
     assert got[2] == round(round(1000.0 * math.exp(-age / 180.0), 6), 2)
     assert got[2] < got[1]
+
+
+def test_minplus_strong_ties_beat_direct_weak_edge(spark, tmp_path):
+    """Triangle 1-2-3 where the direct 1-3 edge is weak (support 2,
+    cost 99) but the 1-2-3 path is strong (support 50 each, cost 51+51
+    = 102 > 99? no — make supports high enough that 2 hops win)."""
+    order_parts = []
+    ok = 1
+    # edge 1-2 and 2-3: support 70 each -> cost 31 each, path = 62
+    for _ in range(70):
+        order_parts += [(ok, [1, 2]), (ok + 1, [2, 3])]
+        ok += 2
+    # direct edge 1-3: support 2 -> cost 99
+    order_parts += [(ok, [1, 3]), (ok + 1, [1, 3])]
+    _write_lineitem(spark, tmp_path, order_parts)
+    got = {
+        r["node"]: r["dist"]
+        for r in load_catalog()["graph_minplus_distance"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == 0
+    assert got[2] == 31  # 101 - min(70,100)
+    assert got[3] == 62  # 2-hop strong path beats the 99-cost direct edge
+
+
+def test_xcorr_perfect_lag_alignment(spark, tmp_path):
+    """Purchases exactly mirror views shifted by 2 days: corr at lag 2
+    must be 1.0 and corr at lag 0 must be below it."""
+    rows = []
+    eid = 1
+    # views ramp 1,2,...,10 on days 1..10; purchases same ramp days 3..12
+    for day in range(1, 11):
+        for _ in range(day):
+            rows.append((eid, f"2024-01-{day:02d} 08:00:00", 1, "view", 1.0, "{}"))
+            eid += 1
+    for day in range(3, 13):
+        for _ in range(day - 2):
+            rows.append((eid, f"2024-01-{day:02d} 09:00:00", 1, "purchase", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["lag"]: r["xcorr"]
+        for r in load_catalog()["xcorr_daily_lags"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[2] == 1.0
+    assert got[0] < 1.0
+
+
+def test_position_attribution_u_shape(spark, tmp_path):
+    """4-touch journey view,click,signup,view before purchase: ends get
+    0.4 each, middles 0.1 each -> view 0.8 (both ends), rest 0.1."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 10:02:00", 1, "signup", 1.0, "{}"),
+        (4, "2024-01-01 10:03:00", 1, "view", 1.0, "{}"),
+        (5, "2024-01-01 10:04:00", 1, "purchase", 1.0, "{}"),
+        # post-conversion touches earn nothing
+        (6, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+        # single-touch journey: 100% to error? no — errors count as touches
+        (7, "2024-01-02 10:00:00", 2, "error", 1.0, "{}"),
+        (8, "2024-01-02 10:01:00", 2, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: r["total_credit"]
+        for r in load_catalog()["attribution_position_based"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {"view": 0.8, "click": 0.1, "signup": 0.1, "error": 1.0}
