@@ -113,6 +113,8 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "graph_minplus_distance",
     "xcorr_daily_lags",
     "attribution_position_based",
+    "rolling_bollinger_bands",
+    "seasonality_dow_profile",
 ]
 
 

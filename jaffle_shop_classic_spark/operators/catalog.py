@@ -165,6 +165,8 @@ _TIER2 = (
     # round-7 flagship operators (newest first)
     "eval_ndcg_at_k",
     "eval_calibration_bins",
+    "rolling_bollinger_bands",
+    "seasonality_dow_profile",
     "graph_minplus_distance",
     "xcorr_daily_lags",
     "attribution_position_based",

@@ -1630,3 +1630,175 @@ def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("credit").cast("double"), 4).alias("total_credit"))
         .orderBy(F.col("event_type").asc())
     )
+
+
+# ------------------------------------------------ rolling volatility
+BOLL_WINDOW = 7  # trailing days in the band
+
+
+@register(
+    "rolling_bollinger_bands",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY day
+    ),
+    frames AS (
+      SELECT day, rev,
+             CAST(count(*) OVER w AS BIGINT) AS n_w,
+             CAST(sum(rev) OVER w AS DECIMAL(38,2)) AS s1,
+             CAST(sum(CAST(rev * rev AS DECIMAL(38,4))) OVER w
+                  AS DECIMAL(38,4)) AS s2
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS {BOLL_WINDOW - 1} PRECEDING)
+    ),
+    stats AS (
+      SELECT day, rev, n_w,
+             CAST(s1 AS DOUBLE) / n_w AS ma,
+             CASE WHEN n_w > 1 THEN
+               sqrt(greatest(
+                 (CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_w)
+                 / (n_w - 1), 0.0))
+             ELSE 0.0 END AS sd
+      FROM frames
+    )
+    SELECT day, rev, n_w,
+           round(ma, 2) AS ma,
+           round(ma + 2 * sd, 2) AS upper_band,
+           round(ma - 2 * sd, 2) AS lower_band,
+           CASE WHEN CAST(rev AS DOUBLE) > ma + 2 * sd
+                  OR CAST(rev AS DOUBLE) < ma - 2 * sd
+                THEN 1 ELSE 0 END AS is_break
+    FROM stats ORDER BY day ASC
+    """,
+    doc="Bollinger bands over the daily revenue series — trailing "
+    "7-day moving average ± 2σ with band-break flags, the rolling-"
+    "volatility pattern behind ops alerting and trading-style "
+    "monitors. The frame moments are EXACT: daily revenue is an "
+    "exact DECIMAL sum, and both frame sums (Σrev, Σrev² as "
+    "DECIMAL(38,4)) accumulate decimals inside a ROWS frame — "
+    "bounded state (7 rows), no float drift, variance derived from "
+    "bit-identical inputs in both engines with only sqrt/divide "
+    "floating (the Welch discipline inside a window frame, which "
+    "event_ewma_smoothing's weighted fold cannot give because its "
+    "weights are non-associative). The global day-ordered window "
+    "runs on the DAY-cardinality rollup (calendar-bounded, ~2.5k "
+    "rows for 7 years) — at 100 TB the corpus-sized work remains "
+    "the one daily aggregate; partition the window by "
+    "series/ticker key when there are many series.",
+)
+def q_rolling_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-(BOLL_WINDOW - 1), 0)
+    frames = daily.select(
+        "day",
+        "rev",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_w"),
+        F.sum("rev").over(w).cast("decimal(38,2)").alias("s1"),
+        F.sum((F.col("rev") * F.col("rev")).cast("decimal(38,4)"))
+        .over(w)
+        .cast("decimal(38,4)")
+        .alias("s2"),
+    )
+    ma = F.col("s1").cast("double") / F.col("n_w")
+    sd = F.when(
+        F.col("n_w") > 1,
+        F.sqrt(
+            F.greatest(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n_w")
+                )
+                / (F.col("n_w") - 1),
+                F.lit(0.0),
+            )
+        ),
+    ).otherwise(0.0)
+    return frames.select(
+        "day",
+        "rev",
+        "n_w",
+        F.round(ma, 2).alias("ma"),
+        F.round(ma + 2 * sd, 2).alias("upper_band"),
+        F.round(ma - 2 * sd, 2).alias("lower_band"),
+        F.when(
+            (F.col("rev").cast("double") > ma + 2 * sd)
+            | (F.col("rev").cast("double") < ma - 2 * sd),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_break"),
+    ).orderBy(F.col("day").asc())
+
+
+# ------------------------------------------------ calendar seasonality
+@register(
+    "seasonality_dow_profile",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(rev) AS DECIMAL(38,2)) AS trev
+      FROM d
+    )
+    SELECT dow, n, rev,
+           round(CAST(rev AS DOUBLE) / n, 2) AS avg_order,
+           round((CAST(rev AS DOUBLE) / n)
+                 / (CAST(trev AS DOUBLE) / tn), 4) AS seasonal_index
+    FROM d, tot ORDER BY dow ASC
+    """,
+    doc="Day-of-week seasonality profile — per-weekday order volume, "
+    "exact decimal revenue, and a seasonal index (weekday mean order "
+    "value over the global mean; 1.0 = no weekday effect), the "
+    "calendar complement to forecast_backtest_mape's year-over-year "
+    "lag. Weekday numbering is pinned to Spark's 1=Sunday convention "
+    "(DuckDB's 0-based dayofweek is shifted by +1 in the oracle). "
+    "One 7-row aggregate plus a broadcast 1-row total "
+    "— all sums decimal-exact, divisions last. Map-parallel at any "
+    "scale.",
+)
+def q_seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.dayofweek(F.col("o_orderdate").cast("date")).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev"),
+    )
+    tot = d.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("rev").cast("decimal(38,2)").alias("trev"),
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n",
+            "rev",
+            F.round(F.col("rev").cast("double") / F.col("n"), 2).alias("avg_order"),
+            F.round(
+                (F.col("rev").cast("double") / F.col("n"))
+                / (F.col("trev").cast("double") / F.col("tn")),
+                4,
+            ).alias("seasonal_index"),
+        )
+        .orderBy(F.col("dow").asc())
+    )

@@ -506,3 +506,44 @@ def test_position_attribution_u_shape(spark, tmp_path):
         for r in load_catalog()["attribution_position_based"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {"view": 0.8, "click": 0.1, "signup": 0.1, "error": 1.0}
+
+
+def test_bollinger_flags_spike_only(spark, tmp_path):
+    """Flat revenue never breaks the band; a 10x single-day spike does."""
+    rows = []
+    ok = 1
+    for day in range(1, 15):
+        price = 1000.0 if day != 10 else 10000.0
+        rows.append((ok, 1, "O", price, f"1995-01-{day:02d}", "P1"))
+        ok += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    out = load_catalog()["rolling_bollinger_bands"].fn(spark, str(tmp_path)).collect()
+    breaks = [str(r["day"]) for r in out if r["is_break"] == 1]
+    assert breaks == ["1995-01-10"]  # only the spike day breaks the band
+    flat = [r for r in out if str(r["day"]) == "1995-01-05"][0]
+    assert flat["ma"] == 1000.0 and flat["upper_band"] == 1000.0  # sd=0 window
+
+
+def test_seasonality_index_is_one_when_flat(spark, tmp_path):
+    """Identical order values on every weekday give seasonal_index 1.0
+    for all seven rows."""
+    rows = [
+        (i, 1, "O", 500.0, f"1995-01-{i:02d}", "P1") for i in range(1, 29)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    out = load_catalog()["seasonality_dow_profile"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 7
+    assert all(r["seasonal_index"] == 1.0 for r in out)
+    assert sorted(r["dow"] for r in out) == [1, 2, 3, 4, 5, 6, 7]

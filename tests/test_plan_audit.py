@@ -56,6 +56,7 @@ CROSS_OK = {
     "graph_degree_powerlaw",  # 1-row summary x 1-row edge-count/Hill joins
     "quantile_normalize_groups",  # broadcast 1-row corpus-size (N) join
     "decay_weighted_revenue",  # broadcast 1-row max-date anchor join
+    "seasonality_dow_profile",  # broadcast 1-row grand-total join
 }
 
 
