@@ -29,7 +29,17 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="jaffle_shop_classic_spark")
     ap.add_argument(
         "command",
-        choices=["seed", "run", "test", "docs", "snapshot", "curate", "query", "sql"],
+        choices=[
+            "seed",
+            "run",
+            "test",
+            "docs",
+            "snapshot",
+            "curate",
+            "query",
+            "sql",
+            "explain",
+        ],
     )
     ap.add_argument("--name", default=None, help="query: catalog entry to run (omit to list)")
     ap.add_argument(
@@ -64,7 +74,7 @@ def main(argv=None) -> int:
 
     import os
 
-    if args.command not in ("curate", "query", "sql") and not os.path.isdir(
+    if args.command not in ("curate", "query", "sql", "explain") and not os.path.isdir(
         args.seed_dir
     ):
         print(f"error: seed dir not found: {args.seed_dir}", file=sys.stderr)
@@ -86,6 +96,23 @@ def main(argv=None) -> int:
         df = catalog[args.name].fn(spark, args.sf_dir)
         df.show(args.limit, truncate=False)
         print(f"{args.name}: {df.count()} rows @ {args.sf_dir}")
+        return 0
+
+    if args.command == "explain":
+        # the plan-first review loop as a verb: print the formatted
+        # physical plan (WholeStageCodegen spans, PushedFilters,
+        # exchange placement) for any catalog entry without executing it
+        from .operators.catalog import load_catalog
+
+        catalog = load_catalog()
+        if args.name is None or args.name not in catalog:
+            print(
+                "error: explain needs --name <catalog entry> "
+                "(run `query` without --name to list)",
+                file=sys.stderr,
+            )
+            return 2
+        catalog[args.name].fn(spark, args.sf_dir).explain("formatted")
         return 0
 
     if args.command == "sql":

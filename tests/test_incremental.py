@@ -209,6 +209,12 @@ def test_cli_query_and_sql_verbs(spark, sf_dir, capsys):
 
     assert main(["sql"]) == 2  # --expr required
 
+    assert main(["explain", "--name", "tpch_q1_style", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
+
+    assert main(["explain"]) == 2  # --name required
+
 
 def test_cli_run_select_builds_only_subgraph(spark, capsys):
     from jaffle_shop_classic_spark.__main__ import main
