@@ -115,6 +115,8 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "attribution_position_based",
     "rolling_bollinger_bands",
     "seasonality_dow_profile",
+    "embedding_label_centroids",
+    "label_noise_knn_audit",
 ]
 
 

@@ -1802,3 +1802,217 @@ def q_seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("dow").asc())
     )
+
+
+_EMB_DIM = 64
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label, i.i AS dim,
+             CAST(round(CAST(embedding[i.i] AS DOUBLE), 7)
+                  AS DECIMAL(20,7)) AS v
+      FROM embeddings, (SELECT unnest(range(1, {_EMB_DIM + 1})) AS i) i
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS centroid
+    FROM ex GROUP BY label, dim
+    ORDER BY label ASC, dim ASC
+    """,
+    doc="Exact per-label embedding centroids — the distributed vector "
+    "mean every embedding pipeline needs (k-means init, class "
+    "prototypes, SemDeDup anchors, drift baselines), computed so the "
+    "result is PARTITION-ORDER-INDEPENDENT: naive sum(float[]) "
+    "accumulates doubles in shuffle order and differs run to run in "
+    "the last bits; here each component is rounded once (float32 "
+    "carries ~7 significant digits, so 7dp loses nothing) and summed "
+    "as DECIMAL — bit-identical across engines and partitionings. "
+    "Long (label, dim) layout keeps it one posexplode + one hash "
+    "aggregate with map-side combine — ×64 on the vector table, "
+    "state = labels × dims cells. The same plan at 100 TB; "
+    "reassemble to arrays with collect_list(sorted by dim) only at "
+    "the consumer.",
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("val").cast("double"), 7).cast("decimal(20,7)").alias("v"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
+                "centroid"
+            ),
+        )
+        .orderBy(F.col("label").asc(), F.col("dim").asc())
+    )
+
+
+# ---------------------------------------------- label-noise detection
+KNN_K = 5
+KNN_PLANES = 3  # 2^3 = 8 LSH buckets
+
+
+def _plane_sign(k: int, i: int) -> int:
+    """Deterministic ±1 hyperplane pattern shared by both engines."""
+    return 1 if (i * (k + 3)) % 2 == 0 else -1
+
+
+# SQL fragment: dot(v, plane_k) as an ORDERED fold (identical
+# float-addition order in both engines)
+def _plane_dot_sql(k: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {_EMB_DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) "
+        f"* (CASE WHEN (i * {k + 3}) % 2 = 0 THEN 1.0 ELSE -1.0 END))), "
+        "(a, x) -> a + x)"
+    )
+
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN {_plane_dot_sql(k)} >= 0 THEN '1' ELSE '0' END)"
+    for k in range(KNN_PLANES)
+)
+
+_PAIR_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform(range(1, {_EMB_DIM + 1}), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform(range(1, {_EMB_DIM + 1}), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), "
+    "(a, x) -> a + x))"
+)
+
+
+@register(
+    "label_noise_knn_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding,
+             {_BUCKET_SQL} AS bucket,
+             {_NORM_SQL} AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id, a.label,
+             b.label AS nb_label, b.vec_id AS nb_id,
+             round({_PAIR_DOT_SQL} / (a.nrm * b.nrm), 9) AS cos
+      FROM v a JOIN v b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, nb_id ASC) AS rn
+        FROM pairs
+      ) WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+      SELECT vec_id, label, nb_label,
+             CAST(count(*) AS BIGINT) AS n_votes
+      FROM topk GROUP BY vec_id, label, nb_label
+    ),
+    major AS (
+      SELECT vec_id, label, nb_label AS majority_label, n_votes
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY n_votes DESC, nb_label ASC) AS mr
+        FROM votes
+      ) WHERE mr = 1
+    )
+    SELECT vec_id, label, majority_label, n_votes
+    FROM major
+    WHERE majority_label <> label AND n_votes >= 3
+    ORDER BY vec_id ASC
+    """,
+    doc="k-NN label-noise audit (confident-learning-lite, the Cleanlab "
+    "pattern): flag vectors whose 5 nearest neighbors vote >= 3-2 for "
+    "a DIFFERENT label — the data-centric screen run before training "
+    "on labeled embeddings. Neighbor search is LSH-bucketed (3 "
+    "deterministic ±1 hyperplanes -> 8 buckets), so the pair space is "
+    "Σ|bucket|², never n² — the sim_ann_hyperplane scale argument "
+    "with the readout changed from retrieval to label agreement. "
+    "Every float reduction (plane dots, pair dots, norms) is an "
+    "ORDERED FOLD over the dimension index, so bucket assignment and "
+    "cosine ranks derive from bit-identical doubles in both engines. "
+    "Majority vote = one (vec, neighbor-label) count + one argmax "
+    "window, both on the vec key. At 100 TB: more planes -> smaller "
+    "buckets, multi-probe for recall, exactly as the ANN family "
+    "documents.",
+)
+def q_label_noise_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    plane_dot = [
+        F.expr(
+            "aggregate(sequence(1, 64), 0.0D, (a, i) -> a + "
+            f"CAST(element_at(embedding, i) AS DOUBLE) "
+            f"* (CASE WHEN (i * {k + 3}) % 2 = 0 THEN 1.0D ELSE -1.0D END))"
+        )
+        for k in range(KNN_PLANES)
+    ]
+    bucket = F.concat(
+        *[F.when(pd >= 0, "1").otherwise("0") for pd in plane_dot]
+    )
+    nrm = F.expr(
+        "sqrt(aggregate(sequence(1, 64), 0.0D, (a, i) -> a + "
+        "CAST(element_at(embedding, i) AS DOUBLE) "
+        "* CAST(element_at(embedding, i) AS DOUBLE)))"
+    )
+    v = emb.select(
+        "vec_id", "label", "embedding", bucket.alias("bucket"), nrm.alias("nrm")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pair_dot = F.expr(
+        "aggregate(sequence(1, 64), 0.0D, (acc, i) -> acc + "
+        "CAST(element_at(a.embedding, i) AS DOUBLE) "
+        "* CAST(element_at(b.embedding, i) AS DOUBLE))"
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label"),
+        F.col("b.label").alias("nb_label"),
+        F.col("b.vec_id").alias("nb_id"),
+        F.round(pair_dot / (F.col("a.nrm") * F.col("b.nrm")), 9).alias("cos"),
+    )
+    wk = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("nb_id").asc()
+    )
+    topk = pairs.withColumn("rn", F.row_number().over(wk)).where(
+        F.col("rn") <= KNN_K
+    )
+    votes = topk.groupBy("vec_id", "label", "nb_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes")
+    )
+    wm = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), F.col("nb_label").asc()
+    )
+    major = (
+        votes.withColumn("mr", F.row_number().over(wm))
+        .where(F.col("mr") == 1)
+        .select("vec_id", "label", F.col("nb_label").alias("majority_label"), "n_votes")
+    )
+    return (
+        major.where(
+            (F.col("majority_label") != F.col("label")) & (F.col("n_votes") >= 3)
+        )
+        .orderBy(F.col("vec_id").asc())
+    )

@@ -547,3 +547,39 @@ def test_seasonality_index_is_one_when_flat(spark, tmp_path):
     assert len(out) == 7
     assert all(r["seasonal_index"] == 1.0 for r in out)
     assert sorted(r["dow"] for r in out) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def _write_embeddings(spark, path, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+def test_label_centroids_exact_mean(spark, tmp_path):
+    """Two vectors per label: every centroid component is the exact
+    midpoint, across all 64 dims."""
+    base = [0.5] * 64
+    high = [1.5] * 64
+    rows = [(1, base, 0), (2, high, 0), (3, base, 1), (4, base, 1)]
+    _write_embeddings(spark, tmp_path, rows)
+    out = load_catalog()["embedding_label_centroids"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 128  # 2 labels x 64 dims
+    for r in out:
+        assert r["n"] == 2
+        assert r["centroid"] == (1.0 if r["label"] == 0 else 0.5)
+
+
+def test_label_noise_flags_planted_mislabel(spark, tmp_path):
+    """Six near-identical vectors, one labeled differently: only the
+    odd one out is flagged, with a unanimous 5-vote majority."""
+    def vec(eps):
+        return [1.0 + eps] + [0.25] * 63
+
+    rows = [(i, vec(0.001 * i), 1) for i in range(5)] + [(99, vec(0.006), 2)]
+    # a far-away, consistently-labeled pair must NOT be flagged
+    rows += [(200, [-1.0] * 64, 3), (201, [-1.0] * 64, 3)]
+    _write_embeddings(spark, tmp_path, rows)
+    out = load_catalog()["label_noise_knn_audit"].fn(spark, str(tmp_path)).collect()
+    assert [(r["vec_id"], r["label"], r["majority_label"], r["n_votes"]) for r in out] == [
+        (99, 2, 1, 5)
+    ]

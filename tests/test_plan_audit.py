@@ -57,6 +57,7 @@ CROSS_OK = {
     "quantile_normalize_groups",  # broadcast 1-row corpus-size (N) join
     "decay_weighted_revenue",  # broadcast 1-row max-date anchor join
     "seasonality_dow_profile",  # broadcast 1-row grand-total join
+    "label_noise_knn_audit",  # LSH-bucketed non-equi self pair join
 }
 
 
