@@ -117,6 +117,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "seasonality_dow_profile",
     "embedding_label_centroids",
     "label_noise_knn_audit",
+    "survival_repurchase_curve",
 ]
 
 

@@ -165,6 +165,7 @@ _TIER2 = (
     # round-7 flagship operators (newest first)
     "eval_ndcg_at_k",
     "eval_calibration_bins",
+    "survival_repurchase_curve",
     "embedding_label_centroids",
     "label_noise_knn_audit",
     "rolling_bollinger_bands",

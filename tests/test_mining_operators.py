@@ -583,3 +583,34 @@ def test_label_noise_flags_planted_mislabel(spark, tmp_path):
     assert [(r["vec_id"], r["label"], r["majority_label"], r["n_votes"]) for r in out] == [
         (99, 2, 1, 5)
     ]
+
+
+def test_km_survival_handles_censoring(spark, tmp_path):
+    """4 customers: two repurchase at t=10, one at t=20, one censored at
+    t=15. KM: S(10) = 1 - 2/4 = 0.5; at t=20 risk set is 1 (censored
+    customer left at 15), S(20) = 0.5 * (1 - 1/1) -> excluded (d=n),
+    so the curve ends at t=10. A naive uncensored mean would differ."""
+    rows = [
+        # customer 1 & 2: first 1995-01-01, second 1995-01-11 (t=10)
+        (1, 1, "O", 10.0, "1995-01-01", "P"),
+        (2, 1, "O", 10.0, "1995-01-11", "P"),
+        (3, 2, "O", 10.0, "1995-01-01", "P"),
+        (4, 2, "O", 10.0, "1995-01-11", "P"),
+        # customer 3: first 1995-01-01, second 1995-01-21 (t=20)
+        (5, 3, "O", 10.0, "1995-01-01", "P"),
+        (6, 3, "O", 10.0, "1995-01-21", "P"),
+        # customer 4: one order 1995-01-06; censored at horizon
+        # (1995-01-21), duration 15, no event
+        (7, 4, "O", 10.0, "1995-01-06", "P"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    out = load_catalog()["survival_repurchase_curve"].fn(spark, str(tmp_path)).collect()
+    assert [(r["t_days"], r["n_risk"], r["d_events"], r["survival"]) for r in out] == [
+        (10, 4, 2, 0.5)
+    ]

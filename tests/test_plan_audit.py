@@ -58,6 +58,7 @@ CROSS_OK = {
     "decay_weighted_revenue",  # broadcast 1-row max-date anchor join
     "seasonality_dow_profile",  # broadcast 1-row grand-total join
     "label_noise_knn_audit",  # LSH-bucketed non-equi self pair join
+    "survival_repurchase_curve",  # broadcast 1-row horizon/total joins
 }
 
 
