@@ -118,6 +118,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "embedding_label_centroids",
     "label_noise_knn_audit",
     "survival_repurchase_curve",
+    "holt_linear_forecast",
 ]
 
 

@@ -166,6 +166,7 @@ _TIER2 = (
     "eval_ndcg_at_k",
     "eval_calibration_bins",
     "survival_repurchase_curve",
+    "holt_linear_forecast",
     "embedding_label_centroids",
     "label_noise_knn_audit",
     "rolling_bollinger_bands",

@@ -1804,6 +1804,111 @@ def q_seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- Holt linear smoothing
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_H = 6
+
+
+@register(
+    "holt_linear_forecast",
+    oracle=f"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY month
+    ),
+    arr AS (
+      SELECT list(CAST(rev AS DOUBLE) ORDER BY month) AS ys,
+             CAST(count(*) AS BIGINT) AS n_months
+      FROM m
+    ),
+    fit AS (
+      -- state rides a 2-element LIST [level, trend]: DuckDB's
+      -- list_reduce overwrites struct accumulator fields in place
+      -- (field 2's expression would read field 1's NEW value), while
+      -- list construction evaluates both expressions first
+      SELECT n_months,
+             list_reduce(
+               list_prepend(
+                 [ys[1], CAST(0.0 AS DOUBLE)],
+                 list_transform(ys[2:], y -> [y, CAST(0.0 AS DOUBLE)])),
+               (acc, e) ->
+                 [{HOLT_ALPHA!r} * e[1]
+                    + {1 - HOLT_ALPHA!r} * (acc[1] + acc[2]),
+                  {HOLT_BETA!r} * (({HOLT_ALPHA!r} * e[1]
+                      + {1 - HOLT_ALPHA!r} * (acc[1] + acc[2])) - acc[1])
+                    + {1 - HOLT_BETA!r} * acc[2]]) AS s
+      FROM arr
+    )
+    SELECT CAST(h.h AS INT) AS h, n_months,
+           round(s[1], 2) AS level,
+           round(s[2], 2) AS trend,
+           round(s[1] + h.h * s[2], 2) AS forecast
+    FROM fit, (SELECT unnest(range(1, {HOLT_H + 1})) AS h) h
+    ORDER BY h ASC
+    """,
+    doc="Holt double-exponential smoothing (level + linear trend) fit "
+    "over the monthly revenue series, projected 1-6 months ahead — "
+    "the recursive-state time-series method forecast_backtest_mape's "
+    "seasonal-naive baseline graduates to. The recursion l_t = αy_t "
+    "+ (1-α)(l+b), b_t = β Δl + (1-β)b is inherently sequential, so "
+    "it runs as an ORDERED LEFT FOLD with a struct accumulator over "
+    "the month-sorted value list — both engines execute the identical "
+    "operation sequence on identical doubles (the nDCG fold pattern "
+    "carrying state instead of a sum). The folded list is the MONTH-"
+    "cardinality rollup (calendar-bounded, 84 points for 7 years) — "
+    "the one corpus-sized aggregate is the monthly sum; at 100 TB "
+    "fold per series key inside a grouped aggregate for millions of "
+    "independent series.",
+)
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+    arr = m.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(month, "
+            "CAST(rev AS DOUBLE) AS y))), x -> x.y)"
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    a, b1 = HOLT_ALPHA, HOLT_BETA
+    fold = (
+        "aggregate(slice(ys, 2, size(ys) - 1), "
+        "array(element_at(ys, 1), 0.0D), "
+        f"(acc, y) -> array("
+        f"{a!r}D * y + {1 - a!r}D * (element_at(acc, 1) + element_at(acc, 2)), "
+        f"{b1!r}D * (({a!r}D * y "
+        f"+ {1 - a!r}D * (element_at(acc, 1) + element_at(acc, 2))) "
+        f"- element_at(acc, 1)) "
+        f"+ {1 - b1!r}D * element_at(acc, 2)))"
+    )
+    fit = arr.select("n_months", F.expr(fold).alias("s"))
+    return (
+        fit.select(
+            F.explode(F.sequence(F.lit(1), F.lit(HOLT_H))).alias("h"),
+            "n_months",
+            F.round(F.element_at("s", 1), 2).alias("level"),
+            F.round(F.element_at("s", 2), 2).alias("trend"),
+            F.element_at("s", 1).alias("_l"),
+            F.element_at("s", 2).alias("_t"),
+        )
+        .select(
+            F.col("h").cast("int").alias("h"),
+            "n_months",
+            "level",
+            "trend",
+            F.round(F.col("_l") + F.col("h") * F.col("_t"), 2).alias("forecast"),
+        )
+        .orderBy(F.col("h").asc())
+    )
+
+
 # ------------------------------------------------- survival analysis
 @register(
     "survival_repurchase_curve",

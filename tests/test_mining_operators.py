@@ -614,3 +614,32 @@ def test_km_survival_handles_censoring(spark, tmp_path):
     assert [(r["t_days"], r["n_risk"], r["d_events"], r["survival"]) for r in out] == [
         (10, 4, 2, 0.5)
     ]
+
+
+def test_holt_tracks_linear_trend_exactly_in_the_limit(spark, tmp_path):
+    """A perfectly linear monthly series: Holt's level converges to the
+    last value and trend to the slope, so forecasts continue the line."""
+    rows = []
+    for i in range(24):
+        y, mth = divmod(i, 12)
+        rows.append(
+            (i, 1, "O", 1000.0 + 100.0 * i, f"{1995 + y}-{mth + 1:02d}-15", "P")
+        )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    out = load_catalog()["holt_linear_forecast"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 6
+    by_h = {r["h"]: r for r in out}
+    last = 1000.0 + 100.0 * 23
+    # after 24 points of a pure line, level ~ last value, trend ~ slope
+    assert abs(by_h[1]["level"] - last) < 20.0
+    assert abs(by_h[1]["trend"] - 100.0) < 10.0
+    # forecasts increase by ~trend per step
+    assert by_h[6]["forecast"] > by_h[1]["forecast"]
+    step = by_h[2]["forecast"] - by_h[1]["forecast"]
+    assert abs(step - by_h[1]["trend"]) < 0.02
