@@ -119,6 +119,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "label_noise_knn_audit",
     "survival_repurchase_curve",
     "holt_linear_forecast",
+    "trend_mann_kendall",
 ]
 
 

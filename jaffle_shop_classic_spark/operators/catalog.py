@@ -167,6 +167,7 @@ _TIER2 = (
     "eval_calibration_bins",
     "survival_repurchase_curve",
     "holt_linear_forecast",
+    "trend_mann_kendall",
     "embedding_label_centroids",
     "label_noise_knn_audit",
     "rolling_bollinger_bands",

@@ -1909,6 +1909,115 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ nonparametric trend test
+@register(
+    "trend_mann_kendall",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS i,
+             rev
+      FROM (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS rev
+        FROM orders GROUP BY month
+      )
+    ),
+    pairs AS (
+      SELECT CAST(sign(b.rev - a.rev) AS BIGINT) AS sgn,
+             CAST(b.rev - a.rev AS DOUBLE) / (b.i - a.i) AS slope
+      FROM m a JOIN m b ON a.i < b.i
+    ),
+    stats AS (
+      SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m),
+    sen AS (
+      SELECT round(avg(slope), 2) AS sen_slope
+      FROM (
+        SELECT slope,
+               row_number() OVER (ORDER BY slope, sgn) AS r,
+               count(*) OVER () AS c
+        FROM pairs
+      ) WHERE r IN ((c + 1) // 2, (c + 2) // 2)
+    )
+    SELECT n.n_months, s.s_stat,
+           CAST(n.n_months * (n.n_months - 1) * (2 * n.n_months + 5)
+                AS BIGINT) AS var18_num,
+           round((s.s_stat - sign(s.s_stat))
+                 / sqrt(n.n_months * (n.n_months - 1)
+                        * (2.0 * n.n_months + 5) / 18.0), 4) AS z_stat,
+           sen.sen_slope
+    FROM stats s, n, sen
+    """,
+    doc="Mann-Kendall trend test + Theil-Sen slope over the monthly "
+    "revenue series — the NONPARAMETRIC trend pair (monotonic trend "
+    "without normality or linearity assumptions; the robust "
+    "complement to segment_sales_trend's OLS): S = Σ sign(y_j - y_i) "
+    "over ordered pairs is a pure INTEGER statistic (signs are taken "
+    "on exact decimal differences), its variance is the closed "
+    "integer form n(n-1)(2n+5)/18, and the Theil-Sen slope is the "
+    "exact median of pairwise slopes (each slope an identical double "
+    "from a decimal difference over an integer index gap; median = "
+    "the two middle order statistics, averaged). The O(n²) pair join "
+    "is over the MONTH-cardinality rollup — calendar-bounded (~3k "
+    "pairs for 7 years), never corpus-sized; at decade scale switch "
+    "the median to the histogram-CDF route. One corpus-sized "
+    "aggregate, one tiny self-join, two 1-row reductions.",
+)
+def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+    m = monthly.select(
+        F.row_number().over(Window.orderBy("month")).cast("bigint").alias("i"),
+        "rev",
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        F.signum(F.col("b.rev") - F.col("a.rev")).cast("bigint").alias("sgn"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.i") - F.col("a.i"))
+        ).alias("slope"),
+    )
+    stats = pairs.agg(
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    n = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    wr = Window.orderBy("slope", "sgn")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("c"),
+    )
+    sen = ranked.where(
+        (F.col("r") == F.expr("(c + 1) div 2")) | (F.col("r") == F.expr("(c + 2) div 2"))
+    ).agg(F.round(F.avg("slope"), 2).alias("sen_slope"))
+    nm = F.col("n_months")
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(sen))
+        .select(
+            "n_months",
+            "s_stat",
+            (nm * (nm - 1) * (2 * nm + 5)).cast("bigint").alias("var18_num"),
+            F.round(
+                (F.col("s_stat") - F.signum(F.col("s_stat")))
+                / F.sqrt(nm * (nm - 1) * (2.0 * nm + 5) / 18.0),
+                4,
+            ).alias("z_stat"),
+            "sen_slope",
+        )
+    )
+
+
 # ------------------------------------------------- survival analysis
 @register(
     "survival_repurchase_curve",

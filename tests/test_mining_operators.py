@@ -643,3 +643,25 @@ def test_holt_tracks_linear_trend_exactly_in_the_limit(spark, tmp_path):
     assert by_h[6]["forecast"] > by_h[1]["forecast"]
     step = by_h[2]["forecast"] - by_h[1]["forecast"]
     assert abs(step - by_h[1]["trend"]) < 0.02
+
+
+def test_mann_kendall_detects_monotone_trend(spark, tmp_path):
+    """A strictly increasing monthly series: S = n(n-1)/2 (every pair
+    concordant), positive z, Sen slope = the planted step."""
+    rows = []
+    for i in range(12):
+        rows.append((i, 1, "O", 1000.0 + 50.0 * i, f"1995-{i + 1:02d}-15", "P"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    row = load_catalog()["trend_mann_kendall"].fn(spark, str(tmp_path)).collect()[0]
+    n = 12
+    assert row["n_months"] == n
+    assert row["s_stat"] == n * (n - 1) // 2  # all pairs concordant
+    assert row["var18_num"] == n * (n - 1) * (2 * n + 5)
+    assert row["z_stat"] > 3.0  # decisively significant
+    assert row["sen_slope"] == 50.0  # every pairwise slope is the step

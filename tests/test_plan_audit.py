@@ -59,6 +59,7 @@ CROSS_OK = {
     "seasonality_dow_profile",  # broadcast 1-row grand-total join
     "label_noise_knn_audit",  # LSH-bucketed non-equi self pair join
     "survival_repurchase_curve",  # broadcast 1-row horizon/total joins
+    "trend_mann_kendall",  # month-bounded pair join + 1-row reductions
 }
 
 
