@@ -120,6 +120,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "survival_repurchase_curve",
     "holt_linear_forecast",
     "trend_mann_kendall",
+    "fd_discovery_profile",
 ]
 
 

@@ -168,6 +168,7 @@ _TIER2 = (
     "survival_repurchase_curve",
     "holt_linear_forecast",
     "trend_mann_kendall",
+    "fd_discovery_profile",
     "embedding_label_centroids",
     "label_noise_knn_audit",
     "rolling_bollinger_bands",

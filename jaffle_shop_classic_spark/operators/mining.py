@@ -1909,6 +1909,66 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ functional dependencies
+_FD_COLS = ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+def _fd_pairs():
+    return [
+        (lhs, rhs) for lhs in _FD_COLS for rhs in _FD_COLS if lhs != rhs
+    ]
+
+
+@register(
+    "fd_discovery_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{lhs}->{rhs}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT)
+             AS n_violating,
+           CASE WHEN count(CASE WHEN nd > 1 THEN 1 END) = 0
+                THEN 1 ELSE 0 END AS holds
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd
+          FROM customer GROUP BY {lhs})
+    """
+        for lhs, rhs in _fd_pairs()
+    )
+    + "\nORDER BY fd ASC",
+    doc="Functional-dependency discovery over the customer table — the "
+    "schema-profiling pass (Metanome/data-quality style) that tells "
+    "you which column determines which: for every ordered column "
+    "pair A->B, count the A-groups whose B is not unique. c_custkey "
+    "determines everything (it is the key); c_nationkey->c_mktsegment "
+    "does not hold — exactly the facts a modeler needs before "
+    "declaring grain or trusting a join. Each candidate FD is one "
+    "partial->final (A, count distinct B) aggregate; the candidate "
+    "count is SCHEMA-bounded (k(k-1) pairs for k columns), so the "
+    "whole profile is a union of k(k-1) cheap scans — or one shared "
+    "scan when Catalyst fuses the branches. Exact integer counts "
+    "only. At 100 TB: run per partition sample first, then confirm "
+    "survivors exactly — the standard two-phase FD-discovery "
+    "optimization; the per-pair plan is unchanged.",
+)
+def q_fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    out = None
+    for lhs, rhs in _fd_pairs():
+        g = c.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        agg = g.agg(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.count(F.when(F.col("nd") > 1, 1)).cast("bigint").alias("n_violating"),
+        ).select(
+            "fd",
+            "n_groups",
+            "n_violating",
+            F.when(F.col("n_violating") == 0, 1).otherwise(0).alias("holds"),
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy(F.col("fd").asc())
+
+
 # ------------------------------------------ nonparametric trend test
 @register(
     "trend_mann_kendall",

@@ -665,3 +665,31 @@ def test_mann_kendall_detects_monotone_trend(spark, tmp_path):
     assert row["var18_num"] == n * (n - 1) * (2 * n + 5)
     assert row["z_stat"] > 3.0  # decisively significant
     assert row["sen_slope"] == 50.0  # every pairwise slope is the step
+
+
+def test_fd_discovery_key_holds_and_planted_violation(spark, tmp_path):
+    """The key column determines everything; a planted duplicate name
+    mapping to two custkeys breaks name->custkey but nothing else new."""
+    rows = [
+        (1, "Alice", 10, 5.0, "SEG_A"),
+        (2, "Bob", 10, 6.0, "SEG_A"),
+        (3, "Alice", 20, 7.0, "SEG_B"),  # Alice -> {1, 3}: FD violated
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {
+        r["fd"]: (r["n_violating"], r["holds"])
+        for r in load_catalog()["fd_discovery_profile"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 20
+    # the key determines every other column
+    for rhs in ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"):
+        assert got[f"c_custkey->{rhs}"] == (0, 1)
+    # planted: Alice maps to two custkeys and two nations
+    assert got["c_name->c_custkey"] == (1, 0)
+    assert got["c_name->c_nationkey"] == (1, 0)
+    # nationkey 10 -> one segment, 20 -> one segment: FD holds here
+    assert got["c_nationkey->c_mktsegment"] == (0, 1)
