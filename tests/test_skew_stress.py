@@ -184,3 +184,59 @@ def test_salted_join_flattens_hot_user(spark, skew_dir):
     assert len(groups) == 8
     # no salt group holds more than ~2x the even share
     assert max(r["count"] for r in groups) < n_hot / 8 * 2
+
+
+def test_vocab_overlap_fanout_bounded_by_source_count(spark, tmp_path):
+    """A stopword present in EVERY source: the token-keyed self-join's
+    per-token fanout is (sources choose 2), never corpus-sized — with
+    20 sources sharing 'the', the full pair table is exactly 190 rows
+    before the limit, and the shared-token pair count is correct."""
+    docs = []
+    for s in range(20):
+        # every source holds the hot token plus one private token
+        docs.append((s, f"the only{s}", "en", f"s{s:02d}", 10))
+        # pad each source with 50 docs REPEATING the same tokens: the
+        # (source, token) dedup must collapse them before the join
+        for j in range(50):
+            docs.append((1000 + s * 50 + j, f"the only{s}", "en", f"s{s:02d}", 10))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = load_catalog()["source_vocab_overlap"].fn(spark, str(tmp_path)).collect()
+    # every source pair intersects in exactly {'the'}: jaccard = 1/3
+    assert len(out) == 30  # top-30 limit of the 190 pairs
+    for r in out:
+        assert r["n_inter"] == 1
+        assert r["jaccard"] == round(1 / 3, 6)
+
+
+def test_khop_hub_fanout_single_plan(spark, tmp_path):
+    """A 300-leaf hub at the seed: the first frontier expansion fans to
+    300 nodes in one equi-join round and distances stay exact."""
+    order_parts = []
+    ok = 1
+    for leaf in range(1, 301):
+        order_parts += [(ok, [0, leaf]), (ok + 1, [0, leaf])]
+        ok += 2
+    # one chain off leaf 1 to give depth: 1-400-401
+    order_parts += [(ok, [1, 400]), (ok + 1, [1, 400]),
+                    (ok + 2, [400, 401]), (ok + 3, [400, 401])]
+    rows = [
+        (o, pk, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O", None)
+        for o, parts in order_parts
+        for i, pk in enumerate(parts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r["node"]: r["dist"]
+        for r in load_catalog()["graph_khop_reach"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == 0
+    assert sum(1 for d in got.values() if d == 1) == 300  # full hub ring
+    assert got[400] == 2 and got[401] == 3
