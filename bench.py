@@ -121,6 +121,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "holt_linear_forecast",
     "trend_mann_kendall",
     "fd_discovery_profile",
+    "l_diversity_audit",
 ]
 
 

@@ -169,6 +169,7 @@ _TIER2 = (
     "holt_linear_forecast",
     "trend_mann_kendall",
     "fd_discovery_profile",
+    "l_diversity_audit",
     "embedding_label_centroids",
     "label_noise_knn_audit",
     "rolling_bollinger_bands",

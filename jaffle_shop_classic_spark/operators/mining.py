@@ -1909,6 +1909,45 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- l-diversity
+L_DIVERSITY = 3
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+           count(DISTINCT c_mktsegment) < {L_DIVERSITY} AS at_risk
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey ASC
+    """,
+    doc="l-diversity audit — the attack k_anonymity_audit misses: a "
+    "quasi-identifier class can be large (k-anonymous) yet still leak "
+    "if every member shares the SAME sensitive value (homogeneity "
+    "attack, Machanavajjhala et al. 2007). Per QI class (nationkey), "
+    "count DISTINCT sensitive values (mktsegment) and flag classes "
+    "below l=3 — together with k_anonymity_audit and "
+    "dp_noisy_group_counts this completes the release-gate ladder "
+    "(size -> diversity -> noise). One partial->final aggregate whose "
+    "distinct state is bounded by the sensitive-attribute domain; "
+    "output is QI-domain-sized regardless of table size.",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct("c_mktsegment").cast("bigint").alias("n_sensitive"),
+        )
+        .withColumn("at_risk", F.col("n_sensitive") < L_DIVERSITY)
+        .orderBy(F.col("c_nationkey").asc())
+    )
+
+
 # ------------------------------------------ functional dependencies
 _FD_COLS = ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 

@@ -693,3 +693,22 @@ def test_fd_discovery_key_holds_and_planted_violation(spark, tmp_path):
     assert got["c_name->c_nationkey"] == (1, 0)
     # nationkey 10 -> one segment, 20 -> one segment: FD holds here
     assert got["c_nationkey->c_mktsegment"] == (0, 1)
+
+
+def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
+    """A large-but-homogeneous QI class (k-anonymous, all one segment)
+    must be flagged; a small diverse class must pass."""
+    rows = [(i, f"C{i}", 10, 0.0, "SEG_A") for i in range(20)]  # nation 10: 20 rows, 1 segment
+    rows += [(100, "X", 20, 0.0, "SEG_A"), (101, "Y", 20, 0.0, "SEG_B"),
+             (102, "Z", 20, 0.0, "SEG_C")]  # nation 20: 3 rows, 3 segments
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {
+        r["c_nationkey"]: (r["group_size"], r["n_sensitive"], r["at_risk"])
+        for r in load_catalog()["l_diversity_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[10] == (20, 1, True)  # big but homogeneous -> leak
+    assert got[20] == (3, 3, False)  # small but diverse -> safe here
