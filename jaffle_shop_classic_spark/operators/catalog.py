@@ -93,8 +93,16 @@ _PRIORITY = (
     # path (the one reference-surface semantic the driver had never
     # hash-checked, dbt_project.yml:22-27)
     "train_test_split_hash",
-    "upsert_latest_state",
-    "sample_stratified_quota",
+    # upsert_latest_state (r01..r06-green) hands its slot to the
+    # session's Mann-Whitney AUC: the latest-row-per-key CDC class is
+    # now certified by cdc_upsert_with_deletes (in-window below), and
+    # the evaluation family gains its first hard signal
+    "eval_auc_mannwhitney",
+    # sample_stratified_quota (r01..r06-green) hands its slot to the
+    # Bayesian-bootstrap CI: stratified sampling stays certified via
+    # train_test_split_hash + sample_temperature_mix (both in-window),
+    # and seeded-resampling inference gains driver evidence
+    "bootstrap_mean_ci",
     "distinct_exact_bitmap",
     "incremental_orders_state",
     # text analysis (X12) — text_quality_score's class is also covered
@@ -103,7 +111,11 @@ _PRIORITY = (
     # other green reps) gives its slot to the round-6 semantic-dedup
     # flagship
     "text_token_stats",
-    "text_lm_score",
+    # text_lm_score (r02..r06-green) hands its slot to the portable
+    # HyperLogLog: X12 keeps three other in-window reps (token_stats,
+    # tfidf, quality gate), and the sketch family's certification
+    # upgrades from rows-only engine sketches to full value parity
+    "sketch_hll_portable",
     "dedup_semantic_clusters",
     "text_tfidf_topk",
     "quality_percentile_filter",
@@ -147,7 +159,11 @@ _PRIORITY = (
     # UDF surface + bespoke join/reshape ops (X16)
     "udf_apply_in_pandas",
     "asof_join_last_signup",
-    "unpivot_amounts",
+    # unpivot_amounts (r01..r06-green) hands its slot to the censored
+    # Kaplan-Meier survival curve: reshape machinery stays certified
+    # via the jaffle_orders pivot + rollup_flag_status, and the
+    # statistical-inference family gains a second hard signal
+    "survival_repurchase_curve",
     # streaming (X15) — oracle-backed: availableNow+append over a static
     # file emits the deterministic watermark-closed window set.
     # stream_tumbling_counts (r06-green; the tumbling-count class is a
@@ -165,7 +181,6 @@ _TIER2 = (
     # round-7 flagship operators (newest first)
     "eval_ndcg_at_k",
     "eval_calibration_bins",
-    "survival_repurchase_curve",
     "holt_linear_forecast",
     "trend_mann_kendall",
     "fd_discovery_profile",
@@ -177,12 +192,10 @@ _TIER2 = (
     "graph_minplus_distance",
     "xcorr_daily_lags",
     "attribution_position_based",
-    "bootstrap_mean_ci",
     "decay_weighted_revenue",
     "graph_degree_powerlaw",
     "source_vocab_overlap",
     "quantile_normalize_groups",
-    "sketch_hll_portable",
     "weighted_median_price",
     "user_activity_islands",
     "stream_static_enrich",
@@ -190,8 +203,14 @@ _TIER2 = (
     # rotated out of the top-50 for seq_pattern_funnel (same session
     # algebra, superset machinery); r01..r06-green when in-window
     "session_window_batch",
+    # rotated out of the top-50 in the round-7 session for the
+    # AUC / bootstrap / portable-HLL / KM-survival flagships
+    # (duplicate-class reps, r01..r06-green when in-window)
+    "upsert_latest_state",
+    "sample_stratified_quota",
+    "text_lm_score",
+    "unpivot_amounts",
     "graph_khop_reach",
-    "eval_auc_mannwhitney",
     "dp_noisy_group_counts",
     "dedup_incremental_lsh",
     "source_schema_evolution",

@@ -25,6 +25,15 @@ _REQUIRED_IN_WINDOW = {
     "multimodal": {"mm_feature_extract"},
     "udfs": {"udf_apply_in_pandas", "asof_join_last_signup"},
     "streaming": {"stream_left_outer_join", "stream_session_windows"},
+    # round-7 session: the mining/eval/inference flagships promoted in
+    # exchange for long-certified duplicate-class reps
+    "round7_session_promotions": {
+        "seq_pattern_funnel",
+        "eval_auc_mannwhitney",
+        "bootstrap_mean_ci",
+        "sketch_hll_portable",
+        "survival_repurchase_curve",
+    },
     # round 7: the round-6 flagships promoted into the hard signal
     "round7_promotions": {
         "dedup_jaccard_prefix_filter",
