@@ -2305,12 +2305,26 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------- label-noise detection
 KNN_K = 5
-KNN_PLANES = 3  # 2^3 = 8 LSH buckets
+KNN_PLANES = 5  # 2^5 = 32 LSH buckets
+# Walsh-pattern hyperplanes: plane k flips sign every 2^k dimensions
+# ((i-1) div 2^k mod 2) — mutually orthogonal square waves, so no two
+# planes are equal or constant. (The naive (i*m)%2 family is a trap:
+# every even multiplier is a CONSTANT plane and every odd multiplier
+# the SAME alternating plane, silently collapsing 2^K buckets to 2 —
+# measured 11 s at sf0.1 before the fix, 0.6 s after.)
 
 
 def _plane_sign(k: int, i: int) -> int:
-    """Deterministic ±1 hyperplane pattern shared by both engines."""
-    return 1 if (i * (k + 3)) % 2 == 0 else -1
+    """Deterministic ±1 Walsh hyperplane shared by both engines."""
+    return 1 if ((i - 1) // (1 << k)) % 2 == 0 else -1
+
+
+def _sign_array_spark(k: int) -> str:
+    """Plane k as a literal ±1.0 double array (Spark SQL fragment)."""
+    vals = ", ".join(
+        f"{float(_plane_sign(k, i))!r}D" for i in range(1, _EMB_DIM + 1)
+    )
+    return f"array({vals})"
 
 
 # SQL fragment: dot(v, plane_k) as an ORDERED fold (identical
@@ -2320,7 +2334,8 @@ def _plane_dot_sql(k: int) -> str:
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(1, {_EMB_DIM + 1}), "
         f"i -> CAST(embedding[i] AS DOUBLE) "
-        f"* (CASE WHEN (i * {k + 3}) % 2 = 0 THEN 1.0 ELSE -1.0 END))), "
+        f"* (CASE WHEN ((i - 1) // {1 << k}) % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END))), "
         "(a, x) -> a + x)"
     )
 
@@ -2389,8 +2404,8 @@ _NORM_SQL = (
     doc="k-NN label-noise audit (confident-learning-lite, the Cleanlab "
     "pattern): flag vectors whose 5 nearest neighbors vote >= 3-2 for "
     "a DIFFERENT label — the data-centric screen run before training "
-    "on labeled embeddings. Neighbor search is LSH-bucketed (3 "
-    "deterministic ±1 hyperplanes -> 8 buckets), so the pair space is "
+    "on labeled embeddings. Neighbor search is LSH-bucketed (5 "
+    "deterministic Walsh-pattern ±1 hyperplanes -> 32 buckets), so the pair space is "
     "Σ|bucket|², never n² — the sim_ann_hyperplane scale argument "
     "with the readout changed from retrieval to label agreement. "
     "Every float reduction (plane dots, pair dots, norms) is an "
@@ -2402,32 +2417,32 @@ _NORM_SQL = (
     "documents.",
 )
 def q_label_noise_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot_expr, sq_norm_expr
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # CAPTURE-FREE folds only: a lambda that captures an outer column
+    # (aggregate(sequence(1, 64), ..., element_at(embedding, i))) hits
+    # Spark's self-join alias dedup bug (INTERNAL_ERROR_ATTRIBUTE_NOT_
+    # FOUND at runtime); passing the array as the HOF argument — the
+    # functions/vector.py idiom every similarity op uses — does not.
     plane_dot = [
         F.expr(
-            "aggregate(sequence(1, 64), 0.0D, (a, i) -> a + "
-            f"CAST(element_at(embedding, i) AS DOUBLE) "
-            f"* (CASE WHEN (i * {k + 3}) % 2 = 0 THEN 1.0D ELSE -1.0D END))"
+            "aggregate(zip_with(embedding, "
+            + _sign_array_spark(k)
+            + ", (x, s) -> CAST(x AS DOUBLE) * s), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         for k in range(KNN_PLANES)
     ]
     bucket = F.concat(
         *[F.when(pd >= 0, "1").otherwise("0") for pd in plane_dot]
     )
-    nrm = F.expr(
-        "sqrt(aggregate(sequence(1, 64), 0.0D, (a, i) -> a + "
-        "CAST(element_at(embedding, i) AS DOUBLE) "
-        "* CAST(element_at(embedding, i) AS DOUBLE)))"
-    )
+    nrm = F.expr(f"sqrt({sq_norm_expr('embedding')})")
     v = emb.select(
         "vec_id", "label", "embedding", bucket.alias("bucket"), nrm.alias("nrm")
     )
     a, b = v.alias("a"), v.alias("b")
-    pair_dot = F.expr(
-        "aggregate(sequence(1, 64), 0.0D, (acc, i) -> acc + "
-        "CAST(element_at(a.embedding, i) AS DOUBLE) "
-        "* CAST(element_at(b.embedding, i) AS DOUBLE))"
-    )
+    pair_dot = F.expr(dot_expr("a.embedding", "b.embedding"))
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))

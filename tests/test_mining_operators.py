@@ -576,8 +576,9 @@ def test_label_noise_flags_planted_mislabel(spark, tmp_path):
         return [1.0 + eps] + [0.25] * 63
 
     rows = [(i, vec(0.001 * i), 1) for i in range(5)] + [(99, vec(0.006), 2)]
-    # a far-away, consistently-labeled pair must NOT be flagged
-    rows += [(200, [-1.0] * 64, 3), (201, [-1.0] * 64, 3)]
+    # a far-away, consistently-labeled pair must NOT be flagged (the
+    # big negative lead component lands it in a different LSH bucket)
+    rows += [(200, [-9.0] + [0.1] * 63, 3), (201, [-9.0] + [0.1] * 63, 3)]
     _write_embeddings(spark, tmp_path, rows)
     out = load_catalog()["label_noise_knn_audit"].fn(spark, str(tmp_path)).collect()
     assert [(r["vec_id"], r["label"], r["majority_label"], r["n_votes"]) for r in out] == [
