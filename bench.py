@@ -122,6 +122,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "trend_mann_kendall",
     "fd_discovery_profile",
     "l_diversity_audit",
+    "events_peak_concurrency",
 ]
 
 

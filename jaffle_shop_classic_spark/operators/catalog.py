@@ -185,6 +185,7 @@ _TIER2 = (
     "trend_mann_kendall",
     "fd_discovery_profile",
     "l_diversity_audit",
+    "events_peak_concurrency",
     "embedding_label_centroids",
     "label_noise_knn_audit",
     "rolling_bollinger_bands",

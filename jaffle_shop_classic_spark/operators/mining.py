@@ -1909,6 +1909,112 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ interval sweep line
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid,
+             ts
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1
+      FROM s GROUP BY user_id, sid
+    ),
+    ticks AS (
+      SELECT t0 AS t, 1 AS delta, user_id, sid FROM sess
+      UNION ALL
+      SELECT t1 AS t, -1 AS delta, user_id, sid FROM sess
+    ),
+    run AS (
+      SELECT t,
+             CAST(sum(delta) OVER (
+               ORDER BY t ASC, delta DESC, user_id ASC, sid ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+      FROM ticks
+    )
+    SELECT CAST(t AS DATE) AS day,
+           max(concurrent) AS peak_concurrent,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM run GROUP BY day
+    ORDER BY day ASC
+    """,
+    doc="Peak session concurrency per day — the SWEEP-LINE interval "
+    "pattern (capacity planning, license seats, max simultaneous "
+    "connections): sessionize (same certified 30-min algebra), emit "
+    "a +1 tick at each session start and a -1 at its end, and take "
+    "the running sum in global time order; the daily max of that "
+    "running count is the day's peak concurrency. The tie order is "
+    "PINNED (+1 before -1 at the same instant, then user/sid) so "
+    "touching sessions count as concurrent and both engines walk the "
+    "identical tick sequence — all integer arithmetic. The global "
+    "time-ordered window runs over the SESSION-boundary ticks (2 per "
+    "session, far smaller than the event stream); at 100 TB "
+    "partition the sweep by coarse time range with per-range offsets "
+    "from a first pass (the standard parallel prefix-sum split), or "
+    "by tenant key when concurrency is per-tenant.",
+)
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w))
+            < 1_800_000_000,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_s"),
+    )
+    s = m.select(
+        "user_id",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("sid"),
+        "ts",
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    ticks = sess.select(
+        F.col("t0").alias("t"), F.lit(1).alias("delta"), "user_id", "sid"
+    ).unionAll(
+        sess.select(
+            F.col("t1").alias("t"), F.lit(-1).alias("delta"), "user_id", "sid"
+        )
+    )
+    wr = Window.orderBy(
+        F.col("t").asc(), F.col("delta").desc(), F.col("user_id").asc(), F.col("sid").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    run = ticks.select(
+        "t", F.sum("delta").over(wr).cast("bigint").alias("concurrent")
+    )
+    return (
+        run.groupBy(F.col("t").cast("date").alias("day"))
+        .agg(
+            F.max("concurrent").alias("peak_concurrent"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        )
+        .orderBy(F.col("day").asc())
+    )
+
+
 # ---------------------------------------------------- l-diversity
 L_DIVERSITY = 3
 

@@ -713,3 +713,29 @@ def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
     }
     assert got[10] == (20, 1, True)  # big but homogeneous -> leak
     assert got[20] == (3, 3, False)  # small but diverse -> safe here
+
+
+def test_peak_concurrency_counts_overlap_and_touching(spark, tmp_path):
+    """Three users: two fully overlapping sessions plus one that starts
+    exactly when another ends — pinned tie order counts the touching
+    pair as concurrent, so the peak is 3."""
+    rows = [
+        # user 1: session 10:00-10:10
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 1, "click", 1.0, "{}"),
+        # user 2: session 10:05-10:15 (overlaps user 1)
+        (3, "2024-01-01 10:05:00", 2, "view", 1.0, "{}"),
+        (4, "2024-01-01 10:15:00", 2, "click", 1.0, "{}"),
+        # user 3: session starting exactly at user 1's end
+        (5, "2024-01-01 10:10:00", 3, "view", 1.0, "{}"),
+        (6, "2024-01-01 10:12:00", 3, "click", 1.0, "{}"),
+        # next day: one lone session -> peak 1
+        (7, "2024-01-02 09:00:00", 1, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        str(r["day"]): (r["peak_concurrent"], r["n_ticks"])
+        for r in load_catalog()["events_peak_concurrency"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["2024-01-01"] == (3, 6)
+    assert got["2024-01-02"] == (1, 2)
