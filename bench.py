@@ -123,6 +123,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "fd_discovery_profile",
     "l_diversity_audit",
     "events_peak_concurrency",
+    "share_of_parent_rollup",
 ]
 
 

@@ -186,6 +186,7 @@ _TIER2 = (
     "fd_discovery_profile",
     "l_diversity_audit",
     "events_peak_concurrency",
+    "share_of_parent_rollup",
     "embedding_label_centroids",
     "label_noise_knn_audit",
     "rolling_bollinger_bands",

@@ -1909,6 +1909,69 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- share of parent
+@register(
+    "share_of_parent_rollup",
+    oracle="""
+    WITH nv AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY region, nation
+    )
+    SELECT region, nation, rev,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE),
+                 6) AS share_of_region,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER () AS DOUBLE), 6) AS share_of_total
+    FROM nv ORDER BY region ASC, nation ASC
+    """,
+    doc="Hierarchical share-of-parent rollup — the BI ratio-to-report "
+    "pattern: each nation's revenue as a share of its region and of "
+    "the grand total, from one star join (orders->customer->nation->"
+    "region, both dims broadcast) and one exact-decimal aggregate. "
+    "The two denominators are window sums OVER THE AGGREGATE "
+    "(nation-cardinality rows, ~25), so no second scan and no "
+    "re-aggregation; shares divide two exact decimals and round "
+    "once. Same plan at 100 TB — the window input is "
+    "dimension-sized regardless of fact volume.",
+)
+def q_share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    )
+    wreg = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return nv.select(
+        "region",
+        "nation",
+        "rev",
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wreg).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wall).cast("double"), 6
+        ).alias("share_of_total"),
+    ).orderBy(F.col("region").asc(), F.col("nation").asc())
+
+
 # ------------------------------------------------ interval sweep line
 @register(
     "events_peak_concurrency",

@@ -739,3 +739,16 @@ def test_peak_concurrency_counts_overlap_and_touching(spark, tmp_path):
     }
     assert got["2024-01-01"] == (3, 6)
     assert got["2024-01-02"] == (1, 2)
+
+
+def test_share_of_parent_sums_to_one(spark, sf_dir):
+    """Within every region the nation shares sum to 1, and the total
+    shares sum to 1 across all rows (up to rounding)."""
+    out = load_catalog()["share_of_parent_rollup"].fn(spark, sf_dir).collect()
+    assert len(out) == 25
+    by_region = {}
+    for r in out:
+        by_region.setdefault(r["region"], []).append(r["share_of_region"])
+    for region, shares in by_region.items():
+        assert abs(sum(shares) - 1.0) < 1e-4, region
+    assert abs(sum(r["share_of_total"] for r in out) - 1.0) < 1e-4
