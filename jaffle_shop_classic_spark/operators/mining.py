@@ -1,19 +1,30 @@
-"""Pattern-mining, sketching, traversal, evaluation and privacy operators.
+"""Pattern-mining, sketching, evaluation, inference and privacy operators.
 
 Round-7 additions that extend the engine past the reference's relational
 surface (the reference delegates everything to warehouse SQL —
 /root/reference/models/customers.sql:1 is the deepest plan it owns) into
-the sketch/graph/eval/privacy families a production lakehouse runs daily:
+the families a production lakehouse runs daily:
 
-  sketch_cms_frequencies — count-min sketch with PORTABLE md5 hashing
-  graph_khop_reach       — bounded-depth BFS reachability (3 hops)
-  eval_auc_mannwhitney   — exact ROC-AUC from the rank statistic
-  dp_noisy_group_counts  — epsilon-DP Laplace counts, seeded + portable
-  seq_pattern_funnel     — MATCH_RECOGNIZE-style regex over sessions
+  sketches      — count-min (portable md5 family), portable HyperLogLog
+  graph         — k-hop BFS, min-plus shortest paths, degree power-law
+  evaluation    — Mann-Whitney AUC, nDCG@10, calibration/Brier bins,
+                  k-NN label-noise audit, exact embedding centroids
+  inference     — Bayesian-bootstrap CIs, Kaplan-Meier survival,
+                  Mann-Kendall/Theil-Sen trend, Holt smoothing,
+                  lagged cross-correlation, Bollinger bands,
+                  day-of-week seasonality, time-decay scoring
+  sequences     — MATCH_RECOGNIZE-style session regex, gaps-and-islands,
+                  sweep-line peak concurrency, position attribution
+  profiling     — functional-dependency discovery, vocabulary-overlap
+                  matrix, quantile normalization, share-of-parent rollup
+  privacy       — epsilon-DP Laplace counts (seeded), l-diversity audit
 
 Every operator keeps the catalog's parity rules: identical column
-aliases in Spark and DuckDB, integer-exact arithmetic wherever a sum
-crosses an engine boundary, and rounding only at the final projection.
+aliases in Spark and DuckDB, integer-exact or fold-ordered arithmetic
+wherever a sum crosses an engine boundary, and rounding only at the
+final projection. Shared building blocks (_copurchase_pairs,
+_sessionized_events, _seeded_uniform, _monthly_revenue) keep the
+certified algebra in one place.
 """
 
 from __future__ import annotations
@@ -31,6 +42,75 @@ from .text import _md5_int8_sql
 # Width/depth sized for the test vocabulary; at 100 TB the sketch stays
 # EXACTLY this size (that is the point of a sketch) — only the counts in
 # the 3x512 cells grow.
+# ------------------------------------------------ shared building blocks
+def _copurchase_pairs(spark: SparkSession, sf_dir: str, min_support: int) -> DataFrame:
+    """Support-thresholded co-purchase part pairs (pa < pb, with cnt) —
+    the basket-bounded self-join copurchase_part_pairs certifies,
+    shared by the three graph operators in this module."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_support)
+    )
+
+
+def _sessionized_events(e: DataFrame) -> DataFrame:
+    """30-min-gap sessionization (the session_top_paths algebra, µs-exact
+    gap test, event_id tiebreaks): adds a per-user BIGINT sid."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w))
+            < 1_800_000_000,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_s"),
+    )
+    return m.withColumn(
+        "sid",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    ).drop("new_s")
+
+
+def _seeded_uniform(key: F.Column) -> F.Column:
+    """Portable seeded uniform in (0,1): first 8 md5 hex digits of the
+    key folded to a bigint, mod 1e6, center-offset — the inverse-CDF
+    input shared by the DP and bootstrap operators."""
+    return (
+        (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+
+
+def _monthly_revenue(o: DataFrame) -> DataFrame:
+    """Exact-decimal monthly revenue rollup shared by the time-series
+    operators."""
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+
+
 CMS_WIDTH = 512
 CMS_DEPTH = 3
 
@@ -59,7 +139,7 @@ def _cms_bucket(j: F.Column, tok: F.Column) -> F.Column:
       SELECT tok, n, j,
              CAST({_md5_int8_sql("CAST(j AS VARCHAR) || '|' || tok")}
                   % {CMS_WIDTH} AS INT) AS bucket
-      FROM freq, (SELECT unnest([0, 1, 2]) AS j)
+      FROM freq, (SELECT unnest(range(0, {CMS_DEPTH})) AS j)
     ),
     sketch AS (
       SELECT j, bucket, CAST(sum(n) AS BIGINT) AS cnt
@@ -177,22 +257,7 @@ KHOP_DEPTH = 3
     "dedup_cluster_components does.",
 )
 def q_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    p = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= KHOP_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
+    p = _copurchase_pairs(spark, sf_dir, KHOP_MIN_SUPPORT).select("pa", "pb")
     e = p.select(F.col("pa").alias("s"), F.col("pb").alias("dst")).unionAll(
         p.select(F.col("pb").alias("s"), F.col("pa").alias("dst"))
     )
@@ -357,13 +422,7 @@ def q_dp_noisy_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.concat(
         F.lit(f"{DP_SEED}|"), F.col("lang"), F.lit("|"), F.col("source")
     )
-    uu = (
-        (
-            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
-            % 1000000
-        ).cast("double")
-        + 0.5
-    ) / 1000000.0
+    uu = _seeded_uniform(key)
     noise = F.signum(uu - 0.5) * F.log(1 - 2 * F.abs(uu - 0.5))
     return (
         g.select(
@@ -431,27 +490,7 @@ FUNNEL_PATTERN = "v[cs]*p"  # view -> purchase with no error/click-away
     "at 100 TB.",
 )
 def q_seq_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    m = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.when(
-            (F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w))
-            < 1_800_000_000,
-            F.lit(0),
-        )
-        .otherwise(F.lit(1))
-        .alias("new_s"),
-    )
-    s = m.withColumn(
-        "sid",
-        F.sum("new_s")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint"),
-    )
+    s = _sessionized_events(load_table(spark, sf_dir, "events"))
     seqs = s.groupBy("user_id", "sid").agg(
         F.array_join(
             F.expr(
@@ -483,12 +522,9 @@ _TWO53 = 1 << 53
 def _md5_int15_sql(expr: str) -> str:
     """First 15 hex digits of md5(expr) as a BIGINT (60 bits) — DuckDB
     twin of Spark's conv(substring(md5(x),1,15),16,10)."""
-    return (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(range(1, 16), "
-        f"i -> CAST(instr('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 AS BIGINT))), "
-        "(acc, d) -> acc * 16 + d)"
-    )
+    from .text import _md5_int_sql
+
+    return _md5_int_sql(expr, 15)
 
 
 @register(
@@ -499,13 +535,19 @@ def _md5_int15_sql(expr: str) -> str:
              {_md5_int15_sql("CAST(event_id AS VARCHAR)")} AS hv
       FROM events
     ),
-    b AS (SELECT event_type, hv FROM h
-          UNION ALL SELECT '__all__', hv FROM h),
-    r AS (
+    rt AS (
       SELECT event_type, hv % {HLL_M} AS bucket,
              max(CASE WHEN hv // {HLL_M} = 0 THEN 53
                       ELSE 53 - length(bin(hv // {HLL_M})) END) AS m
-      FROM b GROUP BY event_type, bucket
+      FROM h GROUP BY event_type, bucket
+    ),
+    -- '__all__' = cell-wise max MERGE of the per-type registers (the
+    -- sketch property: union of streams == max of registers), never a
+    -- second hash pass over the corpus
+    r AS (
+      SELECT event_type, bucket, m FROM rt
+      UNION ALL
+      SELECT '__all__', bucket, max(m) FROM rt GROUP BY bucket
     ),
     s AS (
       SELECT event_type,
@@ -560,11 +602,17 @@ def q_sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hv"),
     )
-    b = h.unionAll(h.select(F.lit("__all__").alias("event_type"), "hv"))
     w = F.expr(f"hv div {HLL_M}")
     rho = F.when(w == 0, F.lit(53)).otherwise(53 - F.length(F.bin(w)))
-    r = b.groupBy("event_type", (F.col("hv") % HLL_M).alias("bucket")).agg(
+    rt = h.groupBy("event_type", (F.col("hv") % HLL_M).alias("bucket")).agg(
         F.max(rho).alias("m")
+    )
+    # '__all__' is a register MERGE (cell-wise max over the per-type
+    # registers) — the corpus is hashed exactly once
+    r = rt.unionAll(
+        rt.groupBy("bucket").agg(
+            F.lit("__all__").alias("event_type"), F.max("m").alias("m")
+        ).select("event_type", "bucket", "m")
     )
     s = r.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("np"),
@@ -753,13 +801,14 @@ _REL_SQL = (
              ) AS INT) AS rn
       FROM events
     ),
-    topk AS (SELECT * FROM ranked WHERE rn <= {NDCG_K}),
     lists AS (
       SELECT user_id,
-             list(gain * ({_DISC_SQL})[rn] ORDER BY rn ASC) AS dterms,
-             list(gain ORDER BY gain DESC) AS gdesc,
-             CAST(count(*) AS BIGINT) AS n_ranked
-      FROM topk GROUP BY user_id
+             list(gain * ({_DISC_SQL})[rn] ORDER BY rn ASC)
+               FILTER (WHERE rn <= {NDCG_K}) AS dterms,
+             (list(gain ORDER BY gain DESC))[1:{NDCG_K}] AS gdesc,
+             CAST(count(*) FILTER (WHERE rn <= {NDCG_K}) AS BIGINT)
+               AS n_ranked
+      FROM ranked GROUP BY user_id
     ),
     folded AS (
       SELECT user_id, n_ranked,
@@ -789,10 +838,14 @@ _REL_SQL = (
     "plan), and BOTH fold sums (DCG over rank order, IDCG over "
     "gain-desc order) run as explicit LEFT FOLDS over ordered lists, "
     "so the two engines add the same doubles in the same order — "
-    "bit-identical before the final round. Plan: one per-user window "
-    "(top-k prune rides it) + one per-user agg sharing the exchange; "
-    "per-group state is K elements. Same two-step plan per query "
-    "group at 100 TB.",
+    "bit-identical before the final round. The IDEAL list is the "
+    "top-K of the user's FULL gain multiset, not of the retrieved "
+    "top-K — a relevant item ranked below the cutoff raises IDCG and "
+    "correctly drags nDCG below 1. Plan: one per-user window + one "
+    "per-user agg sharing the exchange; per-group agg state is the "
+    "user's gain list (bounded by per-query candidate count — cap "
+    "candidates upstream when that is unbounded). Same two-step plan "
+    "per query group at 100 TB.",
 )
 def q_eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -803,16 +856,26 @@ def q_eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr(_REL_SQL).cast("double").alias("gain"),
         F.row_number().over(w).cast("int").alias("rn"),
-    ).where(F.col("rn") <= NDCG_K)
+    )
+    # the DCG term exists only for retrieved (rn <= K) rows; the IDEAL
+    # list draws from the user's FULL gain multiset (an item ranked
+    # below the cutoff must still raise IDCG and so lower nDCG)
     term = ranked.withColumn(
-        "dterm", F.col("gain") * F.element_at(F.expr(_DISC_SPARK), F.col("rn"))
+        "dterm",
+        F.when(
+            F.col("rn") <= NDCG_K,
+            F.col("gain") * F.element_at(F.expr(_DISC_SPARK), F.col("rn")),
+        ),
     )
     lists = term.groupBy("user_id").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(rn, dterm))), x -> x.dterm)"
+            "transform(array_sort(collect_list(CASE WHEN rn <= "
+            f"{NDCG_K} THEN struct(rn, dterm) END)), x -> x.dterm)"
         ).alias("dterms"),
-        F.expr("reverse(array_sort(collect_list(gain)))").alias("gdesc"),
-        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        F.expr(
+            f"slice(reverse(array_sort(collect_list(gain))), 1, {NDCG_K})"
+        ).alias("gdesc"),
+        F.count(F.when(F.col("rn") <= NDCG_K, 1)).cast("bigint").alias("n_ranked"),
     )
     folded = lists.select(
         "user_id",
@@ -962,22 +1025,7 @@ def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1-row summary — nothing quadratic, nothing iterative.",
 )
 def q_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    p = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= KHOP_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
+    p = _copurchase_pairs(spark, sf_dir, KHOP_MIN_SUPPORT).select("pa", "pb")
     e = p.select(F.col("pa").alias("s")).unionAll(p.select(F.col("pb").alias("s")))
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     h = deg.where(F.col("degree") >= 2).agg(
@@ -1263,11 +1311,7 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("|"),
         F.col("o_orderkey").cast("string"),
     )
-    u = (
-        (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 1000000)
-        .cast("double")
-        + 0.5
-    ) / 1000000.0
+    u = _seeded_uniform(key)
     wtd = rep.select(
         "grp",
         "b",
@@ -1416,25 +1460,10 @@ def q_decay_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "convergence guard of dedup_cluster_components.",
 )
 def q_graph_minplus_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    p = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= KHOP_MIN_SUPPORT)
-        .select(
-            "pa",
-            "pb",
-            (101 - F.least(F.col("cnt"), F.lit(100))).cast("bigint").alias("w"),
-        )
+    p = _copurchase_pairs(spark, sf_dir, KHOP_MIN_SUPPORT).select(
+        "pa",
+        "pb",
+        (101 - F.least(F.col("cnt"), F.lit(100))).cast("bigint").alias("w"),
     )
     e = p.select(
         F.col("pa").alias("s"), F.col("pb").alias("t"), "w"
@@ -1864,12 +1893,7 @@ HOLT_H = 6
     "independent series.",
 )
 def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("rev")
-    )
+    m = _monthly_revenue(load_table(spark, sf_dir, "orders"))
     arr = m.agg(
         F.expr(
             "transform(array_sort(collect_list(struct(month, "
@@ -2030,28 +2054,7 @@ def q_share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by tenant key when concurrency is per-tenant.",
 )
 def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    m = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            (F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w))
-            < 1_800_000_000,
-            F.lit(0),
-        )
-        .otherwise(F.lit(1))
-        .alias("new_s"),
-    )
-    s = m.select(
-        "user_id",
-        F.sum("new_s")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint")
-        .alias("sid"),
-        "ts",
-    )
+    s = _sessionized_events(load_table(spark, sf_dir, "events"))
     sess = s.groupBy("user_id", "sid").agg(
         F.min("ts").alias("t0"), F.max("ts").alias("t1")
     )
@@ -2236,12 +2239,7 @@ def q_fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate, one tiny self-join, two 1-row reductions.",
 )
 def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("rev")
-    )
+    monthly = _monthly_revenue(load_table(spark, sf_dir, "orders"))
     m = monthly.select(
         F.row_number().over(Window.orderBy("month")).cast("bigint").alias("i"),
         "rev",

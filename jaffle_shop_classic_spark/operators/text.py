@@ -2141,15 +2141,22 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HASH_FEATURES = 32
 
 
-def _md5_int8_sql(expr: str) -> str:
-    """First 8 hex digits of md5(expr) as a BIGINT — DuckDB twin of
-    Spark's conv(substring(md5(x),1,8),16,10)."""
+def _md5_int_sql(expr: str, n_digits: int) -> str:
+    """First ``n_digits`` hex digits of md5(expr) as a BIGINT — DuckDB
+    twin of Spark's conv(substring(md5(x),1,n),16,10). Max 15 digits
+    (60 bits) to stay inside a signed BIGINT."""
     return (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(range(1, 9), "
+        f"list_transform(range(1, {n_digits + 1}), "
         f"i -> CAST(instr('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 AS BIGINT))), "
         "(acc, d) -> acc * 16 + d)"
     )
+
+
+def _md5_int8_sql(expr: str) -> str:
+    """First 8 hex digits of md5(expr) as a BIGINT — DuckDB twin of
+    Spark's conv(substring(md5(x),1,8),16,10)."""
+    return _md5_int_sql(expr, 8)
 
 
 @register(

@@ -752,3 +752,22 @@ def test_share_of_parent_sums_to_one(spark, sf_dir):
     for region, shares in by_region.items():
         assert abs(sum(shares) - 1.0) < 1e-4, region
     assert abs(sum(r["share_of_total"] for r in out) - 1.0) < 1e-4
+
+
+def test_ndcg_ideal_set_includes_items_below_cutoff(spark, tmp_path):
+    """A purchase ranked 11th (outside the top-10) must raise IDCG and
+    drag nDCG below 1 even though the retrieved top-10 is ordered
+    perfectly among themselves."""
+    rows = [
+        (i, "2024-01-01 00:00:00", 2, "view", 100.0 - i, "{}")
+        for i in range(10)  # ranks 1..10: all views (gain 1)
+    ]
+    rows.append((99, "2024-01-01 00:00:00", 2, "purchase", 1.0, "{}"))  # rank 11
+    _write_events(spark, tmp_path, rows)
+    row = load_catalog()["eval_ndcg_at_k"].fn(spark, str(tmp_path)).collect()[0]
+    disc = [1 / math.log2(i + 1) for i in range(1, 11)]
+    dcg = sum(1 * d for d in disc)  # ten views retrieved
+    idcg = 7 * disc[0] + sum(1 * d for d in disc[1:])  # ideal: purchase first
+    assert row["n_ranked"] == 10
+    assert row["ndcg"] == round(round(dcg, 6) / round(idcg, 6), 6) or row["ndcg"] == round(dcg / idcg, 6)
+    assert row["ndcg"] < 1.0
