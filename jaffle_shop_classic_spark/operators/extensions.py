@@ -2,7 +2,9 @@
 
 Everything here stays inside whole-stage codegen: filters and projections
 push into the parquet scan; aggregates are partial->final; windows sort
-once per partition key. No Python UDFs.
+once per partition key. No row-at-a-time Python UDFs; the one Arrow
+kernel (skyline_pareto_parts' mapInPandas local-prune pass) is batched
+and explicitly documented at its site.
 
 Cross-engine parity conventions (vs the DuckDB oracle):
 - Spark ``union`` is UNION ALL; SQL ``UNION`` deduplicates — both
@@ -373,12 +375,16 @@ def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spark.sql) — same Catalyst Expand plan as rollup/cube.",
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # operator-private view name: repointing a shared 'lineitem' view
+    # would silently redirect every later spark.sql in the session
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_grouping_sets_lineitem"
+    )
     return spark.sql(
         """
         SELECT l_returnflag AS flag, l_linestatus AS status,
                round(sum(l_quantity), 2) AS sum_qty
-        FROM lineitem
+        FROM _grouping_sets_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
@@ -869,9 +875,11 @@ def q_tpch_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT key, count(*) AS n, CAST(sum(val) AS BIGINT) AS total_val
     FROM (
-      SELECT unnest(json_keys(props)) AS key,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
-      FROM events
+      -- dynamic path ('$.' || key): correct for ANY key set, not just
+      -- the current single-key fixture shape
+      SELECT key,
+             CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS val
+      FROM (SELECT unnest(json_keys(props)) AS key, props FROM events)
     )
     GROUP BY key
     """,
@@ -1007,8 +1015,6 @@ def q_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(same two-level shape as global top-k).",
 )
 def q_sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
@@ -1351,8 +1357,6 @@ LEN_BUCKET = 32  # tokens per length-bucket step
     "hash (shuffle_epoch_sample's key) instead of doc_id: same plan.",
 )
 def q_batch_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from .text import tokens_col
 
     d = load_table(spark, sf_dir, "documents")
@@ -1721,11 +1725,17 @@ def q_zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition pruning replaces the full-state rewrite.",
 )
 def q_incremental_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
     import tempfile
 
     from ..plans.registry import ModelContext, Project
 
-    wh = tempfile.mkdtemp(prefix="incr_orders_state_")
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        f"incr_orders_state_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(wh, ignore_errors=True)  # bounded: one dir per session
     project = Project(warehouse_dir=wh)
     batch = {"n": 1}
 
@@ -1844,6 +1854,20 @@ def bloom_prefilter(
     return fact.crossJoin(F.broadcast(bf)).filter(checks).drop("bm")
 
 
+def _value_histogram_cdf(e: DataFrame):
+    """Shared histogram-CDF core for the exact median/quantile pair:
+    2dp value buckets, per-type counts, cumulative window over DISTINCT
+    buckets, and per-type totals. Returns (cum, tot)."""
+    b = e.select("event_type", F.round("value", 2).alias("v"))
+    h = b.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    cum = h.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("event_type").orderBy("v"))
+    )
+    tot = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return cum, tot
+
+
+
 @register(
     "median_histogram_cdf",
     oracle="""
@@ -1877,14 +1901,7 @@ def bloom_prefilter(
     "multi-quantile extraction from the same histogram.",
 )
 def q_median_histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = load_table(spark, sf_dir, "events")
-    b = e.select("event_type", F.round("value", 2).alias("v"))
-    h = b.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("event_type").orderBy("v")
-    cum = h.withColumn("cum", F.sum("c").over(w))
-    tot = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    cum, tot = _value_histogram_cdf(load_table(spark, sf_dir, "events"))
     return (
         cum.join(tot, "event_type")
         .filter(F.col("cum") >= F.ceil(F.col("n") * 0.5))
@@ -1996,8 +2013,6 @@ def q_users_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "paths instead of testing one).",
 )
 def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     m = e.select(
@@ -2408,15 +2423,7 @@ def q_audit_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketized answers and a plain SQL oracle.",
 )
 def q_quantiles_histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = load_table(spark, sf_dir, "events")
-    b = e.select("event_type", F.round("value", 2).alias("v"))
-    h = b.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
-    cum = h.withColumn(
-        "cum", F.sum("c").over(Window.partitionBy("event_type").orderBy("v"))
-    )
-    tot = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    cum, tot = _value_histogram_cdf(load_table(spark, sf_dir, "events"))
     qs = spark.createDataFrame([(0.25,), (0.5,), (0.75,), (0.95,)], "q double")
     return (
         cum.join(tot, "event_type")
@@ -2869,7 +2876,7 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(
         tempfile.gettempdir(),
-        f"jaffle_orc_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"jaffle_orc_roundtrip_{spark.sparkContext.applicationId}_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     d.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
@@ -3664,7 +3671,7 @@ def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(
         tempfile.gettempdir(),
-        f"jaffle_jsonl_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"jaffle_jsonl_roundtrip_{spark.sparkContext.applicationId}_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     d.write.mode("overwrite").json(path)
     back = spark.read.schema(
@@ -4448,6 +4455,7 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(8):
         prop = edges.join(labels, edges.src == labels.p_partkey).select(
             F.col("dst").alias("p_partkey"), "label"
@@ -4460,8 +4468,19 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:  # labels only decrease -> fixpoint
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # fail LOUDLY rather than ship partial clusters: a match
+        # component deeper than 8 hops would silently diverge from the
+        # oracle's full transitive closure (same contract as the CC
+        # loop's divergence guard)
+        raise RuntimeError(
+            "entity_resolution_clusters: min-label propagation did not "
+            "reach a fixpoint within 8 rounds — raise the round budget "
+            "or switch to the star-contraction path for this graph"
+        )
     comp = labels.select("p_partkey", F.col("label").alias("entity_id"))
     sizes = comp.groupBy("entity_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
@@ -5042,7 +5061,7 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     root = os.path.join(
         tempfile.gettempdir(),
-        f"jaffle_schema_evo_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"jaffle_schema_evo_{spark.sparkContext.applicationId}_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     o.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice", F.lit(1).alias("batch")
