@@ -108,12 +108,12 @@ def interval_join_streams(
         .select(
             F.col("event_id").alias("p_id"),
             F.col("ts").alias("p_ts"),
+            # the two probe buckets differ by exactly 1 for every row
+            # (lookback == bucket width), so no distinct-wrapper needed
             F.explode(
-                F.array_distinct(
-                    F.array(
-                        F.expr(f"(unix_micros(ts) - {w_us}) div {w_us}"),
-                        F.expr(f"unix_micros(ts) div {w_us}"),
-                    )
+                F.array(
+                    F.expr(f"(unix_micros(ts) - {w_us}) div {w_us}"),
+                    F.expr(f"unix_micros(ts) div {w_us}"),
                 )
             ).alias("bucket"),
         )
@@ -217,7 +217,13 @@ def left_outer_join_streams(
 
 def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming sessionization via the native session_window operator —
-    merging-window state per user, bounded by the watermark."""
+    merging-window state per user, bounded by the watermark.
+
+    NOTE: the 1-hour watermark and the registered oracle both assume the
+    default 30-minute gap; a caller passing a larger gap must widen the
+    watermark to match (sessions can only close once the watermark
+    passes end+gap) and cannot reuse q_stream_session_windows' SQL twin.
+    """
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -260,8 +266,15 @@ def _simhash16_py(texts: pd.Series) -> pd.Series:
 
     out = []
     for text in texts:
+        if text is None:
+            # mirror the SQL twins: trim(NULL)/split(NULL) vote nothing
+            out.append("1" * 16)
+            continue
         sums = [0] * 16
-        for t in set(re.split(r"\s+", text.strip())):
+        # ASCII-only strip/split to match F.trim (spaces) and the Java/
+        # RE2 \s class — Python's unicode-aware str.strip()/\s would
+        # diverge on tabs/NBSP at the text boundary
+        for t in set(re.split(r"[ \t\n\x0b\f\r]+", text.strip(" "))):
             h = hashlib.md5(t.encode()).hexdigest()
             for b in range(16):
                 bit = (int(h[b // 4], 16) >> (3 - b % 4)) & 1
@@ -313,10 +326,17 @@ def run_stream_to_batch(
         .start()
     )
     try:
-        q.awaitTermination(timeout=120)
+        finished = q.awaitTermination(timeout=120)
     finally:
         if q.isActive:  # pragma: no cover — safety net
             q.stop()
+    if not finished:  # pragma: no cover — CI-load safety net
+        # a silent timeout would hand the caller a PARTIALLY-filled
+        # memory sink that masquerades as a semantics bug downstream
+        raise RuntimeError(
+            f"streaming drain '{name}' did not finish within 120s — "
+            "partial results discarded"
+        )
     return spark.table(name)
 
 
@@ -374,11 +394,20 @@ def running_user_stats_stream(events: DataFrame) -> DataFrame:
 # check); semantic verification is tests/test_streaming.py, which diffs
 # each twin against its oracle-green batch equivalent on the same data.
 _SINK_SEQ = itertools.count()
+_LAST_SINK: dict[str, str] = {}
 
 
 def _drain(df: DataFrame, base: str, output_mode: str = "append") -> DataFrame:
-    """Unique memory-sink name per call so re-runs don't collide."""
-    return run_stream_to_batch(df, f"{base}_{next(_SINK_SEQ)}", output_mode)
+    """Unique memory-sink name per call so re-runs don't collide; the
+    PREVIOUS generation's sink for the same base is dropped so repeated
+    bench/parity rounds don't pin every past result set in driver
+    memory."""
+    name = f"{base}_{next(_SINK_SEQ)}"
+    stale = _LAST_SINK.get(base)
+    if stale is not None:
+        df.sparkSession.catalog.dropTempView(stale)
+    _LAST_SINK[base] = name
+    return run_stream_to_batch(df, name, output_mode)
 
 
 @register(
@@ -784,18 +813,38 @@ def merge_stream_into_state(events: DataFrame, state_dir: str):
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        versions = (
-            sorted(
+
+        def _complete_versions() -> list[int]:
+            # only versions with a _SUCCESS marker count: a crashed
+            # attempt's partial directory must never be read as state
+            if not os.path.isdir(state_dir):
+                return []
+            return sorted(
                 int(p[1:])
                 for p in os.listdir(state_dir)
-                if p.startswith("v") and p[1:].isdigit()
+                if p.startswith("v")
+                and p[1:].isdigit()
+                and os.path.exists(f"{state_dir}/{p}/_SUCCESS")
             )
-            if os.path.isdir(state_dir)
-            else []
-        )
+
+        # version = base + batch_id, with base fixed once per writer at
+        # one past the highest pre-existing COMPLETE version: a retried
+        # batch N rewrites its own v{base+N} (idempotent), while a NEW
+        # run over an old state_dir continues the version line instead
+        # of overwriting v0 and serving stale state to highest-version
+        # readers
+        if "base" not in run_state:
+            existing = _complete_versions()
+            run_state["base"] = (existing[-1] + 1) if existing else 0
+        target = run_state["base"] + batch_id
         cur = batch_df.select("user_id", "event_id", "ts", "event_type")
-        if versions:
-            prev = spark.read.parquet(f"{state_dir}/v{versions[-1]}")
+        # prev = newest complete version STRICTLY below the target — on
+        # a replay of batch N the target itself (and anything a dead
+        # attempt wrote above it) is excluded, so the merge never reads
+        # the path it is about to overwrite
+        prevs = [v for v in _complete_versions() if v < target]
+        if prevs:
+            prev = spark.read.parquet(f"{state_dir}/v{prevs[-1]}")
             cur = prev.unionByName(cur)
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
@@ -805,9 +854,10 @@ def merge_stream_into_state(events: DataFrame, state_dir: str):
             .filter(F.col("rn") == 1)
             .drop("rn")
             .write.mode("overwrite")
-            .parquet(f"{state_dir}/v{batch_id}")
+            .parquet(f"{state_dir}/v{target}")
         )
 
+    run_state: dict = {}
     return events.writeStream.foreachBatch(_merge).trigger(availableNow=True)
 
 
