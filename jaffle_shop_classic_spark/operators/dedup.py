@@ -326,10 +326,11 @@ def capped_bands(bands: DataFrame, cap: int = MAX_BAND_SIZE) -> DataFrame:
     )
 
 
-def candidate_pairs(bands: DataFrame, cap: int = MAX_BAND_SIZE) -> DataFrame:
-    """Banded self-equi-join with the hot-band cap applied: distinct
-    (doc_a < doc_b) candidate pairs, O(candidates) never O(n^2)."""
-    sized = capped_bands(bands, cap)
+def candidate_pairs(bands: DataFrame, cap: int | None = MAX_BAND_SIZE) -> DataFrame:
+    """Banded self-equi-join with the hot-band cap applied (pass
+    cap=None to skip capping): distinct (doc_a < doc_b) candidate
+    pairs, O(candidates) never O(n^2)."""
+    sized = bands if cap is None else capped_bands(bands, cap)
     x, y = sized.alias("x"), sized.alias("y")
     return (
         x.join(
@@ -540,7 +541,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact AS (
       SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
     ),
-    {_SIGS_CTE.replace('FROM documents', 'FROM documents').strip()},
+    {_SIGS_CTE.strip()},
     kept_sigs AS (
       SELECT s.doc_id, s.sig FROM sigs s JOIN exact e ON s.doc_id = e.doc_id
     ),
@@ -571,8 +572,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "survives 100 TB skew (SCALING.md).",
 )
 def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from .text import STOPWORDS
 
     d = load_table(spark, sf_dir, "documents")
@@ -690,15 +689,20 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     bands = sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
-    x, y = bands.alias("x"), bands.alias("y")
+    # uncapped: the oracle closures below enumerate the FULL candidate
+    # graph; graph shape (not pair volume) is what these operators test
+    return candidate_pairs(bands, cap=None)
+
+
+def _symmetric_edges(pairs: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) pairs -> eager-checkpointed symmetric (src, dst)
+    edge list — the shared exchange base of the CC/PageRank/LPA loops."""
     return (
-        x.join(
-            y,
-            (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+        .localCheckpoint(eager=True)
     )
 
 
@@ -760,12 +764,7 @@ _CC_ORACLE = f"""{_CC_CTES}
     "recursive min-label closure.",
 )
 def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    edges = _symmetric_edges(_lsh_candidate_pairs(spark, sf_dir))
     # fused init + round 1: label(u) = min(u, min(N(u))) is exactly what
     # propagating identity labels once produces, but costs ONE aggregate
     # over the symmetric edges instead of distinct + join + union + agg
@@ -1238,15 +1237,9 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.selectExpr("doc_id", "posexplode(sig) AS (i, v)").selectExpr(
         "doc_id", "concat(CAST(i + 1 AS STRING), '|', v) AS band_key"
     )
-    x, y = bands.alias("x"), bands.alias("y")
     pairs = (
-        x.join(
-            y,
-            (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+        candidate_pairs(bands, cap=None)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .localCheckpoint(eager=True)  # feeds degree + all 3 triangle legs
     )
     deg = (
@@ -1422,12 +1415,13 @@ def q_dedup_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
     "versa) rides the same join. Every threshold decision is integer "
     "arithmetic (ceil(3L/5) = (3L+4) div 5; jaccard >= 3/5 iff "
     "8*inter >= 3*(la+lb)) so no float sits near a keep/drop boundary "
-    "and the oracle agrees bit-for-bit. Plan: shingles are built by "
-    "posexplode + window-lead so the tokenizer runs ONCE per document "
-    "(a lambda-built gram array re-inlines the split into every "
-    "element_at — measured 22 s vs 2 s at sf0.1); the doc-id shuffle "
-    "that window needs is the SAME key the rank window and the L/df "
-    "aggregates use, so Catalyst reuses one exchange across all four. "
+    "and the oracle agrees bit-for-bit. Plan: shingles come from "
+    "posexplode over the CARRIED token array with element_at lookups "
+    "— the tokenizer runs once per document and no pre-shingle "
+    "(doc_id, pos) window sort exists at all (the earlier "
+    "window-lead form forced that sort; 1.5s -> 0.6s warm at "
+    "sf0.1), and the distinct shingle stream is materialized once "
+    "for its four consumers (sizes, df, prefix rank, verification). "
     "Verification counts common shingles for the candidate PAIRS "
     "only — O(candidates), never O(n^2). Docs under 5 tokens cannot "
     "form a shingle and fall out on both sides (exact-dedup "
@@ -1582,14 +1576,7 @@ def _pagerank_oracle() -> str:
     "with durable checkpoints replacing localCheckpoint.",
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    edges = _symmetric_edges(_lsh_candidate_pairs(spark, sf_dir))
     deg = (
         edges.groupBy(F.col("src").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -1691,14 +1678,7 @@ def _lpa_oracle() -> str:
     "unbounded accumulates per key at any scale.",
 )
 def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    edges = _symmetric_edges(_lsh_candidate_pairs(spark, sf_dir))
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("label")
     )
@@ -1732,8 +1712,9 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
       SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sigs
     ),
-    new_b AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
-    idx_b AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+    {_bands_sized_sql()},
+    new_b AS (SELECT * FROM bands_sized WHERE doc_id % 10 = 0),
+    idx_b AS (SELECT * FROM bands_sized WHERE doc_id % 10 <> 0),
     hits AS (
       SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS index_doc
       FROM new_b n JOIN idx_b i ON n.band_key = i.band_key
@@ -1754,13 +1735,17 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles only its own batch and the probe is a keyed equi-join "
     "into co-located buckets. Output is the collision report per new "
     "doc (match count + canonical first match) that the ingest "
-    "pipeline uses to drop or route duplicates. Same hot-band cap "
-    "story as the batch join.",
+    "pipeline uses to drop or route duplicates. The hot-band cap is "
+    "applied to the band table BEFORE the new/index split (a template "
+    "bucket is degenerate for both sides), so a boilerplate band with "
+    "B index members and b new members cannot expand to B*b hits.",
 )
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
-    bands = sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
+    bands = capped_bands(
+        sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
+    )
     new_b = bands.where(F.col("doc_id") % 10 == 0)
     idx_b = bands.where(F.col("doc_id") % 10 != 0)
     hits = (
