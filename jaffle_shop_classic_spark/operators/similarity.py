@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_expr, cosine_sql, dot_expr, sq_norm_expr
@@ -516,7 +516,9 @@ def _kmeans_ctes() -> tuple[list[str], str]:
       SELECT centroid_id, list(c ORDER BY i) AS cvec, any_value(n) AS n_members
       FROM (
         SELECT centroid_id, i,
-               round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 6) AS c,
+               round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 7)
+                                    AS DECIMAL(20,7))) AS DOUBLE)
+                     / count(*), 6) AS c,
                count(*) AS n
         FROM a{it}, range(1, {DIM + 1}) t(i)
         GROUP BY centroid_id, i
@@ -554,6 +556,26 @@ def _sqdist_col(emb: Column, cvec: Column) -> Column:
     )
 
 
+def _nearest_centroid(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Broadcast-argmin assignment (vec_id, centroid_id) — the one
+    block every IVF/k-means consumer shares (mirrors _pq_assign)."""
+    from pyspark.sql import Window
+
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        _sqdist_col(F.col("embedding"), F.col("cvec")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
 # Trained-model cache: k-means centroids and PQ codebooks are TRAINING
 # artifacts — in production they are trained once and served to every
 # query (the FAISS lifecycle), so replaying the Lloyd loop inside each
@@ -568,11 +590,20 @@ def _sqdist_col(emb: Column, cvec: Column) -> Column:
 _TRAINED: dict[tuple[str, str, str], DataFrame] = {}
 
 
+_TRAINED_MAX = 16  # a few (app, sf_dir) generations of trained artifacts
+
+
 def _trained(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     df = _TRAINED.get(key)
     if df is None:
         df = build().localCheckpoint(eager=True)
+        if len(_TRAINED) >= _TRAINED_MAX:
+            # evict stale generations wholesale (the _TABLE_CACHE
+            # pattern): checkpoints of dead sessions must not pin memory
+            current = key[:2]
+            for k in [k for k in _TRAINED if k[:2] != current]:
+                del _TRAINED[k]
         _TRAINED[key] = df
     return df
 
@@ -623,7 +654,16 @@ def _train_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_id", F.posexplode("embedding").alias("i", "v")
         )
         dim_means = members.groupBy("centroid_id", "i").agg(
-            F.round(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("c"),
+            # member coords round once to 7dp then sum as DECIMAL: the
+            # mean is partition-order-independent, so the 6dp round can
+            # never flip on a float-sum ulp (the flaky-parity class the
+            # sequential distance folds already avoid)
+            F.round(
+                F.sum(F.round(F.col("v").cast("double"), 7).cast("decimal(20,7)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c"),
             F.count(F.lit(1)).alias("n"),
         )
         cent = dim_means.groupBy("centroid_id").agg(
@@ -720,17 +760,7 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     cent = _kmeans_centroids(spark, sf_dir).select("centroid_id", "cvec")
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "centroid_id",
-        _sqdist_col(F.col("embedding"), F.col("cvec")).alias("d"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
-    )
+    assigned = _nearest_centroid(e, cent)
     q = (
         e.filter(F.col("vec_id") == 0)
         .crossJoin(F.broadcast(cent))
@@ -829,7 +859,11 @@ def _pq_codebooks(sub: DataFrame) -> DataFrame:
             "s", "cid", F.posexplode("subvec").alias("i", "v")
         )
         dim_means = members.groupBy("s", "cid", "i").agg(
-            F.round(F.sum("v") / F.count(F.lit(1)), 6).alias("c")
+            F.round(
+                F.sum(F.round(F.col("v"), 7).cast("decimal(20,7)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
         )
         cent = dim_means.groupBy("s", "cid").agg(
             F.expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").alias(
@@ -886,7 +920,8 @@ def _pq_ctes() -> tuple[list[str], str]:
         ctes.append(f"""pc{it} AS (
       SELECT s, cid, list(c ORDER BY i) AS cvec FROM (
         SELECT a.s, a.cid, i,
-               round(sum(e.subvec[i]) / count(*), 6) AS c
+               round(CAST(sum(CAST(round(e.subvec[i], 7) AS DECIMAL(20,7)))
+                          AS DOUBLE) / count(*), 6) AS c
         FROM pa{it} a JOIN sub e ON a.vec_id = e.vec_id AND a.s = e.s,
              range(1, {PQ_SUBDIM + 1}) t(i)
         GROUP BY a.s, a.cid, i
@@ -1086,16 +1121,8 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached trained centroids (already checkpointed) feed every
     # vector's argmin once
     cent = _kmeans_centroids(spark, sf_dir).select("centroid_id", "cvec")
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "centroid_id",
-        _sqdist_col(F.col("embedding"), F.col("cvec")).alias("d"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
     asg = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+        _nearest_centroid(e, cent)
         .join(e, "vec_id")
     )
     a, b = asg.alias("a"), asg.alias("b")
@@ -1184,17 +1211,11 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     kcent = _kmeans_centroids(spark, sf_dir).select("centroid_id", "cvec")
-    scored = e.crossJoin(F.broadcast(kcent)).select(
-        "vec_id",
-        "centroid_id",
-        _sqdist_col(F.col("embedding"), F.col("cvec")).alias("d"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
-    ivf = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
-        .localCheckpoint(eager=True)  # feeds the query probe AND the list filter
+    # the coarse assignment is deterministic given the cached centroids
+    # and the immutable table — cache it WITH the trained artifacts so
+    # repeated invocations skip the corpus-wide argmin job
+    ivf = _trained(
+        spark, sf_dir, "ivf_assign", lambda: _nearest_centroid(e, kcent)
     )
     sub = _pq_sub(spark, sf_dir)
     pcent = _pq_codebooks_for(spark, sf_dir)
@@ -1335,7 +1356,9 @@ def _rrf_oracle() -> str:
       SELECT doc_id, rank_s FROM (
         SELECT b.doc_id,
                row_number() OVER (
-                 ORDER BY round(sum(b.w * q.w), 6) DESC, b.doc_id ASC) AS rank_s
+                 ORDER BY round(CAST(sum(CAST(round(b.w * q.w, 9)
+                                  AS DECIMAL(28,9))) AS DOUBLE), 6)
+                          DESC, b.doc_id ASC) AS rank_s
         FROM wts b JOIN (SELECT term, w FROM wts WHERE doc_id = 0) q
           ON b.term = q.term
         WHERE b.doc_id <> 0
@@ -1375,7 +1398,6 @@ def _rrf_oracle() -> str:
 def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .text import tokens_col  # runtime import (text has no dep on this)
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
@@ -1417,7 +1439,14 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         wts.filter(F.col("doc_id") != 0)
         .join(F.broadcast(qw), "term")
         .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("w") * F.col("qw")), 6).alias("ss"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("w") * F.col("qw"), 9).cast("decimal(28,9)")
+                ).cast("double"),
+                6,
+            ).alias("ss")
+        )
     )
     ws = Window.orderBy(F.col("ss").desc(), F.col("doc_id").asc())
     sparse = (
@@ -1442,18 +1471,25 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "contrastive_hard_negatives",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)
-               / sqrt(list_sum(list_transform(embedding,
-                   e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) AS nemb,
+    WITH b0 AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                 e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS nrm,
              {_bucket_sql('embedding', FINE_PLANES)} AS bucket
       FROM embeddings
+    ),
+    -- norm computed ONCE per row, then the divide is a plain O(D)
+    -- transform (the inlined form re-evaluated the 64-term norm fold
+    -- inside every lambda element: O(D^2) per row in both engines)
+    b AS (
+      SELECT vec_id, label, bucket,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS nemb
+      FROM b0
     ),
     p AS (
       SELECT a.vec_id AS anchor_id, n.vec_id AS neg_id,
              a.label AS anchor_label, n.label AS neg_label,
-             round(list_sum(list_transform(range(1, 65),
+             round(list_sum(list_transform(range(1, {DIM + 1}),
                i -> a.nemb[i] * n.nemb[i])), 6) AS cosine
       FROM b a JOIN b n ON a.bucket = n.bucket AND a.label <> n.label
     ),
@@ -1491,14 +1527,26 @@ def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    nrm = f"sqrt({sq_norm_expr('embedding')})"
-    b = e.select(
+    # norm once per row, divide via zip_with with the norm passed as an
+    # HOF ARGUMENT (array_repeat) — no O(D^2) re-evaluation inside the
+    # lambda and no outer-column capture (the self-join alias-dedup
+    # landmine label_noise_knn_audit documents)
+    b0 = e.select(
         "vec_id",
         "label",
-        F.expr(f"transform(embedding, x -> CAST(x AS DOUBLE) / {nrm})").alias(
-            "nemb"
-        ),
+        "embedding",
+        F.expr(f"sqrt({sq_norm_expr('embedding')})").alias("nrm"),
         _bucket_col("embedding", FINE_PLANES).alias("bucket"),
+    )
+    b = b0.select(
+        "vec_id",
+        "label",
+        "bucket",
+        F.zip_with(
+            F.col("embedding"),
+            F.array_repeat(F.col("nrm"), DIM),
+            lambda x, nn: x.cast("double") / nn,
+        ).alias("nemb"),
     )
     a, n = b.alias("a"), b.alias("n")
     pairs = a.join(
