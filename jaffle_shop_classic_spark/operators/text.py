@@ -371,7 +371,7 @@ CHUNK_STRIDE = 16
              ' ')) AS chunk_md5
     FROM (SELECT doc_id, tk, unnest(range(0, len(tk), {CHUNK_STRIDE})) AS start FROM t)
     """,
-    doc="Fixed-size token chunking with overlap (window {CHUNK_TOKENS}, "
+    doc=f"Fixed-size token chunking with overlap (window {CHUNK_TOKENS}, "
     "stride {CHUNK_STRIDE}) — the standard shaping step before "
     "tokenizer/embedding stages of a training pipeline. sequence() + "
     "posexplode + slice on the carried token array: per-row generate, "
@@ -1156,7 +1156,8 @@ _PMI_MIN_COUNT = 30
       FROM bi GROUP BY pair[1], pair[2]
     )
     SELECT b.w1, b.w2, b.c_xy,
-           round(ln(CAST(b.c_xy AS DOUBLE) * t.n / (u1.c * u2.c)), 4) AS pmi
+           round(ln(CAST(b.c_xy AS DOUBLE) * t.n
+                    / (CAST(u1.c AS DOUBLE) * u2.c)), 4) AS pmi
     FROM bi_counts b
     JOIN uni_counts u1 ON b.w1 = u1.w
     JOIN uni_counts u2 ON b.w2 = u2.w
@@ -1180,7 +1181,9 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(tokens_col(F.col("text")).alias("tk"))
     uni = base.select(F.explode("tk").alias("w"))
     uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    n_total = uni.select(F.count(F.lit(1)).alias("n"))
+    # total tokens = sum over the Zipf-bounded vocabulary table — no
+    # second corpus-wide explode+count pass
+    n_total = uni_counts.agg(F.sum("c").alias("n"))
 
     ex = base.select(F.size("tk").alias("n"), "tk", F.posexplode("tk").alias("pos", "tok"))
     bi_counts = (
@@ -1201,7 +1204,15 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "c_xy",
             F.round(
-                F.log(F.col("c_xy").cast("double") * F.col("n") / (F.col("c1") * F.col("c2"))),
+                # c1*c2 as DOUBLE: a BIGINT product overflows (silently,
+                # with ANSI off) once two stopwords each clear ~3e9
+                # occurrences; doubles are exact below 2^53 so the hash
+                # is unchanged at test scale
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("n")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
                 4,
             ).alias("pmi"),
         )
@@ -1210,7 +1221,10 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------- temperature mixture sampling
-MIX_ALPHA = 0.5  # temperature exponent; share_d ∝ n_d^alpha
+# temperature exponent is FIXED at 0.5: both engines compute sqrt() (exact
+# IEEE op) rather than pow(n, alpha) whose libm rounding differs; changing
+# the exponent means changing sqrt to pow in BOTH the Spark plan and oracle
+MIX_ALPHA = 0.5
 MIX_BUDGET_FRAC = 0.5  # sample half the corpus into the mix
 
 
@@ -1276,9 +1290,11 @@ MG_FRAC = 0.02  # report tokens with freq >= 2% of the corpus token stream
 def _mg_summaries(batches):
     """Per-partition Misra-Gries summary: at most MG_CAPACITY counters,
     whole-partition stream folded across Arrow batches, one tiny output
-    frame per partition. Tokenization mirrors tokens_col (\\s+ split) —
-    a mismatch could only shrink the candidate set, and candidates are
-    re-counted exactly anyway."""
+    frame per partition. Tokenization matches the exact recount stream
+    EXACTLY (space-only strip like F.trim, ASCII \\s split like the
+    Java regex, empty tokens KEPT) — the superset guarantee the
+    algorithm rests on requires the candidate stream to see every token
+    the exact side counts, including '' from whitespace-only docs."""
     import re
 
     import pandas as pd
@@ -1286,9 +1302,9 @@ def _mg_summaries(batches):
     counters: dict[str, int] = {}
     for pdf in batches:
         for text in pdf["text"]:
-            for tok in re.split(r"\s+", text.strip()):
-                if not tok:
-                    continue
+            if text is None:
+                continue  # explode(tokens_col(NULL)) emits nothing
+            for tok in re.split(r"[ \t\n\x0b\f\r]+", text.strip(" ")):
                 if tok in counters:
                     counters[tok] += 1
                 elif len(counters) < MG_CAPACITY:
@@ -1931,7 +1947,12 @@ def q_lang_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    # five consumers (vocab, vsize, ltok, ctl, dtok) read this stream —
+    # materialize the tokenize+explode once (the text_lm_score /
+    # sim_sparse_tfidf_pairs pattern, measured ~1.4x there)
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)
     langs = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     total = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     vocab = tok.select("tok").distinct()
