@@ -102,12 +102,34 @@ class Project:
         contract: dict[str, str] | None = None,
         on_schema_change: str = "ignore",
     ):
+        if callable(name):  # bare @project.model without parens
+            raise TypeError(
+                "use @project.model(...) with parentheses — the bare form "
+                "would register the function object as the model name"
+            )
+
         def deco(fn):
             mname = name or fn.__name__
             if mname in self.models:
                 raise ValueError(f"duplicate model {mname}")
+            allowed = ("view", "table", "ephemeral", "incremental", "snapshot")
+            if materialized not in allowed:
+                # a typo ('tabel', trailing space) must not silently
+                # degrade the model to a view with no persisted state
+                raise ValueError(
+                    f"{mname}: unknown materialization {materialized!r} "
+                    f"(allowed: {', '.join(allowed)})"
+                )
             if materialized in ("incremental", "snapshot") and not unique_key:
                 raise ValueError(f"{mname}: {materialized} models require a unique_key")
+            if materialized == "snapshot" and on_schema_change != "ignore":
+                # _materialize_snapshot does not implement the drift
+                # strategies; accepting them silently would crash the
+                # SECOND run far from the cause
+                raise ValueError(
+                    f"{mname}: on_schema_change={on_schema_change!r} is not "
+                    "supported for snapshots (only 'ignore')"
+                )
             self.models[mname] = ModelSpec(
                 name=mname,
                 fn=fn,
@@ -146,8 +168,14 @@ class Project:
 
         def fn(ctx: "ModelContext") -> DataFrame:
             for dep in deps:
-                df = ctx.ref(dep)  # builds + registers the temp view
-                if dep in self.sources:
+                df = ctx.ref(dep)  # builds (and, for models, registers)
+                # sources and EPHEMERAL models never registered a view —
+                # the SQL text resolves names through the analyzer, so
+                # every dep must be visible by name
+                if dep in self.sources or (
+                    dep in self.models
+                    and self.models[dep].materialized == "ephemeral"
+                ):
                     df.createOrReplaceTempView(dep)
             return ctx.spark.sql(sql)
 
@@ -204,6 +232,12 @@ class Project:
             raise ContractViolation(f"model {spec.name}: " + "; ".join(problems))
 
     def _materialize(self, spec: ModelSpec, spark: SparkSession) -> DataFrame:
+        # a model lazily built via ctx.ref() during this run must not be
+        # materialized AGAIN when the run loop reaches it — for an
+        # incremental model that second build would write a spurious
+        # extra version in the same run
+        if spec.name in self._built:
+            return self._built[spec.name]
         # incremental/snapshot enforce the contract on the model's own
         # output INSIDE their materializers, before _write_version — a
         # contract-violating batch must never persist a new version
@@ -357,6 +391,22 @@ class Project:
         checks = list(spec.check_cols) or [
             c for c in cur.columns if c not in spec.unique_key
         ]
+        if not checks:
+            raise ValueError(
+                f"model {spec.name}: snapshot has no check columns (the "
+                "output is exactly the unique_key) — nothing can change"
+            )
+        # the one-open-row-per-key invariant every later run depends on:
+        # duplicate keys in the snapshot input would open concurrent
+        # rows and permanently corrupt the history — fail loudly
+        dup = (
+            cur.groupBy(*key).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"model {spec.name}: snapshot input has duplicate "
+                f"unique_key rows — one row per {tuple(key)} required"
+            )
         stamped = cur.withColumn("valid_from", F.lit(at)).withColumn(
             "valid_to", F.lit(None).cast("long")
         )
@@ -368,9 +418,14 @@ class Project:
         # keys whose tracked columns changed vs the open row (null-safe)
         cur_k = cur.select(*key, *[F.col(c).alias(f"__new_{c}") for c in checks])
         joined = open_rows.join(cur_k, key, "inner")
-        changed_keys = joined.filter(
-            ~F.expr(" AND ".join(f"({c} <=> __new_{c})" for c in checks))
-        ).select(*key)
+        import functools
+        import operator
+
+        unchanged = functools.reduce(
+            operator.and_,
+            [F.col(c).eqNullSafe(F.col(f"__new_{c}")) for c in checks],
+        )
+        changed_keys = joined.filter(~unchanged).select(*key)
         # brand-new keys never seen before
         new_keys = cur.select(*key).join(prev.select(*key).distinct(), key, "left_anti")
         closing = open_rows.join(changed_keys, key, "semi").withColumn(
@@ -439,25 +494,19 @@ class Project:
         upstream relations exist in the warehouse."""
         self._built.clear()
         order = self.topo_order()
-        wanted = self.select_set(select) if select else None
+        if select:
+            wanted = self.select_set(select)
+            # selected models plus every transitive ancestor, computed
+            # ONCE (per-node BFS re-walked the graph for every model)
+            needed = wanted | set().union(
+                *(self._ancestors(m) for m in wanted)
+            )
+        else:
+            needed = None
         for name in order:
-            if wanted is None or name in wanted or self._needed_by(name, wanted):
+            if needed is None or name in needed:
                 self._materialize(self.models[name], spark)
         return dict(self._built)
-
-    def _needed_by(self, name: str, wanted: set[str]) -> bool:
-        # a node is needed if any selected model transitively depends on it
-        frontier = set(wanted)
-        seen = set()
-        while frontier:
-            n = frontier.pop()
-            if n in seen or n not in self.models:
-                continue
-            seen.add(n)
-            if name in self.models[n].deps:
-                return True
-            frontier.update(self.models[n].deps)
-        return False
 
 
 # module-level default project for the jaffle models

@@ -320,3 +320,71 @@ def test_graph_selectors_dbt_syntax(spark):
     built = p.run(spark, select=["b+"])
     assert {"b", "c"} <= set(built)
     assert "d" not in built
+
+
+def test_registration_guards_fail_loudly(spark):
+    from jaffle_shop_classic_spark.plans.registry import Project
+
+    p = Project()
+    import pytest
+
+    with pytest.raises(TypeError, match="parentheses"):
+
+        @p.model
+        def broken(ctx):  # pragma: no cover
+            pass
+
+    with pytest.raises(ValueError, match="unknown materialization"):
+        p.model(name="m1", materialized="tabel")(lambda ctx: None)
+
+    with pytest.raises(ValueError, match="not supported for snapshots"):
+        p.model(
+            name="m2",
+            materialized="snapshot",
+            unique_key=("id",),
+            on_schema_change="fail",
+        )(lambda ctx: None)
+
+
+def test_lazy_ref_does_not_double_materialize(spark, tmp_path):
+    """A model built via ctx.ref() during run() must not be
+    re-materialized when the loop reaches it — for incremental models a
+    second build would write a spurious extra version."""
+    from jaffle_shop_classic_spark.plans.registry import ModelContext, Project
+
+    p = Project(warehouse_dir=str(tmp_path))
+    builds = {"n": 0}
+
+    @p.model(name="inc_b", materialized="incremental", unique_key=("id",))
+    def inc_b(ctx):
+        builds["n"] += 1
+        return ctx.spark.createDataFrame([(1, "x")], "id long, v string")
+
+    # registered with NO declared edge: `a` discovers b only via ref()
+    @p.model(name="a_consumer")
+    def a_consumer(ctx):
+        return ctx.ref("inc_b").select("id")
+
+    p.run(spark)
+    assert builds["n"] == 1  # one build regardless of topo position
+    assert p._versions("inc_b") == [1]  # exactly one version written
+
+
+def test_snapshot_duplicate_key_fails_loudly(spark, tmp_path):
+    from jaffle_shop_classic_spark.plans.registry import Project
+    import pytest
+
+    p = Project(warehouse_dir=str(tmp_path))
+
+    @p.model(name="snap_dup", materialized="snapshot", unique_key=("id",))
+    def snap_dup(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, "a"), (1, "b")], "id long, status string"
+        )
+
+    p.snapshot_at = 1
+    # duplicate keys are invalid on ANY run — the first write would
+    # already store two open rows for one key
+    with pytest.raises(ValueError, match="duplicate"):
+        p.run(spark)
+    assert p._versions("snap_dup") == []  # nothing persisted
