@@ -1,3 +1,15 @@
-from .jaffle import PAYMENT_METHODS, build_project, jaffle_checks
+from .jaffle import (
+    PAYMENT_METHODS,
+    build_project,
+    build_snapshots,
+    jaffle_checks,
+    load_jaffle_sources,
+)
 
-__all__ = ["PAYMENT_METHODS", "build_project", "jaffle_checks"]
+__all__ = [
+    "PAYMENT_METHODS",
+    "build_project",
+    "build_snapshots",
+    "jaffle_checks",
+    "load_jaffle_sources",
+]

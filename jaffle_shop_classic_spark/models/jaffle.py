@@ -87,10 +87,21 @@ def build_project(warehouse_dir: str | None = None) -> Project:
         materialized="table",  # dbt_project.yml:24
         deps=("stg_customers", "stg_orders", "stg_payments"),
         description="One row per customer with order stats and lifetime value.",
+        # full column docs mirroring models/schema.yml:7-30 — including
+        # the PII annotations downstream redaction/governance reads
         columns={
-            "customer_id": "Primary key.",
-            "first_order": "NULL for customers with no orders.",
-            "customer_lifetime_value": "Total payment amount; NULL if no orders.",
+            "customer_id": "This is a unique identifier for a customer.",
+            "first_name": "Customer's first name. PII.",
+            "last_name": "Customer's last name. PII.",
+            "first_order": "Date (UTC) of a customer's first order; "
+            "NULL for customers with no orders.",
+            "most_recent_order": "Date (UTC) of a customer's most recent order.",
+            "number_of_orders": "Count of the number of orders a customer "
+            "has placed.",
+            "customer_lifetime_value": "Total value (AUD) of a customer's "
+            "orders; NULL if no orders. (schema.yml documents this column "
+            "under its stale name total_order_amount — the model is the "
+            "truth, SURVEY §0.)",
         },
     )
     def customers(ctx: ModelContext) -> DataFrame:
@@ -131,9 +142,22 @@ def build_project(warehouse_dir: str | None = None) -> Project:
         materialized="table",
         deps=("stg_orders", "stg_payments"),
         description="One row per order with per-method payment amounts.",
+        # full column docs mirroring models/schema.yml:31-90
         columns={
-            "order_id": "Primary key.",
-            "amount": "Total payment amount for the order.",
+            "order_id": "This is a unique identifier for an order.",
+            "customer_id": "Foreign key to the customers table.",
+            "order_date": "Date (UTC) that the order was placed.",
+            "status": "Order lifecycle state (see docs block "
+            "orders_status): placed, shipped, completed, "
+            "return_pending, returned.",
+            "amount": "Total amount (AUD) of the order.",
+            "credit_card_amount": "Amount of the order (AUD) paid for by "
+            "credit card.",
+            "coupon_amount": "Amount of the order (AUD) paid for by coupon.",
+            "bank_transfer_amount": "Amount of the order (AUD) paid for by "
+            "bank transfer.",
+            "gift_card_amount": "Amount of the order (AUD) paid for by "
+            "gift card.",
         },
     )
     def orders(ctx: ModelContext) -> DataFrame:

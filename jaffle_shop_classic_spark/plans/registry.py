@@ -413,6 +413,18 @@ class Project:
         prev = self._read_latest(spec.name, spark)
         if prev is None:
             return self._write_version(spec.name, stamped, spark)
+        # monotonic-clock guard at the ENGINE level (not just the CLI
+        # verb): merging with a clock <= the stored high-water mark would
+        # close rows with valid_to <= valid_from — degenerate intervals
+        # persisted forever. Catches library callers who forgot to set
+        # snapshot_at (default 0) before a second run.
+        max_vf = prev.agg(F.max("valid_from").alias("m")).first()[0]
+        if max_vf is not None and at <= max_vf:
+            raise ValueError(
+                f"model {spec.name}: snapshot_at={at} must exceed the "
+                f"stored high-water mark {max_vf} (set project."
+                "snapshot_at to a strictly increasing clock per run)"
+            )
         closed = prev.filter(F.col("valid_to").isNotNull())
         open_rows = prev.filter(F.col("valid_to").isNull())
         # keys whose tracked columns changed vs the open row (null-safe)
