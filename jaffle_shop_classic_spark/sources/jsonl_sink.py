@@ -12,15 +12,24 @@ which is how every real lake writer achieves atomicity:
    what it wrote;
 2. `commit(messages)` runs ONCE on the driver only after every task
    succeeded: it writes the manifest listing exactly the committed
-   shards. Readers resolve the manifest first, so orphan shards from
-   failed/speculative attempts are invisible — rename-free atomicity on
-   stores without atomic rename;
+   shards — MERGED with the previous manifest in append mode, replaced
+   in overwrite mode. Readers resolve the manifest first, so orphan
+   shards from failed/speculative attempts (and overwritten
+   generations) are invisible — rename-free atomicity on stores
+   without atomic rename;
 3. `abort()` runs on failure and leaves no manifest — the write never
    happened as far as readers are concerned.
+
+Scope: shards and manifest land on a filesystem every node shares
+(local[here] / NFS / fuse-mounted object store). On a multi-host
+cluster with node-local disks, point `path` at shared storage — the
+same caveat bucketed.py documents for its writer.
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import uuid
@@ -33,6 +42,19 @@ from pyspark.sql.datasource import (
 )
 
 MANIFEST = "_MANIFEST.json"
+
+
+def _json_default(v):
+    """Serializer for the Spark column types json.dumps cannot handle
+    natively (timestamp/date -> ISO strings, decimal -> str, binary ->
+    hex)."""
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    raise TypeError(f"not JSON serializable: {type(v).__name__}")
 
 
 @dataclass
@@ -49,12 +71,17 @@ class JsonlManifestDataSource(DataSource):
         return "jsonl_manifest"
 
     def writer(self, schema, overwrite: bool) -> "JsonlManifestWriter":
-        return JsonlManifestWriter(self.options)
+        return JsonlManifestWriter(self.options, schema, overwrite)
 
 
 class JsonlManifestWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, schema=None, overwrite: bool = False):
         self.path = options["path"]
+        # the DDL schema rides the manifest so read-back never relies on
+        # JSON inference (which crashes on all-empty shards and degrades
+        # timestamps to strings)
+        self.schema_json = schema.json() if schema is not None else None
+        self.overwrite = overwrite
 
     def write(self, iterator) -> ShardCommit:
         from pyspark import TaskContext
@@ -68,19 +95,36 @@ class JsonlManifestWriter(DataSourceWriter):
         n = 0
         with open(shard, "w") as f:
             for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
+                f.write(json.dumps(row.asDict(), default=_json_default) + "\n")
                 n += 1
         return ShardCommit(path=shard, n_rows=n)
 
     def commit(self, messages) -> None:
+        new_shards = [{"path": m.path, "n_rows": m.n_rows} for m in messages]
+        mpath = os.path.join(self.path, MANIFEST)
+        prev_shards: list[dict] = []
+        if not self.overwrite and os.path.exists(mpath):
+            # APPEND: the new manifest must keep every previously
+            # committed shard — replacing it wholesale would orphan all
+            # earlier rows (silent data loss for manifest readers)
+            with open(mpath) as f:
+                prev_shards = json.load(f)["shards"]
+        shards = prev_shards + new_shards
         manifest = {
-            "shards": [
-                {"path": m.path, "n_rows": m.n_rows} for m in messages
-            ],
-            "n_rows": sum(m.n_rows for m in messages),
+            "shards": shards,
+            "n_rows": sum(s["n_rows"] for s in shards),
+            "schema": self.schema_json,
         }
-        with open(os.path.join(self.path, MANIFEST), "w") as f:
+        with open(mpath, "w") as f:
             json.dump(manifest, f, indent=1)
+        if self.overwrite:
+            # stale shards from earlier generations are invisible via
+            # the manifest; delete them so overwrite does not leak disk
+            live = {s["path"] for s in shards}
+            for p in os.listdir(self.path):
+                full = os.path.join(self.path, p)
+                if p.endswith(".jsonl") and full not in live:
+                    os.remove(full)
 
     def abort(self, messages) -> None:  # pragma: no cover — failure path
         # no manifest => the write never happened for readers; orphan
@@ -89,8 +133,18 @@ class JsonlManifestWriter(DataSourceWriter):
 
 
 def read_manifest(spark, path: str):
-    """Manifest-resolved read-back: only committed shards are visible."""
+    """Manifest-resolved read-back: only committed shards are visible.
+    The stored schema (when present) is applied, so empty datasets read
+    back correctly and timestamps keep their types."""
     with open(os.path.join(path, MANIFEST)) as f:
         manifest = json.load(f)
     shard_paths = [s["path"] for s in manifest["shards"]]
-    return spark.read.json(shard_paths), manifest
+    schema = None
+    if manifest.get("schema"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not shard_paths:
+        return spark.createDataFrame([], schema), manifest
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.json(shard_paths), manifest

@@ -23,11 +23,19 @@ TARGET_FILE_BYTES = 128 * 1024 * 1024  # the canonical HDFS/parquet target
 
 
 def _data_files(path: str) -> list[str]:
-    return [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    ]
+    """All parquet data files under ``path``, RECURSIVELY — a
+    hive-partitioned table keeps its files in key=value subdirectories,
+    and a top-level-only listing would report 0 input bytes (collapsing
+    the byte-derived target to one giant file)."""
+    out: list[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return out
 
 
 def compact_table(
@@ -58,10 +66,18 @@ def compact_table(
         )
     else:
         out = df.repartition(target_files)
-    out.write.mode("overwrite").parquet(out_path)
+    # row count rides the write itself via an Observation — no second
+    # full scan of the fresh output just for a stat
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    out.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(out_path)
     after = _data_files(out_path)
     return {
         "files_before": len(before),
         "files_after": len(after),
-        "rows": spark.read.parquet(out_path).count(),
+        "rows": obs.get["rows"],
     }

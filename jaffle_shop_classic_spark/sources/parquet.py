@@ -25,8 +25,6 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables that should always be broadcast in joins.
-DIMENSIONS = frozenset({"region", "nation", "supplier", "part"})
 
 
 # Per-session DataFrame cache: a DataFrame is an immutable plan, so

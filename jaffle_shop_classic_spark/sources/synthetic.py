@@ -46,6 +46,15 @@ def synth_n_words(doc_id: int) -> int:
     return 5 + (doc_id * _MULT) % 7
 
 
+def _doc_row(doc_id: int) -> tuple:
+    """The one definition of a synthetic document row — batch read and
+    stream replay MUST build identical tuples or the
+    readBetweenOffsets replay-parity guarantee silently breaks."""
+    k = synth_n_words(doc_id)
+    return (doc_id, " ".join(synth_word(doc_id, i) for i in range(k)), k)
+
+
+
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int):
         self.start = start
@@ -83,12 +92,7 @@ class SyntheticDocsReader(DataSourceReader):
 
     def read(self, partition: _RangePartition):
         for doc_id in range(partition.start, partition.end):
-            k = synth_n_words(doc_id)
-            yield (
-                doc_id,
-                " ".join(synth_word(doc_id, i) for i in range(k)),
-                k,
-            )
+            yield _doc_row(doc_id)
 
 
 class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
@@ -110,14 +114,7 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, lo: int, hi: int) -> list:
         # a LIST, not a generator: the engine pickles the batch so it can
         # cache it for replay between read() and the task execution
-        return [
-            (
-                doc_id,
-                " ".join(synth_word(doc_id, i) for i in range(synth_n_words(doc_id))),
-                synth_n_words(doc_id),
-            )
-            for doc_id in range(lo, hi)
-        ]
+        return [_doc_row(doc_id) for doc_id in range(lo, hi)]
 
     def read(self, start: dict):
         lo = start["next"]

@@ -131,3 +131,54 @@ def test_compaction_rewrites_small_files_and_preserves_data(spark, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in ranged)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint envelopes -> file skipping works
+
+
+def test_jsonl_manifest_append_preserves_previous_commit(spark, tmp_path):
+    """Append mode must MERGE manifests: a second write may not orphan
+    the first commit's rows (the silent-data-loss case), and the stored
+    schema keeps types (dates) through the round trip."""
+    from jaffle_shop_classic_spark.sources.jsonl_sink import (
+        JsonlManifestDataSource,
+        read_manifest,
+    )
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    path = str(tmp_path / "mani")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    df1.write.format("jsonl_manifest").mode("append").option("path", path).save()
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    df2.write.format("jsonl_manifest").mode("append").option("path", path).save()
+    back, manifest = read_manifest(spark, path)
+    assert manifest["n_rows"] == 3
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+
+    # overwrite replaces the manifest AND removes stale shards
+    df2.write.format("jsonl_manifest").mode("overwrite").option("path", path).save()
+    back2, manifest2 = read_manifest(spark, path)
+    assert manifest2["n_rows"] == 1
+    assert [r["id"] for r in back2.collect()] == [3]
+    import os
+
+    shards_on_disk = [f for f in os.listdir(path) if f.endswith(".jsonl")]
+    assert len(shards_on_disk) == len(manifest2["shards"])  # no leak
+
+
+def test_jsonl_manifest_serializes_dates_and_keeps_types(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.sources.jsonl_sink import (
+        JsonlManifestDataSource,
+        read_manifest,
+    )
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    path = str(tmp_path / "typed")
+    df = spark.createDataFrame([(1, "2024-03-01")], "id long, d string").select(
+        "id", F.col("d").cast("date").alias("d")
+    )
+    df.write.format("jsonl_manifest").mode("append").option("path", path).save()
+    back, _ = read_manifest(spark, path)
+    assert dict(back.dtypes)["d"] == "date"  # stored schema, not inference
+    assert str(back.collect()[0]["d"]) == "2024-03-01"
