@@ -872,19 +872,35 @@ def q_eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(array_sort(collect_list(CASE WHEN rn <= "
             f"{NDCG_K} THEN struct(rn, dterm) END)), x -> x.dterm)"
         ).alias("dterms"),
-        F.expr(
-            f"slice(reverse(array_sort(collect_list(gain))), 1, {NDCG_K})"
-        ).alias("gdesc"),
+        # the ideal list only needs PER-GAIN COUNTS (gains are the
+        # closed set {7, 3, 1, 0}): the sorted-desc ideal prefix is 7s,
+        # then 3s, then 1s, reconstructed below via array_repeat —
+        # per-group agg state is 3 counters, never the user's full gain
+        # list (the oracle keeps the explicit sorted-slice form; the
+        # folded values are bit-identical)
+        F.count(F.when(F.col("gain") == 7.0, 1)).alias("c7"),
+        F.count(F.when(F.col("gain") == 3.0, 1)).alias("c3"),
+        F.count(F.when(F.col("gain") == 1.0, 1)).alias("c1"),
         F.count(F.when(F.col("rn") <= NDCG_K, 1)).cast("bigint").alias("n_ranked"),
+    )
+    gdesc = (
+        f"concat(array_repeat(7.0D, CAST(least(c7, {NDCG_K}) AS INT)), "
+        f"array_repeat(3.0D, CAST(least(c3, {NDCG_K} - least(c7, {NDCG_K})) AS INT)), "
+        f"array_repeat(1.0D, CAST(least(c1, {NDCG_K} - least(c7, {NDCG_K}) "
+        f"- least(c3, {NDCG_K} - least(c7, {NDCG_K}))) AS INT)))"
     )
     folded = lists.select(
         "user_id",
         "n_ranked",
         F.expr("aggregate(dterms, 0.0D, (a, x) -> a + x)").alias("dcg"),
         F.expr(
-            "aggregate(transform(sequence(1, size(gdesc)), "
-            f"i -> element_at(gdesc, i) * element_at({_DISC_SPARK}, i)), "
-            "0.0D, (a, x) -> a + x)"
+            # guard the empty ideal list: sequence(1, 0) counts DOWN in
+            # Spark, so an all-zero-relevance user would index into an
+            # empty array instead of folding over nothing
+            f"CASE WHEN size({gdesc}) = 0 THEN 0.0D ELSE "
+            f"aggregate(transform(sequence(1, size({gdesc})), "
+            f"i -> element_at({gdesc}, i) * element_at({_DISC_SPARK}, i)), "
+            "0.0D, (a, x) -> a + x) END"
         ).alias("idcg"),
     )
     return folded.select(
