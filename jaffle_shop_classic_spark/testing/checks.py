@@ -56,9 +56,11 @@ def relationships(
     parent PK (/root/reference/models/schema.yml:46-48). LEFT ANTI join —
     Spark broadcasts the parent side when it is small."""
     parent_keys = parent.select(F.col(pk).alias("__pk")).dropDuplicates(["__pk"])
-    return (
-        child.filter(F.col(fk).isNotNull())
-        .join(parent_keys, F.col(fk) == F.col("__pk"), "left_anti")
+    filtered = child.filter(F.col(fk).isNotNull())
+    # QUALIFIED references: an unqualified __pk would turn ambiguous if
+    # the child itself carries a column of that name
+    return filtered.join(
+        parent_keys, filtered[fk] == parent_keys["__pk"], "left_anti"
     )
 
 
@@ -135,6 +137,8 @@ def run_checks(checks: dict[str, DataFrame], sample_rows: int = 5) -> list[Check
         if not rows:
             results.append(CheckResult(name, True, 0))
         else:
-            n = viol.count()
+            # the sample already proves the exact count unless it
+            # overflowed — only then re-run the plan for the total
+            n = len(rows) if len(rows) <= sample_rows else viol.count()
             results.append(CheckResult(name, False, n, [r.asDict() for r in rows[:sample_rows]]))
     return results
