@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,8 +94,11 @@ def decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     for pdf in batches:
         if have_codec:  # pragma: no cover — codec path not available here
             raise NotImplementedError("real decode path: wire PIL here")
+        # NULL-safe: a nullable payload column delivers None to the
+        # kernel; treat it like an empty payload instead of crashing the
+        # whole query (str.len() -> NaN -> IntCastingNaNError)
         payloads = pdf["payload"]
-        n_bytes = payloads.str.len().astype("int32")
+        n_bytes = payloads.str.len().fillna(0).astype("int32")
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -103,7 +107,9 @@ def decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "height": (n_bytes % 480).astype("int32"),
                 "channels": 3,
                 "feature": [
-                    [float(b[i % len(b)]) / 255.0 for i in range(8)] if len(b) else [0.0] * 8
+                    [float(b[i % len(b)]) / 255.0 for i in range(8)]
+                    if b is not None and len(b)
+                    else [0.0] * 8
                     for b in payloads
                 ],
             }
@@ -167,7 +173,9 @@ def resize_stub_batch(target_w: int, target_h: int):
         for pdf in batches:
             w = pdf["width"].clip(lower=1)
             h = pdf["height"].clip(lower=1)
-            scale = (target_w / w).combine(target_h / h, min)
+            # vectorized min — Series.combine dispatches a Python call
+            # per element (~100x slower per Arrow batch)
+            scale = np.minimum(target_w / w, target_h / h)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
