@@ -33,7 +33,10 @@ def _make_scaled_log_price():
     def scaled_log_price(price: pd.Series) -> pd.Series:
         import numpy as np
 
-        return np.log1p(price) * 100.0
+        # np.log(x + 1), NOT log1p: the oracle computes ln(x + 1), and
+        # the two formulas differ in last bits for large x — mirroring
+        # the formula removes the divergence before the 4dp round
+        return np.log(price + 1.0) * 100.0
 
     return scaled_log_price
 
@@ -90,11 +93,13 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     mean = pdf["value"].mean()
     # population std (ddof=0) to match the SQL oracle's stddev_pop; for a
     # constant-valued group stddev_pop = 0 and the oracle's division
-    # yields NULL, so emit NaN (a float Series — a bare 0.0 would crash
-    # .round on the scalar branch)
+    # yields NULL, so assign None (an object column Arrow converts to
+    # SQL NULL). Rounding happens OUTSIDE the kernel with F.round:
+    # pandas .round is binary half-even while DuckDB/F.round round the
+    # decimal repr half-away — a near-boundary zscore would diverge.
     std = pdf["value"].std(ddof=0)
     if std:
-        pdf["zscore"] = ((pdf["value"] - mean) / std).round(4)
+        pdf["zscore"] = (pdf["value"] - mean) / std
     else:
         pdf["zscore"] = None  # oracle: x / stddev_pop(...)=0 -> NULL
     return pdf[["event_id", "event_type", "zscore"]]
@@ -115,8 +120,12 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def q_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    return e.groupBy("event_type").applyInPandas(
+    raw = e.groupBy("event_type").applyInPandas(
         _zscore_group, "event_id long, event_type string, zscore double"
+    )
+    # F.round (decimal half-away, like the oracle) — never pandas .round
+    return raw.select(
+        "event_id", "event_type", F.round("zscore", 4).alias("zscore")
     )
 
 
@@ -142,7 +151,12 @@ def q_asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    signups = e.filter(F.col("event_type") == "signup").select(
+    # NULL user_ids must not match: the window would pool them into one
+    # partition and fill signup_ts across NULL-keyed rows, while the
+    # oracle's ASOF equi-join never matches NULL keys
+    signups = e.filter(
+        (F.col("event_type") == "signup") & F.col("user_id").isNotNull()
+    ).select(
         F.lit(None).cast("long").alias("event_id"),
         "user_id",
         "ts",
