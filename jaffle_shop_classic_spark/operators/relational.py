@@ -31,20 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
-from .catalog import CATALOG, register
+from .catalog import register
 
 # compile-time pivot list, mirroring the Jinja `{% set payment_methods %}`
 # loop at /root/reference/models/orders.sql:1 (R12 — Python list replaces Jinja)
 RETURN_FLAGS = ["A", "N", "R"]
-
-
-def stg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projection + rename (stg_customers.sql:13-16 shape)."""
-    return load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("customer_id"),
-        F.col("c_name").alias("name"),
-        F.col("c_mktsegment").alias("segment"),
-    )
 
 
 def stg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,9 +139,11 @@ def q_agg_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "jaffle_customers",
-    oracle="""
+# shared by jaffle_customers and sql_model_customers_mart (the two
+# certify the same algebra through different authoring paths) — a
+# module constant, NOT a CATALOG lookup at decoration time, so the
+# registrations cannot break on reordering
+_CUSTOMERS_MART_ORACLE = """
     WITH customer_orders AS (
         SELECT o_custkey AS customer_id,
                min(o_orderdate) AS first_order,
@@ -176,7 +169,12 @@ def q_agg_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     LEFT JOIN customer_orders co ON c.c_custkey = co.customer_id
     LEFT JOIN customer_payments cp ON c.c_custkey = cp.customer_id
-    """,
+    """
+
+
+@register(
+    "jaffle_customers",
+    oracle=_CUSTOMERS_MART_ORACLE,
     doc="Flagship: full customers-mart analog (customers.sql:20-67). "
     "R5+R6+R7+R8+R11 in one plan; NULL aggregates for customers "
     "without orders are preserved (no coalesce).",
@@ -235,11 +233,17 @@ def q_jaffle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pivot_amount_sql(flag: str) -> str:
+def _pivot_amount_sql(flag: str, zero: str = "0") -> str:
+    """One pivot column (R9). The SAME generator feeds the DuckDB oracle
+    (zero='0') and the Spark query (zero='0.0D', the typed double
+    literal) so the two sides cannot drift."""
     return (
         f"round(sum(CASE WHEN l_returnflag = '{flag}' THEN l_extendedprice "
-        f"ELSE 0 END), 2) AS {flag.lower()}_amount"
+        f"ELSE {zero} END), 2) AS {flag.lower()}_amount"
     )
+
+
+_PIVOT_SELECT = ", ".join("p." + m.lower() + "_amount" for m in RETURN_FLAGS)
 
 
 @register(
@@ -256,7 +260,7 @@ def _pivot_amount_sql(flag: str) -> str:
            o.o_custkey AS customer_id,
            o.o_orderdate AS order_date,
            o.o_orderstatus AS status,
-           {", ".join("p." + m.lower() + "_amount" for m in RETURN_FLAGS)},
+           {_PIVOT_SELECT},
            p.amount
     FROM orders o
     LEFT JOIN order_payments p ON o.o_orderkey = p.order_id
@@ -269,11 +273,7 @@ def _pivot_amount_sql(flag: str) -> str:
 def q_jaffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pivot columns generated by a Python loop (R12, the Jinja-loop
     # analog) into one spark.sql call — see q_jaffle_customers for why
-    pivots = ", ".join(
-        f"round(sum(CASE WHEN l_returnflag = '{m}' THEN l_extendedprice "
-        f"ELSE 0.0D END), 2) AS {m.lower()}_amount"
-        for m in RETURN_FLAGS
-    )
+    pivots = ", ".join(_pivot_amount_sql(m, zero="0.0D") for m in RETURN_FLAGS)
     return spark.sql(
         f"""
         WITH order_payments AS (
@@ -286,7 +286,7 @@ def q_jaffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                o.o_custkey AS customer_id,
                o.o_orderdate AS order_date,
                o.o_orderstatus AS status,
-               {", ".join("p." + m.lower() + "_amount" for m in RETURN_FLAGS)},
+               {_PIVOT_SELECT},
                p.amount
         FROM {{orders}} o
         LEFT JOIN order_payments p ON o.o_orderkey = p.order_id
@@ -300,7 +300,7 @@ def q_jaffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_model_customers_mart",
     # identical semantics to jaffle_customers, so the oracle is shared;
     # what this entry certifies is the AUTHORING PATH, not new algebra
-    oracle=CATALOG["jaffle_customers"].oracle,
+    oracle=_CUSTOMERS_MART_ORACLE,
     doc="The reference-user migration path under the hard gate: the "
     "customers mart authored as SQL TEXT (the reference's compiled CTE "
     "shape, customers.sql:20-67, verbatim structure — unfused, "
@@ -347,4 +347,17 @@ def q_sql_model_customers_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEFT JOIN sqlm_customer_payments cp ON c.c_custkey = cp.customer_id""",
         deps=["sqlm_customer_orders", "sqlm_customer_payments"],
     )
-    return p.resolve("sqlm_customers_mart", spark)
+    try:
+        # spark.sql analyzes eagerly, so the returned plan no longer
+        # needs the views once resolve() completes
+        return p.resolve("sqlm_customers_mart", spark)
+    finally:
+        for v in (
+            "sqlmodel_src_customer",
+            "sqlmodel_src_orders",
+            "sqlmodel_src_lineitem",
+            "sqlm_customer_orders",
+            "sqlm_customer_payments",
+            "sqlm_customers_mart",
+        ):
+            spark.catalog.dropTempView(v)
