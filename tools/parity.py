@@ -11,6 +11,7 @@ Usage:  python tools/parity.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from collections import Counter
@@ -18,7 +19,7 @@ from datetime import date, datetime
 
 import duckdb
 
-REPO = "/root/repo"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 TABLES = (
@@ -34,23 +35,39 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # queries pre-round their doubles; this guards residual last-bit noise
-        return format(v, ".9g")
+        # queries pre-round their doubles; this guards residual last-bit
+        # noise. +0.0 folds signed zero: DuckDB round can emit -0.0 where
+        # Spark's BigDecimal round cannot — equal values, one repr.
+        return format(0.0 if v == 0 else v, ".9g")
     if isinstance(v, datetime):
+        # strip tzinfo: DuckDB TIMESTAMPTZ isoformats with +00:00 while
+        # Spark's session-UTC collect is naive — same instant, one repr
+        if v.tzinfo is not None:
+            import datetime as _dt
+
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ")
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):  # Spark collects BinaryType as bytearray
+        return bytes(v).hex()
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # scale-insensitive: DECIMAL(22,2) '12.50' == '12.5000'
+        return format(v.normalize(), "f")
     return str(v)
 
 
 def _rows_multiset(columns, rows) -> Counter:
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    # case-INSENSITIVE sort key: the schema gate compares lowercased
+    # names, so the cell pairing must use the same collation or a
+    # case-differing column set permutes the two sides differently
+    order = sorted(range(len(columns)), key=lambda i: columns[i].lower())
     return Counter(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
@@ -84,9 +101,8 @@ def compare(name: str, spark_df, con) -> dict:
             "columns": bad,
             "fix": "wrap the integer sum in CAST(... AS BIGINT) in the oracle SQL",
         }
-    cur = con.execute(spec.oracle)
-    o_cols = [d[0] for d in cur.description]
-    o_rows = cur.fetchall()
+    o_cols = list(rel.columns)
+    o_rows = rel.fetchall()
     t_duck = time.time() - t0
     out = {
         "name": name,
@@ -118,12 +134,19 @@ def compare(name: str, spark_df, con) -> dict:
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if argv and not os.path.isdir(argv[0]):
+        # `parity.py <query> ...` with no data dir: default the dir
+        # instead of dying inside CREATE VIEW with an IO traceback
+        sf_dir = "/root/testdata/sf0.01"
+    elif argv:
+        sf_dir, argv = argv[0], argv[1:]
+    else:
+        sf_dir = "/root/testdata/sf0.01"
     from jaffle_shop_classic_spark.operators.catalog import load_catalog
     from jaffle_shop_classic_spark.session import get_spark
 
     catalog = load_catalog()
-    names = list(argv[1:]) or list(catalog)
+    names = list(argv) or list(catalog)
     spark = get_spark("parity", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
