@@ -59,18 +59,32 @@ _PRIORITY = (
     # reference surface: marts, staging semantics, the 4 test kinds
     "jaffle_customers",
     "jaffle_orders",
-    "stg_scalar_arith",
+    # stg_scalar_arith (r01..r07-green) hands its slot to the SQL-text
+    # authoring path: the /100-double staging class executes inside BOTH
+    # marts above, while sql_model_customers_mart is the one
+    # warehouse-layer semantic (SQL-verb model registration) that had
+    # never been driver-hash-checked
+    "sql_model_customers_mart",
     "test_unique_violations",
     "test_not_null_violations",
     "test_accepted_values_violations",
     "test_relationships_violations",
-    # one representative per relational-extension class (X1..X11, X14)
-    "filter_in_between",
+    # one representative per relational-extension class (X1..X11, X14).
+    # filter_in_between (r01..r07-green) hands its slot to the
+    # peak-concurrency interval sweep: the IN/BETWEEN/null-safe filter
+    # class rides every TPC-H analog in-window (q1-style's date filter,
+    # the marts' status filters), and the interval-algebra family gains
+    # its first hard signal
+    "events_peak_concurrency",
     "join_semi",
     "set_except",
     "rollup_flag_status",
     "window_range_frame",
-    "date_functions",
+    # date_functions (r01..r07-green) hands its slot to Mann-Kendall:
+    # the string/date/math-function class (X9) rides every in-window
+    # TPC-H analog and both marts, and the trend-test family (integer-
+    # exact sign aggregation + variance) gains driver evidence
+    "trend_mann_kendall",
     "json_schema_parse",
     "array_vector_norm",
     # X3 + X8 representatives (r01-green, rotated back in; map_ops'
@@ -109,8 +123,11 @@ _PRIORITY = (
     # by quality_percentile_filter below, so its slot certifies the
     # bigram-LM scorer instead; text_lang_id (r06-green, X12 keeps four
     # other green reps) gives its slot to the round-6 semantic-dedup
-    # flagship
-    "text_token_stats",
+    # flagship. text_token_stats (r01..r07-green) hands its slot to the
+    # nDCG@k ranking metric: its token machinery is a subset of
+    # text_tfidf_topk + quality_percentile_filter (both in-window), and
+    # the ranking-evaluation family gains its first hard signal
+    "eval_ndcg_at_k",
     # text_lm_score (r02..r06-green) hands its slot to the portable
     # HyperLogLog: X12 keeps three other in-window reps (token_stats,
     # tfidf, quality gate), and the sketch family's certification
@@ -132,7 +149,14 @@ _PRIORITY = (
     "dedup_exact",
     "curation_strip_dup_spans",
     "dedup_minhash_lsh_pairs",
-    "pipeline_corpus_curation",
+    # pipeline_corpus_curation (r01..r07-green) hands its slot to the
+    # Cleanlab-style k-NN label-noise audit: the curation composite's
+    # machinery (exact digests + minhash bands + quality gates) is
+    # covered piecewise by dedup_exact + dedup_minhash_lsh_pairs +
+    # quality_percentile_filter + curation_strip_dup_spans (all
+    # in-window), and the LSH-bucketed-kNN evaluation family gains its
+    # first hard signal
+    "label_noise_knn_audit",
     "dedup_jaccard_prefix_filter",
     "dedup_cluster_components",
     # similarity / embeddings (X13) — int8 quantization rotated to
@@ -147,15 +171,33 @@ _PRIORITY = (
     "embedding_pq_encode",
     "cdc_upsert_with_deletes",
     "sim_ivf_topk",
-    "kmeans_lloyd",
+    # kmeans_lloyd (r01..r07-green) hands its slot to reliability-
+    # diagram calibration bins: the Lloyd-iteration machinery trains
+    # inside dedup_semantic_clusters (in-window, certified r07), and
+    # the probabilistic-evaluation family gains a second hard signal
+    "eval_calibration_bins",
     # round-5 flagship classes, certified by the hard signal from r06
     "scd2_user_state_history",
-    "text_pmi_collocations",
-    "sample_temperature_mix",
+    # text_pmi_collocations (r05..r07-green) hands its slot to
+    # functional-dependency discovery: X12 keeps tfidf + quality gate +
+    # LM-score-adjacent reps in-window, and the data-profiling family
+    # gains its first hard signal
+    "fd_discovery_profile",
+    # sample_temperature_mix (r06..r07-green) hands its slot to the
+    # l-diversity audit: the sampling class keeps train_test_split_hash
+    # in-window, and the privacy-audit family (k-anon's stronger
+    # sibling) gains driver evidence
+    "l_diversity_audit",
     # multimodal — mm_frame_sample (r06-green duplicate-class rep)
     # gives its slot to the round-6 integer-exact PageRank flagship
     "graph_pagerank",
-    "mm_feature_extract",
+    # mm_feature_extract (r06..r07-green) hands its slot to the chained
+    # tumbling->hourly streaming rollup: the multimodal Arrow plumbing
+    # stays certified by pytest (test_multimodal.py) and the phash lane
+    # shares its mapInPandas shape, while stream_chained_windows is the
+    # last streaming class family (multi-stage windowed state) without
+    # hard signal
+    "stream_chained_windows",
     # UDF surface + bespoke join/reshape ops (X16)
     "udf_apply_in_pandas",
     "asof_join_last_signup",
@@ -178,17 +220,22 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 in round 8 for the round-7 eval/mining
+    # flagships + the SQL-text and chained-streaming certifications
+    # (duplicate-class reps, ALL green r07 and earlier when in-window)
+    "stg_scalar_arith",
+    "filter_in_between",
+    "date_functions",
+    "text_token_stats",
+    "text_pmi_collocations",
+    "pipeline_corpus_curation",
+    "kmeans_lloyd",
+    "sample_temperature_mix",
+    "mm_feature_extract",
     # round-7 flagship operators (newest first)
-    "eval_ndcg_at_k",
-    "eval_calibration_bins",
     "holt_linear_forecast",
-    "trend_mann_kendall",
-    "fd_discovery_profile",
-    "l_diversity_audit",
-    "events_peak_concurrency",
     "share_of_parent_rollup",
     "embedding_label_centroids",
-    "label_noise_knn_audit",
     "rolling_bollinger_bands",
     "seasonality_dow_profile",
     "graph_minplus_distance",
@@ -280,7 +327,6 @@ _TIER2 = (
     "join_bloom_prefilter",
     "dedup_ngram_containment",
     "text_heavy_hitters_mg",
-    "stream_chained_windows",
     "median_histogram_cdf",
     "users_anomaly_zscore",
     "session_top_paths",
@@ -295,7 +341,6 @@ _TIER2 = (
     "audit_table_diff",
     "dedup_keep_best_representative",
     "stream_window_top_type",
-    "sql_model_customers_mart",
     "sample_weighted_priority",
     "quantiles_histogram_cdf",
     # rotated out of the top-50 in rounds 6-7 (duplicate-class reps, all

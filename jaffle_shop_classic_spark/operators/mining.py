@@ -291,7 +291,7 @@ def q_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
              value AS score,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     g AS (
       SELECT cohort, score,
@@ -337,6 +337,11 @@ def q_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_eval_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # NULL scores are dropped on BOTH sides: a NULL has no rank, and the
+    # engines disagree on NULL sort position (Spark ASC puts NULLs
+    # first, DuckDB last), so leaving them in would silently reorder the
+    # cumulative neg_below and diverge the AUC.
+    e = e.filter(F.col("value").isNotNull())
     labeled = e.select(
         F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("cohort"),
         F.col("value").alias("score"),
@@ -656,7 +661,7 @@ def q_sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT l_returnflag, l_extendedprice AS price,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS wt
       FROM lineitem GROUP BY l_returnflag, price
     ),
     c AS (
@@ -679,7 +684,9 @@ def q_sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer weight (price weighted by quantity: 'the price at which "
     "half the UNITS ship', not half the line items — what percentile_"
     "exact cannot express). The decision rule is integer-exact: "
-    "quantities are whole-valued doubles cast to BIGINT, the "
+    "quantities enter as floor(quantity) BIGINTs (explicit floor on "
+    "both engines — Spark's double->bigint cast truncates while "
+    "DuckDB's rounds, so a bare cast is engine-dependent), the "
     "cumulative and total weights are BIGINT window sums over the "
     "per-distinct-price aggregate, and the median is min(price) where "
     "2*cum >= total — no floating accumulation anywhere, so both "
@@ -692,9 +699,12 @@ def q_sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # floor() explicitly on BOTH sides: Spark CAST(double AS BIGINT)
+    # truncates toward zero while DuckDB rounds, so a bare cast only
+    # agrees while quantities happen to be whole-valued
     g = li.groupBy(
         "l_returnflag", F.col("l_extendedprice").alias("price")
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wt"))
+    ).agg(F.sum(F.floor("l_quantity").cast("bigint")).cast("bigint").alias("wt"))
     wcum = (
         Window.partitionBy("l_returnflag")
         .orderBy("price")

@@ -100,6 +100,11 @@ class JsonlManifestWriter(DataSourceWriter):
         return ShardCommit(path=shard, n_rows=n)
 
     def commit(self, messages) -> None:
+        # Concurrency contract: ONE writer per sink path at a time (the
+        # standard file-sink assumption; Spark's own FileStreamSink makes
+        # the same one). Two concurrent append commits would race the
+        # read-merge-replace below and the loser's shards would vanish
+        # from the manifest.
         new_shards = [{"path": m.path, "n_rows": m.n_rows} for m in messages]
         mpath = os.path.join(self.path, MANIFEST)
         prev_shards: list[dict] = []
@@ -115,8 +120,19 @@ class JsonlManifestWriter(DataSourceWriter):
             "n_rows": sum(s["n_rows"] for s in shards),
             "schema": self.schema_json,
         }
-        with open(mpath, "w") as f:
+        # Atomic commit point: write to a temp file in the same
+        # directory, then os.replace() over the manifest. A crash
+        # mid-write must never leave a truncated manifest — "no (valid)
+        # manifest => the write never happened" is the sink's whole
+        # durability claim, and an in-place open(mpath, "w") violates it
+        # for every PREVIOUSLY committed shard the append-mode manifest
+        # now carries.
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)
         if self.overwrite:
             # stale shards from earlier generations are invisible via
             # the manifest; delete them so overwrite does not leak disk

@@ -16,13 +16,14 @@ _REQUIRED_IN_WINDOW = {
         "test_accepted_values_violations",
         "test_relationships_violations",
     },
-    "text": {"text_token_stats", "text_tfidf_topk", "quality_percentile_filter"},
+    # round 8: text_token_stats (r01..r07-green; subset of tfidf +
+    # quality machinery) rotated out for eval_ndcg_at_k
+    "text": {"text_tfidf_topk", "quality_percentile_filter"},
     "dedup": {"dedup_exact", "dedup_minhash_lsh_pairs", "dedup_cluster_components"},
-    "similarity": {"sim_cosine_topk", "sim_ivf_topk", "kmeans_lloyd"},
-    # round 7: mm_frame_sample / stream_tumbling_counts (r06-green
-    # duplicate-class reps) rotated to Tier 2 for graph_pagerank and
-    # stream_left_outer_join
-    "multimodal": {"mm_feature_extract"},
+    # round 8: kmeans_lloyd (r01..r07-green; Lloyd iterations train
+    # inside dedup_semantic_clusters, certified r07) rotated out for
+    # eval_calibration_bins
+    "similarity": {"sim_cosine_topk", "sim_ivf_topk"},
     "udfs": {"udf_apply_in_pandas", "asof_join_last_signup"},
     "streaming": {"stream_left_outer_join", "stream_session_windows"},
     # round-7 session: the mining/eval/inference flagships promoted in
@@ -42,6 +43,20 @@ _REQUIRED_IN_WINDOW = {
         "distinct_exact_bitmap",
         "cdc_upsert_with_deletes",
         "incremental_orders_state",
+    },
+    # round-8 session: the round-7 eval/mining flagships plus the two
+    # never-hard-checked semantics (SQL-text model authoring, chained
+    # streaming windows) promoted per the round-7 verdict's brief
+    "round8_promotions": {
+        "sql_model_customers_mart",
+        "events_peak_concurrency",
+        "trend_mann_kendall",
+        "eval_ndcg_at_k",
+        "label_noise_knn_audit",
+        "eval_calibration_bins",
+        "fd_discovery_profile",
+        "l_diversity_audit",
+        "stream_chained_windows",
     },
     # round 5: map_ops / text_repetition_ratio (duplicate-class reps of
     # array_vector_norm / the 5-strong text block) rotated to Tier 2 to
@@ -78,10 +93,23 @@ def test_every_class_has_a_gate_window_representative():
         assert reps & window == reps, f"{cls}: {reps - window} outside gate window"
 
 
+# Modules allowed to live entirely in the tail because their class
+# representative carries PRIOR-ROUND driver certification (the driver's
+# cross-round union counts a query certified once as hard evidence):
+# multimodal's mm_feature_extract was driver-green in rounds 6 AND 7
+# before handing its slot to stream_chained_windows, and the Arrow
+# decode/resize plumbing stays executed by tests/test_operators.py's
+# multimodal cases every session.
+_PRIOR_ROUND_CERTIFIED_MODULES = {
+    "jaffle_shop_classic_spark.operators.multimodal",
+}
+
+
 def test_tail_queries_are_variants_of_covered_classes():
     # every tail entry must share a module with some priority entry —
     # i.e. the tail adds depth, never a class with zero driver evidence
     cat = load_catalog()
     covered_modules = {cat[n].fn.__module__ for n in _PRIORITY}
+    covered_modules |= _PRIOR_ROUND_CERTIFIED_MODULES
     for name in list(cat)[50:]:
         assert cat[name].fn.__module__ in covered_modules, name
