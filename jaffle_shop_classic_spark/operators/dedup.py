@@ -1553,6 +1553,43 @@ def _pagerank_oracle() -> str:
     """
 
 
+def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Integer-unit PageRank kernel over a symmetric (src, dst) edge
+    list: DataFrame[doc_id, r] with r in units of 1/PR_SCALE. Each
+    round is ONE keyed exchange of (node, long) messages whose sum
+    aggregate partially combines map-side — a hub with 10% of the
+    edges contributes at most one partial row per input partition to
+    the shuffle, never its raw in-degree (asserted under a planted hub
+    in tests/test_skew_stress.py)."""
+    deg = (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    consts = deg.agg(F.count(F.lit(1)).alias("n")).selectExpr(
+        f"(15 * {PR_SCALE}L) div (100 * n) AS base",
+        f"{PR_SCALE}L div n AS init",
+    )
+    ranks = (
+        deg.select("doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", F.col("init").alias("r"))
+    )
+    for _ in range(iters):
+        contrib = ranks.join(deg, "doc_id").selectExpr(
+            "doc_id", "r div deg AS contrib"
+        )
+        msgs = (
+            edges.join(contrib, edges.src == contrib.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = msgs.crossJoin(F.broadcast(consts)).selectExpr(
+            "doc_id", "base + (85 * s) div 100 AS r"
+        )
+    return ranks
+
+
 @register(
     "graph_pagerank",
     oracle=_pagerank_oracle(),
@@ -1576,33 +1613,7 @@ def _pagerank_oracle() -> str:
     "with durable checkpoints replacing localCheckpoint.",
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _symmetric_edges(_lsh_candidate_pairs(spark, sf_dir))
-    deg = (
-        edges.groupBy(F.col("src").alias("doc_id"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
-    )
-    consts = deg.agg(F.count(F.lit(1)).alias("n")).selectExpr(
-        f"(15 * {PR_SCALE}L) div (100 * n) AS base",
-        f"{PR_SCALE}L div n AS init",
-    )
-    ranks = (
-        deg.select("doc_id")
-        .crossJoin(F.broadcast(consts))
-        .select("doc_id", F.col("init").alias("r"))
-    )
-    for _ in range(PR_ITERS):
-        contrib = ranks.join(deg, "doc_id").selectExpr(
-            "doc_id", "r div deg AS contrib"
-        )
-        msgs = (
-            edges.join(contrib, edges.src == contrib.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.sum("contrib").alias("s"))
-        )
-        ranks = msgs.crossJoin(F.broadcast(consts)).selectExpr(
-            "doc_id", "base + (85 * s) div 100 AS r"
-        )
+    ranks = pagerank_ranks(_symmetric_edges(_lsh_candidate_pairs(spark, sf_dir)))
     return ranks.selectExpr(
         "doc_id",
         "r AS rank_unit",
@@ -1657,6 +1668,32 @@ def _lpa_oracle() -> str:
     """
 
 
+def propagate_labels(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Synchronous label-propagation kernel over a symmetric (src, dst)
+    edge list: DataFrame[doc_id, label] after ``iters`` deterministic
+    rounds (most-frequent neighbor label, ties to min label). Each
+    round is one (dst, label) count aggregate — partially combined
+    map-side, so a planted hub's fanout shuffles as per-partition
+    partials, not raw messages — plus one per-node argmax window
+    (asserted in tests/test_skew_stress.py)."""
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(iters):
+        counts = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "label")
+        )
+    return labels
+
+
 @register(
     "graph_label_propagation",
     oracle=_lpa_oracle(),
@@ -1678,22 +1715,7 @@ def _lpa_oracle() -> str:
     "unbounded accumulates per key at any scale.",
 )
 def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _symmetric_edges(_lsh_candidate_pairs(spark, sf_dir))
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("label")
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("label").asc())
-    for _ in range(LPA_ITERS):
-        counts = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "label")
-        )
+    labels = propagate_labels(_symmetric_edges(_lsh_candidate_pairs(spark, sf_dir)))
     sized = labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )

@@ -210,6 +210,84 @@ def test_vocab_overlap_fanout_bounded_by_source_count(spark, tmp_path):
         assert r["jaccard"] == round(1 / 3, 6)
 
 
+@pytest.fixture(scope="module")
+def hub_graph(spark):
+    """A planted-hub graph: node 0 owns 300 of 302 edges (>99% of the
+    edge mass — far beyond the 10%-hot threshold the AQE tier uses),
+    plus a disjoint 3-node chain so multi-component behavior is
+    exercised too. Returned as (pairs, symmetric_edges)."""
+    rows = [(0, leaf) for leaf in range(1, 301)] + [(400, 401), (401, 402)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint(eager=True)
+    )
+    return pairs, edges
+
+
+def test_pagerank_hub_messages_combine_map_side(spark, hub_graph):
+    """PageRank under a node holding >99% of edges: every per-round sum
+    aggregate must carry a map-side partial stage (the hub's 300
+    incoming messages shuffle as per-partition partials, never raw
+    rows), and the output must be exact — hub rank strictly maximal,
+    all 300 structurally identical leaves bit-identical."""
+    from jaffle_shop_classic_spark.operators.dedup import pagerank_ranks
+
+    _, edges = hub_graph
+    ranks = pagerank_ranks(edges, iters=2)
+    rows = ranks.collect()
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    # the keyed exchange is partially aggregated before the shuffle
+    assert "partial_sum" in plan
+    by_id = {r["doc_id"]: r["r"] for r in rows}
+    assert len(by_id) == 304
+    hub = by_id[0]
+    leaf_ranks = {by_id[leaf] for leaf in range(1, 301)}
+    assert len(leaf_ranks) == 1  # symmetric leaves agree bit-for-bit
+    assert hub > max(by_id[i] for i in by_id if i != 0)
+    # integer mass conservation: truncating div loses <1 unit per op,
+    # so total rank mass stays within a hair of PR_SCALE
+    total = sum(by_id.values())
+    assert 0.95 * 10**12 < total <= 10**12
+
+
+def test_lpa_hub_keeps_leaves_in_one_community(spark, hub_graph):
+    """Synchronous LPA under the planted hub: the (dst, label) count
+    aggregate must partially combine map-side, and the star must never
+    fragment — all 300 leaves carry ONE shared label each round (the
+    deterministic two-coloring of the bipartite star), with the
+    disjoint chain keeping its own labels."""
+    from jaffle_shop_classic_spark.operators.dedup import propagate_labels
+
+    _, edges = hub_graph
+    labels = propagate_labels(edges, iters=4)
+    rows = labels.collect()
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    got = {r["doc_id"]: r["label"] for r in rows}
+    leaf_labels = {got[leaf] for leaf in range(1, 301)}
+    assert len(leaf_labels) == 1  # the hub's community never fragments
+    assert leaf_labels <= {0, 1} and got[0] in {0, 1}
+    assert {got[400], got[401], got[402]} <= {400, 401}  # chain stays apart
+
+
+def test_star_cc_hub_converges_in_log_rounds(spark, hub_graph):
+    """Large-star/small-star under the planted hub: a 300-leaf star is
+    already (almost) the fixpoint shape, so contraction must land
+    within 6 alternations (vs STAR_MAX_ITERS=30) and label every node
+    with its component min — hub fanout never multiplies rounds."""
+    from jaffle_shop_classic_spark.operators.dedup import star_components
+
+    pairs, _ = hub_graph
+    comp = star_components(pairs, max_iters=6)  # raises if not converged
+    rows = comp.collect()
+    got = {r["doc_id"]: r["component_id"] for r in rows}
+    assert len(got) == 304
+    assert all(got[i] == 0 for i in range(0, 301))
+    assert got[400] == got[401] == got[402] == 400
+
+
 def test_khop_hub_fanout_single_plan(spark, tmp_path):
     """A 300-leaf hub at the seed: the first frontier expansion fans to
     300 nodes in one equi-join round and distances stay exact."""
