@@ -1415,13 +1415,16 @@ def q_dedup_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
     "versa) rides the same join. Every threshold decision is integer "
     "arithmetic (ceil(3L/5) = (3L+4) div 5; jaccard >= 3/5 iff "
     "8*inter >= 3*(la+lb)) so no float sits near a keep/drop boundary "
-    "and the oracle agrees bit-for-bit. Plan: shingles come from "
-    "posexplode over the CARRIED token array with element_at lookups "
-    "— the tokenizer runs once per document and no pre-shingle "
-    "(doc_id, pos) window sort exists at all (the earlier "
-    "window-lead form forced that sort; 1.5s -> 0.6s warm at "
-    "sf0.1), and the distinct shingle stream is materialized once "
-    "for its four consumers (sizes, df, prefix rank, verification). "
+    "and the oracle agrees bit-for-bit. Plan: each document builds "
+    "its DISTINCT shingle array per-row (transform over an index "
+    "sequence + array_distinct, one codegen span) and explodes it "
+    "once — per-doc dedup happens in memory before any exchange, so "
+    "the (doc_id, s) dropDuplicates shuffle of the earlier "
+    "carried-array form is gone entirely (head-to-head medians at "
+    "sf0.1: 1.88 s vs 1.99 s carried-array vs 2.13 s window-lead; "
+    "at 100 TB the dropped shuffle is the full shingle stream). The "
+    "distinct shingle stream is then materialized once for its four "
+    "consumers (sizes, df, prefix rank, verification). "
     "Verification counts common shingles for the candidate PAIRS "
     "only — O(candidates), never O(n^2). Docs under 5 tokens cannot "
     "form a shingle and fall out on both sides (exact-dedup "
@@ -1429,29 +1432,27 @@ def q_dedup_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # 5-gram stream via posexplode + element_at on the CARRIED token
-    # array — zero shuffles, one codegen span (same measured rationale
-    # as exploded_shingles: the earlier lead()-window form forced a
-    # (doc_id, pos) sort over the full token stream before any shingle
-    # existed; warm medians 1.5s -> 0.6s at sf0.1). The tokenize stays
-    # in its own select below the explode so split() runs once per doc,
-    # not per exploded row (exploded_shingles' inlining pitfall).
-    base = d.selectExpr("doc_id", r"split(trim(text), '\\s+') AS tk")
-    ex = base.selectExpr(
-        "doc_id", "size(tk) AS n", "tk", "posexplode(tk) AS (pos, tok)"
-    )
-    # the distinct shingle stream feeds FOUR consumers (sizes, df counts,
-    # prefix ranking, pair verification) — materialize it once instead of
-    # re-running the explode per consumer (same measurement rationale as
-    # the gram stream in curation_strip_dup_spans)
+    # Distinct 5-gram stream with ZERO pre-checkpoint shuffles: the
+    # shingle array is built and deduped PER ROW (transform over an
+    # index sequence + array_distinct, one codegen span — the tokenize
+    # sits in its own select so split() runs once per doc), then
+    # exploded once. The prior carried-array form paid a full
+    # (doc_id, s) dropDuplicates shuffle for the same stream; per-row
+    # dedup moves that work map-side, which is also the 100 TB answer
+    # (the shuffle it drops is the entire corpus shingle stream). The
+    # size guard matters: sequence(1, n-4) with n < 5 would DESCEND.
     sh = (
-        ex.filter("pos <= n - 5")
+        d.selectExpr("doc_id", r"split(trim(text), '\\s+') AS tk")
+        .filter("size(tk) >= 5")
         .selectExpr(
             "doc_id",
-            "concat_ws(' ', tok, element_at(tk, pos + 2), element_at(tk, pos + 3), "
-            "element_at(tk, pos + 4), element_at(tk, pos + 5)) AS s",
+            "explode(array_distinct(transform(sequence(1, size(tk) - 4), "
+            "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), "
+            "element_at(tk, i + 2), element_at(tk, i + 3), "
+            "element_at(tk, i + 4))))) AS s",
         )
-        .dropDuplicates(["doc_id", "s"])
+        # the distinct shingle stream feeds FOUR consumers (sizes, df
+        # counts, prefix ranking, pair verification) — materialize once
         .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("L"))

