@@ -2670,3 +2670,129 @@ def q_label_noise_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("vec_id").asc())
     )
+
+
+# ----------------------------------------------- probabilistic record linkage
+FS_SCALE = 1_000_000  # probabilities in integer micro-units
+FS_ITERS = 3
+
+
+def _fs_em_sql(intdiv: str, tbl: str) -> str:
+    """Fellegi-Sunter EM, one SQL body for both engines (``intdiv`` is
+    ``div`` on Spark, ``//`` on DuckDB; ``tbl`` the part relation).
+
+    Cross-engine determinism: field-agreement pattern counts are exact
+    integers (order-independent distributed sums); each E-step weight is
+    ONE fixed-shape IEEE double expression over those integers, floored
+    back into micro-units; each M-step is integer sums followed by one
+    double ratio floored back to micro-units — no engine ever folds
+    doubles in a data-dependent order."""
+    fields = [
+        ("a1", "a.p_name = b.p_name"),
+        ("a2", "a.p_type = b.p_type"),
+        ("a3", "a.p_size = b.p_size"),
+        # price band: integer bucket so the comparison is exact on both
+        # engines (raw doubles compare exactly too, but banding is the
+        # realistic linkage field)
+        ("a4", "floor(a.p_retailprice / 100) = floor(b.p_retailprice / 100)"),
+    ]
+    agree = ",\n             ".join(
+        f"CASE WHEN {cond} THEN 1 ELSE 0 END AS {k}" for k, cond in fields
+    )
+    # initial parameters: p=0.1, m_k=0.9, u_k=0.1 (micro-units)
+    par0 = (
+        "SELECT CAST(100000 AS BIGINT) AS p, "
+        + ", ".join(f"CAST(900000 AS BIGINT) AS m{i}" for i in range(1, 5))
+        + ", "
+        + ", ".join(f"CAST(100000 AS BIGINT) AS u{i}" for i in range(1, 5))
+    )
+
+    def prob_product(prefix: str) -> str:
+        # fixed left-associated chain of double factors
+        terms = [f"(par.p / CAST({FS_SCALE} AS DOUBLE))"] if prefix == "m" else [
+            f"(({FS_SCALE} - par.p) / CAST({FS_SCALE} AS DOUBLE))"
+        ]
+        for i in range(1, 5):
+            terms.append(
+                f"(CASE WHEN pc.a{i} = 1 THEN par.{prefix}{i} "
+                f"ELSE {FS_SCALE} - par.{prefix}{i} END / CAST({FS_SCALE} AS DOUBLE))"
+            )
+        return " * ".join(terms)
+
+    its = []
+    for t in range(FS_ITERS):
+        its.append(f"""
+    w{t} AS (
+      SELECT pc.n, pc.a1, pc.a2, pc.a3, pc.a4,
+             CAST(floor({prob_product('m')}
+                        / (({prob_product('m')}) + ({prob_product('u')}))
+                        * CAST({FS_SCALE} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w
+      FROM pc CROSS JOIN par{t} par
+    ),
+    par{t + 1} AS (
+      SELECT
+        CAST(floor(sum(n * w) * CAST(1 AS DOUBLE) / sum(n) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p,
+        {', '.join(
+            f"CAST(floor(sum(n * w * a{i}) * CAST(1 AS DOUBLE) / sum(n * w) "
+            f"* CAST({FS_SCALE} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS m{i}" for i in range(1, 5))},
+        {', '.join(
+            f"CAST(floor(sum(n * ({FS_SCALE} - w) * a{i}) * CAST(1 AS DOUBLE) "
+            f"/ sum(n * ({FS_SCALE} - w)) * CAST({FS_SCALE} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS u{i}"
+            for i in range(1, 5))}
+      FROM w{t}
+    )""")
+    out_rows = ["SELECT 'prior' AS field, p AS m_micro, "
+                f"CAST({FS_SCALE} AS BIGINT) - p AS u_micro FROM par{FS_ITERS}"]
+    for i, name in enumerate(["name", "type", "size", "price_band"], start=1):
+        out_rows.append(
+            f"SELECT '{name}', m{i}, u{i} FROM par{FS_ITERS}"
+        )
+    union = "\n      UNION ALL ".join(out_rows)
+    return f"""
+    WITH pc AS (
+      SELECT {agree},
+             CAST(count(*) AS BIGINT) AS n
+      FROM {tbl} a JOIN {tbl} b
+        ON a.p_brand = b.p_brand
+       AND substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+       AND a.p_partkey < b.p_partkey
+      GROUP BY 1, 2, 3, 4
+    ),
+    par0 AS ({par0}),
+    {','.join(its)}
+    SELECT field, m_micro, u_micro,
+           CASE WHEN u_micro > 0
+                THEN (m_micro * 1000) {intdiv} u_micro END AS mu_ratio_milli
+    FROM ({union})
+    ORDER BY field
+    """
+
+
+@register(
+    "er_fellegi_sunter_em",
+    oracle=_fs_em_sql("//", "part"),
+    doc="Probabilistic record linkage: Fellegi-Sunter match/unmatch "
+    "parameter estimation via 3 unrolled EM rounds over field-"
+    "agreement patterns — the statistical layer ABOVE "
+    "entity_resolution_clusters' deterministic threshold: instead of "
+    "declaring 'levenshtein<=3 means same entity', EM learns from the "
+    "candidate-pair population how strongly each field's agreement "
+    "(name/type/size/price-band) separates matches from non-matches, "
+    "emitting per-field m- and u-probabilities and the m/u agreement "
+    "ratio that production linkers threshold on. The heavy lift is "
+    "ONE distributed pass: blocked candidate pairs (brand + first "
+    "letter) collapse to <=16 integer agreement-pattern counts — the "
+    "sufficient statistics — so the EM rounds run on a 16-row frame "
+    "regardless of corpus size (the classic big-data EM shape: "
+    "sufficient stats distributed, tiny M-step anywhere). Cross-"
+    "engine exactness: probabilities live in integer micro-units; "
+    "every double expression (E-step posterior, M-step ratios) has a "
+    "fixed IEEE evaluation tree over exact integers and is floored "
+    "straight back to micro-units, so no data-dependent float fold "
+    "order exists on either engine and the driver hash-matches "
+    "bit-for-bit.",
+)
+def q_er_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        _fs_em_sql("div", "{p}"), p=load_table(spark, sf_dir, "part")
+    )

@@ -1568,3 +1568,88 @@ def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 2)
         .select("anchor_id", "neg_id", "anchor_label", "neg_label", "cosine", "rnk")
     )
+
+
+# ------------------------------------------------------------ recall harness
+RECALL_K = 10
+RECALL_QUERY_MOD = 20  # vec_id % MOD = 7 -> ~5% of vectors are queries
+
+
+def _recall_sql(cos, tbl: str) -> str:
+    """Shared SQL body for the ANN recall evaluation — ``cos`` is the
+    engine's cosine fragment builder, ``tbl`` the embeddings relation
+    (a ``{e}`` placeholder on the Spark side)."""
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM {tbl} WHERE vec_id < {NUM_CENTROIDS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos('e.embedding', 'c.cvec')} DESC, c.centroid_id ASC
+               ) AS rn
+        FROM {tbl} e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id AS qid, embedding AS qv, centroid_id AS qc
+      FROM assigned WHERE vec_id % {RECALL_QUERY_MOD} = 7
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {cos('e.embedding', 'q.qv')} DESC, e.vec_id ASC
+               ) AS rn
+        FROM {tbl} e CROSS JOIN queries q
+        WHERE e.vec_id <> q.qid
+      ) WHERE rn <= {RECALL_K}
+    ),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, a.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {cos('a.embedding', 'q.qv')} DESC, a.vec_id ASC
+               ) AS rn
+        FROM assigned a JOIN queries q ON a.centroid_id = q.qc
+        WHERE a.vec_id <> q.qid
+      ) WHERE rn <= {RECALL_K}
+    )
+    SELECT e.qid AS query_id,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+           round(count(i.vec_id) / CAST({RECALL_K} AS DOUBLE), 4) AS recall_at_k
+    FROM exact e LEFT JOIN ivf i ON i.qid = e.qid AND i.vec_id = e.vec_id
+    GROUP BY e.qid
+    ORDER BY query_id
+    """
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=_recall_sql(cosine_sql, "embeddings"),
+    doc="X13: offline recall@k harness for the IVF index — the missing "
+    "quality gauge next to the ANN operators themselves: for a ~5% "
+    "query sample, brute-force exact cosine top-10 (the gold standard) "
+    "is computed alongside single-probe IVF top-10 over the SAME "
+    "shared assignment, and each query reports its intersection size "
+    "and recall@10. This is how production tunes the probe count / "
+    "centroid count dial before trusting the index. Every per-query "
+    "ranking breaks cosine ties by vec_id so both engines pick "
+    "identical top-k sets; recall is an integer intersection count "
+    "over k (no float comparison feeds a keep/drop decision). Scale: "
+    "the exact side is deliberately restricted to the SAMPLED query "
+    "set — an O(Q*n) scored cross join with broadcast queries and a "
+    "WindowGroupLimit top-k, the standard offline-eval cost, never "
+    "run query-per-row over the corpus; the IVF side touches only "
+    "each query's inverted list exactly like the serving path; the "
+    "hit-join and recall aggregate are keyed on the query id.",
+)
+def q_sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        _recall_sql(cosine_expr, "{e}"), e=load_table(spark, sf_dir, "embeddings")
+    )

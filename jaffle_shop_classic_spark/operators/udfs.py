@@ -129,6 +129,69 @@ def q_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_installment_udtf():
+    # created inside the query fn (not at import) for the same reason as
+    # the pandas UDFs above: decorator-time schema parsing wants a live
+    # session, and the catalog imports before one exists
+    @F.udtf(returnType="installment_no int, amount_cents bigint", useArrow=True)
+    class InstallmentPlan:
+        """Split an integer-cent total into 3 installments, remainder on
+        the first — one input row expands to a variable-shape row SET,
+        which is exactly what a table function expresses and a scalar
+        UDF cannot."""
+
+        def eval(self, total_cents):
+            if total_cents is None:
+                return
+            base = total_cents // 3
+            yield 1, total_cents - 2 * base
+            yield 2, base
+            yield 3, base
+
+    return InstallmentPlan
+
+
+@register(
+    "udtf_installment_plan",
+    oracle="""
+    SELECT o_orderkey AS order_id, CAST(i AS INT) AS installment_no,
+           CASE WHEN i = 1
+                THEN cents - 2 * (cents // 3)
+                ELSE cents // 3 END AS amount_cents
+    FROM (SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders)
+    CROSS JOIN generate_series(1, 3) t(i)
+    """,
+    doc="X16: Python user-defined TABLE function (Spark 4 `@udtf`, "
+    "Arrow-optimized) driven through a LATERAL correlated join — the "
+    "row-set-producing member of the UDF surface next to scalar, "
+    "grouped-agg, and grouped-map (none of which can emit a variable "
+    "number of rows per input). The body is integer-cent installment "
+    "expansion, deliberately SQL-expressible so the DuckDB oracle "
+    "(CROSS JOIN generate_series) certifies the plumbing: eval-per-row "
+    "iteration, Arrow batch transfer, lateral column correlation, and "
+    "the cents conversion pinned engine-identically via "
+    "floor(x*100 + 0.5) (a bare round() half-up/half-even split and a "
+    "bare cast truncate/round split both diverge across engines). At "
+    "scale a UDTF is map-side row expansion — no shuffle, parallel by "
+    "input partition, the same execution shape as explode() but with "
+    "arbitrary Python generating the rows.",
+)
+def q_udtf_installment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spark.udtf.register("jaffle_installments", _make_installment_udtf())
+    return spark.sql(
+        """
+        SELECT o.o_orderkey AS order_id, i.installment_no, i.amount_cents
+        FROM {o} o,
+             LATERAL jaffle_installments(
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) i
+        """,
+        o=o,
+    )
+
+
 # ---------------------------------------------------------------- as-of join
 @register(
     "asof_join_last_signup",
