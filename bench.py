@@ -124,6 +124,10 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "l_diversity_audit",
     "events_peak_concurrency",
     "share_of_parent_rollup",
+    # round-8 additions
+    "sim_ann_recall_eval",
+    "er_fellegi_sunter_em",
+    "udtf_installment_plan",
 ]
 
 
