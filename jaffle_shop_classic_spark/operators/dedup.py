@@ -1783,3 +1783,115 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_index_matches"),
         F.min("index_doc").alias("first_match"),
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH u0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+          || CASE WHEN doc_id % 3 = 0 THEN 'Docs.Example.COM'
+                  ELSE 'docs.example.com' END
+          || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+          || '/item-' || CAST(doc_id // 5 AS VARCHAR)
+          || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+          || '?'
+          || CASE WHEN doc_id % 2 = 0
+                  THEN 'v=' || CAST((doc_id // 5) % 3 AS VARCHAR) || '&page=1'
+                  ELSE 'page=1&v=' || CAST((doc_id // 5) % 3 AS VARCHAR) END
+          || CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed' ELSE '' END
+          || CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=launch' ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END AS url
+      FROM documents
+    ),
+    u1 AS (SELECT doc_id, split_part(url, '#', 1) AS u FROM u0),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^([^:]+)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[^:]+://([^/:?#]+)', 1)) AS host,
+             regexp_replace(
+               regexp_extract(u, '^[^:]+://[^/?#]+([^?#]*)', 1),
+               '/+$', '') AS path,
+             array_to_string(
+               list_sort(list_filter(string_split(split_part(u, '?', 2), '&'),
+                                     p -> NOT starts_with(p, 'utm_'))),
+               '&') AS params
+      FROM u1
+    )
+    SELECT scheme || '://' || host || path
+        || CASE WHEN params = '' THEN '' ELSE '?' || params END
+             AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dupes,
+           min(doc_id) AS keep_doc,
+           max(doc_id) AS last_doc
+    FROM parts
+    GROUP BY canonical_url
+    """,
+    doc="Canonical-URL dedup — the web-crawl curation staple the "
+    "MinHash/SimHash lanes sit downstream of: the same page arrives "
+    "under scheme/host case variants, an explicit default port, a "
+    "trailing slash, shuffled query-parameter order, utm_* tracking "
+    "junk, and fragments, and must collapse to ONE canonical key "
+    "before any content-level dedup runs. The messy URL is derived "
+    "deterministically from doc_id (the corpus has no URL column) "
+    "with every variant class planted — groups of 5 consecutive "
+    "doc_ids share a true page, so the canonicalizer's output is "
+    "fully value-checked: lowercase scheme+host, drop :443, strip "
+    "trailing slashes and fragments, drop utm_* params, bytewise-"
+    "sort the survivors. 100 TB shape: canonicalization is pure "
+    "map-side string work inside one codegen span (regexp_extract + "
+    "higher-order filter/sort on the split param array — no UDF, no "
+    "explode), and the dedup itself is ONE hash aggregate keyed on "
+    "the canonical string — the same partial-agg + single-shuffle "
+    "plan as dedup_exact, with the hot-key bound being the true "
+    "duplicate multiplicity of a page, exactly what the aggregate "
+    "must count anyway. Ref: crawl-pipeline practice (e.g. the "
+    "URL-normalization pass every CommonCrawl derivative runs); no "
+    "reference analog.",
+)
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u0 = d.selectExpr(
+        "doc_id",
+        """
+        concat(
+          CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+          CASE WHEN doc_id % 3 = 0 THEN 'Docs.Example.COM'
+               ELSE 'docs.example.com' END,
+          CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+          '/item-', CAST(doc_id DIV 5 AS STRING),
+          CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END,
+          '?',
+          CASE WHEN doc_id % 2 = 0
+               THEN concat('v=', CAST((doc_id DIV 5) % 3 AS STRING), '&page=1')
+               ELSE concat('page=1&v=', CAST((doc_id DIV 5) % 3 AS STRING)) END,
+          CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed' ELSE '' END,
+          CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=launch' ELSE '' END,
+          CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END
+        ) AS url
+        """,
+    )
+    parts = u0.selectExpr("doc_id", "split_part(url, '#', 1) AS u").selectExpr(
+        "doc_id",
+        "lower(regexp_extract(u, '^([^:]+)://', 1)) AS scheme",
+        "lower(regexp_extract(u, '^[^:]+://([^/:?#]+)', 1)) AS host",
+        r"regexp_replace(regexp_extract(u, '^[^:]+://[^/?#]+([^?#]*)', 1),"
+        r" '/+$', '') AS path",
+        "array_join(array_sort(filter(split(split_part(u, '?', 2), '&'),"
+        " p -> NOT startswith(p, 'utm_'))), '&') AS params",
+    )
+    return (
+        parts.selectExpr(
+            "doc_id",
+            "concat(scheme, '://', host, path,"
+            " CASE WHEN params = '' THEN '' ELSE concat('?', params) END)"
+            " AS canonical_url",
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+            F.min("doc_id").alias("keep_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -5111,3 +5111,86 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_null_priority"),
     )
+
+
+@register(
+    "tpch_q21_style",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 analog (suppliers who kept orders waiting): the "
+    "multi-correlated-subquery class — an EXISTS and a NOT EXISTS "
+    "against the SAME fact table with different predicates, the one "
+    "relational shape none of the single semi/anti entries exercises. "
+    "'Late' is shipdate > orderdate + 60 days on finished ('F') "
+    "orders; a supplier counts once per lineitem where it was late, "
+    "the order involved ANOTHER supplier (EXISTS -> left-semi), and "
+    "NO other supplier was late on it (NOT EXISTS -> left-anti). "
+    "Spark-first plan: both correlated subqueries decorrelate to "
+    "keyed self-joins on l_orderkey — a left-semi against the full "
+    "lineitem scan and a left-anti against the (late, F) subset the "
+    "outer block already computed — so the fact table is read twice, "
+    "shuffled on its natural key, and never expanded (semi/anti "
+    "produce at most one probe hit per row; no pair blow-up exists "
+    "at any scale). The supplier dimension broadcasts (100 rows at "
+    "sf0.01, 1M at 100 TB TPC-H scale — still broadcastable at "
+    "10 MB/executor), and the final top-20 is a single all-to-one "
+    "sort of at most |suppliers| aggregated rows. The secondary "
+    "suppkey-inequality rides each join as a residual filter, not a "
+    "join key, so skew is bounded by per-order line counts (7 max "
+    "in TPC-H). Ref: reference has no analog; class from the public "
+    "TPC-H spec Q21, re-expressed without correlated execution.",
+)
+def q_tpch_q21_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select("l_orderkey", "l_suppkey")
+    sole_late = (
+        late.alias("l1")
+        .join(
+            others.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .alias("l1")
+        .join(
+            late.alias("l3"),
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )

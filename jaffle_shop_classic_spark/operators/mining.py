@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
 from .catalog import register
-from .text import _md5_int8_sql
+from .text import _md5_int8_sql, _TOKENS_SQL
 
 # ------------------------------------------------------- count-min sketch
 # Width/depth sized for the test vocabulary; at 100 TB the sketch stays
@@ -2795,4 +2795,167 @@ def _fs_em_sql(intdiv: str, tbl: str) -> str:
 def q_er_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _fs_em_sql("div", "{p}"), p=load_table(spark, sf_dir, "part")
+    )
+
+
+_BLEU_FINAL_SQL = (
+    "round(CASE WHEN m1 = 0 OR m2 = 0 OR m3 = 0 OR m4 = 0 THEN CAST(0 AS DOUBLE) "
+    "ELSE exp(least(CAST(0 AS DOUBLE), "
+    "CAST(1 AS DOUBLE) - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))) "
+    "* exp((ln(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE)) "
+    "+ ln(CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE)) "
+    "+ ln(CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE)) "
+    "+ ln(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE))) / CAST(4 AS DOUBLE)) END, 4) "
+    "AS bleu"
+)
+
+_BLEU_PREC_SQL = [
+    f"round(CAST(m{k} AS DOUBLE) / CAST(t{k} AS DOUBLE), 4) AS p{k}"
+    for k in (1, 2, 3, 4)
+]
+
+
+@register(
+    "eval_bleu_corpus",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, source, {_TOKENS_SQL} AS tk FROM documents),
+    b AS (
+      SELECT doc_id, source, tk,
+             list_transform(list_filter(range(1, len(tk) + 1), i -> i % 5 <> 0),
+                            i -> tk[i]) AS ck
+      FROM t0
+    ),
+    g AS (
+      SELECT doc_id, source, n, tk, ck
+      FROM b CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n)
+    ),
+    cg AS (
+      SELECT doc_id, source, n,
+             unnest(CASE WHEN len(ck) >= n
+                    THEN list_transform(range(1, len(ck) - n + 2),
+                         i -> array_to_string(ck[i:i+n-1], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM g
+    ),
+    rg AS (
+      SELECT doc_id, n,
+             unnest(CASE WHEN len(tk) >= n
+                    THEN list_transform(range(1, len(tk) - n + 2),
+                         i -> array_to_string(tk[i:i+n-1], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM g
+    ),
+    cc AS (SELECT doc_id, source, n, gram, count(*) AS c
+           FROM cg GROUP BY doc_id, source, n, gram),
+    rc AS (SELECT doc_id, n, gram, count(*) AS r
+           FROM rg GROUP BY doc_id, n, gram),
+    cl AS (
+      SELECT cc.source, cc.n,
+             CAST(sum(least(cc.c, coalesce(rc.r, 0))) AS BIGINT) AS m,
+             CAST(sum(cc.c) AS BIGINT) AS t
+      FROM cc LEFT JOIN rc
+        ON rc.doc_id = cc.doc_id AND rc.n = cc.n AND rc.gram = cc.gram
+      GROUP BY cc.source, cc.n
+    ),
+    piv AS (
+      SELECT source,
+             {', '.join(f"CAST(sum(CASE WHEN n = {k} THEN m END) AS BIGINT) AS m{k}, "
+                        f"CAST(sum(CASE WHEN n = {k} THEN t END) AS BIGINT) AS t{k}"
+                        for k in (1, 2, 3, 4))}
+      FROM cl GROUP BY source
+    ),
+    lens AS (
+      SELECT source, CAST(sum(len(tk)) AS BIGINT) AS r_len,
+             CAST(sum(len(ck)) AS BIGINT) AS c_len
+      FROM b GROUP BY source
+    )
+    SELECT piv.source, c_len, r_len,
+           {', '.join(_BLEU_PREC_SQL)},
+           {_BLEU_FINAL_SQL}
+    FROM piv JOIN lens ON lens.source = piv.source
+    """,
+    doc="Corpus BLEU-4 — the generation-eval staple, run as a "
+    "distributed aggregate: candidate texts are a deterministic "
+    "corruption of the references (every 5th token dropped, so "
+    "modified n-gram precisions are non-trivial and the brevity "
+    "penalty binds), clipped per document exactly as Papineni et al. "
+    "define (each candidate n-gram's credit capped by its reference "
+    "count), then pooled per `source` corpus: matched/total counts "
+    "per n in 1..4, geometric-mean precision, BP = exp(1 - r/c). "
+    "100 TB shape: the only corpus-sized stage is the n-gram stream "
+    "(4x the token stream), aggregated by (doc, n, gram) with full "
+    "map-side partial combine, then joined candidate-to-reference on "
+    "the same key — keyed shuffles only, no pair expansion, final "
+    "frame is |sources| x 4 rows. Cross-engine exactness: matched/"
+    "total/lengths are exact BIGINTs; the BLEU expression is ONE "
+    "fixed-shape IEEE double tree over those integers on both "
+    "engines (libm ln/exp last-bit drift is absorbed by round(.,4)), "
+    "so the driver hash-matches. Ref: BLEU (Papineni et al. 2002, "
+    "public); no reference analog — extension mandate "
+    "(training-pipeline evaluation family).",
+)
+def q_eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.selectExpr(
+        "doc_id", "source", r"split(trim(text), '\\s+') AS tk"
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "tk",
+        "transform(filter(sequence(1, size(tk)), i -> i % 5 != 0),"
+        " i -> element_at(tk, i)) AS ck",
+    )
+
+    def grams(col: str) -> str:
+        return (
+            f"CASE WHEN size({col}) >= n THEN transform("
+            f"sequence(1, size({col}) - n + 1),"
+            f" i -> concat_ws(' ', slice({col}, i, n)))"
+            f" ELSE array() END"
+        )
+
+    withn = base.select(
+        "doc_id", "source", "tk", "ck",
+        F.explode(F.expr("sequence(1, 4)")).alias("n"),
+    )
+    cand = withn.select(
+        "doc_id", "source", "n", F.explode(F.expr(grams("ck"))).alias("gram")
+    )
+    ref = withn.select(
+        "doc_id", "n", F.explode(F.expr(grams("tk"))).alias("gram")
+    )
+    cc = cand.groupBy("doc_id", "source", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rc = ref.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("r"))
+    cl = (
+        cc.join(rc, ["doc_id", "n", "gram"], "left")
+        .groupBy("source", "n")
+        .agg(
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("r"), F.lit(0))))
+            .cast("bigint")
+            .alias("m"),
+            F.sum("c").cast("bigint").alias("t"),
+        )
+    )
+    piv = cl.groupBy("source").agg(
+        *[
+            agg
+            for k in (1, 2, 3, 4)
+            for agg in (
+                F.sum(F.when(F.col("n") == k, F.col("m")))
+                .cast("bigint")
+                .alias(f"m{k}"),
+                F.sum(F.when(F.col("n") == k, F.col("t")))
+                .cast("bigint")
+                .alias(f"t{k}"),
+            )
+        ]
+    )
+    lens = base.groupBy("source").agg(
+        F.sum(F.size("tk")).cast("bigint").alias("r_len"),
+        F.sum(F.size("ck")).cast("bigint").alias("c_len"),
+    )
+    return piv.join(lens, "source").selectExpr(
+        "source", "c_len", "r_len", *_BLEU_PREC_SQL, _BLEU_FINAL_SQL
     )

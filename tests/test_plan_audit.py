@@ -60,6 +60,7 @@ CROSS_OK = {
     "label_noise_knn_audit",  # LSH-bucketed non-equi self pair join
     "survival_repurchase_curve",  # broadcast 1-row horizon/total joins
     "trend_mann_kendall",  # month-bounded pair join + 1-row reductions
+    "er_fellegi_sunter_em",  # broadcast 1-row EM parameter frame per round
 }
 
 

