@@ -128,6 +128,9 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "sim_ann_recall_eval",
     "er_fellegi_sunter_em",
     "udtf_installment_plan",
+    "eval_bleu_corpus",
+    "dedup_url_canonical",
+    "tpch_q21_style",
 ]
 
 

@@ -37,7 +37,9 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -64,7 +66,14 @@ class ShardCommit(WriterCommitMessage):
 
 
 class JsonlManifestDataSource(DataSource):
-    """`df.write.format("jsonl_manifest").save(path)`."""
+    """`df.write.format("jsonl_manifest").save(path)` /
+    `spark.read.format("jsonl_manifest").load(path)` — the write AND
+    read halves of the same custom format, so the two-phase-commit
+    story closes end to end: the reader resolves the manifest first
+    and schedules ONE input partition PER COMMITTED SHARD (a real
+    connector's split planning), so orphan shards from failed or
+    speculative attempts are never scanned and shard-level parallelism
+    matches the writer's task layout."""
 
     @classmethod
     def name(cls) -> str:
@@ -72,6 +81,92 @@ class JsonlManifestDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "JsonlManifestWriter":
         return JsonlManifestWriter(self.options, schema, overwrite)
+
+    def schema(self):
+        # Driver-side plan step: the manifest's stored DDL is the source
+        # of truth (never JSON inference — all-empty shards and
+        # timestamp degradation). A missing manifest is a hard error by
+        # design: "no manifest => the write never happened".
+        with open(os.path.join(self.options["path"], MANIFEST)) as f:
+            manifest = json.load(f)
+        if not manifest.get("schema"):
+            raise ValueError(
+                "jsonl_manifest: manifest has no stored schema; pass "
+                ".schema(...) explicitly on the reader"
+            )
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(manifest["schema"]))
+
+    def reader(self, schema) -> "JsonlManifestReader":
+        return JsonlManifestReader(self.options, schema)
+
+
+@dataclass
+class _ShardPartition(InputPartition):
+    path: str
+
+
+class JsonlManifestReader(DataSourceReader):
+    """Manifest-resolved scan: `partitions()` lists exactly the
+    committed shards (executor tasks each stream one shard), and
+    `read()` restores the JSON-degraded types (ISO timestamps/dates,
+    hex binary, string decimals) from the resolved schema — flat rows,
+    matching what the writer serializes. Scale shape: the driver
+    touches only the manifest; shard bytes stream executor-side, one
+    task per shard, exactly like a parquet file scan's split
+    planning."""
+
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.schema_json = schema.json()
+
+    def partitions(self):
+        with open(os.path.join(self.path, MANIFEST)) as f:
+            shards = json.load(f)["shards"]
+        # zero committed shards is a legal (empty) dataset: one no-op
+        # split keeps Spark's non-empty-partition-list contract
+        return [_ShardPartition(s["path"]) for s in shards] or [
+            _ShardPartition("")
+        ]
+
+    def read(self, partition: _ShardPartition):
+        if not partition.path:
+            return
+        import json as _json
+
+        from pyspark.sql.types import (
+            BinaryType,
+            DateType,
+            DecimalType,
+            StructType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        schema = StructType.fromJson(_json.loads(self.schema_json))
+
+        def _restore(dt):
+            if isinstance(dt, (TimestampType, TimestampNTZType)):
+                return datetime.datetime.fromisoformat
+            if isinstance(dt, DateType):
+                return datetime.date.fromisoformat
+            if isinstance(dt, BinaryType):
+                return bytes.fromhex
+            if isinstance(dt, DecimalType):
+                return decimal.Decimal
+            return None
+
+        fields = [(f.name, _restore(f.dataType)) for f in schema.fields]
+        with open(partition.path) as fh:
+            for line in fh:
+                rec = _json.loads(line)
+                yield tuple(
+                    conv(v)
+                    if conv is not None and (v := rec.get(name)) is not None
+                    else rec.get(name)
+                    for name, conv in fields
+                )
 
 
 class JsonlManifestWriter(DataSourceWriter):

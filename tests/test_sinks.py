@@ -182,3 +182,61 @@ def test_jsonl_manifest_serializes_dates_and_keeps_types(spark, tmp_path):
     back, _ = read_manifest(spark, path)
     assert dict(back.dtypes)["d"] == "date"  # stored schema, not inference
     assert str(back.collect()[0]["d"]) == "2024-03-01"
+
+
+def test_jsonl_manifest_datasource_reader_round_trip(spark, tmp_path):
+    """The READER half of the custom format: spark.read.format(...)
+    resolves the manifest, schedules one input partition per committed
+    shard, restores JSON-degraded types from the stored schema, and
+    never sees orphan shards."""
+    import datetime
+    import os
+
+    from jaffle_shop_classic_spark.sources.jsonl_sink import (
+        JsonlManifestDataSource,
+    )
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    df = (
+        spark.range(60)
+        .select(
+            F.col("id").alias("k"),
+            F.expr("timestamp'2026-01-02 03:04:05' + make_interval(0,0,0,0,0,0,id)").alias("ts"),
+            F.expr("date'2026-01-02'").alias("d"),
+            F.expr("CAST(NULL AS STRING)").alias("always_null"),
+            (F.col("id") * F.lit(0.5)).alias("x"),
+        )
+        .repartition(3)
+    )
+    out = str(tmp_path / "export_r")
+    df.write.format("jsonl_manifest").option("path", out).mode("append").save()
+
+    # orphan shard from a "failed attempt" — must stay invisible
+    with open(os.path.join(out, "part-99999-orphan.jsonl"), "w") as f:
+        f.write('{"k": 999999, "ts": "2026-01-01T00:00:00", "d": "2026-01-01",'
+                ' "always_null": null, "x": 0.0}\n')
+
+    back = spark.read.format("jsonl_manifest").load(out)
+    # schema came from the manifest, types restored (not strings)
+    assert back.schema == df.schema
+    assert back.rdd.getNumPartitions() == 3  # one split per shard
+    got = sorted(back.collect(), key=lambda r: r["k"])
+    want = sorted(df.collect(), key=lambda r: r["k"])
+    assert got == want
+    assert isinstance(got[0]["ts"], datetime.datetime)
+    assert isinstance(got[0]["d"], datetime.date)
+    assert all(r["always_null"] is None for r in got)
+
+
+def test_jsonl_manifest_reader_empty_dataset(spark, tmp_path):
+    from jaffle_shop_classic_spark.sources.jsonl_sink import (
+        JsonlManifestDataSource,
+    )
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    df = spark.range(0).select(F.col("id").alias("k"))
+    out = str(tmp_path / "export_empty")
+    df.write.format("jsonl_manifest").option("path", out).mode("append").save()
+    back = spark.read.format("jsonl_manifest").load(out)
+    assert back.count() == 0
+    assert back.schema == df.schema
