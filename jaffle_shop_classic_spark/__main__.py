@@ -70,6 +70,14 @@ def main(argv=None) -> int:
         default=None,
         help="snapshot: logical clock for valid_from/valid_to (default: next version number)",
     )
+    ap.add_argument(
+        "--project-yaml",
+        default=None,
+        help="run/test: dbt-style YAML file to load ON TOP of the "
+        "jaffle project — models with sql: register as SQL models, "
+        "entries without sql: overlay docs/tests onto existing models "
+        "(the schema.yml migration path)",
+    )
     args = ap.parse_args(argv)
 
     import os
@@ -173,6 +181,15 @@ def main(argv=None) -> int:
     project = build_project(warehouse_dir=args.warehouse)
     load_jaffle_sources(project, spark, args.seed_dir)
 
+    yaml_tests = []
+    if args.project_yaml:
+        from .plans.yaml_project import load_project_yaml
+
+        with open(args.project_yaml) as f:
+            _, yaml_tests = load_project_yaml(
+                f.read(), project=project, sources=project.sources
+            )
+
     if args.command == "seed":
         for name, df in project.sources.items():
             print(f"{name}: {df.count()} rows")
@@ -217,7 +234,12 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "test":
-        results = run_checks(jaffle_checks(built))
+        all_checks = jaffle_checks(built)
+        if yaml_tests:
+            from .plans.yaml_project import compile_schema_tests
+
+            all_checks.update(compile_schema_tests(project, spark, yaml_tests))
+        results = run_checks(all_checks)
         failed = [r for r in results if not r.passed]
         for r in results:
             print(r)
