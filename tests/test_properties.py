@@ -301,3 +301,61 @@ def test_scd2_intervals_partition_each_users_timeline(spark, events):
         ]
         assert len(covering) == 1
         assert covering[0]["state"] == s
+
+
+# -- jsonl_manifest round-trip: ANY flat rows survive write+read ---------
+
+_json_text = st.text(
+    # JSON-legal but adversarial: unicode, quotes, newlines, backslashes
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    max_size=40,
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-(2**63), 2**63 - 1),
+            st.one_of(st.none(), _json_text),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+            ),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_jsonl_manifest_round_trips_any_flat_rows(spark, tmp_path_factory, rows):
+    """write.format('jsonl_manifest') -> read.format('jsonl_manifest')
+    is identity for any flat (bigint, string, double) rows — unicode,
+    embedded quotes/newlines, int64 extremes, NULLs, empty frame."""
+    from jaffle_shop_classic_spark.sources.jsonl_sink import (
+        JsonlManifestDataSource,
+    )
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    schema = "k bigint, s string, x double"
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path_factory.mktemp("jm") / "rt")
+    df.write.format("jsonl_manifest").option("path", out).mode("append").save()
+    back = spark.read.format("jsonl_manifest").load(out)
+    assert back.schema == df.schema
+
+    def key(t):  # None-safe total order across the nullable columns
+        return (
+            t[0],
+            t[1] is not None,
+            t[1] or "",
+            t[2] is not None,
+            t[2] if t[2] is not None else 0.0,
+        )
+
+    assert sorted(map(tuple, back.collect()), key=key) == sorted(
+        map(tuple, rows), key=key
+    )
