@@ -61,6 +61,7 @@ CROSS_OK = {
     "survival_repurchase_curve",  # broadcast 1-row horizon/total joins
     "trend_mann_kendall",  # month-bounded pair join + 1-row reductions
     "er_fellegi_sunter_em",  # broadcast 1-row EM parameter frame per round
+    "sim_ann_recall_eval",  # broadcast query-sample scored cross join (exact side)
 }
 
 
