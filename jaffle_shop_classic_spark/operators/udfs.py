@@ -179,7 +179,17 @@ def _make_installment_udtf():
     "arbitrary Python generating the rows.",
 )
 def q_udtf_installment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # Repartition to core count BEFORE the lateral: a Python UDTF's
+    # throughput is bounded by Python workers, one per input partition —
+    # the sf0.1 orders file is a single parquet split, so without this
+    # the whole expansion ran in ONE worker (measured 19 s; with 32
+    # partitions 1.7 s, 11x). The tiny keys-only shuffle is the standard
+    # price for sizing a Python-bound stage by cores rather than input
+    # bytes; at cluster scale the scan already arrives in many splits
+    # and the same sizing rule applies to executor cores.
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     spark.udtf.register("jaffle_installments", _make_installment_udtf())
     return spark.sql(
         """
