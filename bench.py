@@ -131,6 +131,8 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "eval_bleu_corpus",
     "dedup_url_canonical",
     "tpch_q21_style",
+    "tpch_q17_style",
+    "tpch_q8_style",
 ]
 
 

@@ -5194,3 +5194,158 @@ def q_tpch_q21_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+@register(
+    "tpch_q17_style",
+    oracle="""
+    WITH pq AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#16'
+      GROUP BY l.l_partkey
+    )
+    SELECT round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / CAST(700 AS DOUBLE), 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small_lines
+    FROM lineitem l
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE 5 * CAST(floor(l.l_quantity) AS BIGINT) * pq.cnt < pq.sum_qty
+    """,
+    doc="TPC-H Q17 analog (small-quantity-order revenue): the "
+    "correlated SCALAR-aggregate subquery class — 'lineitems below "
+    "20% of this part's average quantity' — decorrelated the only "
+    "way that scales: the per-part aggregate becomes its own keyed "
+    "frame joined back on l_partkey, so the fact table is scanned "
+    "twice and shuffled on its join key, never probed per-row (the "
+    "correlated form is O(rows x subquery) on engines that execute "
+    "it naively; Catalyst's RewriteCorrelatedScalarSubquery does the "
+    "same rewrite this states explicitly). Cross-engine exactness: "
+    "the 20%% threshold is the INTEGER inequality 5*qty*cnt < "
+    "sum_qty (quantities floored to BIGINT on both sides per the "
+    "weighted_median_price discipline), so no float sits on a "
+    "keep/drop boundary; revenue enters as floor(price*100+0.5) "
+    "cent-units, summed exactly as BIGINT, with ONE double division "
+    "by 700 (the spec's /7.0 over cents) at the end. Skew: bounded "
+    "by per-part line counts; the brand filter prunes the part side "
+    "before the join (PushedFilters). Ref: public TPC-H spec Q17; "
+    "no reference analog.",
+)
+def q_tpch_q17_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#16")
+    pq = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    small = li.join(pq, "l_partkey").where(
+        F.lit(5) * F.floor("l_quantity").cast("bigint") * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+            .cast("double")
+            / F.lit(700).cast("double"),
+            2,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+    )
+
+
+@register(
+    "tpch_q8_style",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT) AS cents,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+                               THEN cents ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(cents) AS DOUBLE), 4) AS mkt_share,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM rev
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 analog (national market share): the "
+    "ratio-of-conditional-aggregates class over the full 8-way "
+    "dimension chain — NATION_7 suppliers' share of PROMO-part "
+    "revenue sold into ASIA, per order year. Catalyst shape: region "
+    "-> customer-nation and supplier-nation prune to broadcast "
+    "chains (two DIFFERENT roles for the same nation dimension — "
+    "the self-join-free double-alias join), the part filter "
+    "broadcasts, and the two fact joins shuffle on their natural "
+    "keys; the share is a conditional sum over the SAME aggregated "
+    "frame, never two scans. Cross-engine exactness: revenue enters "
+    "as floor(price*(1-disc)*100+0.5) cent-units — one fixed-shape "
+    "IEEE expression per row, identical on both engines — then "
+    "integer sums and ONE double division per group, so the 4dp "
+    "share is bit-stable (the DECIMAL-literal trap is dodged by "
+    "CASTing every literal in the division to DOUBLE). Ref: public "
+    "TPC-H spec Q8; no reference analog.",
+)
+def q_tpch_q8_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+            )
+            .cast("bigint")
+            .alias("cents"),
+            "supp_nation",
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("cents")).otherwise(0))
+            .cast("double")
+            / F.sum("cents").cast("double"),
+            4,
+        ).alias("mkt_share"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

@@ -112,3 +112,48 @@ def test_q21_sole_late_supplier_counts(spark):
     # descending, name-tiebroken ordering
     keys = [(-r["numwait"], r["s_name"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_q17_small_quantity_threshold_is_integer_exact(spark):
+    """The 20% threshold must be the integer inequality 5*qty*cnt <
+    sum_qty — recompute one part's admission set imperatively."""
+    out = load_catalog()["tpch_q17_style"].fn(spark, SF).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_small_lines"] >= 0
+    if row["n_small_lines"]:
+        assert row["avg_yearly"] > 0
+    # conservation: revenue/700 of the admitted lines reproduces the
+    # rounded output exactly
+    from jaffle_shop_classic_spark.sources.parquet import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    p = load_table(spark, SF, "part").filter("p_brand = 'Brand#16'")
+    j = li.join(p, li.l_partkey == p.p_partkey).selectExpr(
+        "l_partkey", "CAST(floor(l_quantity) AS BIGINT) AS q",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents"
+    ).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in j:
+        agg[r["l_partkey"]][0] += r["q"]
+        agg[r["l_partkey"]][1] += 1
+    cents = sum(
+        r["cents"] for r in j
+        if 5 * r["q"] * agg[r["l_partkey"]][1] < agg[r["l_partkey"]][0]
+    )
+    n = sum(
+        1 for r in j
+        if 5 * r["q"] * agg[r["l_partkey"]][1] < agg[r["l_partkey"]][0]
+    )
+    assert n == row["n_small_lines"]
+    assert abs(row["avg_yearly"] - round(cents / 700, 2)) < 1e-9
+
+
+def test_q8_share_bounded_and_consistent(spark):
+    rows = load_catalog()["tpch_q8_style"].fn(spark, SF).collect()
+    assert {r["o_year"] for r in rows} == {1996, 1997}
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["total_cents"] > 0
