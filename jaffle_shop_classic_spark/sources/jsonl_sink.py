@@ -259,3 +259,67 @@ def read_manifest(spark, path: str):
         return spark.createDataFrame([], schema), manifest
     reader = spark.read.schema(schema) if schema is not None else spark.read
     return reader.json(shard_paths), manifest
+
+
+# ---------------------------------------------------------------- streaming
+def write_stream_exactly_once(stream_df, path: str, checkpoint_dir: str):
+    """End-to-end exactly-once: a streaming frame lands in the
+    two-phase-commit manifest sink, idempotent under micro-batch replay.
+
+    This closes the loop synthetic.py's stream reader documents ("the
+    replay guarantee is the part that buys end-to-end exactly-once with
+    an idempotent sink"): Structured Streaming guarantees each micro-
+    batch's DATA is replayed identically after a crash (source offsets
+    live in the checkpoint), so exactly-once reduces to making the SINK
+    idempotent per (batch_id). Here each batch writes
+    ``path/batch=<id>/`` through the jsonl_manifest sink in OVERWRITE
+    mode: a replayed batch atomically re-commits the same rows over its
+    own previous (possibly partial, manifest-less, hence invisible)
+    attempt instead of appending duplicates. foreachBatch is the
+    standard escape hatch for custom sinks; the per-batch manifest is
+    what makes the retry safe.
+
+    Returns the StreamingQuery (availableNow trigger — the caller
+    awaits termination).
+    """
+
+    # idempotent format registration — foreachBatch runs driver-side on
+    # whatever session the caller holds
+    stream_df.sparkSession.dataSource.register(JsonlManifestDataSource)
+
+    def _commit_batch(batch_df, batch_id: int) -> None:
+        (
+            batch_df.write.format("jsonl_manifest")
+            .mode("overwrite")
+            .option("path", os.path.join(path, f"batch={batch_id}"))
+            .save()
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_all_batches(spark, path: str):
+    """Union every committed batch directory under ``path`` — only
+    manifest-committed shards are visible, so a crashed batch attempt
+    (shards present, no manifest) contributes nothing."""
+    batches = sorted(
+        d for d in os.listdir(path) if d.startswith("batch=")
+        and os.path.exists(os.path.join(path, d, MANIFEST))
+    )
+    frames = []
+    manifest_rows = 0
+    for b in batches:
+        df, manifest = read_manifest(spark, os.path.join(path, b))
+        frames.append(df)
+        manifest_rows += manifest["n_rows"]
+    if not frames:
+        raise FileNotFoundError(f"no committed batches under {path}")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out, manifest_rows

@@ -552,3 +552,64 @@ def test_ewma_buffer_state_merges_across_batches(spark, tmp_path):
     # batch 2 merged order newest-first: v=[100, 0, 100, 0],
     # weights 1, .5, .25, .125 -> (100 + 25) / 1.875 = 66.666667
     assert rows == [(2, 0.0), (4, 66.666667)]
+
+
+def test_stream_exactly_once_into_manifest_sink(spark, tmp_path):
+    """End-to-end exactly-once: file-source stream -> foreachBatch ->
+    per-batch two-phase-commit manifest dirs. Restart with the same
+    checkpoint adds nothing; full reprocessing into the same sink path
+    overwrites batches idempotently instead of duplicating rows; a
+    crashed attempt's orphan shard stays invisible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.sources.jsonl_sink import (
+        read_all_batches,
+        write_stream_exactly_once,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):  # 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    schema = "k bigint, g bigint"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(checkpoint):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = write_stream_exactly_once(stream, sink, checkpoint)
+        q.awaitTermination(120)
+        return q
+
+    start(ckpt)
+    got, manifest_rows = read_all_batches(spark, sink)
+    assert manifest_rows == 30
+    assert sorted(r["k"] for r in got.collect()) == list(range(30))
+    n_batches = len([d for d in os.listdir(sink) if d.startswith("batch=")])
+    assert n_batches == 3
+
+    # restart, same checkpoint: source is drained -> nothing new
+    start(ckpt)
+    got2, rows2 = read_all_batches(spark, sink)
+    assert rows2 == 30 and got2.count() == 30
+
+    # orphan shard from a crashed attempt: no manifest entry -> invisible
+    some_batch = os.path.join(sink, "batch=1")
+    with open(os.path.join(some_batch, "part-zz-orphan.jsonl"), "w") as f:
+        f.write('{"k": 777777, "g": 0}\n')
+    got3, _ = read_all_batches(spark, sink)
+    assert got3.filter("k = 777777").count() == 0 and got3.count() == 30
+
+    # full REPLAY into the same sink (lost checkpoint, the worst case):
+    # overwrite-mode batch commits replace, never append — still 30 rows
+    start(str(tmp_path / "ckpt2"))
+    got4, rows4 = read_all_batches(spark, sink)
+    assert rows4 == 30 and got4.count() == 30
+    assert sorted(r["k"] for r in got4.collect()) == list(range(30))
