@@ -147,7 +147,12 @@ _PRIORITY = (
     # pipeline_corpus_curation + curation_strip_dup_spans) gives its
     # slot to the round-6 exact all-pairs PPJoin flagship
     "dedup_exact",
-    "curation_strip_dup_spans",
+    # curation_strip_dup_spans (r06..r07-green) hands its slot to the
+    # canonical-URL dedup: the gram/strip machinery keeps four other
+    # in-window dedup reps, and the crawl-side URL-canonicalization
+    # class (scheme/host/port/param/fragment normalization before any
+    # content dedup) gains its first hard signal
+    "dedup_url_canonical",
     "dedup_minhash_lsh_pairs",
     # pipeline_corpus_curation (r01..r07-green) hands its slot to the
     # Cleanlab-style k-NN label-noise audit: the curation composite's
@@ -168,7 +173,12 @@ _PRIORITY = (
     # has dedup_semantic_clusters certified above plus sim_cosine_topk)
     # gives its slot to the round-6 CDC-tombstone flagship
     "sim_cosine_topk",
-    "embedding_pq_encode",
+    # embedding_pq_encode (r06..r07-green) hands its slot to corpus
+    # BLEU: the PQ codebook lane keeps sim_ivf_topk + sim_cosine_topk
+    # in-window and its ADC/IVF-PQ siblings in local parity, while the
+    # generation-evaluation family (clipped n-gram precision + brevity
+    # penalty) gains its first hard signal
+    "eval_bleu_corpus",
     "cdc_upsert_with_deletes",
     "sim_ivf_topk",
     # kmeans_lloyd (r01..r07-green) hands its slot to reliability-
@@ -220,6 +230,10 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out mid-round-8 for the session-2 flagships (BLEU, URL
+    # dedup) — both r06/r07-certified duplicate-class reps
+    "curation_strip_dup_spans",
+    "embedding_pq_encode",
     # rotated out of the top-50 in round 8 for the round-7 eval/mining
     # flagships + the SQL-text and chained-streaming certifications
     # (duplicate-class reps, ALL green r07 and earlier when in-window)

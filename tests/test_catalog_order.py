@@ -58,6 +58,13 @@ _REQUIRED_IN_WINDOW = {
         "l_diversity_audit",
         "stream_chained_windows",
     },
+    # round-8 session 2: the new BLEU / canonical-URL classes promoted
+    # in exchange for r06/r07-certified duplicate-class reps
+    # (curation_strip_dup_spans, embedding_pq_encode)
+    "round8_session2_promotions": {
+        "eval_bleu_corpus",
+        "dedup_url_canonical",
+    },
     # round 5: map_ops / text_repetition_ratio (duplicate-class reps of
     # array_vector_norm / the 5-strong text block) rotated to Tier 2 to
     # re-certify the X3 top-k and X8 exact-percentile classes
