@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, load_table_parallel
 from .catalog import register
 from .text import _TOKENS_SQL, tokens_col
 
@@ -389,7 +389,7 @@ _SIG_MATCH_SQL = (
     "pairs, and the cap bounds the worst bucket's pair expansion.",
 )
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     bands = sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
     pairs = candidate_pairs(bands)
@@ -611,7 +611,7 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "differ because the hash family differs.",
 )
 def q_dedup_minhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, fast=True)
     bands = sigs.select(
         "doc_id",
@@ -686,7 +686,7 @@ MAX_CC_ITERS = 20
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a < doc_b) — the edge list both
     CC variants cluster."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     bands = sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
     # uncapped: the oracle closures below enumerate the FULL candidate
@@ -1062,7 +1062,7 @@ def q_dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     "any document length, no sort aggregate.",
 )
 def q_curation_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     base = d.selectExpr("doc_id", r"split(trim(text), '\\s+') AS tk")
     ex = base.selectExpr("doc_id", "size(tk) AS n", "tk", "posexplode(tk) AS (pos0, tok)")
     gram_terms = ", ".join(
@@ -1145,7 +1145,7 @@ def q_curation_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH candidate stage exactly like the Jaccard form.",
 )
 def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     sh = exploded_shingles(d, "source").dropDuplicates(["doc_id", "s"])
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -1232,7 +1232,7 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the hub-vertex join fan-out.",
 )
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     bands = sigs.selectExpr("doc_id", "posexplode(sig) AS (i, v)").selectExpr(
         "doc_id", "concat(CAST(i + 1 AS STRING), '|', v) AS band_key"
@@ -1431,7 +1431,7 @@ def q_dedup_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
     "territory, not near-dup).",
 )
 def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     # Distinct 5-gram stream with ZERO pre-checkpoint shuffles: the
     # shingle array is built and deduped PER ROW (transform over an
     # index sequence + array_distinct, one codegen span — the tokenize
@@ -1764,7 +1764,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "B index members and b new members cannot expand to B*b hits.",
 )
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     bands = capped_bands(
         sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")

@@ -34,7 +34,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, load_table_parallel
 from .catalog import register
 from .text import _md5_int8_sql, _TOKENS_SQL
 
@@ -2612,7 +2612,7 @@ _NORM_SQL = (
 def q_label_noise_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot_expr, sq_norm_expr
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     # CAPTURE-FREE folds only: a lambda that captures an outer column
     # (aggregate(sequence(1, 64), ..., element_at(embedding, i))) hits
     # Spark's self-join alias dedup bug (INTERNAL_ERROR_ATTRIBUTE_NOT_
@@ -2895,7 +2895,13 @@ _BLEU_PREC_SQL = [
     "(training-pipeline evaluation family).",
 )
 def q_eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # The documents file is a single parquet split at bench scale, so
+    # the gram-explosion map stage (the bulk of the work) would run on
+    # ONE core; sizing it by cores first is the same rule as the UDTF
+    # lateral (interleaved medians at sf0.1: 1.72 s -> 1.00 s). At
+    # cluster scale the scan arrives pre-split and maxPartitionBytes
+    # does this job — the tiny doc-row shuffle is bench-scale insurance.
+    d = load_table_parallel(spark, sf_dir, "documents")
     base = d.selectExpr(
         "doc_id", "source", r"split(trim(text), '\\s+') AS tk"
     ).selectExpr(

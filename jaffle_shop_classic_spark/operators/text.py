@@ -18,7 +18,7 @@ import pandas as pd  # annotation target for the one vectorized UDF below
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, load_table_parallel
 from .catalog import register
 
 # Marker tokens for the n-gram language heuristic. The driver corpus is
@@ -1774,7 +1774,7 @@ SPARSE_DF_FRAC = 0.02  # prune terms appearing in >2% of docs (stopword tail)
 def q_sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import exploded_shingles  # runtime import (dedup imports text)
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     tok = d.transform(exploded_shingles).select("doc_id", F.col("s").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))

@@ -53,6 +53,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + repartition to core count — for queries whose
+    HEAVIEST map stage (gram explosion, minhash lanes, per-row vector
+    math, Python UDTF/UDF kernels) sits directly on the scan.
+
+    The bench files are single-row-group parquet, so such a stage runs
+    on ONE core without this; sizing compute-bound map stages by cores
+    rather than input bytes is the general rule, and the repartition
+    shuffle moves only the raw input rows (cheap relative to the stage
+    it parallelizes — every adoption below was gated on an interleaved
+    A/B median at sf0.1, wins ranged 20-68%). At cluster scale the scan
+    arrives pre-split and spark.sql.files.maxPartitionBytes does this
+    job; the explicit repartition is bench-scale insurance that also
+    documents WHERE the compute-bound stages are. NOT for queries whose
+    first stage is a cheap filter/project feeding a shuffle — measured
+    regressions there (corpus_token_ids, cf_item_cosine,
+    lang_nb_classifier, text_heavy_hitters_mg stay on plain
+    load_table)."""
+    return load_table(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize the events.ts column to zoned TIMESTAMP (µs) regardless
     of which physical encoding the testdata generation used.
