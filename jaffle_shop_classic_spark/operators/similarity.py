@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_expr, cosine_sql, dot_expr, sq_norm_expr
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, load_table_parallel
 from .catalog import register
 
 DIM = 64
@@ -235,7 +235,7 @@ def q_sim_ml_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup filter.",
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(F.expr(cosine_expr("a.embedding", "b.embedding")), 6)
     return (
@@ -344,7 +344,7 @@ def _ivf_sql(probes: int, limit: int) -> str:
     "(top-p closest lists) is the recall dial, same plan.",
 )
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_ivf_sql(probes=1, limit=5), e=load_table(spark, sf_dir, "embeddings"))
+    return spark.sql(_ivf_sql(probes=1, limit=5), e=load_table_parallel(spark, sf_dir, "embeddings"))
 
 
 NUM_PROBES = 3
@@ -822,7 +822,7 @@ def _pq_sqdist_sql(e: str, c: str) -> str:
 def _pq_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form subvectors: (vec_id, s, subvec array<double>) — M rows
     per vector, built map-side with one posexplode."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.posexplode(
@@ -1209,7 +1209,7 @@ def _ivfpq_oracle() -> str:
 def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     kcent = _kmeans_centroids(spark, sf_dir).select("centroid_id", "cvec")
     # the coarse assignment is deterministic given the cached centroids
     # and the immutable table — cache it WITH the trained artifacts so
@@ -1526,7 +1526,7 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     # norm once per row, divide via zip_with with the norm passed as an
     # HOF ARGUMENT (array_repeat) — no O(D^2) re-evaluation inside the
     # lambda and no outer-column capture (the self-join alias-dedup
