@@ -5005,7 +5005,12 @@ def q_dau_wau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across score-agg/anti-join/window 3.7 s (neutral); basket-"
     "collect_set pair generation 3.7-4.3 s (neutral); broadcast "
     "ownership anti-join 3.55 s (within noise, and NOT scale-sound — "
-    "ownership grows with customers). The residual cost is the "
+    "ownership grows with customers); round-8 retry: eager "
+    "localCheckpoint of the shared cp/op frames 6.4 s vs 5.7 s base "
+    "(worse — materializing the 550k-row distinct outweighs the one "
+    "saved recompute), and core-count input repartition 6.6 s vs "
+    "5.4 s (worse — the first stages are cheap projections feeding "
+    "shuffles). The residual cost is the "
     "irreducible ~6M-row candidate shuffle; score aggregation and "
     "top-k are already partial-combined and WindowGroupLimit-pruned.",
 )
