@@ -27,7 +27,14 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_expr, cosine_sql, dot_expr, sq_norm_expr
+from ..functions.vector import (
+    cosine_expr,
+    cosine_sql,
+    dot_expr,
+    dot_sql,
+    l2_norm_sql,
+    sq_norm_expr,
+)
 from ..sources.parquet import load_table, load_table_parallel
 from .catalog import register
 
@@ -1066,14 +1073,18 @@ SEMDEDUP_TAU = 0.35  # ~p99 of the within-cluster cosine distribution
 
 def _semdedup_oracle() -> str:
     ctes, prev = _kmeans_ctes()
-    cos_raw = cosine_sql("a.embedding", "b.embedding")
+    # per-vector norm hoisted into asg (identical sqrt VALUES, so the
+    # cosine is bit-for-bit the old dot/(sqrt*sqrt) — just computed
+    # once per vector instead of once per pair on both engines)
+    cos_raw = f"({dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm))"
     return (
         "WITH "
         + ",\n    ".join(ctes)
         + f""",
     asg AS (
-      SELECT vec_id, embedding, centroid_id FROM (
+      SELECT vec_id, embedding, centroid_id, nrm FROM (
         SELECT e.vec_id, e.embedding, c.centroid_id,
+               {l2_norm_sql('e.embedding')} AS nrm,
                row_number() OVER (
                  PARTITION BY e.vec_id
                  ORDER BY {_sqdist_sql('e.embedding', 'c.cvec')} ASC, c.centroid_id ASC
@@ -1124,9 +1135,13 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = (
         _nearest_centroid(e, cent)
         .join(e, "vec_id")
+        # norm hoisted per vector — same sqrt values the per-pair
+        # cosine used, so results are bit-identical while the pair
+        # stage drops from three 64-element folds to one
+        .withColumn("nrm", F.expr(f"sqrt({sq_norm_expr('embedding')})"))
     )
     a, b = asg.alias("a"), asg.alias("b")
-    cos = F.expr(cosine_expr("a.embedding", "b.embedding"))
+    cos = F.expr(f"({dot_expr('a.embedding', 'b.embedding')} / (a.nrm * b.nrm))")
     p = (
         a.join(
             b,
