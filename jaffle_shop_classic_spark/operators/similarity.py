@@ -222,10 +222,16 @@ def q_sim_ml_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH scored AS (
+    WITH en AS (
+      SELECT vec_id, label, embedding,
+             {l2_norm_sql('embedding')} AS nrm
+      FROM embeddings
+    ),
+    scored AS (
       SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
-             round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
-      FROM embeddings a JOIN embeddings b
+             round({dot_sql('a.embedding', 'b.embedding')}
+                   / (a.nrm * b.nrm), 6) AS cosine
+      FROM en a JOIN en b
         ON a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT keep_id, drop_id, cosine,
@@ -242,9 +248,15 @@ def q_sim_ml_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup filter.",
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table_parallel(spark, sf_dir, "embeddings")
+    # per-vector norm hoisted (identical sqrt values -> bit-identical
+    # cosine; one fold per pair instead of three, the SemDeDup trick)
+    e = load_table_parallel(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.expr(f"sqrt({sq_norm_expr('embedding')})")
+    )
     a, b = e.alias("a"), e.alias("b")
-    cos = F.round(F.expr(cosine_expr("a.embedding", "b.embedding")), 6)
+    cos = F.round(
+        F.expr(f"({dot_expr('a.embedding', 'b.embedding')} / (a.nrm * b.nrm))"), 6
+    )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
