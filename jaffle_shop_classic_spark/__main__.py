@@ -238,7 +238,24 @@ def main(argv=None) -> int:
         if yaml_tests:
             from .plans.yaml_project import compile_schema_tests
 
-            all_checks.update(compile_schema_tests(project, spark, yaml_tests))
+            yaml_checks = compile_schema_tests(project, spark, yaml_tests)
+            # a YAML test that compiles to the same key as a built-in
+            # check must not silently REPLACE it (dict.update would drop
+            # the built-in without a trace); suffix the YAML key instead,
+            # mirroring the loader's own within-YAML _2 de-dup
+            for key in [k for k in yaml_checks if k in all_checks]:
+                i = 2
+                new_key = f"{key}_yaml"
+                while new_key in all_checks or new_key in yaml_checks:
+                    new_key = f"{key}_yaml{i}"
+                    i += 1
+                print(
+                    f"note: YAML test key {key!r} collides with a "
+                    f"built-in check; recorded as {new_key!r}",
+                    file=sys.stderr,
+                )
+                yaml_checks[new_key] = yaml_checks.pop(key)
+            all_checks.update(yaml_checks)
         results = run_checks(all_checks)
         failed = [r for r in results if not r.passed]
         for r in results:

@@ -5138,8 +5138,12 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l3.l_suppkey <> l1.l_suppkey
           AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
       )
-    GROUP BY s.s_name
-    ORDER BY numwait DESC, s.s_name ASC
+    -- group by the KEY (suppkey), not the name: the Spark plan
+    -- aggregates on l_suppkey before the dimension join, so a
+    -- duplicate s_name must stay two rows on both engines; suppkey
+    -- also tiebreaks the LIMIT so boundary ties pick the same rows
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_name ASC, s.s_suppkey ASC
     LIMIT 20
     """,
     doc="TPC-H Q21 analog (suppliers who kept orders waiting): the "
@@ -5195,9 +5199,9 @@ def q_tpch_q21_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         sole_late.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
-        .select("s_name", "numwait")
-        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc(), F.col("s_suppkey").asc())
         .limit(20)
+        .select("s_name", "numwait")
     )
 
 

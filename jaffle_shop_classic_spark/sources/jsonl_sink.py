@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
 )
 
 MANIFEST = "_MANIFEST.json"
+GENERATION_FILE = "_GENERATION.json"
 
 
 def _json_default(v):
@@ -57,6 +58,20 @@ def _json_default(v):
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     raise TypeError(f"not JSON serializable: {type(v).__name__}")
+
+
+def _ts_to_utc_iso(v: datetime.datetime) -> str:
+    """TimestampType serialization: normalize the INSTANT to UTC with an
+    explicit +00:00 offset. Spark hands the Python writer TimestampType
+    values as naive datetimes in the WORKER's local zone (measured: the
+    same literal arrives as a different wall time under TZ=UTC vs
+    TZ=America/Chicago), so a naive isoformat round-trips correctly only
+    when writer-local zone == reader session zone — any other pairing
+    silently shifts every instant. astimezone() on a naive datetime
+    attaches the local zone, then the UTC conversion makes the string
+    zone-independent; readers parse the offset and recover the instant
+    under ANY session timezone."""
+    return v.astimezone(datetime.timezone.utc).isoformat()
 
 
 @dataclass
@@ -147,7 +162,14 @@ class JsonlManifestReader(DataSourceReader):
         schema = StructType.fromJson(_json.loads(self.schema_json))
 
         def _restore(dt):
-            if isinstance(dt, (TimestampType, TimestampNTZType)):
+            if isinstance(dt, TimestampType):
+                # offset-aware ISO strings (the writer emits UTC+00:00)
+                # come back as aware datetimes — Spark maps an aware
+                # datetime to the correct instant under ANY session
+                # timezone. Legacy shards with naive strings fall back to
+                # the old (session-zone-dependent) interpretation.
+                return datetime.datetime.fromisoformat
+            if isinstance(dt, TimestampNTZType):
                 return datetime.datetime.fromisoformat
             if isinstance(dt, DateType):
                 return datetime.date.fromisoformat
@@ -177,6 +199,10 @@ class JsonlManifestWriter(DataSourceWriter):
         # timestamps to strings)
         self.schema_json = schema.json() if schema is not None else None
         self.overwrite = overwrite
+        # optional run/generation stamp (write_stream_exactly_once): lets
+        # read_all_batches distinguish live batch dirs from stale ones
+        # left by a PRIOR run whose replay emitted fewer micro-batches
+        self.generation = options.get("generation")
 
     def write(self, iterator) -> ShardCommit:
         from pyspark import TaskContext
@@ -187,10 +213,26 @@ class JsonlManifestWriter(DataSourceWriter):
             self.path,
             f"part-{ctx.partitionId():05d}-{uuid.uuid4().hex}.jsonl",
         )
+        # TimestampType (an INSTANT) must leave the process normalized to
+        # UTC with an explicit offset — see _ts_to_utc_iso. TimestampNTZ
+        # is a wall-clock value by definition and stays a naive ISO
+        # string via _json_default.
+        ts_fields: set[str] = set()
+        if self.schema_json is not None:
+            from pyspark.sql.types import StructType, TimestampType
+
+            schema = StructType.fromJson(json.loads(self.schema_json))
+            ts_fields = {
+                f.name for f in schema.fields if isinstance(f.dataType, TimestampType)
+            }
         n = 0
         with open(shard, "w") as f:
             for row in iterator:
-                f.write(json.dumps(row.asDict(), default=_json_default) + "\n")
+                rec = row.asDict()
+                for name in ts_fields:
+                    if rec.get(name) is not None:
+                        rec[name] = _ts_to_utc_iso(rec[name])
+                f.write(json.dumps(rec, default=_json_default) + "\n")
                 n += 1
         return ShardCommit(path=shard, n_rows=n)
 
@@ -215,6 +257,8 @@ class JsonlManifestWriter(DataSourceWriter):
             "n_rows": sum(s["n_rows"] for s in shards),
             "schema": self.schema_json,
         }
+        if self.generation is not None:
+            manifest["generation"] = int(self.generation)
         # Atomic commit point: write to a temp file in the same
         # directory, then os.replace() over the manifest. A crash
         # mid-write must never leave a truncated manifest — "no (valid)
@@ -287,13 +331,47 @@ def write_stream_exactly_once(stream_df, path: str, checkpoint_dir: str):
     # whatever session the caller holds
     stream_df.sparkSession.dataSource.register(JsonlManifestDataSource)
 
+    # Generation protocol: per-batch-id overwrite alone is idempotent
+    # only while batch BOUNDARIES match the prior run — a lost-checkpoint
+    # replay that re-emits the same rows in FEWER micro-batches (a
+    # different trigger / maxFilesPerTrigger) overwrites only the batch
+    # ids it reaches and leaves stale higher-numbered batch dirs that
+    # duplicate rows on read. A fresh checkpoint (no committed offsets)
+    # is exactly the lost-checkpoint case, so it bumps a sink-level
+    # generation counter; every batch manifest is stamped with it and
+    # read_all_batches unions ONLY the current generation. Resuming an
+    # intact checkpoint keeps the stored generation (the earlier batches
+    # of the same run must stay live).
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    fresh_run = not (os.path.isdir(offsets_dir) and os.listdir(offsets_dir))
+    gpath = os.path.join(path, GENERATION_FILE)
+    prev_gen = None
+    if os.path.exists(gpath):
+        with open(gpath) as f:
+            prev_gen = int(json.load(f)["generation"])
+    if fresh_run:
+        generation = (prev_gen or 0) + 1
+        os.makedirs(path, exist_ok=True)
+        tmp = gpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"generation": generation}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, gpath)
+    else:
+        # intact checkpoint: keep the live generation; a legacy sink
+        # written before the protocol existed (no file) stays unstamped
+        generation = prev_gen
+
     def _commit_batch(batch_df, batch_id: int) -> None:
-        (
+        w = (
             batch_df.write.format("jsonl_manifest")
             .mode("overwrite")
             .option("path", os.path.join(path, f"batch={batch_id}"))
-            .save()
         )
+        if generation is not None:
+            w = w.option("generation", str(generation))
+        w.save()
 
     return (
         stream_df.writeStream.foreachBatch(_commit_batch)
@@ -304,21 +382,36 @@ def write_stream_exactly_once(stream_df, path: str, checkpoint_dir: str):
 
 
 def read_all_batches(spark, path: str):
-    """Union every committed batch directory under ``path`` — only
-    manifest-committed shards are visible, so a crashed batch attempt
-    (shards present, no manifest) contributes nothing."""
+    """Union every LIVE committed batch directory under ``path`` — only
+    manifest-committed shards are visible (a crashed batch attempt has
+    shards but no manifest), and when a sink-level generation file
+    exists, only manifests stamped with the CURRENT generation count
+    (stale batch dirs from a prior run whose replay emitted fewer
+    micro-batches are skipped — see write_stream_exactly_once)."""
+    gpath = os.path.join(path, GENERATION_FILE)
+    live_gen = None
+    if os.path.exists(gpath):
+        with open(gpath) as f:
+            live_gen = int(json.load(f)["generation"])
     batches = sorted(
         d for d in os.listdir(path) if d.startswith("batch=")
         and os.path.exists(os.path.join(path, d, MANIFEST))
     )
     frames = []
     manifest_rows = 0
+    stale = []
     for b in batches:
         df, manifest = read_manifest(spark, os.path.join(path, b))
+        if live_gen is not None and manifest.get("generation") != live_gen:
+            stale.append(b)
+            continue
         frames.append(df)
         manifest_rows += manifest["n_rows"]
     if not frames:
-        raise FileNotFoundError(f"no committed batches under {path}")
+        raise FileNotFoundError(
+            f"no committed batches under {path}"
+            + (f" for generation {live_gen} ({len(stale)} stale)" if stale else "")
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

@@ -240,3 +240,45 @@ def test_jsonl_manifest_reader_empty_dataset(spark, tmp_path):
     back = spark.read.format("jsonl_manifest").load(out)
     assert back.count() == 0
     assert back.schema == df.schema
+
+
+def test_jsonl_manifest_timestamp_instant_survives_session_timezone(spark, tmp_path):
+    """TimestampType is an INSTANT: written under one session timezone
+    and read under another, the epoch value must not move. The writer
+    normalizes to UTC with an explicit offset (naive ISO strings were
+    silently reinterpreted in the reader's session zone — a 5h shift for
+    a New York writer and a UTC reader); both read paths (the Python
+    DataSource reader and read_manifest's spark.read.json) parse the
+    offset. TimestampNTZ stays a wall-clock string, zone-independent by
+    definition."""
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.sources.jsonl_sink import (
+        JsonlManifestDataSource,
+        read_manifest,
+    )
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    path = str(tmp_path / "tz")
+    epoch = 1704182645  # 2024-01-02T08:04:05Z
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.range(1).select(
+            F.col("id").alias("k"),
+            F.timestamp_seconds(F.lit(epoch)).alias("ts"),
+            F.expr("timestamp_ntz'2024-01-02 03:04:05'").alias("tsn"),
+        )
+        df.write.format("jsonl_manifest").mode("overwrite").option("path", path).save()
+        for tz in ("America/New_York", "UTC", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            ds_back = spark.read.format("jsonl_manifest").load(path)
+            assert ds_back.select(F.col("ts").cast("long")).first()[0] == epoch, tz
+            assert (
+                ds_back.select(F.date_format("tsn", "yyyy-MM-dd HH:mm:ss")).first()[0]
+                == "2024-01-02 03:04:05"
+            ), tz
+            mf_back, _ = read_manifest(spark, path)
+            assert mf_back.select(F.col("ts").cast("long")).first()[0] == epoch, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

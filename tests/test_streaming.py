@@ -613,3 +613,60 @@ def test_stream_exactly_once_into_manifest_sink(spark, tmp_path):
     got4, rows4 = read_all_batches(spark, sink)
     assert rows4 == 30 and got4.count() == 30
     assert sorted(r["k"] for r in got4.collect()) == list(range(30))
+
+
+def test_stream_exactly_once_survives_shorter_replay(spark, tmp_path):
+    """The generation protocol's reason to exist: a lost-checkpoint
+    replay that emits FEWER micro-batches than the prior run (here: no
+    maxFilesPerTrigger, so 3 files land in ONE batch) overwrites only
+    batch=0 and leaves batch=1/batch=2 from the old run on disk. Without
+    the sink-level generation stamp those stale dirs would double-count
+    20 of the 30 rows on read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.sources.jsonl_sink import (
+        GENERATION_FILE,
+        read_all_batches,
+        write_stream_exactly_once,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("k")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    schema = "k bigint"
+    sink = str(tmp_path / "sink")
+
+    def start(checkpoint, max_files):
+        reader = spark.readStream.schema(schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        q = write_stream_exactly_once(
+            reader.parquet(f"{src}/f*"), sink, checkpoint
+        )
+        q.awaitTermination(120)
+
+    # run 1: one file per trigger -> batches 0,1,2 (generation 1)
+    start(str(tmp_path / "ckpt1"), max_files=True)
+    assert len([d for d in os.listdir(sink) if d.startswith("batch=")]) == 3
+    got1, rows1 = read_all_batches(spark, sink)
+    assert rows1 == 30 and sorted(r["k"] for r in got1.collect()) == list(range(30))
+
+    # run 2: lost checkpoint, all files in ONE batch (generation 2);
+    # batch=1 and batch=2 from run 1 are now stale on disk
+    start(str(tmp_path / "ckpt2"), max_files=False)
+    dirs = [d for d in os.listdir(sink) if d.startswith("batch=")]
+    assert len(dirs) == 3  # stale dirs still present...
+    got2, rows2 = read_all_batches(spark, sink)  # ...but invisible
+    assert rows2 == 30
+    assert sorted(r["k"] for r in got2.collect()) == list(range(30))
+    assert os.path.exists(os.path.join(sink, GENERATION_FILE))
+
+    # resuming run 2's intact checkpoint keeps its generation: the
+    # drained source adds nothing and the read stays exact
+    start(str(tmp_path / "ckpt2"), max_files=False)
+    got3, rows3 = read_all_batches(spark, sink)
+    assert rows3 == 30 and got3.count() == 30

@@ -258,3 +258,35 @@ models:
     results = run_checks(compile_schema_tests(proj2, spark, tests))
     assert len(results) == 1 and not results[0].passed
     assert results[0].n_violations == 1  # one duplicated value
+
+
+def test_cli_yaml_test_key_collision_keeps_builtin(tmp_path, capsys):
+    """A YAML test compiling to the SAME key as a built-in jaffle check
+    must not silently replace it (dict.update would drop the built-in
+    without a trace): the YAML check is recorded under a _yaml suffix and
+    BOTH run. The collision is manufactured via a model named
+    `_stg_orders` with column `_order_id` — SchemaTest keys are
+    `<kind>_<model>_<column>`, so it lands exactly on the built-in
+    `unique__stg_orders__order_id`."""
+    from jaffle_shop_classic_spark.__main__ import main
+
+    y = tmp_path / "collide.yml"
+    y.write_text(
+        "models:\n"
+        "  - name: _stg_orders\n"
+        "    sql: 'SELECT 1 AS _order_id UNION ALL SELECT 1 AS _order_id'\n"
+        "    columns:\n"
+        "      - name: _order_id\n"
+        "        tests: [unique]\n"
+    )
+    rc = main(["test", "--project-yaml", str(y)])
+    out = capsys.readouterr().out
+    # the duplicate-row YAML test fails -> exit 1, under the suffixed key
+    assert rc == 1
+    assert "unique__stg_orders__order_id_yaml" in out
+    # the built-in check still ran (and passed) under its own key
+    builtin_lines = [
+        ln for ln in out.splitlines()
+        if "unique__stg_orders__order_id" in ln and "_yaml" not in ln
+    ]
+    assert builtin_lines and all("PASS" in ln for ln in builtin_lines)
