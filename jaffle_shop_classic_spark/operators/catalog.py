@@ -79,14 +79,24 @@ _PRIORITY = (
     "join_semi",
     "set_except",
     "rollup_flag_status",
-    "window_range_frame",
+    # window_range_frame (r01..r08-green) hands its slot to the TPC-H
+    # Q21 analog: the X7 RANGE-frame class keeps topk_per_group +
+    # seq_pattern_funnel's lag/cumsum windows in-window, and Q21's dual
+    # EXISTS/NOT-EXISTS decorrelation — the one relational shape never
+    # driver-checked — gains hard signal
+    "tpch_q21_style",
     # date_functions (r01..r07-green) hands its slot to Mann-Kendall:
     # the string/date/math-function class (X9) rides every in-window
     # TPC-H analog and both marts, and the trend-test family (integer-
     # exact sign aggregation + variance) gains driver evidence
     "trend_mann_kendall",
     "json_schema_parse",
-    "array_vector_norm",
+    # array_vector_norm (r01..r08-green) hands its slot to the ANN
+    # recall@k harness: the X11 array-ops class rides sim_cosine_topk /
+    # sim_ivf_topk's F.aggregate/zip_with kernels in-window, and the
+    # offline ANN-evaluation family (exact-vs-IVF recall) gains its
+    # first hard signal
+    "sim_ann_recall_eval",
     # X3 + X8 representatives (r01-green, rotated back in; map_ops'
     # X11 class stays certified via array_vector_norm)
     "topk_per_group",
@@ -107,16 +117,17 @@ _PRIORITY = (
     # path (the one reference-surface semantic the driver had never
     # hash-checked, dbt_project.yml:22-27)
     "train_test_split_hash",
-    # upsert_latest_state (r01..r06-green) hands its slot to the
-    # session's Mann-Whitney AUC: the latest-row-per-key CDC class is
-    # now certified by cdc_upsert_with_deletes (in-window below), and
-    # the evaluation family gains its first hard signal
-    "eval_auc_mannwhitney",
-    # sample_stratified_quota (r01..r06-green) hands its slot to the
-    # Bayesian-bootstrap CI: stratified sampling stays certified via
-    # train_test_split_hash + sample_temperature_mix (both in-window),
-    # and seeded-resampling inference gains driver evidence
-    "bootstrap_mean_ci",
+    # eval_auc_mannwhitney (r07+r08-green) hands its slot to the
+    # Fellegi-Sunter EM linkage: the eval family keeps ndcg /
+    # calibration / BLEU / Mann-Kendall in-window, and probabilistic
+    # record linkage (blocked agreement patterns -> 16-row
+    # sufficient-statistics EM) gains its first hard signal
+    "er_fellegi_sunter_em",
+    # bootstrap_mean_ci (r07+r08-green) hands its slot to the TPC-H Q17
+    # analog: resampling inference keeps trend_mann_kendall +
+    # eval_calibration_bins in-window, and the correlated
+    # SCALAR-aggregate-subquery decorrelation gains hard signal
+    "tpch_q17_style",
     "distinct_exact_bitmap",
     "incremental_orders_state",
     # text analysis (X12) — text_quality_score's class is also covered
@@ -128,11 +139,11 @@ _PRIORITY = (
     # text_tfidf_topk + quality_percentile_filter (both in-window), and
     # the ranking-evaluation family gains its first hard signal
     "eval_ndcg_at_k",
-    # text_lm_score (r02..r06-green) hands its slot to the portable
-    # HyperLogLog: X12 keeps three other in-window reps (token_stats,
-    # tfidf, quality gate), and the sketch family's certification
-    # upgrades from rows-only engine sketches to full value parity
-    "sketch_hll_portable",
+    # sketch_hll_portable (r08-green, and the X8 sketch class keeps
+    # distinct_exact_bitmap + percentile_exact in-window) hands its
+    # slot to the TPC-H Q8 analog: market-share ratio-of-conditional-
+    # sums over a 5-way star join, the widest join tree in the catalog
+    "tpch_q8_style",
     "dedup_semantic_clusters",
     "text_tfidf_topk",
     "quality_percentile_filter",
@@ -179,15 +190,25 @@ _PRIORITY = (
     # generation-evaluation family (clipped n-gram precision + brevity
     # penalty) gains its first hard signal
     "eval_bleu_corpus",
-    "cdc_upsert_with_deletes",
+    # cdc_upsert_with_deletes (r07+r08-green) hands its slot to the
+    # manifest-sink round trip: the CDC-tombstone class carries two
+    # rounds of hard signal, and the two-phase-commit write path —
+    # today pytest-only — gains end-to-end value certification
+    # (task shards -> atomic manifest commit -> manifest-first read)
+    "sink_manifest_roundtrip",
     "sim_ivf_topk",
     # kmeans_lloyd (r01..r07-green) hands its slot to reliability-
     # diagram calibration bins: the Lloyd-iteration machinery trains
     # inside dedup_semantic_clusters (in-window, certified r07), and
     # the probabilistic-evaluation family gains a second hard signal
     "eval_calibration_bins",
-    # round-5 flagship classes, certified by the hard signal from r06
-    "scd2_user_state_history",
+    # scd2_user_state_history (r06..r08-green) hands its slot to the
+    # YAML authoring path: the SCD2 interval algebra carries three
+    # rounds of hard signal (plus the snapshot materializer's pytest
+    # contract), and the round-8 dbt-dialect YAML loader — the last
+    # authoring surface without driver evidence — gets certified the
+    # way the SQL-text path (sql_model_customers_mart) was in round 8
+    "yaml_model_customers_mart",
     # text_pmi_collocations (r05..r07-green) hands its slot to
     # functional-dependency discovery: X12 keeps tfidf + quality gate +
     # LM-score-adjacent reps in-window, and the data-profiling family
@@ -211,11 +232,10 @@ _PRIORITY = (
     # UDF surface + bespoke join/reshape ops (X16)
     "udf_apply_in_pandas",
     "asof_join_last_signup",
-    # unpivot_amounts (r01..r06-green) hands its slot to the censored
-    # Kaplan-Meier survival curve: reshape machinery stays certified
-    # via the jaffle_orders pivot + rollup_flag_status, and the
-    # statistical-inference family gains a second hard signal
-    "survival_repurchase_curve",
+    # survival_repurchase_curve (r08-green; the mining/eval family
+    # keeps seven other in-window reps) hands its slot to the Python
+    # UDTF lateral — the ONE X16 family member with zero hard signal
+    "udtf_installment_plan",
     # streaming (X15) — oracle-backed: availableNow+append over a static
     # file emits the deterministic watermark-closed window set.
     # stream_tumbling_counts (r06-green; the tumbling-count class is a
@@ -230,6 +250,19 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 in round 9 for the six uncertified
+    # round-8 newcomers (UDTF lateral, FS-EM linkage, ANN recall@k,
+    # TPC-H Q17/Q21/Q8) plus the YAML-authoring and manifest-sink
+    # certifications — every one a duplicate-class rep with r07/r08
+    # (most r01..r08) hard signal when in-window
+    "window_range_frame",
+    "array_vector_norm",
+    "eval_auc_mannwhitney",
+    "bootstrap_mean_ci",
+    "sketch_hll_portable",
+    "cdc_upsert_with_deletes",
+    "scd2_user_state_history",
+    "survival_repurchase_curve",
     # rotated out mid-round-8 for the session-2 flagships (BLEU, URL
     # dedup) — both r06/r07-certified duplicate-class reps
     "curation_strip_dup_spans",

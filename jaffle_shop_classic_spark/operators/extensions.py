@@ -5065,6 +5065,60 @@ def q_recommend_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_manifest_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           min(o_orderdate) AS first_date,
+           max(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="The two-phase-commit manifest sink protocol, VALUE-certified "
+    "end to end: orders stream task-parallel through the custom "
+    "jsonl_manifest DataSource (each task writes a uniquely-named "
+    "shard, the driver-side commit() atomically publishes the "
+    "manifest via fsync+os.replace — sources/jsonl_sink.py:197-230), "
+    "then read back MANIFEST-FIRST (only committed shards are "
+    "visible) and aggregated per status. The oracle computes the "
+    "same aggregate straight from the source table, so any row lost "
+    "or duplicated by the commit protocol, any timestamp shifted by "
+    "the UTC-offset JSON serialization, or any double degraded by "
+    "the text round-trip breaks the hash. Overwrite mode keeps the "
+    "entry idempotent across runs. Scale shape: shards and the "
+    "read-back scan are one task per partition/shard with no "
+    "driver-side data movement (the driver touches only the "
+    "manifest); the final aggregate is a partial->final hash agg on "
+    "a 3-value key. JSONL is the export/debug path — the columnar "
+    "hot path stays parquet — but the COMMIT protocol certified "
+    "here is the same one every lake writer needs.",
+)
+def q_sink_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.jsonl_sink import JsonlManifestDataSource, read_manifest
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"jaffle_sink_rt_{spark.sparkContext.applicationId}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    o.write.format("jsonl_manifest").mode("overwrite").option("path", root).save()
+    back, _manifest = read_manifest(spark, root)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+@register(
     "source_schema_evolution",
     oracle="""
     SELECT CAST(1 AS INT) AS batch,

@@ -361,3 +361,84 @@ def q_sql_model_customers_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqlm_customers_mart",
         ):
             spark.catalog.dropTempView(v)
+
+
+@register(
+    "yaml_model_customers_mart",
+    # same algebra as jaffle_customers / sql_model_customers_mart — this
+    # entry certifies the YAML AUTHORING PATH (parse -> register ->
+    # materialize -> query), not new relational semantics
+    oracle=_CUSTOMERS_MART_ORACLE,
+    doc="The dbt-project migration path end to end under the hard gate: "
+    "the customers mart authored as a schema.yml-dialect YAML document "
+    "(models with inline sql:, deps:, per-column docs — the reference's "
+    "own authoring format, /root/reference/models/schema.yml + "
+    "customers.sql:20-67) loaded through plans.yaml_project."
+    "load_project_yaml, which registers each model via Project."
+    "sql_model and resolves upstream names through Spark's analyzer. "
+    "Proves a reference user can port their whole YAML project file "
+    "and get the same hash-checked answer the DataFrame twin "
+    "(jaffle_customers) produces. Scale shape is identical to the "
+    "certified marts: two partial->final hash aggregates + two LEFT "
+    "joins on the aggregation key; views inline into one Catalyst "
+    "plan, so the authoring layer adds zero runtime.",
+)
+def q_yaml_model_customers_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.yaml_project import load_project_yaml
+
+    doc = """
+models:
+  - name: yamlm_customer_orders
+    description: per-customer order aggregates
+    sql: |
+      SELECT o_custkey AS customer_id,
+             min(o_orderdate) AS first_order,
+             max(o_orderdate) AS most_recent_order,
+             count(o_orderkey) AS number_of_orders
+      FROM yamlm_orders GROUP BY o_custkey
+    deps: [yamlm_orders]
+  - name: yamlm_customer_payments
+    sql: |
+      SELECT o.o_custkey AS customer_id,
+             round(sum(l.l_extendedprice), 2) AS customer_lifetime_value
+      FROM yamlm_lineitem l
+      LEFT JOIN yamlm_orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    deps: [yamlm_orders, yamlm_lineitem]
+  - name: yamlm_customers_mart
+    sql: |
+      SELECT c.c_custkey AS customer_id,
+             c.c_name AS name,
+             c.c_mktsegment AS segment,
+             co.first_order,
+             co.most_recent_order,
+             co.number_of_orders,
+             cp.customer_lifetime_value
+      FROM yamlm_customer c
+      LEFT JOIN yamlm_customer_orders co ON c.c_custkey = co.customer_id
+      LEFT JOIN yamlm_customer_payments cp ON c.c_custkey = cp.customer_id
+    deps: [yamlm_customer, yamlm_customer_orders, yamlm_customer_payments]
+sources:
+  - name: yamlm_customer
+  - name: yamlm_orders
+  - name: yamlm_lineitem
+"""
+    sources = {
+        f"yamlm_{t}": load_table(spark, sf_dir, t)
+        for t in ("customer", "orders", "lineitem")
+    }
+    project, _tests = load_project_yaml(doc, sources=sources)
+    try:
+        # resolve() analyzes eagerly through Spark's analyzer, so the
+        # returned plan no longer needs the temp views after this call
+        return project.resolve("yamlm_customers_mart", spark)
+    finally:
+        for v in (
+            "yamlm_customer",
+            "yamlm_orders",
+            "yamlm_lineitem",
+            "yamlm_customer_orders",
+            "yamlm_customer_payments",
+            "yamlm_customers_mart",
+        ):
+            spark.catalog.dropTempView(v)

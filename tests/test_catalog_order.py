@@ -27,21 +27,19 @@ _REQUIRED_IN_WINDOW = {
     "udfs": {"udf_apply_in_pandas", "asof_join_last_signup"},
     "streaming": {"stream_left_outer_join", "stream_session_windows"},
     # round-7 session: the mining/eval/inference flagships promoted in
-    # exchange for long-certified duplicate-class reps
+    # exchange for long-certified duplicate-class reps (round 9 rotated
+    # eval_auc_mannwhitney / bootstrap_mean_ci / sketch_hll_portable /
+    # survival_repurchase_curve — all r07/r08-green — back to tier 2)
     "round7_session_promotions": {
         "seq_pattern_funnel",
-        "eval_auc_mannwhitney",
-        "bootstrap_mean_ci",
-        "sketch_hll_portable",
-        "survival_repurchase_curve",
     },
     # round 7: the round-6 flagships promoted into the hard signal
+    # (round 9 rotated cdc_upsert_with_deletes, r07+r08-green, out)
     "round7_promotions": {
         "dedup_jaccard_prefix_filter",
         "graph_pagerank",
         "dedup_semantic_clusters",
         "distinct_exact_bitmap",
-        "cdc_upsert_with_deletes",
         "incremental_orders_state",
     },
     # round-8 session: the round-7 eval/mining flagships plus the two
@@ -64,6 +62,19 @@ _REQUIRED_IN_WINDOW = {
     "round8_session2_promotions": {
         "eval_bleu_corpus",
         "dedup_url_canonical",
+    },
+    # round 9 (the round-8 verdict's brief #1/#3/#4): the six
+    # uncertified round-8 newcomers plus the YAML-authoring and
+    # manifest-sink protocol certifications
+    "round9_promotions": {
+        "udtf_installment_plan",
+        "er_fellegi_sunter_em",
+        "sim_ann_recall_eval",
+        "tpch_q17_style",
+        "tpch_q21_style",
+        "tpch_q8_style",
+        "yaml_model_customers_mart",
+        "sink_manifest_roundtrip",
     },
     # round 5: map_ops / text_repetition_ratio (duplicate-class reps of
     # array_vector_norm / the 5-strong text block) rotated to Tier 2 to
