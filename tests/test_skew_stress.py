@@ -318,3 +318,117 @@ def test_khop_hub_fanout_single_plan(spark, tmp_path):
     assert got[0] == 0
     assert sum(1 for d in got.values() if d == 1) == 300  # full hub ring
     assert got[400] == 2 and got[401] == 3
+
+
+# ---------------------------------------------------------------- round 9:
+# the two pair-heavy round-8 operators get the same planted-hot-key
+# treatment as LSH/graph: plan assertions (map-side partial combine on
+# the collapse aggregate) + exact value parity vs the DuckDB oracle ON
+# the skewed data itself.
+
+
+@pytest.fixture(scope="module")
+def fs_hot_block_dir(spark, tmp_path_factory):
+    """A part table where ONE blocking key (brand + first letter) owns
+    >99% of all candidate pairs: 200 parts share (Brand#HOT, 'a') ->
+    19,900 pairs in a single block, vs 3 pairs from the cold blocks."""
+    base = tmp_path_factory.mktemp("fs_skew")
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                f"alpha part {i % 4}",       # 4 name variants
+                "Brand#HOT",
+                f"TYPE{i % 2}",              # 2 type variants
+                i % 3,                       # 3 sizes
+                100.0 * (i % 2) + 50.0,      # 2 price bands
+            )
+        )
+    for i in range(6):  # cold blocks: 3 brands x 2 parts
+        rows.append(
+            (1000 + i, f"zeta part {i}", f"Brand#C{i // 2}", "TYPEC", 9, 900.0)
+        )
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).repartition(4).write.mode("overwrite").parquet(f"{base}/part.parquet")
+    return str(base)
+
+
+def test_fellegi_sunter_em_hot_block(spark, fs_hot_block_dir):
+    """FS-EM under a dominant blocking key: the agreement-pattern
+    aggregate must collapse the 19,903-pair space map-side (partial
+    count before any exchange — the EM never sees more than 16 pattern
+    rows no matter how hot the block), and the learned parameters must
+    hash-match the DuckDB oracle run on the SAME skewed table."""
+    import duckdb
+
+    from tools.parity import compare
+
+    df = load_catalog()["er_fellegi_sunter_em"].fn(spark, fs_hot_block_dir)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan  # pattern counts combine map-side
+    assert len(rows) == 5  # prior + 4 fields, regardless of pair volume
+    assert all(0 <= r["m_micro"] <= 1_000_000 for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM '{fs_hot_block_dir}/part.parquet/*.parquet'"
+    )
+    res = compare(
+        "er_fellegi_sunter_em",
+        load_catalog()["er_fellegi_sunter_em"].fn(spark, fs_hot_block_dir),
+        con,
+    )
+    assert res["status"] == "MATCH", res
+
+
+@pytest.fixture(scope="module")
+def bleu_hot_gram_dir(spark, tmp_path_factory):
+    """A documents table where one token ('hot') repeats corpus-wide:
+    300 docs are 60x 'hot', so every n-gram bucket for that token is
+    maximally hot; 5 distinct docs ride along in a second source."""
+    base = tmp_path_factory.mktemp("bleu_skew")
+    docs = [(i, " ".join(["hot"] * 60), "en", "web", 4 * 60) for i in range(300)]
+    for i in range(5):
+        text = " ".join(f"w{i}x{j}" for j in range(40))
+        docs.append((1000 + i, text, "en", "clean", len(text)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(4).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    return str(base)
+
+
+def test_bleu_corpus_hot_gram(spark, bleu_hot_gram_dir):
+    """Corpus BLEU under a corpus-wide repeated token: the (doc,n,gram)
+    clip aggregate keys on doc_id, so the hot gram distributes across
+    documents and combines map-side (partial count before the
+    exchange); the output must match the DuckDB oracle on the same
+    data, and the all-'hot' source's score is analytically known:
+    every n-gram precision is 1.0 (candidate grams all present in the
+    reference), so BLEU = brevity penalty = exp(1 - 60/48)."""
+    import math
+
+    import duckdb
+
+    from tools.parity import compare
+
+    df = load_catalog()["eval_bleu_corpus"].fn(spark, bleu_hot_gram_dir)
+    rows = {r["source"]: r for r in df.collect()}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan  # per-doc gram counts combine map-side
+    web = rows["web"]
+    assert web["c_len"] == 300 * 48 and web["r_len"] == 300 * 60
+    assert abs(web["bleu"] - round(math.exp(1 - 60 / 48), 6)) < 1e-6
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{bleu_hot_gram_dir}/documents.parquet/*.parquet'"
+    )
+    res = compare(
+        "eval_bleu_corpus",
+        load_catalog()["eval_bleu_corpus"].fn(spark, bleu_hot_gram_dir),
+        con,
+    )
+    assert res["status"] == "MATCH", res
