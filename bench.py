@@ -139,6 +139,14 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "tpch_q21_style",
     "tpch_q17_style",
     "tpch_q8_style",
+    # round-9 additions
+    "ks_test_two_sample",
+    "tpch_q22_style",
+    "tpch_q11_style",
+    "winsorize_group_clip",
+    "data_mixture_weights",
+    "graph_kcore_peel",
+    "yaml_model_customers_mart",
 ]
 
 

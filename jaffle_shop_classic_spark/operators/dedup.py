@@ -1895,3 +1895,97 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ------------------------------------------------------------- round 9
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev_e = "edges"
+    for t in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    d{t} AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+             FROM {prev_e} GROUP BY src),
+    k{t} AS (SELECT doc_id FROM d{t} WHERE deg >= {KCORE_K}),
+    e{t} AS (
+      SELECT e.src, e.dst FROM {prev_e} e
+      JOIN k{t} a ON a.doc_id = e.src
+      JOIN k{t} b ON b.doc_id = e.dst
+    )""")
+        prev_e = f"e{t}"
+    return f"""
+    WITH {_SIGS_CTE},
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sigs),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    {','.join(rounds)}
+    SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{KCORE_ROUNDS}
+    GROUP BY src
+    ORDER BY core_deg DESC, doc_id ASC
+    """
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    doc=f"k-core decomposition ({KCORE_ROUNDS} synchronous peeling "
+    f"rounds at k={KCORE_K}) on the MinHash-LSH similarity graph — the "
+    "fourth graph analytic next to components / PageRank / LPA: "
+    "repeatedly delete nodes whose CURRENT degree is below k, keeping "
+    "the dense near-dup cores and shedding the weakly-attached "
+    "periphery (in curation: core members are template families to "
+    "collapse, peeled nodes are borderline pairs to keep). Defined as "
+    "BOUNDED-round peeling — the same determinism contract as "
+    "graph_minplus_distance's 3-round Bellman-Ford — so the DuckDB "
+    "oracle unrolls the identical rounds as CTEs; integer degrees "
+    "make every keep/peel decision exact on both engines. Spark "
+    "shape per round: one keyed degree aggregate (map-side partial "
+    "combine — a hub ships one partial per partition, never raw "
+    "fanout) and two left-semi joins keyed on the endpoints, with "
+    "lazy localCheckpoints cutting the 4-round lineage; edges are "
+    "checkpointed ONCE via the shared _symmetric_edges base. At "
+    "cluster scale the fixpoint variant loops the same round body "
+    "until a count() of peeled nodes hits zero, checkpointing every "
+    "few rounds — the bounded form here is the certified inner body.",
+)
+def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = kcore_peel(_symmetric_edges(_lsh_candidate_pairs(spark, sf_dir)))
+    return (
+        e.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .orderBy(F.col("core_deg").desc(), F.col("doc_id").asc())
+    )
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """The bounded peeling loop on a symmetric (src, dst) edge list —
+    see q_graph_kcore_peel's docstring for the round body's scale
+    shape."""
+    e = edges
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("src").alias("keep_id"))
+        )
+        e = (
+            e.join(keep, e["src"] == keep["keep_id"], "left_semi")
+            .join(keep, e["dst"] == keep["keep_id"], "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return e

@@ -5412,3 +5412,231 @@ def q_tpch_q8_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mkt_share"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# ------------------------------------------------------------- round 9
+@register(
+    "tpch_q22_style",
+    oracle="""
+    WITH elig AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD', 'FURNITURE')
+        AND c_acctbal > CAST(0 AS DOUBLE)
+    ),
+    t AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM elig
+    )
+    SELECT e.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           round(CAST(sum(e.cents) AS DOUBLE) / CAST(100 AS DOUBLE), 2)
+             AS total_acctbal
+    FROM elig e CROSS JOIN t
+    WHERE e.cents * t.cnt > t.total
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = e.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY e.c_mktsegment
+    """,
+    doc="TPC-H Q22 analog (global-sales-opportunity): the "
+    "scalar-threshold + NOT-EXISTS class — eligible customers with an "
+    "account balance ABOVE the eligible-population average who have "
+    "LAPSED (no order since 1999-01-01; the spec's 'never ordered' is "
+    "vacuous on this testdata, where every sf<=0.01 customer has "
+    "orders — the recency filter keeps the identical anti-join shape "
+    "with a non-empty answer). Spark-first decorrelation: the average "
+    "becomes a broadcast 1-row (total, cnt) frame and the comparison "
+    "is the INTEGER inequality cents*cnt > total (no float average "
+    "ever sits on a keep/drop boundary — the same discipline as "
+    "tpch_q17's 20% rule); the NOT EXISTS is a left-anti join on "
+    "c_custkey against the orders scan (keys-only shuffle, at most "
+    "one probe per row). Skew: bounded — the anti join keys on the "
+    "customer primary key. Ref: public TPC-H spec Q22; no reference "
+    "analog.",
+)
+def q_tpch_q22_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
+    elig = c.where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD", "FURNITURE")
+        & (F.col("c_acctbal") > F.lit(0).cast("double"))
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    t = elig.agg(
+        F.sum("cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    return (
+        elig.crossJoin(F.broadcast(t))
+        .where(F.col("cents") * F.col("cnt") > F.col("total"))
+        .join(o, elig["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.round(
+                F.sum("cents").cast("double") / F.lit(100).cast("double"), 2
+            ).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "tpch_q11_style",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS value_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM v)
+    SELECT v.l_partkey, v.value_cents
+    FROM v CROSS JOIN t
+    WHERE v.value_cents > t.total // 2000
+    ORDER BY v.value_cents DESC, v.l_partkey ASC
+    LIMIT 100
+    """,
+    doc="TPC-H Q11 analog (important stock identification): the "
+    "HAVING-against-a-global-scalar class — per-part line revenue "
+    "kept only where it exceeds fraction 1/2000 of the corpus-wide "
+    "total (the spec's GROUP BY ... HAVING sum > scalar-subquery "
+    "shape, which neither the broadcast-threshold filters nor the "
+    "TPC-H analogs above exercise: here the scalar aggregates the "
+    "SAME frame the HAVING prunes). Decorrelated Spark-first: one "
+    "keyed aggregate builds the per-part frame, a second 1-row "
+    "aggregate over IT broadcasts as the threshold. Cross-engine "
+    "exactness AND overflow safety: the fraction test uses "
+    "value > total div 2000 (integer floor division) — provably "
+    "equivalent to 2000*value > total for integers, without the "
+    "total*2000 product that would overflow BIGINT at 100 TB scale "
+    "(corpus totals ~1e17 cents). Deterministic LIMIT via the "
+    "partkey tiebreak. Ref: public TPC-H spec Q11; no reference "
+    "analog.",
+)
+def q_tpch_q11_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents")
+    )
+    t = v.agg(F.sum("value_cents").cast("bigint").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .where(F.col("value_cents") > F.expr("total div 2000"))
+        .orderBy(F.col("value_cents").desc(), F.col("l_partkey").asc())
+        .limit(100)
+        .select("l_partkey", "value_cents")
+    )
+
+
+@register(
+    "winsorize_group_clip",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    r AS (
+      SELECT segment, cents,
+             CAST(row_number() OVER (PARTITION BY segment ORDER BY cents)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+      FROM s
+    ),
+    thr AS (
+      SELECT segment,
+             CAST(max(n) AS BIGINT) AS n_orders,
+             CAST(min(CASE WHEN rn = (n + 19) // 20 THEN cents END)
+                  AS BIGINT) AS lo_cents,
+             CAST(min(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
+                  AS BIGINT) AS hi_cents
+      FROM r GROUP BY segment
+    )
+    SELECT s.segment,
+           CAST(max(t.n_orders) AS BIGINT) AS n_orders,
+           max(t.lo_cents) AS lo_cents,
+           max(t.hi_cents) AS hi_cents,
+           CAST(sum(CASE WHEN s.cents < t.lo_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN s.cents > t.hi_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           round(CAST(sum(greatest(t.lo_cents, least(t.hi_cents, s.cents)))
+                      AS DOUBLE) / CAST(100 AS DOUBLE), 2) AS winsorized_total
+    FROM s JOIN thr t ON s.segment = t.segment
+    GROUP BY s.segment
+    """,
+    doc="Winsorization — the feature-pipeline outlier treatment that "
+    "CLIPS instead of dropping: per customer segment, order totals "
+    "are clamped to the exact [p05, p95] order statistics before "
+    "aggregation (quantile_normalize_groups maps ranks, "
+    "users_anomaly_* FLAG outliers; winsorizing bounds their "
+    "leverage while keeping the rows). Cross-engine exactness: the "
+    "thresholds are ORDER STATISTICS on the integer cent grid — "
+    "percentile_disc semantics via rn = ceil(p*n) computed as "
+    "(n+19) div 20 and (19n+19) div 20 in pure integer arithmetic — "
+    "so no interpolated float quantile ever decides a clip, and the "
+    "winsorized sum is an exact integer until the final /100 "
+    "projection. Tie-safety: equal cent values make the row_number "
+    "tiebreak irrelevant (any rank in a tie run carries the same "
+    "value). Scale shape: one partitioned sort per segment for the "
+    "rank pass (Spark's window machinery; segments partition the "
+    "shuffle), a broadcast threshold join back, and a partial->final "
+    "hash aggregate — no global single-partition stage. Ref: no "
+    "reference analog; winsorized mean per the classic robust-"
+    "statistics definition.",
+)
+def q_winsorize_group_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("segment").orderBy("cents")
+    r = s.select(
+        "segment",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("segment")).cast("bigint").alias("n"),
+    )
+    thr = r.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.min(F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("cents")))
+        .cast("bigint")
+        .alias("lo_cents"),
+        F.min(F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("cents")))
+        .cast("bigint")
+        .alias("hi_cents"),
+    )
+    return (
+        s.join(F.broadcast(thr), "segment")
+        .groupBy("segment")
+        .agg(
+            F.max("n_orders").cast("bigint").alias("n_orders"),
+            F.max("lo_cents").alias("lo_cents"),
+            F.max("hi_cents").alias("hi_cents"),
+            F.sum(F.when(F.col("cents") < F.col("lo_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.round(
+                F.sum(
+                    F.greatest("lo_cents", F.least("hi_cents", F.col("cents")))
+                ).cast("double")
+                / F.lit(100).cast("double"),
+                2,
+            ).alias("winsorized_total"),
+        )
+    )

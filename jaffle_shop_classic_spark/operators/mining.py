@@ -2965,3 +2965,97 @@ def q_eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.join(lens, "source").selectExpr(
         "source", "c_len", "r_len", *_BLEU_PREC_SQL, _BLEU_FINAL_SQL
     )
+
+
+# ------------------------------------------------------------- round 9
+@register(
+    "ks_test_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    g AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM s GROUP BY cents
+    ),
+    cum AS (
+      SELECT CAST(sum(a) OVER (ORDER BY cents) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (ORDER BY cents) AS BIGINT) AS cb
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2 FROM g
+    )
+    SELECT t.n1, t.n2,
+           CAST(max(abs(cum.ca * t.n2 - cum.cb * t.n1)) AS BIGINT) AS d_num,
+           round(CAST(max(abs(cum.ca * t.n2 - cum.cb * t.n1)) AS DOUBLE)
+                 / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6) AS ks_d
+    FROM cum CROSS JOIN t
+    GROUP BY t.n1, t.n2
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test between the order-price "
+    "distributions of two customer segments — the nonparametric "
+    "distribution-drift check that complements drift_psi_monitor's "
+    "binned PSI (KS needs no bin choice and is sensitive anywhere on "
+    "the CDF). Cross-engine exactness: prices land on an integer cent "
+    "grid, per-value group counts are exact integer sums, and the KS "
+    "supremum is computed on the INTEGER lattice |ca*n2 - cb*n1| (the "
+    "ECDF difference scaled by n1*n2), so the argmax never sits on a "
+    "float boundary; the single double division happens once, on the "
+    "final 1-row projection. Scale shape: one keyed aggregate collapses "
+    "the row space to the distinct-price domain (value-bounded: the "
+    "cent grid, ~1e6 values at any SF) before the cumulative window, "
+    "so the single-partition sort is O(domain), not O(rows) — the same "
+    "bounded-domain argument as median_histogram_cdf; for unbounded "
+    "domains the standard rewrite is range-partitioned prefix sums "
+    "(per-partition partials + broadcast offsets). The totals join is "
+    "a broadcast 1-row frame. Ref: no reference analog; Kolmogorov-"
+    "Smirnov statistic per the classic definition.",
+)
+def q_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    s = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = s.groupBy("cents").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        F.sum("a").over(w).cast("bigint").alias("ca"),
+        F.sum("b").over(w).cast("bigint").alias("cb"),
+    )
+    tot = g.agg(
+        F.sum("a").cast("bigint").alias("n1"), F.sum("b").cast("bigint").alias("n2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")))
+            .cast("bigint")
+            .alias("d_num"),
+            F.round(
+                F.max(
+                    F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
+                ).cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("ks_d"),
+        )
+        .select("n1", "n2", "d_num", "ks_d")
+    )

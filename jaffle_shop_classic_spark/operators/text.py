@@ -2216,3 +2216,65 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+# ------------------------------------------------------------- round 9
+@register(
+    "data_mixture_weights",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM src)
+    SELECT s.source, s.n_docs, s.avail_tokens,
+           CAST(10000000 // k.n_sources AS BIGINT) AS target_tokens,
+           round(CAST(10000000 // k.n_sources AS DOUBLE)
+                 / CAST(s.avail_tokens AS DOUBLE), 6) AS sample_weight,
+           (10000000 // k.n_sources) > s.avail_tokens AS oversampled
+    FROM src s CROSS JOIN k
+    """,
+    doc="Training-mixture planning — the step between corpus curation "
+    "and the dataloader: given a token budget (10M, literal) and a "
+    "target mixture (uniform across sources here; any target-share "
+    "table composes the same way), compute each source's available "
+    "token mass, its target allocation, the per-source sampling "
+    "weight (epochs: >1 means the source must repeat to fill its "
+    "share — the Pile/DoReMi-style recipe input) and an oversampled "
+    "flag. Cross-engine exactness: token counts and the budget split "
+    "are pure integers (budget div n_sources), the epochs ratio is "
+    "ONE double division rounded at the projection, and the "
+    "oversampled flag is an integer comparison — no float near any "
+    "decision. Scale shape: one partial->final aggregate over the "
+    "corpus collapses to |sources| rows; everything after (the "
+    "1-row source-count join included) is O(sources) on the driver "
+    "plan, broadcast-joined. The weights FEED sample_temperature_mix "
+    "/ sample_language_balanced, which apply per-row rates map-side. "
+    "Ref: no reference analog; mixture-weight planning per the "
+    "public data-mixing literature (GPT-3/Pile table style).",
+)
+def q_data_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("source", tokens_col(F.col("text")).alias("toks")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("avail_tokens"),
+    )
+    k = src.agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))
+    return src.crossJoin(F.broadcast(k)).select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        F.expr("10000000 div n_sources").cast("bigint").alias("target_tokens"),
+        F.round(
+            F.expr("10000000 div n_sources").cast("double")
+            / F.col("avail_tokens").cast("double"),
+            6,
+        ).alias("sample_weight"),
+        (F.expr("10000000 div n_sources") > F.col("avail_tokens")).alias(
+            "oversampled"
+        ),
+    )

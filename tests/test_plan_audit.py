@@ -62,6 +62,10 @@ CROSS_OK = {
     "trend_mann_kendall",  # month-bounded pair join + 1-row reductions
     "er_fellegi_sunter_em",  # broadcast 1-row EM parameter frame per round
     "sim_ann_recall_eval",  # broadcast query-sample scored cross join (exact side)
+    "ks_test_two_sample",  # broadcast 1-row totals (n1,n2) join
+    "tpch_q22_style",  # broadcast 1-row (total,cnt) threshold join
+    "tpch_q11_style",  # broadcast 1-row corpus-total threshold join
+    "data_mixture_weights",  # broadcast 1-row source-count join
 }
 
 

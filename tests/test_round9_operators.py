@@ -1,0 +1,166 @@
+"""Round-9 operators: value-level checks beyond oracle parity — each
+asserts a property the hash comparison alone would not explain to a
+reader (analytic values on planted inputs, boundary behavior,
+conservation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jaffle_shop_classic_spark.operators.catalog import load_catalog
+from jaffle_shop_classic_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ks_statistic_bounds_and_definition(spark):
+    """0 <= D <= 1, and the integer numerator reproduces D exactly."""
+    r = load_catalog()["ks_test_two_sample"].fn(spark, SF).collect()[0]
+    assert r["n1"] > 0 and r["n2"] > 0
+    assert 0.0 <= r["ks_d"] <= 1.0
+    assert abs(r["ks_d"] - round(r["d_num"] / (r["n1"] * r["n2"]), 6)) < 1e-12
+
+
+def test_ks_disjoint_distributions_hit_d_equals_one(spark, tmp_path):
+    """Plant two segments with non-overlapping price ranges: the KS
+    supremum must be exactly 1 (d_num == n1*n2) — the statistic's
+    defining extreme."""
+    cust = [(i, f"c{i}", 0, 0.0, "BUILDING" if i < 40 else "MACHINERY")
+            for i in range(100)]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    orders = [
+        (i, i, "F", 10.0 + i if i < 40 else 5000.0 + i, "2024-01-01", "1-URGENT")
+        for i in range(100)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    r = load_catalog()["ks_test_two_sample"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"]) == (40, 60)
+    assert r["d_num"] == 40 * 60 and r["ks_d"] == 1.0
+
+
+def test_q22_threshold_is_strictly_above_average(spark):
+    """Every surviving customer's balance must exceed the eligible-
+    population average (recomputed here from the source tables), and
+    every survivor must be lapsed (no order on/after the cutoff)."""
+    out = load_catalog()["tpch_q22_style"].fn(spark, SF)
+    c = load_table(spark, SF, "customer").where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD", "FURNITURE")
+        & (F.col("c_acctbal") > 0)
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    tot, cnt = c.agg(F.sum("cents"), F.count(F.lit(1))).collect()[0]
+    o = load_table(spark, SF, "orders").where(F.col("o_orderdate") >= "1999-01-01")
+    survivors = (
+        c.where(F.col("cents") * cnt > tot)
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {r["segment"]: r["n_custs"] for r in out.collect()}
+    assert got == {r["c_mktsegment"]: r["n"] for r in survivors}
+    assert sum(got.values()) > 0  # the recency redefinition is non-vacuous
+
+
+def test_q11_threshold_boundary_integer_exact(spark, tmp_path):
+    """value > total div 2000 must be equivalent to 2000*value > total:
+    plant a part EXACTLY at the fraction boundary and one just above —
+    only the latter may survive."""
+    # 2000 parts of 1 cent each -> total = 2000, threshold value > 1;
+    # part 0 gets 2 cents (total 2001 -> div = 1): survives; all the
+    # 1-cent parts sit exactly at value == total div 2000 == 1: excluded
+    rows = [(0, 0, 0, 1, 0.015, 0.0, 0.0, "N", "O", "2024-01-01")]
+    rows += [(i, i, 0, 1, 0.005, 0.0, 0.0, "N", "O", "2024-01-01") for i in range(1, 2000)]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).withColumn(
+        "l_quantity", F.lit(1.0)
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = load_catalog()["tpch_q11_style"].fn(spark, str(tmp_path)).collect()
+    assert [(r["l_partkey"], r["value_cents"]) for r in got] == [(0, 2)]
+
+
+def test_winsorize_clips_planted_outlier(spark, tmp_path):
+    """One mega-order among uniform prices: the p95 threshold must cap
+    it, the clip counters must see exactly the planted tails, and the
+    winsorized total must equal the analytic value."""
+    cust = [(i, f"c{i}", 0, 0.0, "BUILDING") for i in range(100)]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    # 99 orders at exactly $100, one at $1,000,000
+    orders = [(i, i, "F", 100.0, "2024-01-01", "1-URGENT") for i in range(99)]
+    orders.append((99, 99, "F", 1_000_000.0, "2024-01-01", "1-URGENT"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    r = load_catalog()["winsorize_group_clip"].fn(spark, str(tmp_path)).collect()[0]
+    # n=100: lo rank ceil(5)=5 -> 10000 cents, hi rank ceil(95)=95 -> 10000
+    assert (r["lo_cents"], r["hi_cents"]) == (10_000, 10_000)
+    assert r["n_clipped_low"] == 0 and r["n_clipped_high"] == 1
+    assert r["winsorized_total"] == 100 * 100.0  # all rows clamp to $100
+
+
+def test_mixture_weights_uniform_budget_split(spark, tmp_path):
+    """Two sources, 3:1 token imbalance, budget 10M: targets split the
+    budget evenly; the scarcer source is oversampled with weight
+    target/avail exactly."""
+    docs = [(i, "a b c d e f", "en", "big", 11) for i in range(300)]
+    docs += [(1000 + i, "a b c d e f", "en", "small", 11) for i in range(100)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["source"]: r
+        for r in load_catalog()["data_mixture_weights"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows["big"]["avail_tokens"] == 1800 and rows["small"]["avail_tokens"] == 600
+    for r in rows.values():
+        assert r["target_tokens"] == 5_000_000
+        assert r["oversampled"] is True
+        assert abs(r["sample_weight"] - round(5_000_000 / r["avail_tokens"], 6)) < 1e-9
+    # 3:1 availability inverts to a 3:1 weight ratio (up to the 6dp
+    # projection rounding on each side)
+    assert abs(rows["small"]["sample_weight"] - 3 * rows["big"]["sample_weight"]) < 1e-5
+
+
+def test_kcore_peels_star_keeps_clique(spark):
+    """On star(center + 5 leaves) ∪ triangle: leaves have degree 1 < 2
+    and peel in round 1, which strands the center (degree 0) in round
+    2 — the triangle alone survives with within-core degree 2. The
+    multi-round cascade is exactly what single-pass degree filtering
+    would get wrong."""
+    from jaffle_shop_classic_spark.operators.dedup import kcore_peel
+
+    pairs = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    edges = edges.unionByName(edges.selectExpr("dst AS src", "src AS dst"))
+    out = (
+        kcore_peel(edges, k=2, rounds=4)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .collect()
+    )
+    assert {r["src"]: r["deg"] for r in out} == {10: 2, 11: 2, 12: 2}

@@ -74,6 +74,10 @@ FAMILY_REPS = {
 
 # entries whose machinery is certified by a rep outside their name family
 OVERRIDES = {
+    "ks_test_two_sample": ["eval_calibration_bins", "trend_mann_kendall"],
+    "winsorize_group_clip": ["percentile_exact"],
+    "data_mixture_weights": ["train_test_split_hash", "quality_percentile_filter"],
+    "graph_kcore_peel": ["graph_pagerank", "dedup_cluster_components"],
     "share_of_parent_rollup": ["rollup_flag_status", "jaffle_orders"],
     "train_test_split_by_source": ["train_test_split_hash"],
     "attribution_position_based": ["seq_pattern_funnel"],
