@@ -147,6 +147,8 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "data_mixture_weights",
     "graph_kcore_peel",
     "yaml_model_customers_mart",
+    "cusum_revenue_shift",
+    "text_rouge_l",
 ]
 
 

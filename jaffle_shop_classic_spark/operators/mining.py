@@ -3059,3 +3059,90 @@ def q_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n1", "n2", "d_num", "ks_d")
     )
+
+
+@register(
+    "cusum_revenue_shift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x_cents
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(x_cents) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.day, d.x_cents,
+             CAST(t.total // t.n AS BIGINT) AS k,
+             d.x_cents - (t.total // t.n) AS dev
+      FROM daily d CROSS JOIN t
+    ),
+    c AS (
+      SELECT day, x_cents, k,
+             CAST(sum(dev) OVER (ORDER BY day) AS BIGINT) AS cum
+      FROM dev
+    )
+    SELECT day, x_cents,
+           CAST(cum - least(CAST(0 AS BIGINT),
+                            min(cum) OVER (ORDER BY day)) AS BIGINT) AS s_cents,
+           (cum - least(CAST(0 AS BIGINT), min(cum) OVER (ORDER BY day))) > k
+             AS flagged
+    FROM c
+    ORDER BY day
+    """,
+    doc="One-sided CUSUM change-point detection on daily revenue — the "
+    "sequential shift detector next to drift_psi_monitor (distribution "
+    "snapshots) and ks_test_two_sample (two-sample): CUSUM accumulates "
+    "small sustained deviations that per-day thresholds miss. The "
+    "recursive fold S_t = max(0, S_{t-1} + x_t - k) is not a window "
+    "function, but its classic prefix rewrite IS: with cum_t the "
+    "running sum of deviations, S_t = cum_t - min(0, min_{i<=t} cum_i) "
+    "— two same-sort window passes (running sum, running min), which "
+    "Spark executes on ONE sort. Cross-engine exactness: deviations "
+    "are integer cents against an integer reference k = total div "
+    "n_days (broadcast 1-row frame), so every S_t and every flag "
+    "comparison is exact 64-bit arithmetic — no float accumulates "
+    "across the fold. Scale shape: the fact scan collapses to the "
+    "calendar-day domain before any window (bounded: ~36.5k rows per "
+    "century), the same bounded-domain argument as xcorr_daily_lags; "
+    "per-key CUSUM over users/segments partitions the same two "
+    "windows. Ref: no reference analog; CUSUM per Page (1954), "
+    "prefix-min identity per the standard treatment.",
+)
+def q_cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("x_cents")
+    )
+    t = daily.agg(
+        F.sum("x_cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dev = daily.crossJoin(F.broadcast(t)).select(
+        "day",
+        "x_cents",
+        F.expr("total div n").cast("bigint").alias("k"),
+        (F.col("x_cents") - F.expr("total div n")).alias("dev"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = dev.select(
+        "day", "x_cents", "k", F.sum("dev").over(w).cast("bigint").alias("cum")
+    )
+    s = c.select(
+        "day",
+        "x_cents",
+        "k",
+        (
+            F.col("cum")
+            - F.least(F.lit(0).cast("bigint"), F.min("cum").over(w))
+        ).cast("bigint").alias("s_cents"),
+    )
+    return s.select(
+        "day", "x_cents", "s_cents", (F.col("s_cents") > F.col("k")).alias("flagged")
+    ).orderBy("day")

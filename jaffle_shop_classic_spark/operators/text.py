@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pandas as pd  # annotation target for the one vectorized UDF below
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table, load_table_parallel
@@ -2278,3 +2278,92 @@ def q_data_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oversampled"
         ),
     )
+
+
+ROUGE_MAX_TOKENS = 80  # LCS DP cost bound per pair (O(80*80) ints)
+
+
+@register(
+    "text_rouge_l",
+    oracle=None,  # LCS is not SQL-expressible — rows-only; the DP kernel
+    # is value-pinned against a pure-Python reference and analytic
+    # planted cases in tests/test_round9_operators.py
+    doc="Corpus ROUGE-L — the LCS-based generation metric next to "
+    "eval_bleu_corpus's clipped n-gram precision (BLEU rewards exact "
+    "contiguous overlap; ROUGE-L credits in-order but GAPPY overlap, "
+    "the summarization-eval standard). Pairs are consecutive same-"
+    "source documents (lead over doc_id — a deterministic self-pairing "
+    "that needs no external reference column); each pair's LCS runs as "
+    "an Arrow-batched pandas UDF over token arrays truncated to "
+    f"{ROUGE_MAX_TOKENS} tokens (bounding the O(m*n) DP per pair — the "
+    "documented cost knob; production evals cap candidate length the "
+    "same way). Aggregation is MICRO-averaged from integer sums "
+    "(sum_lcs / sum_len) so no per-pair float ever folds in partition "
+    "order — the output is deterministic across partitionings even "
+    "without an oracle twin. Scale shape: the pairing is one window "
+    "lead inside each source partition (no join), the UDF is "
+    "map-side, and the final aggregate is partial->final on "
+    "|sources| keys. Ref: no reference analog; ROUGE-L per Lin "
+    "(2004), micro-averaged.",
+)
+def q_text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def lcs_len(cand: pd.Series, ref: pd.Series) -> pd.Series:
+        def lcs(a, b):
+            a = a[:ROUGE_MAX_TOKENS]
+            b = b[:ROUGE_MAX_TOKENS]
+            if not len(a) or not len(b):
+                return 0
+            prev = [0] * (len(b) + 1)
+            for x in a:
+                cur = [0]
+                for j, y in enumerate(b, 1):
+                    cur.append(
+                        prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+                    )
+                prev = cur
+            return prev[-1]
+
+        return pd.Series(
+            [lcs(a, b) if a is not None and b is not None else 0
+             for a, b in zip(cand, ref)]
+        )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens_col(F.col("text")).alias("toks")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = d.select(
+        "source",
+        F.slice(F.col("toks"), 1, ROUGE_MAX_TOKENS).alias("cand"),
+        F.slice(F.lead("toks", 1).over(w), 1, ROUGE_MAX_TOKENS).alias("ref"),
+    ).where(F.col("ref").isNotNull())
+    scored = pairs.select(
+        "source",
+        F.size("cand").cast("bigint").alias("len_c"),
+        F.size("ref").cast("bigint").alias("len_r"),
+        lcs_len("cand", "ref").alias("lcs"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("lcs").cast("bigint").alias("sum_lcs"),
+        F.sum("len_c").cast("bigint").alias("sum_len_c"),
+        F.sum("len_r").cast("bigint").alias("sum_len_r"),
+    )
+    p = F.col("sum_lcs").cast("double") / F.col("sum_len_c").cast("double")
+    r = F.col("sum_lcs").cast("double") / F.col("sum_len_r").cast("double")
+    return agg.select(
+        "source",
+        "n_pairs",
+        "sum_lcs",
+        "sum_len_c",
+        "sum_len_r",
+        F.round(p, 6).alias("rouge_l_p"),
+        F.round(r, 6).alias("rouge_l_r"),
+        F.round(
+            F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)), 6
+        ).alias("rouge_l_f1"),
+    ).orderBy("source")

@@ -66,6 +66,7 @@ CROSS_OK = {
     "tpch_q22_style",  # broadcast 1-row (total,cnt) threshold join
     "tpch_q11_style",  # broadcast 1-row corpus-total threshold join
     "data_mixture_weights",  # broadcast 1-row source-count join
+    "cusum_revenue_shift",  # broadcast 1-row (total,n) reference join
 }
 
 

@@ -164,3 +164,62 @@ def test_kcore_peels_star_keeps_clique(spark):
         .collect()
     )
     assert {r["src"]: r["deg"] for r in out} == {10: 2, 11: 2, 12: 2}
+
+
+def test_cusum_identity_matches_recursive_fold(spark, tmp_path):
+    """The prefix-min rewrite must equal the textbook recursion
+    S_t = max(0, S_{t-1} + x_t - k), checked day by day on a planted
+    series with a mid-stream upward shift; flat days before the shift
+    carry S=0 and no flags, the shifted tail flags."""
+    # 10 days at $100, then 10 days at $300 -> k lands between the
+    # regimes and the tail accumulates
+    orders = []
+    oid = 0
+    for day in range(1, 21):
+        price = 100.0 if day <= 10 else 300.0
+        orders.append((oid, oid, "F", price, f"2024-01-{day:02d}", "1-URGENT"))
+        oid += 1
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    rows = load_catalog()["cusum_revenue_shift"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 20
+    # recursive reference in exact integers
+    k = (10 * 10_000 + 10 * 30_000) // 20
+    s_ref, flags_ref = [], []
+    s = 0
+    for day in range(1, 21):
+        x = 10_000 if day <= 10 else 30_000
+        s = max(0, s + x - k)
+        s_ref.append(s)
+        flags_ref.append(s > k)
+    assert [r["s_cents"] for r in rows] == s_ref
+    assert [r["flagged"] for r in rows] == flags_ref
+    assert not any(flags_ref[:10]) and flags_ref[-1]
+
+
+def test_rouge_l_planted_lcs(spark, tmp_path):
+    """Two-doc source with a hand-computable LCS: cand='a b c d',
+    ref='a x c y' share the in-order subsequence (a, c) -> LCS=2,
+    P=R=F1=0.5. A second identical-pair source scores exactly 1."""
+    docs = [
+        (1, "a b c d", "en", "s1", 7),
+        (2, "a x c y", "en", "s1", 7),
+        (10, "p q r", "en", "s2", 5),
+        (11, "p q r", "en", "s2", 5),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["source"]: r
+        for r in load_catalog()["text_rouge_l"].fn(spark, str(tmp_path)).collect()
+    }
+    s1, s2 = rows["s1"], rows["s2"]
+    assert (s1["n_pairs"], s1["sum_lcs"], s1["sum_len_c"], s1["sum_len_r"]) == (1, 2, 4, 4)
+    assert s1["rouge_l_p"] == 0.5 and s1["rouge_l_r"] == 0.5 and s1["rouge_l_f1"] == 0.5
+    assert (s2["rouge_l_p"], s2["rouge_l_r"], s2["rouge_l_f1"]) == (1.0, 1.0, 1.0)

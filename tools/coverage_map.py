@@ -74,6 +74,8 @@ FAMILY_REPS = {
 
 # entries whose machinery is certified by a rep outside their name family
 OVERRIDES = {
+    "cusum_revenue_shift": ["trend_mann_kendall", "events_peak_concurrency"],
+    "text_rouge_l": ["eval_bleu_corpus", "text_tfidf_topk"],
     "ks_test_two_sample": ["eval_calibration_bins", "trend_mann_kendall"],
     "winsorize_group_clip": ["percentile_exact"],
     "data_mixture_weights": ["train_test_split_hash", "quality_percentile_filter"],
