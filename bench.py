@@ -149,6 +149,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "yaml_model_customers_mart",
     "cusum_revenue_shift",
     "text_rouge_l",
+    "tpch_q19_style",
 ]
 
 

@@ -5640,3 +5640,76 @@ def q_winsorize_group_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_total"),
         )
     )
+
+
+@register(
+    "tpch_q19_style",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= CAST(1 AS DOUBLE)
+           AND l.l_quantity <= CAST(11 AS DOUBLE))
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= CAST(10 AS DOUBLE)
+           AND l.l_quantity <= CAST(20 AS DOUBLE))
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity >= CAST(20 AS DOUBLE)
+           AND l.l_quantity <= CAST(30 AS DOUBLE))
+    """,
+    doc="TPC-H Q19 analog (discounted revenue, disjunctive predicates): "
+    "the OR-of-conjunctive-clauses join class — three brand/size/"
+    "quantity clause bundles OR'd across the part-lineitem join, the "
+    "one predicate SHAPE none of the other analogs exercises (their "
+    "filters are all conjunctive). What Catalyst must do, and the "
+    "plan asserts it does: PROJECT the disjunction onto each side so "
+    "both still prune at the SCAN — the part scan receives the pushed "
+    "Or(brand=13&size<=10, brand=20&size<=15, brand=25&size<=20) "
+    "filter, the lineitem scan the Or of the three quantity bands "
+    "(verified in PushedFilters by tests/test_plans.py::"
+    "test_q19_disjunction_pushes_to_both_scans); only the residual "
+    "cross-side pairing evaluates post-join. A naive engine evaluates "
+    "the whole disjunction per joined row over full scans. The filtered "
+    "part side broadcasts. Cross-engine exactness: quantities are "
+    "integer-valued doubles compared against integer literals CAST "
+    "to DOUBLE on both engines, and revenue enters as "
+    "floor(price*(1-disc)*100+0.5) cents summed as BIGINT. Ref: "
+    "public TPC-H spec Q19; no reference analog.",
+)
+def q_tpch_q19_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= F.lit(1).cast("double"))
+            & (F.col("l_quantity") <= F.lit(11).cast("double"))
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= F.lit(10).cast("double"))
+            & (F.col("l_quantity") <= F.lit(20).cast("double"))
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 20)
+            & (F.col("l_quantity") >= F.lit(20).cast("double"))
+            & (F.col("l_quantity") <= F.lit(30).cast("double"))
+        )
+    )
+    return joined.where(clause).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

@@ -244,3 +244,17 @@ def test_fuzzy_join_blocks_on_equi_keys(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan  # the verify predicate rides the join
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    # the OR-of-clause-bundles must be projected onto each join side and
+    # reach the parquet scans as PushedFilters — the disjunctive-
+    # predicate class q19 exists to certify
+    plan = _plan(spark, sf_dir, "tpch_q19_style")
+    import re
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    part_side = [s for s in pushed if "p_brand" in s]
+    line_side = [s for s in pushed if "l_quantity" in s]
+    assert part_side and "Or(" in part_side[0] and "Brand#25" in part_side[0]
+    assert line_side and "Or(" in line_side[0]
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan

@@ -359,3 +359,53 @@ def test_jsonl_manifest_round_trips_any_flat_rows(spark, tmp_path_factory, rows)
     assert sorted(map(tuple, back.collect()), key=key) == sorted(
         map(tuple, rows), key=key
     )
+
+
+@given(
+    prices=st.lists(
+        st.integers(1, 500),  # daily revenue in dollars, any shape of series
+        min_size=1,
+        max_size=25,
+    )
+)
+@SLOW
+def test_cusum_prefix_min_rewrite_matches_recursion(spark, prices):
+    """The window rewrite S_t = cum_t - min(0, min prefix cum) must equal
+    the textbook clamped fold S_t = max(0, S_{t-1} + x_t - k) for ANY
+    series — the identity cusum_revenue_shift's plan depends on."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    rows = [
+        (
+            i,
+            i,
+            "F",
+            float(p),
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),
+            "1-URGENT",
+        )
+        for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    got = load_catalog()["cusum_revenue_shift"].fn(spark, d).collect()
+    cents = [p * 100 for p in prices]
+    k = sum(cents) // len(cents)
+    s, ref = 0, []
+    for x in cents:
+        s = max(0, s + x - k)
+        ref.append(s)
+    assert [r["s_cents"] for r in got] == ref
+    assert [r["flagged"] for r in got] == [v > k for v in ref]
