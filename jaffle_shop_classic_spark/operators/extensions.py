@@ -5546,19 +5546,23 @@ def q_tpch_q11_style(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ),
+    h AS (
+      SELECT segment, cents, CAST(count(*) AS BIGINT) AS c
+      FROM s GROUP BY segment, cents
+    ),
     r AS (
       SELECT segment, cents,
-             CAST(row_number() OVER (PARTITION BY segment ORDER BY cents)
-                  AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
-      FROM s
+             CAST(sum(c) OVER (PARTITION BY segment ORDER BY cents)
+                  AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY segment) AS BIGINT) AS n
+      FROM h
     ),
     thr AS (
       SELECT segment,
              CAST(max(n) AS BIGINT) AS n_orders,
-             CAST(min(CASE WHEN rn = (n + 19) // 20 THEN cents END)
+             CAST(min(CASE WHEN cum >= (n + 19) // 20 THEN cents END)
                   AS BIGINT) AS lo_cents,
-             CAST(min(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
+             CAST(min(CASE WHEN cum >= (19 * n + 19) // 20 THEN cents END)
                   AS BIGINT) AS hi_cents
       FROM r GROUP BY segment
     )
@@ -5582,18 +5586,22 @@ def q_tpch_q11_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     "users_anomaly_* FLAG outliers; winsorizing bounds their "
     "leverage while keeping the rows). Cross-engine exactness: the "
     "thresholds are ORDER STATISTICS on the integer cent grid — "
-    "percentile_disc semantics via rn = ceil(p*n) computed as "
-    "(n+19) div 20 and (19n+19) div 20 in pure integer arithmetic — "
-    "so no interpolated float quantile ever decides a clip, and the "
-    "winsorized sum is an exact integer until the final /100 "
-    "projection. Tie-safety: equal cent values make the row_number "
-    "tiebreak irrelevant (any rank in a tie run carries the same "
-    "value). Scale shape: one partitioned sort per segment for the "
-    "rank pass (Spark's window machinery; segments partition the "
-    "shuffle), a broadcast threshold join back, and a partial->final "
-    "hash aggregate — no global single-partition stage. Ref: no "
-    "reference analog; winsorized mean per the classic robust-"
-    "statistics definition.",
+    "percentile_disc semantics as the smallest value whose "
+    "cumulative count reaches ceil(p*n), with the ceilings computed "
+    "as (n+19) div 20 and (19n+19) div 20 in pure integer "
+    "arithmetic — so no interpolated float quantile ever decides a "
+    "clip, and the winsorized sum is an exact integer until the "
+    "final /100 projection. Scale shape (hot-group safe): the rank "
+    "pass is the HISTOGRAM-CDF form, not a per-row sort — rows first "
+    "collapse to (segment, cents) counts via a partial->final hash "
+    "aggregate, and the cumulative window runs over the DISTINCT-"
+    "value domain per segment (bounded by the cent grid, the "
+    "median_histogram_cdf argument), so a segment holding 99% of "
+    "the fact table costs O(its distinct prices) in the single "
+    "window task, not O(its rows); then a broadcast threshold join "
+    "back and one partial->final aggregate. Ref: no reference "
+    "analog; winsorized mean per the classic robust-statistics "
+    "definition.",
 )
 def q_winsorize_group_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -5602,19 +5610,24 @@ def q_winsorize_group_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
     )
-    w = Window.partitionBy("segment").orderBy("cents")
-    r = s.select(
+    h = s.groupBy("segment", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("segment").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.select(
         "segment",
         "cents",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("segment")).cast("bigint").alias("n"),
+        F.sum("c").over(w).cast("bigint").alias("cum"),
+        F.sum("c").over(Window.partitionBy("segment")).cast("bigint").alias("n"),
     )
     thr = r.groupBy("segment").agg(
         F.max("n").cast("bigint").alias("n_orders"),
-        F.min(F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("cents")))
+        F.min(F.when(F.col("cum") >= F.expr("(n + 19) div 20"), F.col("cents")))
         .cast("bigint")
         .alias("lo_cents"),
-        F.min(F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("cents")))
+        F.min(F.when(F.col("cum") >= F.expr("(19 * n + 19) div 20"), F.col("cents")))
         .cast("bigint")
         .alias("hi_cents"),
     )

