@@ -150,6 +150,8 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "cusum_revenue_shift",
     "text_rouge_l",
     "tpch_q19_style",
+    "sim_binary_hamming_topk",
+    "eval_spearman_corr",
 ]
 
 

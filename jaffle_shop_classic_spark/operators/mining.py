@@ -3146,3 +3146,131 @@ def q_cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "day", "x_cents", "s_cents", (F.col("s_cents") > F.col("k")).alias("flagged")
     ).orderBy("day")
+
+
+@register(
+    "eval_spearman_corr",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+             CAST(count(o.o_orderkey) AS BIGINT) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey, c.c_acctbal
+    ),
+    hx AS (SELECT segment, x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY segment, x),
+    rx AS (
+      SELECT segment, x,
+             2 * (CAST(sum(c) OVER (PARTITION BY segment ORDER BY x) AS BIGINT) - c)
+               + c + 1 AS r2x
+      FROM hx
+    ),
+    hy AS (SELECT segment, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY segment, y),
+    ry AS (
+      SELECT segment, y,
+             2 * (CAST(sum(c) OVER (PARTITION BY segment ORDER BY y) AS BIGINT) - c)
+               + c + 1 AS r2y
+      FROM hy
+    ),
+    ranked AS (
+      SELECT b.segment, rx.r2x, ry.r2y
+      FROM base b
+      JOIN rx ON rx.segment = b.segment AND rx.x = b.x
+      JOIN ry ON ry.segment = b.segment AND ry.y = b.y
+    ),
+    s AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r2x) AS BIGINT) AS sx,
+             CAST(sum(r2y) AS BIGINT) AS sy,
+             CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+             CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+             CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+      FROM ranked GROUP BY segment
+    )
+    SELECT segment, n AS n_customers,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS spearman_rho
+    FROM s
+    ORDER BY segment
+    """,
+    doc="Spearman rank correlation between customer account balance and "
+    "order count, per segment — the nonparametric association measure "
+    "missing next to xcorr_daily_lags' Pearson (Spearman is Pearson "
+    "on RANKS: monotone association without linearity, robust to the "
+    "heavy-tailed balances). Tie handling is the textbook midrank, "
+    "made integer-exact by DOUBLING: the midrank of a tie group is "
+    "(lo+hi)/2, so 2*midrank = 2*count(<v) + count(=v) + 1 is always "
+    "an integer — computed from a per-(segment,value) histogram plus "
+    "a cumulative window over the DISTINCT-value domain (the same "
+    "hot-group-safe histogram-CDF form as winsorize_group_clip; no "
+    "per-row rank sort), and doubling cancels in the correlation. "
+    "All six sufficient statistics are exact BIGINT sums; the single "
+    "float expression (one division over two sqrts) has a fixed IEEE "
+    "shape on both engines, rounded at the projection; zero-variance "
+    "segments yield NULL by the CASE guard, not a 0/0. BIGINT "
+    "headroom: sums of squared doubled ranks reach ~4n^3 — fine to "
+    "n~10^6 per segment; cluster scale moves the six sums to "
+    "DECIMAL(38,0) with no shape change. Scale: two histogram "
+    "aggregates + two broadcast-sized rank joins keyed on "
+    "(segment, value) + one partial->final stats aggregate. Ref: no "
+    "reference analog; Spearman rho with midrank ties per the "
+    "classic definition.",
+)
+def q_eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey"),
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("x"),
+        )
+        .agg(F.count("o_orderkey").cast("bigint").alias("y"))
+        .select("segment", "x", "y")
+    )
+
+    def doubled_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
+        h = df.groupBy("segment", col).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        w = Window.partitionBy("segment").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return h.select(
+            "segment",
+            col,
+            (2 * (F.sum("c").over(w).cast("bigint") - F.col("c")) + F.col("c") + 1)
+            .cast("bigint")
+            .alias(out),
+        )
+
+    rx = doubled_ranks(base, "x", "r2x")
+    ry = doubled_ranks(base, "y", "r2y")
+    ranked = base.join(rx, ["segment", "x"]).join(ry, ["segment", "y"])
+    s = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r2x").cast("bigint").alias("sx"),
+        F.sum("r2y").cast("bigint").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("bigint").alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("bigint").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return (
+        s.select(
+            "segment",
+            F.col("n").alias("n_customers"),
+            F.when(
+                (vx > 0) & (vy > 0),
+                F.round(
+                    num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6
+                ),
+            ).alias("spearman_rho"),
+        )
+        .orderBy("segment")
+    )

@@ -1680,3 +1680,111 @@ def q_sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _recall_sql(cosine_expr, "{e}"), e=load_table(spark, sf_dir, "embeddings")
     )
+
+
+# ------------------------------------------------------------- round 9
+def _signpack_expr(emb: str, lo_bit: int, hi_bit: int) -> str:
+    """Spark SQL: pack sign bits of dims [lo_bit, hi_bit] (1-based) into
+    one BIGINT word, bit (i - lo_bit) set when the component is >= 0."""
+    return (
+        f"aggregate(sequence({lo_bit}, {hi_bit}), 0L, (acc, i) -> "
+        f"acc + IF(element_at({emb}, i) >= CAST(0 AS FLOAT), "
+        f"shiftleft(1L, i - {lo_bit}), 0L))"
+    )
+
+
+def _signpack_sql(emb: str, lo_bit: int, hi_bit: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range({lo_bit}, {hi_bit + 1}), "
+        f"i -> CASE WHEN {emb}[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - {lo_bit})) "
+        f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+@register(
+    "sim_binary_hamming_topk",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id, label, embedding,
+             {_signpack_sql('embedding', 1, 32)} AS lo,
+             {_signpack_sql('embedding', 33, 64)} AS hi
+      FROM embeddings
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi, embedding AS qv FROM p WHERE vec_id = 0),
+    cand AS (
+      SELECT p.vec_id, p.label, p.embedding, q.qv,
+             CAST(bit_count(xor(p.lo, q.qlo))
+                  + bit_count(xor(p.hi, q.qhi)) AS BIGINT) AS hamming
+      FROM p CROSS JOIN q
+      WHERE p.vec_id <> 0
+    ),
+    shortlist AS (
+      SELECT * FROM cand ORDER BY hamming ASC, vec_id ASC LIMIT 50
+    )
+    SELECT vec_id, label, hamming,
+           round({cosine_sql('embedding', 'qv')}, 6) AS cosine
+    FROM shortlist
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    doc="Binary sign quantization + Hamming shortlist + exact rerank — "
+    "the third production retrieval tier next to int8 scalar "
+    "quantization (embedding_quantize_int8) and PQ/ADC (sim_pq_*): "
+    "64-dim float vectors collapse to 64 SIGN BITS packed into two "
+    "BIGINT words (32x smaller than float32; the bit pattern is the "
+    "hyperplane-LSH signature at one-bit-per-axis), candidates "
+    "shortlist by Hamming distance — two XOR+popcount ops per "
+    "comparison, the cheapest distance that exists — and only the "
+    "50-deep shortlist pays the exact float cosine for the final "
+    "top-10 (the binary-prefilter + rerank pattern FAISS/ScaNN "
+    "deployments use for the memory-bound first pass). Cross-engine "
+    "exactness: packing, XOR and popcount are pure integer ops; the "
+    "shortlist boundary is integer-ordered with a vec_id tiebreak, "
+    "and the one float expression (rerank cosine) is the already-"
+    "certified fixed-shape kernel rounded at the projection. Scale "
+    "shape: the pack is map-side (scan-fused), the query is a "
+    "broadcast 1-row frame, the shortlist is TakeOrdered (per-"
+    "partition top-k + merge, no global sort), and the rerank "
+    "touches 50 rows. At corpus scale the same two words join "
+    "against an IVF list or LSH bucket instead of the full scan — "
+    "the certified kernel is unchanged. Ref: no reference analog; "
+    "binary quantization per the public ANN literature.",
+)
+def q_sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    packed = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_signpack_expr("embedding", 1, 32)).alias("lo"),
+        F.expr(_signpack_expr("embedding", 33, 64)).alias("hi"),
+    )
+    q = packed.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+        F.col("embedding").alias("qv"),
+    )
+    cand = (
+        packed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "qv",
+            (
+                F.bit_count(F.expr("lo ^ qlo")) + F.bit_count(F.expr("hi ^ qhi"))
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    shortlist = cand.orderBy(F.col("hamming").asc(), F.col("vec_id").asc()).limit(50)
+    return (
+        shortlist.select(
+            "vec_id",
+            "label",
+            "hamming",
+            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

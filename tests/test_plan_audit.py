@@ -67,6 +67,7 @@ CROSS_OK = {
     "tpch_q11_style",  # broadcast 1-row corpus-total threshold join
     "data_mixture_weights",  # broadcast 1-row source-count join
     "cusum_revenue_shift",  # broadcast 1-row (total,n) reference join
+    "sim_binary_hamming_topk",  # broadcast 1-row query (words + vector) join
 }
 
 

@@ -223,3 +223,71 @@ def test_rouge_l_planted_lcs(spark, tmp_path):
     assert (s1["n_pairs"], s1["sum_lcs"], s1["sum_len_c"], s1["sum_len_r"]) == (1, 2, 4, 4)
     assert s1["rouge_l_p"] == 0.5 and s1["rouge_l_r"] == 0.5 and s1["rouge_l_f1"] == 0.5
     assert (s2["rouge_l_p"], s2["rouge_l_r"], s2["rouge_l_f1"]) == (1.0, 1.0, 1.0)
+
+
+def test_binary_hamming_planted_sign_flips(spark, tmp_path):
+    """Hand-built sign patterns: identical signs -> hamming 0, half
+    flipped -> 32, all flipped -> 64; the exact-cosine rerank puts the
+    identical vector first."""
+    import numpy as np
+
+    def vec(signs):
+        return [float(s) for s in signs]
+
+    plus = [1.0] * 64
+    half = [1.0] * 32 + [-1.0] * 32
+    rows = [
+        (0, vec(plus), 0),    # query
+        (1, vec(plus), 0),    # hamming 0, cosine 1
+        (2, vec(half), 1),    # hamming 32, cosine 0
+        (3, vec([-1.0] * 64), 1),  # hamming 64, cosine -1
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = load_catalog()["sim_binary_hamming_topk"].fn(spark, str(tmp_path)).collect()
+    by_id = {r["vec_id"]: r for r in got}
+    assert by_id[1]["hamming"] == 0 and by_id[1]["cosine"] == 1.0
+    assert by_id[2]["hamming"] == 32 and abs(by_id[2]["cosine"]) < 1e-9
+    assert by_id[3]["hamming"] == 64 and by_id[3]["cosine"] == -1.0
+    assert got[0]["vec_id"] == 1  # rerank order is exact cosine
+
+
+def test_spearman_planted_monotone_inverse_and_constant(spark, tmp_path):
+    """Monotone segment -> rho=1, inverse segment -> rho=-1 (both exact
+    despite balance ties handled via midranks), zero-variance segment
+    -> NULL."""
+    cust, orders, oid = [], [], 0
+
+    def add(custkey, seg, bal, n_orders):
+        nonlocal oid
+        cust.append((custkey, f"c{custkey}", 0, bal, seg))
+        for _ in range(n_orders):
+            orders.append((oid, custkey, "F", 10.0, "2024-01-01", "1-URGENT"))
+            oid += 1
+
+    for k in range(6):  # MONO: higher balance -> more orders
+        add(k, "MONO", 100.0 + k, k + 1)
+    for k in range(6):  # INV: higher balance -> fewer orders
+        add(100 + k, "INV", 100.0 + k, 6 - k)
+    for k in range(4):  # FLAT: y constant -> zero variance -> NULL
+        add(200 + k, "FLAT", 100.0 + k, 3)
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    rows = {
+        r["segment"]: r
+        for r in load_catalog()["eval_spearman_corr"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows["MONO"]["spearman_rho"] == 1.0
+    assert rows["INV"]["spearman_rho"] == -1.0
+    assert rows["FLAT"]["spearman_rho"] is None

@@ -74,6 +74,8 @@ FAMILY_REPS = {
 
 # entries whose machinery is certified by a rep outside their name family
 OVERRIDES = {
+    "sim_binary_hamming_topk": ["sim_cosine_topk", "sim_ivf_topk"],
+    "eval_spearman_corr": ["trend_mann_kendall", "eval_calibration_bins"],
     "cusum_revenue_shift": ["trend_mann_kendall", "events_peak_concurrency"],
     "text_rouge_l": ["eval_bleu_corpus", "text_tfidf_topk"],
     "ks_test_two_sample": ["eval_calibration_bins", "trend_mann_kendall"],
