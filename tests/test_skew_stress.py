@@ -492,3 +492,46 @@ def test_winsorize_hot_segment_collapses_before_window(spark, hot_segment_dir):
         con,
     )
     assert res["status"] == "MATCH", res
+
+
+def test_kcore_peel_hub_cascades_to_empty(spark, hub_graph):
+    """k-core (k=2) under the planted >99% hub: all 300 leaves have
+    degree 1 and peel in round 1, which strands the hub at degree 0 in
+    round 2; the chain's ends peel first and its middle follows — the
+    whole graph cascades to empty. The per-round degree aggregate must
+    partially combine map-side (the hub ships partials, not its raw
+    300-row fanout)."""
+    from jaffle_shop_classic_spark.operators.dedup import kcore_peel
+
+    _, edges = hub_graph
+    out = kcore_peel(edges, k=2, rounds=4)
+    deg = out.groupBy("src").count()
+    plan = deg._jdf.queryExecution().executedPlan().toString()
+    assert deg.count() == 0  # everything peeled
+    assert "partial_count" in plan
+
+
+def test_ks_test_hot_price_value(spark, hot_segment_dir):
+    """KS under a 7-value price grid where one segment owns 99% of rows:
+    the per-value collapse bounds the window input at 7 rows, and the
+    statistic still hash-matches the oracle on the skewed table."""
+    import duckdb
+
+    from tools.parity import compare
+
+    df = load_catalog()["ks_test_two_sample"].fn(spark, hot_segment_dir)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["n1"] + rows[0]["n2"] == 20_000
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial_sum" in plan
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{hot_segment_dir}/{t}.parquet/*.parquet'"
+        )
+    res = compare(
+        "ks_test_two_sample",
+        load_catalog()["ks_test_two_sample"].fn(spark, hot_segment_dir),
+        con,
+    )
+    assert res["status"] == "MATCH", res
