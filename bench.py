@@ -152,6 +152,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "tpch_q19_style",
     "sim_binary_hamming_topk",
     "eval_spearman_corr",
+    "keyset_pagination_page3",
 ]
 
 

@@ -5726,3 +5726,62 @@ def q_tpch_q19_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+@register(
+    "keyset_pagination_page3",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 100 OFFSET 200
+    """,
+    doc="Keyset (cursor) pagination — page 3 of the order feed, 100 "
+    "rows per page over the unique sort key (o_orderdate, "
+    "o_orderkey): the API-pagination class every serving layer needs "
+    "at scale. The ORACLE states the semantics in the naive form "
+    "(ORDER BY ... LIMIT 100 OFFSET 200 — which must SORT PAST every "
+    "skipped row and degrades linearly with page number); the Spark "
+    "plan is the production keyset form: derive the cursor (the last "
+    "tuple of page 2) via TakeOrdered(200) + top-1, broadcast it, and "
+    "fetch WHERE (d > cd) OR (d = cd AND k > ck) ORDER BY LIMIT 100 — "
+    "per-partition top-k merges, never a global offset sort. The two "
+    "forms agreeing IS the certified property. In production the "
+    "cursor arrives as a LITERAL from the previous page's response, "
+    "and the tuple predicate then pushes down to the scan "
+    "(PushedFilters on the date range — constant page cost at any "
+    "depth); here it is derived in-plan to keep the entry "
+    "self-contained. Determinism: the sort key is unique (orderkey "
+    "tiebreak), so page boundaries are exact on both engines. Ref: "
+    "no reference analog; keyset pagination per the standard "
+    "engineering pattern.",
+)
+def q_keyset_pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("total_cents"),
+    )
+    cursor = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(200)
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_orderdate").alias("cd"), F.col("o_orderkey").alias("ck")
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(cursor))
+        .where(
+            (F.col("o_orderdate") > F.col("cd"))
+            | (
+                (F.col("o_orderdate") == F.col("cd"))
+                & (F.col("o_orderkey") > F.col("ck"))
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_orderdate", "total_cents")
+    )

@@ -68,6 +68,7 @@ CROSS_OK = {
     "data_mixture_weights",  # broadcast 1-row source-count join
     "cusum_revenue_shift",  # broadcast 1-row (total,n) reference join
     "sim_binary_hamming_topk",  # broadcast 1-row query (words + vector) join
+    "keyset_pagination_page3",  # broadcast 1-row cursor-tuple join
 }
 
 

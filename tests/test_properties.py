@@ -409,3 +409,48 @@ def test_cusum_prefix_min_rewrite_matches_recursion(spark, prices):
         ref.append(s)
     assert [r["s_cents"] for r in got] == ref
     assert [r["flagged"] for r in got] == [v > k for v in ref]
+
+
+@given(
+    prices=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+)
+@SLOW
+def test_winsorize_matches_python_order_statistics(spark, prices):
+    """The histogram-CDF thresholds must equal the direct order
+    statistics v[ceil(p*n)] for ANY multiset of prices, and the clip
+    counters / winsorized total must match a plain Python fold."""
+    import math
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    d = tempfile.mkdtemp()
+    n = len(prices)
+    cust = [(i, f"c{i}", 0, 0.0, "SEG") for i in range(n)]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    orders = [
+        (i, i, "F", float(p), "2024-01-01", "1-URGENT") for i, p in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    r = load_catalog()["winsorize_group_clip"].fn(spark, d).collect()[0]
+    cents = sorted(p * 100 for p in prices)
+    lo = cents[math.ceil(n / 20) - 1]
+    hi = cents[math.ceil(19 * n / 20) - 1]
+    assert (r["lo_cents"], r["hi_cents"]) == (lo, hi)
+    assert r["n_clipped_low"] == sum(1 for v in cents if v < lo)
+    assert r["n_clipped_high"] == sum(1 for v in cents if v > hi)
+    want_total = round(sum(min(hi, max(lo, v)) for v in cents) / 100.0, 2)
+    assert r["winsorized_total"] == want_total

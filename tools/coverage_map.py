@@ -74,6 +74,7 @@ FAMILY_REPS = {
 
 # entries whose machinery is certified by a rep outside their name family
 OVERRIDES = {
+    "keyset_pagination_page3": ["topk_per_group", "tpch_q11_style"],
     "sim_binary_hamming_topk": ["sim_cosine_topk", "sim_ivf_topk"],
     "eval_spearman_corr": ["trend_mann_kendall", "eval_calibration_bins"],
     "cusum_revenue_shift": ["trend_mann_kendall", "events_peak_concurrency"],
