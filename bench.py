@@ -153,6 +153,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "sim_binary_hamming_topk",
     "eval_spearman_corr",
     "keyset_pagination_page3",
+    "source_kl_divergence",
 ]
 
 

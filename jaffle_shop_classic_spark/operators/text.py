@@ -2372,3 +2372,90 @@ def q_text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)), 6
         ).alias("rouge_l_f1"),
     ).orderBy("source")
+
+
+@register(
+    "source_kl_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKENS_SQL}) AS t FROM documents
+    ),
+    stc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+            FROM toks GROUP BY source, t),
+    vocab AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM stc GROUP BY t),
+    totals AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+               FROM stc GROUP BY source),
+    consts AS (
+      SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(c_t) AS BIGINT) AS n
+      FROM vocab
+    ),
+    grid AS (
+      SELECT tt.source, tt.n_s, vb.t, vb.c_t,
+             coalesce(s.c_st, 0) AS c_st
+      FROM vocab vb
+      CROSS JOIN totals tt
+      LEFT JOIN stc s ON s.source = tt.source AND s.t = vb.t
+    )
+    SELECT g.source,
+           max(g.n_s) AS n_tokens,
+           round(sum(
+             (CAST(g.c_st + 1 AS DOUBLE) / CAST(g.n_s + c.v AS DOUBLE))
+             * ln((CAST(g.c_st + 1 AS DOUBLE) / CAST(g.n_s + c.v AS DOUBLE))
+                  / (CAST(g.c_t + 1 AS DOUBLE) / CAST(c.n + c.v AS DOUBLE)))
+           ), 4) AS kl_vs_corpus
+    FROM grid g CROSS JOIN consts c
+    GROUP BY g.source
+    ORDER BY g.source
+    """,
+    doc="Per-source KL divergence of the unigram token distribution "
+    "against the corpus-wide distribution (Laplace +1 smoothing over "
+    "the shared vocabulary) — the text-drift / mixture-divergence "
+    "measure that pairs with data_mixture_weights (how FAR each "
+    "source's language is from the blend you are sampling toward; "
+    "drift_psi_monitor covers binned NUMERIC drift, this covers the "
+    "token-distribution case). Determinism: every probability is ONE "
+    "fixed-shape double expression over exact integer counts, and "
+    "the vocabulary-sized log sum is rounded at 4dp per the "
+    "text_lm_score precedent (fold-order noise ~1e-12 against a 1e-4 "
+    "grid). Scale shape: one (source, token) aggregate collapses the "
+    "corpus; the scoring grid is vocab x sources — VOCABULARY-"
+    "bounded, not corpus-bounded, the same smoothing-grid shape "
+    "lang_nb_classifier certifies — with the (V, N) constants on a "
+    "broadcast 1-row frame and a final partial->final per-source "
+    "sum. Ref: no reference analog; KL with add-one smoothing per "
+    "the standard definition.",
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens_col(F.col("text"))).alias("t"))
+    stc = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    vocab = stc.groupBy("t").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    totals = stc.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    consts = vocab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("c_t").cast("bigint").alias("n"),
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(totals))
+        .join(stc, ["source", "t"], "left")
+        .select(
+            "source",
+            "n_s",
+            "c_t",
+            F.coalesce(F.col("c_st"), F.lit(0)).alias("c_st"),
+        )
+    )
+    p = (F.col("c_st") + 1).cast("double") / (F.col("n_s") + F.col("v")).cast("double")
+    q = (F.col("c_t") + 1).cast("double") / (F.col("n") + F.col("v")).cast("double")
+    return (
+        grid.crossJoin(F.broadcast(consts))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 4).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )

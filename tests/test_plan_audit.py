@@ -69,6 +69,7 @@ CROSS_OK = {
     "cusum_revenue_shift",  # broadcast 1-row (total,n) reference join
     "sim_binary_hamming_topk",  # broadcast 1-row query (words + vector) join
     "keyset_pagination_page3",  # broadcast 1-row cursor-tuple join
+    "source_kl_divergence",  # vocab x sources smoothing grid + 1-row (V,N) join
 }
 
 

@@ -291,3 +291,24 @@ def test_spearman_planted_monotone_inverse_and_constant(spark, tmp_path):
     assert rows["MONO"]["spearman_rho"] == 1.0
     assert rows["INV"]["spearman_rho"] == -1.0
     assert rows["FLAT"]["spearman_rho"] is None
+
+
+def test_kl_divergence_symmetry_and_separation(spark, tmp_path):
+    """Two identical-content sources must score the SAME KL (their
+    smoothed distributions are interchangeable), a vocabulary-disjoint
+    source must score strictly higher, and every smoothed KL is
+    nonnegative (both sides are proper distributions over the shared
+    vocabulary)."""
+    docs = [(i, "a b c a b c", "en", "twin1", 11) for i in range(50)]
+    docs += [(100 + i, "a b c a b c", "en", "twin2", 11) for i in range(50)]
+    docs += [(200 + i, "x y z w v u", "en", "alien", 11) for i in range(10)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["source"]: r["kl_vs_corpus"]
+        for r in load_catalog()["source_kl_divergence"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows["twin1"] == rows["twin2"]
+    assert all(v >= 0 for v in rows.values())
+    assert rows["alien"] > rows["twin1"] + 0.5  # disjoint vocab dominates
