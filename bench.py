@@ -154,6 +154,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "eval_spearman_corr",
     "keyset_pagination_page3",
     "source_kl_divergence",
+    "sim_truncated_dim_recall",
 ]
 
 

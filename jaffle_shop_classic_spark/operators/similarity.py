@@ -1788,3 +1788,81 @@ def q_sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+TRUNC_DIM = 16
+
+
+@register(
+    "sim_truncated_dim_recall",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    full_rank AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY round({cosine_sql('e.embedding', 'q.qv')}, 6) DESC, e.vec_id ASC
+      LIMIT 10
+    ),
+    trunc_rank AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY round({cosine_sql('e.embedding', 'q.qv', TRUNC_DIM)}, 6) DESC,
+               e.vec_id ASC
+      LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM full_rank f
+                 JOIN trunc_rank t ON t.vec_id = f.vec_id) AS BIGINT) AS n_overlap,
+           round(CAST((SELECT count(*) FROM full_rank f
+                       JOIN trunc_rank t ON t.vec_id = f.vec_id) AS DOUBLE)
+                 / CAST(10 AS DOUBLE), 2) AS recall_at_10
+    """,
+    doc=f"Matryoshka-style dimension-ablation evaluation: top-10 "
+    f"retrieval overlap between the full 64-dim cosine ranking and the "
+    f"ranking on the first {TRUNC_DIM} dims only — the offline check "
+    "behind MRL-style truncatable embeddings (serve the prefix, keep "
+    "most of the recall; the third eval harness next to "
+    "sim_ann_recall_eval's index-recall and eval_ndcg_at_k's "
+    "graded ranking). Both rankings order by the 6dp-ROUNDED cosine "
+    "with a vec_id tiebreak — the established cross-engine-"
+    "deterministic ordering — so the overlap count is exact on both "
+    "engines. Scale shape: two TakeOrdered top-10 passes over the "
+    "same broadcast-query scored scan (the truncated side reads the "
+    "same column and slices in-expression — at serving scale the "
+    "prefix IS the stored vector and the scan shrinks 4x), then a "
+    "10x10 join. Ref: no reference analog; matryoshka evaluation per "
+    "the public MRL literature.",
+)
+def q_sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def topk(cos_expr_sql: str):
+        return (
+            scored.select(
+                "vec_id", F.round(F.expr(cos_expr_sql), 6).alias("cosine")
+            )
+            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id")
+        )
+
+    full_rank = topk(cosine_expr("embedding", "qv"))
+    trunc_rank = topk(
+        cosine_expr(
+            f"slice(embedding, 1, {TRUNC_DIM})", f"slice(qv, 1, {TRUNC_DIM})"
+        )
+    )
+    overlap = full_rank.join(trunc_rank, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(10).cast("bigint").alias("k"),
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / F.lit(10).cast("double"), 2).alias(
+            "recall_at_10"
+        ),
+    )

@@ -287,6 +287,29 @@ class Project:
             return None
         return spark.read.parquet(f"{self.warehouse_dir}/{name}/v{v}")
 
+    def expire_versions(self, name: str, keep_last: int = 3) -> list[int]:
+        """Retention maintenance for versioned incremental/snapshot
+        state — the Delta/Iceberg `VACUUM` / expire-snapshots analog:
+        delete all but the newest ``keep_last`` version directories and
+        return the expired version numbers. The LATEST version is never
+        deletable (keep_last >= 1 enforced), so readers holding
+        `_read_latest` plans stay valid; time travel
+        (``read_version``) simply loses the expired range, exactly as
+        a lakehouse VACUUM trades history for storage. Deletion is
+        oldest-first so a crash mid-expire leaves a contiguous suffix
+        of versions (never a hole between surviving versions)."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("expire_versions: keep_last must be >= 1")
+        if self.warehouse_dir is None:
+            return []
+        versions = self._versions(name)
+        expired = versions[:-keep_last] if len(versions) > keep_last else []
+        for v in expired:
+            shutil.rmtree(f"{self.warehouse_dir}/{name}/v{v}")
+        return expired
+
     def read_version(self, name: str, spark: SparkSession, version: int) -> DataFrame:
         """Time travel: read a specific historical version of an
         incremental/snapshot model's stored state (the Delta/Iceberg

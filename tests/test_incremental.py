@@ -224,3 +224,32 @@ def test_cli_run_select_builds_only_subgraph(spark, capsys):
     assert "stg_customers" in out
     assert "customers" not in out.replace("stg_customers", "")  # mart not built
     assert main(["run", "--select", "no_such_model"]) == 2
+
+
+def test_expire_versions_keeps_newest_and_latest_reads(spark, tmp_path):
+    """VACUUM analog: after 5 incremental refreshes, expiring to
+    keep_last=2 deletes v1..v3, keeps v4/v5, never touches the latest,
+    and both _read_latest and read_version(kept) still resolve while
+    read_version(expired) raises."""
+    import pytest as _pytest
+
+    project = Project(warehouse_dir=str(tmp_path))
+
+    @project.model(name="inc_exp", materialized="incremental", unique_key=("k",))
+    def inc_exp(ctx):
+        return ctx.spark.createDataFrame([(1, "a")], "k long, v string")
+
+    for _ in range(5):
+        project.run(spark, select=["inc_exp"])
+    assert project._versions("inc_exp") == [1, 2, 3, 4, 5]
+
+    with _pytest.raises(ValueError):
+        project.expire_versions("inc_exp", keep_last=0)
+    assert project.expire_versions("inc_exp", keep_last=2) == [1, 2, 3]
+    assert project._versions("inc_exp") == [4, 5]
+    assert project._read_latest("inc_exp", spark).count() == 1
+    assert project.read_version("inc_exp", spark, 4).count() == 1
+    with _pytest.raises(ValueError):
+        project.read_version("inc_exp", spark, 2)
+    # idempotent: nothing more to expire at the same retention
+    assert project.expire_versions("inc_exp", keep_last=2) == []

@@ -70,6 +70,7 @@ CROSS_OK = {
     "sim_binary_hamming_topk",  # broadcast 1-row query (words + vector) join
     "keyset_pagination_page3",  # broadcast 1-row cursor-tuple join
     "source_kl_divergence",  # vocab x sources smoothing grid + 1-row (V,N) join
+    "sim_truncated_dim_recall",  # broadcast 1-row query vector join (two rankings)
 }
 
 
