@@ -155,6 +155,7 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "keyset_pagination_page3",
     "source_kl_divergence",
     "sim_truncated_dim_recall",
+    "graph_link_prediction_jaccard",
 ]
 
 

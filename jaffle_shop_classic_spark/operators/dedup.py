@@ -1989,3 +1989,125 @@ def kcore_peel(
             .localCheckpoint(eager=False)
         )
     return e
+
+
+LP_NEIGHBOR_CAP = 32
+
+
+def _link_prediction_oracle() -> str:
+    return f"""
+    WITH {_SIGS_CTE},
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sigs),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    capped AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+        FROM edges
+      ) WHERE rn <= {LP_NEIGHBOR_CAP}
+    ),
+    deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+            FROM capped GROUP BY src),
+    common AS (
+      SELECT a.src AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS c
+      FROM capped a JOIN capped b
+        ON a.dst = b.src AND a.src < b.dst
+      GROUP BY a.src, b.dst
+    ),
+    cand AS (
+      SELECT c.u, c.v, c.c
+      FROM common c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p WHERE p.doc_a = c.u AND p.doc_b = c.v
+      )
+    )
+    SELECT cand.u AS doc_a, cand.v AS doc_b, cand.c AS n_common,
+           du.deg + dv.deg - cand.c AS n_union,
+           round(CAST(cand.c AS DOUBLE)
+                 / CAST(du.deg + dv.deg - cand.c AS DOUBLE), 6) AS jaccard
+    FROM cand
+    JOIN deg du ON du.doc_id = cand.u
+    JOIN deg dv ON dv.doc_id = cand.v
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 50
+    """
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle=_link_prediction_oracle(),
+    doc="Link prediction by neighborhood Jaccard on the MinHash-LSH "
+    "similarity graph — the graph-ML scoring class next to the "
+    "structural analytics (components/PageRank/LPA/k-core/triangles): "
+    "for NON-adjacent pairs reachable in two hops, score "
+    "|N(u) ∩ N(v)| / |N(u) ∪ N(v)| and rank the top-50 predicted "
+    "edges (in curation: near-dup pairs the banding missed but the "
+    "neighborhood structure implies — candidates for a verification "
+    "pass). Hub safety BY CONSTRUCTION: adjacency lists are capped to "
+    f"the {LP_NEIGHBOR_CAP} smallest-id neighbors per node (a "
+    "deterministic cap applied identically in both engines, so parity "
+    "holds exactly) — the wedge join's fanout is then bounded by "
+    "cap^2 per node instead of deg^2, the same discipline as the LSH "
+    "hot-band cap; production systems cap by edge weight, same shape. "
+    "Cross-engine exactness: common/union counts are integers off "
+    "keyed aggregates, adjacency exclusion is an anti join against "
+    "the (doc_a < doc_b) pair list, and the single double division "
+    "rounds at the projection with (doc_a, doc_b) tiebreaks on the "
+    "LIMIT. Scale: one wedge equi-join on the capped lists + two "
+    "broadcast-able degree joins + TakeOrdered. Ref: no reference "
+    "analog; common-neighbors/Jaccard link prediction per the "
+    "classic Liben-Nowell & Kleinberg formulation.",
+)
+def q_graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _symmetric_edges(pairs)
+    w = Window.partitionBy("src").orderBy("dst")
+    capped = (
+        edges.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= LP_NEIGHBOR_CAP)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    deg = capped.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    common = (
+        a.join(b, (F.col("a.dst") == F.col("b.src")) & (F.col("a.src") < F.col("b.dst")))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.dst").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cand = common.join(
+        pairs,
+        (common["u"] == pairs["doc_a"]) & (common["v"] == pairs["doc_b"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("doc_id").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("doc_id").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            F.col("c").alias("n_common"),
+            (F.col("deg_u") + F.col("deg_v") - F.col("c")).alias("n_union"),
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("c")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(50)

@@ -312,3 +312,52 @@ def test_kl_divergence_symmetry_and_separation(spark, tmp_path):
     assert rows["twin1"] == rows["twin2"]
     assert all(v >= 0 for v in rows.values())
     assert rows["alien"] > rows["twin1"] + 0.5  # disjoint vocab dominates
+
+
+def test_link_prediction_scores_shared_neighborhood(spark):
+    """On a path a-b-c plus a hub wedge: the 2-hop pair (a, c) through b
+    gets a known Jaccard; adjacent pairs never appear; the neighbor cap
+    keeps a planted hub's wedge fanout bounded while its leaf pairs
+    still score."""
+    from jaffle_shop_classic_spark.operators.dedup import (
+        LP_NEIGHBOR_CAP,
+        _symmetric_edges,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    # reimplement the scoring body over a planted edge list (the catalog
+    # entry derives its graph from LSH; the algebra is what we pin here)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)] + [(10, 100 + i) for i in range(40)],
+        "doc_a long, doc_b long",
+    )
+    edges = _symmetric_edges(pairs)
+    w = Window.partitionBy("src").orderBy("dst")
+    capped = (
+        edges.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= LP_NEIGHBOR_CAP)
+        .select("src", "dst")
+    )
+    deg = {r["src"]: r["n"] for r in capped.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # hub 10 has 40 leaves but its capped adjacency is LP_NEIGHBOR_CAP
+    assert deg[10] == LP_NEIGHBOR_CAP
+    a, b_ = capped.alias("a"), capped.alias("b")
+    common = (
+        a.join(b_, (F.col("a.dst") == F.col("b.src")) & (F.col("a.src") < F.col("b.dst")))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = common.join(
+        pairs, (common["u"] == pairs["doc_a"]) & (common["v"] == pairs["doc_b"]), "left_anti"
+    ).collect()
+    got = {(r["u"], r["v"]): r["c"] for r in cand}
+    # (1, 3) share exactly neighbor 2; deg(1)=deg(3)=1 -> jaccard 1/1=1
+    assert got[(1, 3)] == 1
+    # adjacent pair (1,2) must not be predicted
+    assert (1, 2) not in got
+    # hub leaf pairs within the capped adjacency share exactly the hub
+    leaf_pairs = [k for k in got if k[0] >= 100]
+    assert leaf_pairs and all(got[k] == 1 for k in leaf_pairs)
+    # capped wedge fanout: at most C(cap, 2) leaf pairs from the hub
+    assert len(leaf_pairs) <= LP_NEIGHBOR_CAP * (LP_NEIGHBOR_CAP - 1) // 2
