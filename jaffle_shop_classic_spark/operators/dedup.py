@@ -2008,20 +2008,27 @@ def _link_prediction_oracle() -> str:
       UNION ALL
       SELECT doc_b, doc_a FROM pairs
     ),
-    capped AS (
+    capped_src AS (
       SELECT src, dst FROM (
         SELECT src, dst,
                row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
         FROM edges
       ) WHERE rn <= {LP_NEIGHBOR_CAP}
     ),
+    capped AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY dst ORDER BY src) AS rn
+        FROM capped_src
+      ) WHERE rn <= {LP_NEIGHBOR_CAP}
+    ),
     deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
             FROM capped GROUP BY src),
     common AS (
-      SELECT a.src AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS c
+      SELECT a.src AS u, b.src AS v, CAST(count(*) AS BIGINT) AS c
       FROM capped a JOIN capped b
-        ON a.dst = b.src AND a.src < b.dst
-      GROUP BY a.src, b.dst
+        ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src
     ),
     cand AS (
       SELECT c.u, c.v, c.c
@@ -2052,27 +2059,38 @@ def _link_prediction_oracle() -> str:
     "|N(u) ∩ N(v)| / |N(u) ∪ N(v)| and rank the top-50 predicted "
     "edges (in curation: near-dup pairs the banding missed but the "
     "neighborhood structure implies — candidates for a verification "
-    "pass). Hub safety BY CONSTRUCTION: adjacency lists are capped to "
-    f"the {LP_NEIGHBOR_CAP} smallest-id neighbors per node (a "
-    "deterministic cap applied identically in both engines, so parity "
-    "holds exactly) — the wedge join's fanout is then bounded by "
-    "cap^2 per node instead of deg^2, the same discipline as the LSH "
-    "hot-band cap; production systems cap by edge weight, same shape. "
+    "pass). N(·) here is the DOUBLY-CAPPED adjacency list: per-src cap "
+    f"to the {LP_NEIGHBOR_CAP} smallest-id neighbors (bounds each "
+    "node's list), then per-dst cap to the "
+    f"{LP_NEIGHBOR_CAP} smallest-id holders of each neighbor (bounds "
+    "the shared-neighbor join fanout to <= cap^2 rows per neighbor "
+    "node — hub safety by construction, the same discipline as the "
+    "LSH hot-band cap; production systems cap by edge weight, same "
+    "shape). Both caps are deterministic and applied identically in "
+    "both engines, so parity holds exactly, and n_common is the TRUE "
+    "intersection |N(u) ∩ N(v)| of the capped lists: the wedge join "
+    "matches on the shared neighbor (a.dst = b.dst, a.src < b.src), "
+    "so both endpoints' lists are intersected (round-9 advice fix — "
+    "the old a.dst = b.src form counted an asymmetric wedge). "
     "Cross-engine exactness: common/union counts are integers off "
     "keyed aggregates, adjacency exclusion is an anti join against "
     "the (doc_a < doc_b) pair list, and the single double division "
     "rounds at the projection with (doc_a, doc_b) tiebreaks on the "
-    "LIMIT. Scale: one wedge equi-join on the capped lists + two "
-    "broadcast-able degree joins + TakeOrdered. Ref: no reference "
-    "analog; common-neighbors/Jaccard link prediction per the "
-    "classic Liben-Nowell & Kleinberg formulation.",
+    "LIMIT. Scale: one shared-neighbor equi-join on the capped lists "
+    "+ two broadcast-able degree joins + TakeOrdered. Ref: no "
+    "reference analog; common-neighbors/Jaccard link prediction per "
+    "the classic Liben-Nowell & Kleinberg formulation.",
 )
 def q_graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=False)
     edges = _symmetric_edges(pairs)
-    w = Window.partitionBy("src").orderBy("dst")
+    w_src = Window.partitionBy("src").orderBy("dst")
+    w_dst = Window.partitionBy("dst").orderBy("src")
     capped = (
-        edges.withColumn("rn", F.row_number().over(w))
+        edges.withColumn("rn", F.row_number().over(w_src))
+        .where(F.col("rn") <= LP_NEIGHBOR_CAP)
+        .select("src", "dst")
+        .withColumn("rn", F.row_number().over(w_dst))
         .where(F.col("rn") <= LP_NEIGHBOR_CAP)
         .select("src", "dst")
         .localCheckpoint(eager=False)
@@ -2082,8 +2100,8 @@ def q_graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFra
     )
     a, b = capped.alias("a"), capped.alias("b")
     common = (
-        a.join(b, (F.col("a.dst") == F.col("b.src")) & (F.col("a.src") < F.col("b.dst")))
-        .groupBy(F.col("a.src").alias("u"), F.col("b.dst").alias("v"))
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     cand = common.join(

@@ -3189,10 +3189,16 @@ def q_cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked GROUP BY segment
     )
     SELECT segment, n AS n_customers,
-           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
-                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
            END AS spearman_rho
     FROM s
     ORDER BY segment
@@ -3208,13 +3214,15 @@ def q_cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a cumulative window over the DISTINCT-value domain (the same "
     "hot-group-safe histogram-CDF form as winsorize_group_clip; no "
     "per-row rank sort), and doubling cancels in the correlation. "
-    "All six sufficient statistics are exact BIGINT sums; the single "
-    "float expression (one division over two sqrts) has a fixed IEEE "
-    "shape on both engines, rounded at the projection; zero-variance "
-    "segments yield NULL by the CASE guard, not a 0/0. BIGINT "
-    "headroom: sums of squared doubled ranks reach ~4n^3 — fine to "
-    "n~10^6 per segment; cluster scale moves the six sums to "
-    "DECIMAL(38,0) with no shape change. Scale: two histogram "
+    "All six sufficient statistics are exact BIGINT sums (sxx ~ 4n^3/3 "
+    "fits int64 to n~1.3e6 per segment); the variance terms n*sxx - "
+    "sx*sx reach ~4n^4/3 (int64 overflow near n~5e4), so they are "
+    "computed — round-9 advice fix — in DOUBLE over the exact BIGINT "
+    "stats: a fixed IEEE expression shape evaluated bit-identically "
+    "by both engines (relative error ~1e-15, far inside the 1e-6 "
+    "output rounding; no overflow at any n), rounded at the "
+    "projection; zero-variance segments yield NULL by the CASE "
+    "guard, not a 0/0. Scale: two histogram "
     "aggregates + two broadcast-sized rank joins keyed on "
     "(segment, value) + one partial->final stats aggregate. Ref: no "
     "reference analog; Spearman rho with midrank ties per the "
@@ -3258,18 +3266,19 @@ def q_eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("r2y") * F.col("r2y")).cast("bigint").alias("syy"),
         F.sum(F.col("r2x") * F.col("r2y")).cast("bigint").alias("sxy"),
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    def d(name: str):
+        return F.col(name).cast("double")
+
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
     return (
         s.select(
             "segment",
             F.col("n").alias("n_customers"),
             F.when(
                 (vx > 0) & (vy > 0),
-                F.round(
-                    num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6
-                ),
+                F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
             ).alias("spearman_rho"),
         )
         .orderBy("segment")

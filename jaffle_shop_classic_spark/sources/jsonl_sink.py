@@ -45,6 +45,16 @@ from pyspark.sql.datasource import (
 
 MANIFEST = "_MANIFEST.json"
 GENERATION_FILE = "_GENERATION.json"
+GENERATION_PENDING_FILE = "_GENERATION.pending.json"
+
+
+def _write_json_atomic(path: str, payload: dict) -> None:
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def _json_default(v):
@@ -342,28 +352,51 @@ def write_stream_exactly_once(stream_df, path: str, checkpoint_dir: str):
     # read_all_batches unions ONLY the current generation. Resuming an
     # intact checkpoint keeps the stored generation (the earlier batches
     # of the same run must stay live).
+    # Round-9 advice fix: the new generation must NOT go live at sink
+    # setup — in the window before the fresh run's first batch commits,
+    # a reader seeing the bumped _GENERATION.json would classify every
+    # previously committed batch as stale and error even though complete
+    # committed data exists. Protocol: setup stages the bumped counter
+    # in _GENERATION.pending.json (readers ignore it); the flip to
+    # _GENERATION.json happens only AFTER the first batch of the fresh
+    # run commits its manifest, so readers keep resolving the prior
+    # generation until replacement data is actually on disk. The pending
+    # file also keeps resume honest: Structured Streaming writes the
+    # offsets entry BEFORE foreachBatch completes, so a crash mid-first-
+    # batch resumes with a non-empty checkpoint — the pending file (not
+    # the still-old live file) carries the generation that replay must
+    # keep stamping.
     offsets_dir = os.path.join(checkpoint_dir, "offsets")
     fresh_run = not (os.path.isdir(offsets_dir) and os.listdir(offsets_dir))
     gpath = os.path.join(path, GENERATION_FILE)
+    ppath = os.path.join(path, GENERATION_PENDING_FILE)
     prev_gen = None
     if os.path.exists(gpath):
         with open(gpath) as f:
             prev_gen = int(json.load(f)["generation"])
+    pending_gen = None
+    if os.path.exists(ppath):
+        with open(ppath) as f:
+            pending_gen = int(json.load(f)["generation"])
     if fresh_run:
-        generation = (prev_gen or 0) + 1
+        generation = max(prev_gen or 0, pending_gen or 0) + 1
         os.makedirs(path, exist_ok=True)
-        tmp = gpath + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"generation": generation}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, gpath)
+        _write_json_atomic(ppath, {"generation": generation})
+        flip_needed = True
+    elif pending_gen is not None:
+        # crash after the pending stage but (possibly) before the flip:
+        # the replaying run IS the pending generation — keep stamping it
+        # and flip on its next committed batch
+        generation = pending_gen
+        flip_needed = True
     else:
         # intact checkpoint: keep the live generation; a legacy sink
         # written before the protocol existed (no file) stays unstamped
         generation = prev_gen
+        flip_needed = False
 
     def _commit_batch(batch_df, batch_id: int) -> None:
+        nonlocal flip_needed
         w = (
             batch_df.write.format("jsonl_manifest")
             .mode("overwrite")
@@ -372,6 +405,13 @@ def write_stream_exactly_once(stream_df, path: str, checkpoint_dir: str):
         if generation is not None:
             w = w.option("generation", str(generation))
         w.save()
+        if flip_needed:
+            # first committed batch of this generation: go live, retire
+            # the pending stage
+            _write_json_atomic(gpath, {"generation": generation})
+            if os.path.exists(ppath):
+                os.remove(ppath)
+            flip_needed = False
 
     return (
         stream_df.writeStream.foreachBatch(_commit_batch)
@@ -400,13 +440,26 @@ def read_all_batches(spark, path: str):
     frames = []
     manifest_rows = 0
     stale = []
+    newer = []
     for b in batches:
         df, manifest = read_manifest(spark, os.path.join(path, b))
         if live_gen is not None and manifest.get("generation") != live_gen:
-            stale.append(b)
+            mgen = manifest.get("generation")
+            (newer if (mgen is not None and mgen > live_gen) else stale).append(b)
             continue
         frames.append(df)
         manifest_rows += manifest["n_rows"]
+    if newer:
+        # a batch dir carries a stamp NEWER than the live generation:
+        # a fresh run has committed its first batch (overwriting this
+        # dir's prior-generation manifest) but not yet flipped
+        # _GENERATION.json — the prior generation is genuinely no longer
+        # complete on disk, so erroring (retryably) is the honest answer
+        raise FileNotFoundError(
+            f"generation transition in progress under {path}: batches "
+            f"{newer} are stamped newer than live generation {live_gen}; "
+            "retry after the writer flips the generation file"
+        )
     if not frames:
         raise FileNotFoundError(
             f"no committed batches under {path}"

@@ -670,3 +670,85 @@ def test_stream_exactly_once_survives_shorter_replay(spark, tmp_path):
     start(str(tmp_path / "ckpt2"), max_files=False)
     got3, rows3 = read_all_batches(spark, sink)
     assert rows3 == 30 and got3.count() == 30
+
+
+def test_stream_generation_flip_deferred_until_first_commit(spark, tmp_path):
+    """Round-9 advice fix: a fresh run must not retire the live
+    generation at sink SETUP — readers in the setup-to-first-commit
+    window keep seeing the complete prior generation. The bumped counter
+    stages in _GENERATION.pending.json and flips only after the first
+    batch commits; mid-transition (a batch stamped newer than live) the
+    reader raises a retryable transition error instead of silently
+    returning a partial prior generation."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.sources.jsonl_sink import (
+        GENERATION_FILE,
+        GENERATION_PENDING_FILE,
+        MANIFEST,
+        read_all_batches,
+        write_stream_exactly_once,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(2):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("k")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    sink = str(tmp_path / "sink")
+
+    def start(checkpoint):
+        q = write_stream_exactly_once(
+            spark.readStream.schema("k bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*"),
+            sink,
+            checkpoint,
+        )
+        q.awaitTermination(120)
+
+    # run 1: generation 1 goes live, pending stage retired
+    start(str(tmp_path / "ckpt1"))
+    with open(os.path.join(sink, GENERATION_FILE)) as f:
+        assert json.load(f)["generation"] == 1
+    assert not os.path.exists(os.path.join(sink, GENERATION_PENDING_FILE))
+
+    # THE advice window: a fresh run has staged its bumped counter but
+    # committed nothing yet. Simulate setup-only state by planting the
+    # pending file — readers must still see all of generation 1.
+    ppath = os.path.join(sink, GENERATION_PENDING_FILE)
+    with open(ppath, "w") as f:
+        json.dump({"generation": 2}, f)
+    got, rows = read_all_batches(spark, sink)
+    assert rows == 20 and sorted(r["k"] for r in got.collect()) == list(range(20))
+
+    # mid-transition window: the fresh run's first commit has replaced
+    # batch=0's manifest (stamped gen 2) but not yet flipped the live
+    # file -> generation 1 is genuinely incomplete on disk; the reader
+    # must error retryably, not silently drop batch 0.
+    mpath = os.path.join(sink, "batch=0", MANIFEST)
+    with open(mpath) as f:
+        m = json.load(f)
+    m["generation"] = 2
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(FileNotFoundError, match="transition in progress"):
+        read_all_batches(spark, sink)
+    # restore batch=0 to generation 1 for the next phase
+    m["generation"] = 1
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    # a fresh run after an ABORTED fresh run (stale pending=2 on disk)
+    # must not reuse the aborted counter: it bumps past it (gen 3),
+    # flips after its first commit, and retires the pending stage
+    start(str(tmp_path / "ckpt2"))
+    with open(os.path.join(sink, GENERATION_FILE)) as f:
+        assert json.load(f)["generation"] == 3
+    assert not os.path.exists(ppath)
+    got2, rows2 = read_all_batches(spark, sink)
+    assert rows2 == 20 and sorted(r["k"] for r in got2.collect()) == list(range(20))
