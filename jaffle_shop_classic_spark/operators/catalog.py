@@ -70,33 +70,31 @@ _PRIORITY = (
     "test_accepted_values_violations",
     "test_relationships_violations",
     # one representative per relational-extension class (X1..X11, X14).
-    # filter_in_between (r01..r07-green) hands its slot to the
-    # peak-concurrency interval sweep: the IN/BETWEEN/null-safe filter
-    # class rides every TPC-H analog in-window (q1-style's date filter,
-    # the marts' status filters), and the interval-algebra family gains
-    # its first hard signal
-    "events_peak_concurrency",
+    # events_peak_concurrency (r9-green) hands its slot to the TPC-H
+    # Q19 analog: the X1 filter class rides q1-style's date filter and
+    # the marts' status filters in-window, and the DISJUNCTIVE
+    # join-predicate shape (OR-of-conjuncts across both join sides —
+    # never driver-checked) gains its first hard signal
+    "tpch_q19_style",
     "join_semi",
     "set_except",
     "rollup_flag_status",
-    # window_range_frame (r01..r08-green) hands its slot to the TPC-H
-    # Q21 analog: the X7 RANGE-frame class keeps topk_per_group +
-    # seq_pattern_funnel's lag/cumsum windows in-window, and Q21's dual
-    # EXISTS/NOT-EXISTS decorrelation — the one relational shape never
-    # driver-checked — gains hard signal
-    "tpch_q21_style",
-    # date_functions (r01..r07-green) hands its slot to Mann-Kendall:
-    # the string/date/math-function class (X9) rides every in-window
-    # TPC-H analog and both marts, and the trend-test family (integer-
-    # exact sign aggregation + variance) gains driver evidence
-    "trend_mann_kendall",
+    # tpch_q21_style (r9-green) hands its slot to keyset pagination:
+    # the dual EXISTS/NOT-EXISTS decorrelation carries r9 hard signal,
+    # and the cursor-stability pagination contract (tuple-comparison
+    # seek vs OFFSET) gains its first driver evidence
+    "keyset_pagination_page3",
+    # trend_mann_kendall (r9-green) hands its slot to the two-sample
+    # Kolmogorov-Smirnov test: the trend family keeps cusum_revenue_
+    # shift + eval_spearman_corr in-window, and the ECDF sup-distance
+    # machinery gains its first hard signal
+    "ks_test_two_sample",
     "json_schema_parse",
-    # array_vector_norm (r01..r08-green) hands its slot to the ANN
-    # recall@k harness: the X11 array-ops class rides sim_cosine_topk /
-    # sim_ivf_topk's F.aggregate/zip_with kernels in-window, and the
-    # offline ANN-evaluation family (exact-vs-IVF recall) gains its
-    # first hard signal
-    "sim_ann_recall_eval",
+    # sim_ann_recall_eval (r9-green) hands its slot to the Matryoshka
+    # truncation-recall eval: the offline ANN-evaluation family stays
+    # in-window through its newest member (prefix-dim cosine vs
+    # full-dim exact top-k), which had zero driver evidence
+    "sim_truncated_dim_recall",
     # X3 + X8 representatives (r01-green, rotated back in; map_ops'
     # X11 class stays certified via array_vector_norm)
     "topk_per_group",
@@ -117,17 +115,18 @@ _PRIORITY = (
     # path (the one reference-surface semantic the driver had never
     # hash-checked, dbt_project.yml:22-27)
     "train_test_split_hash",
-    # eval_auc_mannwhitney (r07+r08-green) hands its slot to the
-    # Fellegi-Sunter EM linkage: the eval family keeps ndcg /
-    # calibration / BLEU / Mann-Kendall in-window, and probabilistic
-    # record linkage (blocked agreement patterns -> 16-row
-    # sufficient-statistics EM) gains its first hard signal
-    "er_fellegi_sunter_em",
-    # bootstrap_mean_ci (r07+r08-green) hands its slot to the TPC-H Q17
-    # analog: resampling inference keeps trend_mann_kendall +
-    # eval_calibration_bins in-window, and the correlated
-    # SCALAR-aggregate-subquery decorrelation gains hard signal
-    "tpch_q17_style",
+    # er_fellegi_sunter_em (r9-green) hands its slot to Spearman rank
+    # correlation: probabilistic record linkage carries r9 hard signal,
+    # and the histogram-CDF midrank machinery (overflow-safe double
+    # variance terms after the round-9 advice fix) gains driver
+    # evidence
+    "eval_spearman_corr",
+    # tpch_q17_style (r9-green) hands its slot to per-segment
+    # winsorization: the correlated scalar-subquery decorrelation
+    # carries r9 hard signal, and the histogram-CDF order-statistic
+    # clipping (hot-group-safe, no per-row sort) gains its first
+    # driver evidence
+    "winsorize_group_clip",
     "distinct_exact_bitmap",
     "incremental_orders_state",
     # text analysis (X12) — text_quality_score's class is also covered
@@ -138,12 +137,15 @@ _PRIORITY = (
     # nDCG@k ranking metric: its token machinery is a subset of
     # text_tfidf_topk + quality_percentile_filter (both in-window), and
     # the ranking-evaluation family gains its first hard signal
-    "eval_ndcg_at_k",
-    # sketch_hll_portable (r08-green, and the X8 sketch class keeps
-    # distinct_exact_bitmap + percentile_exact in-window) hands its
-    # slot to the TPC-H Q8 analog: market-share ratio-of-conditional-
-    # sums over a 5-way star join, the widest join tree in the catalog
-    "tpch_q8_style",
+    # eval_ndcg_at_k (r07..r09-green) hands its slot to per-source KL
+    # divergence: the ranking-eval family keeps sim_truncated_dim_recall
+    # + eval_calibration_bins + eval_bleu_corpus in-window, and the
+    # distribution-divergence monitor gains its first hard signal
+    "source_kl_divergence",
+    # tpch_q8_style (r9-green) hands its slot to the CUSUM level-shift
+    # detector: the widest join tree carries r9 hard signal, and the
+    # cumulative-sum change-point machinery gains driver evidence
+    "cusum_revenue_shift",
     "dedup_semantic_clusters",
     "text_tfidf_topk",
     "quality_percentile_filter",
@@ -165,15 +167,16 @@ _PRIORITY = (
     # content dedup) gains its first hard signal
     "dedup_url_canonical",
     "dedup_minhash_lsh_pairs",
-    # pipeline_corpus_curation (r01..r07-green) hands its slot to the
-    # Cleanlab-style k-NN label-noise audit: the curation composite's
-    # machinery (exact digests + minhash bands + quality gates) is
-    # covered piecewise by dedup_exact + dedup_minhash_lsh_pairs +
-    # quality_percentile_filter + curation_strip_dup_spans (all
-    # in-window), and the LSH-bucketed-kNN evaluation family gains its
-    # first hard signal
-    "label_noise_knn_audit",
-    "dedup_jaccard_prefix_filter",
+    # label_noise_knn_audit (r8+r9-green) hands its slot to binary-
+    # Hamming retrieval: the LSH-bucketed-kNN family keeps sim_ivf_topk
+    # + sim_cosine_topk in-window, and the sign-bit-packed popcount
+    # top-k gains its first hard signal
+    "sim_binary_hamming_topk",
+    # dedup_jaccard_prefix_filter (r6..r9-green) hands its slot to
+    # link prediction: the exact-pair PPJoin carries four rounds of
+    # hard signal, and the capped-neighborhood Jaccard scorer (true
+    # intersection after the round-9 advice fix) gains driver evidence
+    "graph_link_prediction_jaccard",
     "dedup_cluster_components",
     # similarity / embeddings (X13) — int8 quantization rotated to
     # tier 2 in r6 (X13 keeps five other green reps);
@@ -209,19 +212,21 @@ _PRIORITY = (
     # authoring surface without driver evidence — gets certified the
     # way the SQL-text path (sql_model_customers_mart) was in round 8
     "yaml_model_customers_mart",
-    # text_pmi_collocations (r05..r07-green) hands its slot to
-    # functional-dependency discovery: X12 keeps tfidf + quality gate +
-    # LM-score-adjacent reps in-window, and the data-profiling family
-    # gains its first hard signal
-    "fd_discovery_profile",
+    # fd_discovery_profile (r8+r9-green) hands its slot to data-mixture
+    # weights: the profiling family keeps l_diversity_audit in-window,
+    # and the LLM-pipeline-iconic temperature-reweighted source-mixture
+    # solver gains its first hard signal
+    "data_mixture_weights",
     # sample_temperature_mix (r06..r07-green) hands its slot to the
     # l-diversity audit: the sampling class keeps train_test_split_hash
     # in-window, and the privacy-audit family (k-anon's stronger
     # sibling) gains driver evidence
     "l_diversity_audit",
-    # multimodal — mm_frame_sample (r06-green duplicate-class rep)
-    # gives its slot to the round-6 integer-exact PageRank flagship
-    "graph_pagerank",
+    # graph_pagerank (r7..r9-green) hands its slot to k-core peeling:
+    # the iterative-graph family keeps dedup_cluster_components +
+    # graph_link_prediction_jaccard in-window, and the bounded-round
+    # degeneracy peel gains its first hard signal
+    "graph_kcore_peel",
     # mm_feature_extract (r06..r07-green) hands its slot to the chained
     # tumbling->hourly streaming rollup: the multimodal Arrow plumbing
     # stays certified by pytest (test_multimodal.py) and the phash lane
@@ -250,6 +255,24 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 in round 10 for the twelve round-9
+    # newcomers (winsorize, k-core peel, Q19, KS test, binary-Hamming,
+    # Spearman, KL divergence, link prediction, CUSUM, keyset
+    # pagination, data-mixture weights, truncated-dim recall) — every
+    # one a duplicate-class rep with r8/r9 (several r6..r9) hard signal
+    # when in-window
+    "events_peak_concurrency",
+    "tpch_q21_style",
+    "trend_mann_kendall",
+    "sim_ann_recall_eval",
+    "er_fellegi_sunter_em",
+    "tpch_q17_style",
+    "eval_ndcg_at_k",
+    "tpch_q8_style",
+    "label_noise_knn_audit",
+    "dedup_jaccard_prefix_filter",
+    "fd_discovery_profile",
+    "graph_pagerank",
     # rotated out of the top-50 in round 9 for the six uncertified
     # round-8 newcomers (UDTF lateral, FS-EM linkage, ANN recall@k,
     # TPC-H Q17/Q21/Q8) plus the YAML-authoring and manifest-sink
