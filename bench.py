@@ -158,6 +158,24 @@ HEADLINE_QUERIES = BASELINE_QUERIES + [
     "graph_link_prediction_jaccard",
 ]
 
+# Round-10 (VERDICT item 2): the bench set is DERIVED from the catalog,
+# not a hand list — every registered query gets a recorded timing unless
+# it appears here with a reason. A new operator therefore cannot
+# silently escape timing by not being added to HEADLINE_QUERIES.
+# name -> reason string, emitted into BENCH_FULL.json under "skipped".
+SKIP_QUERIES: dict[str, str] = {}
+
+
+def tail_queries(catalog) -> list[str]:
+    """Catalog entries outside the curated headline set and the skip
+    list — timed with the lighter tail protocol (one excluded warm-up
+    run, then single-shot for the cheap tail / median-of-3 for heavy)."""
+    headline = set(HEADLINE_QUERIES)
+    return [
+        n for n in catalog
+        if n not in headline and n not in SKIP_QUERIES
+    ]
+
 
 def time_query(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -241,6 +259,24 @@ def main() -> None:
         runs = [time_query(fn, spark, SF_DIR) for _ in range(n)]
         timings[name] = round(statistics.median(runs), 4)
 
+    # catalog-derived tail: every remaining registered query gets a
+    # recorded timing. Lighter protocol than the headline set (the tail
+    # is a coverage floor, not the cross-round comparison surface): one
+    # warm-up run classifies the query and pays its JIT, then heavy
+    # queries get median-of-3 and the cheap tail a single timed run —
+    # sub-second single shots carry +/-20-25% noise (BASELINE.md), which
+    # is fine for "is anything pathologically slow" screening.
+    for name in tail_queries(catalog):
+        fn = catalog[name].fn
+        try:
+            first = time_query(fn, spark, SF_DIR)
+            n = 3 if first > 1.0 else 1
+            runs = [time_query(fn, spark, SF_DIR) for _ in range(n)]
+            timings[name] = round(statistics.median(runs), 4)
+        except Exception as exc:  # a tail failure must not kill the gate
+            timings[name] = None
+            SKIP_QUERIES[name] = f"failed at bench SF: {type(exc).__name__}: {exc}"
+
     value = round(sum(timings[q] for q in BASELINE_QUERIES), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query medians go to a repo file (diffable history); the
@@ -257,6 +293,9 @@ def main() -> None:
                 "value_ratio": value_ratio,
                 "unit": "sec",
                 "sf": sf_val,
+                "n_catalog": len(catalog),
+                "n_timed": sum(v is not None for v in timings.values()),
+                "skipped": SKIP_QUERIES,
                 "queries": timings,
             },
             fh,

@@ -1907,10 +1907,10 @@ def _kcore_oracle() -> str:
     prev_e = "edges"
     for t in range(1, KCORE_ROUNDS + 1):
         rounds.append(f"""
-    d{t} AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+    d{t} AS MATERIALIZED (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
              FROM {prev_e} GROUP BY src),
-    k{t} AS (SELECT doc_id FROM d{t} WHERE deg >= {KCORE_K}),
-    e{t} AS (
+    k{t} AS MATERIALIZED (SELECT doc_id FROM d{t} WHERE deg >= {KCORE_K}),
+    e{t} AS MATERIALIZED (
       SELECT e.src, e.dst FROM {prev_e} e
       JOIN k{t} a ON a.doc_id = e.src
       JOIN k{t} b ON b.doc_id = e.dst
@@ -1924,7 +1924,7 @@ def _kcore_oracle() -> str:
       FROM bands x JOIN bands y
         ON x.band_key = y.band_key AND x.doc_id < y.doc_id
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
       SELECT doc_b, doc_a FROM pairs
@@ -1989,6 +1989,116 @@ def kcore_peel(
             .localCheckpoint(eager=False)
         )
     return e
+
+
+KCORE_FIXPOINT_MAX_ROUNDS = 64
+# oracle unroll depth: rounds past convergence are no-ops at the
+# fixpoint, so the unrolled oracle equals the true k-core whenever the
+# graph converges within this many rounds — tests/test_dedup.py asserts
+# convergence well inside it at sf0.001, and the run-to-convergence loop
+# raises rather than return a non-fixpoint if the cap is ever hit
+KCORE_FIXPOINT_ORACLE_ROUNDS = 8
+
+
+def kcore_fixpoint(
+    edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_FIXPOINT_MAX_ROUNDS
+) -> tuple[DataFrame, int]:
+    """Run-to-convergence k-core on a symmetric edge list: loop the
+    certified peel round body until an edge-count probe stops moving.
+    The probe is sound because peeling only ever DELETES edges — an
+    unchanged count means no node fell below k, i.e. the fixpoint.
+    Each round ends in a lazy localCheckpoint whose materializing
+    action IS the probe (one job per round, lineage truncated every
+    round — the CC pattern at dedup.py:775); at 100 TB swap in durable
+    checkpoints. Returns (converged edges, rounds executed)."""
+    e = edges
+    prev = e.count()
+    for rounds_run in range(1, max_rounds + 1):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("src").alias("keep_id"))
+        )
+        e = (
+            e.join(keep, e["src"] == keep["keep_id"], "left_semi")
+            .join(keep, e["dst"] == keep["keep_id"], "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n = e.count()
+        if n == prev:
+            return e, rounds_run
+        prev = n
+    raise RuntimeError(
+        f"k-core did not converge in {max_rounds} rounds — raise "
+        "KCORE_FIXPOINT_MAX_ROUNDS (each round strictly shrinks the "
+        "edge set, so the node count bounds the rounds needed)"
+    )
+
+
+def _kcore_fixpoint_oracle() -> str:
+    rounds = []
+    prev_e = "edges"
+    for t in range(1, KCORE_FIXPOINT_ORACLE_ROUNDS + 1):
+        rounds.append(f"""
+    d{t} AS MATERIALIZED (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+             FROM {prev_e} GROUP BY src),
+    k{t} AS MATERIALIZED (SELECT doc_id FROM d{t} WHERE deg >= {KCORE_K}),
+    e{t} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {prev_e} e
+      JOIN k{t} a ON a.doc_id = e.src
+      JOIN k{t} b ON b.doc_id = e.dst
+    )""")
+        prev_e = f"e{t}"
+    return f"""
+    WITH {_SIGS_CTE},
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sigs),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    {','.join(rounds)}
+    SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{KCORE_FIXPOINT_ORACLE_ROUNDS}
+    GROUP BY src
+    ORDER BY core_deg DESC, doc_id ASC
+    """
+
+
+@register(
+    "graph_kcore_fixpoint",
+    oracle=_kcore_fixpoint_oracle(),
+    doc=f"The RUN-TO-CONVERGENCE twin of graph_kcore_peel (k={KCORE_K}): "
+    "a user asking for 'the k-core' gets the true fixpoint, not a "
+    "bounded-round approximation — the loop peels until an edge-count "
+    "probe stops moving (sound because peeling only deletes edges; an "
+    "unchanged count means no node fell below k), raising rather than "
+    "returning silently if the round cap is ever hit. The DuckDB twin "
+    f"unrolls {KCORE_FIXPOINT_ORACLE_ROUNDS} rounds as CTEs: rounds "
+    "past convergence are no-ops at the fixpoint, so the unrolled form "
+    "EQUALS the true k-core whenever convergence lands inside the "
+    "unroll depth — asserted by pytest at sf0.001 with margin, the "
+    "same empirical-depth trick dedup_cluster_components' recursive "
+    "closure avoids needing. Per-round Spark shape is the certified "
+    "peel body (keyed degree aggregate with map-side combine + two "
+    "left-semi endpoint joins), one job per round with the lazy "
+    "localCheckpoint materialized by the probe itself; at 100 TB the "
+    "probe stays O(1) driver-side (a count, never collected data) and "
+    "localCheckpoint swaps for durable checkpoints.",
+)
+def q_graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, _ = kcore_fixpoint(_symmetric_edges(_lsh_candidate_pairs(spark, sf_dir)))
+    return (
+        e.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .orderBy(F.col("core_deg").desc(), F.col("doc_id").asc())
+    )
 
 
 LP_NEIGHBOR_CAP = 32
@@ -2083,7 +2193,13 @@ def _link_prediction_oracle() -> str:
 )
 def q_graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=False)
-    edges = _symmetric_edges(pairs)
+    return link_prediction_scores(pairs, _symmetric_edges(pairs))
+
+
+def link_prediction_scores(pairs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Capped-neighborhood Jaccard scoring on a (doc_a < doc_b) pair
+    list and its symmetric edge list — see the catalog docstring for
+    the double-cap scale argument."""
     w_src = Window.partitionBy("src").orderBy("dst")
     w_dst = Window.partitionBy("dst").orderBy("src")
     capped = (

@@ -77,44 +77,51 @@ def decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     """mapInPandas kernel: 'decode' binary payloads into image metadata +
     a feature vector.
 
-    STUB: the container has no image/audio codecs. A real deployment
-    replaces the body below with e.g. PIL.Image.open(io.BytesIO(b)) —
-    guarded here so the intent is explicit. The deterministic fake
-    derives metadata from the payload bytes so tests have stable
-    expectations, and the Arrow batch shape / schema / partitioning are
-    exactly what the real decoder would use.
+    Payloads that ARE PNG bytes decode for real through the stdlib
+    codec below (png_decode — no external libs needed); anything else
+    falls back to the deterministic fake so non-image payloads (the
+    documents.text corpus) keep stable test expectations. The Arrow
+    batch shape / schema / partitioning are identical either way — a
+    full-featured codec (PIL/libvips, absent in this container) drops
+    into the PNG branch without touching the plumbing.
     """
-    try:
-        import PIL.Image  # noqa: F401 — not installed in this container
-
-        have_codec = True
-    except ImportError:
-        have_codec = False
-
     for pdf in batches:
-        if have_codec:  # pragma: no cover — codec path not available here
-            raise NotImplementedError("real decode path: wire PIL here")
         # NULL-safe: a nullable payload column delivers None to the
         # kernel; treat it like an empty payload instead of crashing the
         # whole query (str.len() -> NaN -> IntCastingNaNError)
         payloads = pdf["payload"]
         n_bytes = payloads.str.len().fillna(0).astype("int32")
-        out = pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes,
-                "width": (n_bytes % 640).astype("int32"),
-                "height": (n_bytes % 480).astype("int32"),
-                "channels": 3,
-                "feature": [
+        widths, heights, channels, feats = [], [], [], []
+        for b in payloads:
+            if b is not None and bytes(b[:8]) == _PNG_SIG:
+                w, h, ch, px = png_decode(bytes(b))
+                widths.append(w)
+                heights.append(h)
+                channels.append(ch)
+                arr = np.frombuffer(px, dtype=np.uint8)
+                feats.append(
+                    [round(float(arr[i % len(arr)]) / 255.0, 6) for i in range(8)]
+                )
+            else:
+                nb = len(b) if b is not None else 0
+                widths.append(nb % 640)
+                heights.append(nb % 480)
+                channels.append(3)
+                feats.append(
                     [float(b[i % len(b)]) / 255.0 for i in range(8)]
                     if b is not None and len(b)
                     else [0.0] * 8
-                    for b in payloads
-                ],
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "width": pd.Series(widths, dtype="int32"),
+                "height": pd.Series(heights, dtype="int32"),
+                "channels": pd.Series(channels, dtype="int32"),
+                "feature": feats,
             }
         )
-        yield out
 
 
 @register(
@@ -200,6 +207,245 @@ def resize_stub_batch(target_w: int, target_h: int):
 def q_mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = q_mm_decode_stub(spark, sf_dir).select("doc_id", "width", "height")
     return decoded.mapInPandas(resize_stub_batch(224, 224), RESIZE_SCHEMA)
+
+
+# --------------------------------------------------- real PNG codec path
+# Round-10 close-out of the "real codec" VERDICT item: the container has
+# no PIL/ffmpeg and installs are prohibited, but PNG needs neither — the
+# format is public (RFC 2083 / W3C PNG spec) and its only compression is
+# zlib, which IS stdlib. The pair below is a complete 8-bit
+# gray/RGB/RGBA non-interlaced codec: the encoder exercises all five
+# scanline filter types, the decoder inverts them. Executor-side only,
+# Arrow-batched via mapInPandas; tiny-image throughput is fine in pure
+# Python, and a real deployment swaps libvips/PIL into the same kernel
+# shape for megapixel payloads.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
+    """Minimal PNG encoder (bit depth 8, no interlace). `pixels` is
+    row-major packed bytes, len == width*height*channels. Rows cycle
+    through filter types 0..4 so decoders must implement the full
+    filter set — deliberate, this is also the test harness for
+    png_decode."""
+    import struct
+    import zlib as _z
+
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    assert len(pixels) == stride * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            upleft = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, upleft)
+            raw.append((row[x] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG to
+    (width, height, channels, row-major packed pixel bytes). Raises
+    ValueError on non-PNG input and NotImplementedError on PNG features
+    outside that envelope (16-bit, palette, interlace) — the documented
+    ceiling; a full-featured library drops into the same kernel."""
+    import struct
+    import zlib as _z
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, 0
+    height = color_type = 0
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG feature outside the stdlib codec envelope: "
+                    f"depth={depth} color_type={color_type} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    raw = _z.decompress(bytes(idat))
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        frow = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        row = bytearray(stride)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            upleft = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            elif ftype == 4:
+                pred = _paeth(left, up, upleft)
+            else:
+                raise NotImplementedError(f"PNG filter type {ftype}")
+            row[x] = (frow[x] + pred) & 0xFF
+        out += row
+        prev = bytes(row)
+    return width, height, bpp, bytes(out)
+
+
+MM_PNG_DOCS = 512  # doc_id ceiling: bounded work per run at any SF
+MM_PNG_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def _png_roundtrip_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize a deterministic RGB image per doc_id, encode it to a
+    real PNG byte payload (cycling all five filter types), decode it
+    back with the stdlib decoder, and emit decoded geometry + per-
+    channel means. The closed-form oracle recomputes the means from the
+    doc_id arithmetic — a wrong filter inverse, stride, or channel
+    order would hash-mismatch."""
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"].astype("int64"):
+            d = int(doc_id)
+            w, h = 4 + d % 5, 3 + d % 4
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    px.append((x + y + d) % 256)
+                    px.append((2 * x + 3 * y) % 256)
+                    px.append((x * y + 7) % 256)
+            dw, dh, ch, decoded = png_decode(png_encode(w, h, bytes(px)))
+            n = dw * dh
+            arr = np.frombuffer(decoded, dtype=np.uint8).reshape(dh, dw, ch)
+            means = arr.reshape(n, ch).mean(axis=0)
+            rows.append(
+                (
+                    d,
+                    dw,
+                    dh,
+                    ch,
+                    round(float(means[0]), 4),
+                    round(float(means[1]), 4),
+                    round(float(means[2]), 4),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "channels",
+                "mean_r",
+                "mean_g",
+                "mean_b",
+            ],
+        )
+
+
+@register(
+    "mm_decode_png",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < {MM_PNG_DOCS}
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM g
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           3 AS channels,
+           round(avg(CAST((i % w + i // w + doc_id) % 256 AS DOUBLE)), 4) AS mean_r,
+           round(avg(CAST((2 * (i % w) + 3 * (i // w)) % 256 AS DOUBLE)), 4) AS mean_g,
+           round(avg(CAST(((i % w) * (i // w) + 7) % 256 AS DOUBLE)), 4) AS mean_b
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+    doc="Multimodal REAL decode path (round-10 close-out of the codec "
+    "VERDICT item): per document, synthesize a deterministic RGB "
+    "image, encode it to an actual PNG byte payload (stdlib-only "
+    "encoder — PNG's sole compression is zlib — cycling all five "
+    "scanline filters), decode it back with the stdlib decoder inside "
+    "an Arrow-batched mapInPandas kernel, and emit decoded geometry + "
+    "per-channel means. The DuckDB oracle recomputes the means in "
+    "closed form from the doc_id arithmetic, so the driver hash "
+    "certifies the decode END TO END: any filter-inverse, stride, or "
+    "channel-order bug mismatches. Work is bounded to doc_id < "
+    f"{MM_PNG_DOCS} tiny images at any SF; megapixel deployments swap "
+    "libvips/PIL into the identical kernel shape (the remaining "
+    "ceiling — 16-bit/palette/interlaced PNG and non-PNG codecs — "
+    "raises NotImplementedError in png_decode). decode_stub_batch's "
+    "deterministic fake stays for payloads that are not PNG bytes.",
+)
+def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < MM_PNG_DOCS)
+    )
+    return d.mapInPandas(_png_roundtrip_batch, MM_PNG_SCHEMA)
 
 
 @register(

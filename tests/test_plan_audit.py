@@ -71,6 +71,7 @@ CROSS_OK = {
     "keyset_pagination_page3",  # broadcast 1-row cursor-tuple join
     "source_kl_divergence",  # vocab x sources smoothing grid + 1-row (V,N) join
     "sim_truncated_dim_recall",  # broadcast 1-row query vector join (two rankings)
+    "tpch_q15_style",  # broadcast 1-row max-revenue scalar join
 }
 
 

@@ -511,6 +511,46 @@ def test_kcore_peel_hub_cascades_to_empty(spark, hub_graph):
     assert "partial_count" in plan
 
 
+def test_link_prediction_hub_bounded_by_double_cap(spark, hub_graph):
+    """Link prediction under the planted >99% hub: the per-dst cap must
+    bound the shared-neighbor join's build side to <=32 holders per
+    neighbor (the hub's 300 leaves would otherwise fan out 300^2 wedge
+    rows), and the surviving scores must be the exact capped-list
+    Jaccard — every leaf pair shares exactly {hub}, so jaccard = 1.0."""
+    from jaffle_shop_classic_spark.operators.dedup import (
+        LP_NEIGHBOR_CAP,
+        link_prediction_scores,
+    )
+
+    pairs, edges = hub_graph
+    out = link_prediction_scores(pairs, edges)
+    rows = out.collect()
+    # candidates: C(32,2)=496 leaf pairs through the hub + (400,402)
+    # through 401 — LIMIT 50 keeps the lexicographically first 50, all
+    # with n_common=1 against two degree-1 capped lists -> jaccard 1.0
+    assert len(rows) == 50
+    assert all(r["jaccard"] == 1.0 and r["n_common"] == 1 for r in rows)
+    assert all(1 <= r["doc_a"] <= LP_NEIGHBOR_CAP for r in rows)
+    # the double cap itself: no neighbor node is held by more than
+    # LP_NEIGHBOR_CAP capped adjacency lists (the hub's dst-side
+    # multiplicity collapses 300 -> 32 before the wedge join)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w_src = W.partitionBy("src").orderBy("dst")
+    w_dst = W.partitionBy("dst").orderBy("src")
+    capped = (
+        edges.withColumn("rn", F.row_number().over(w_src))
+        .where(F.col("rn") <= LP_NEIGHBOR_CAP)
+        .select("src", "dst")
+        .withColumn("rn", F.row_number().over(w_dst))
+        .where(F.col("rn") <= LP_NEIGHBOR_CAP)
+        .select("src", "dst")
+    )
+    max_holders = capped.groupBy("dst").count().agg(F.max("count")).first()[0]
+    assert max_holders <= LP_NEIGHBOR_CAP
+
+
 def test_ks_test_hot_price_value(spark, hot_segment_dir):
     """KS under a 7-value price grid where one segment owns 99% of rows:
     the per-value collapse bounds the window input at 7 rows, and the
