@@ -128,10 +128,13 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="X13: exact near-duplicate pair search within blocks (same label) "
     "— the quadratic term is bounded by block size; the blocked "
-    "self-join shuffles once on the block key.",
+    "self-join shuffles once on the block key. Parallel scan: the "
+    "per-pair 64-dim cosine math dominates, so the single-split "
+    "bench parquet must be split by cores (round-10 interleaved A/B "
+    "at sf0.1: 2.60s -> 0.50s, ratio 0.19).",
 )
 def q_sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings")
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -195,13 +198,16 @@ def q_sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash values are engine-internal so no SQL oracle). Returns "
     "candidate pairs within euclidean distance 1.25 (~p1 of the pair "
     "distance distribution — a generous threshold like 10 would make "
-    "the 'approximate' join a full n^2 cross product).",
+    "the 'approximate' join a full n^2 cross product). Parallel "
+    "scan: the hash projection + bucketed pair scoring sit on the "
+    "scan (round-10 interleaved A/B at sf0.1: 3.21s -> 0.79s, "
+    "ratio 0.25).",
 )
 def q_sim_ml_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     lsh = BucketedRandomProjectionLSH(

@@ -70,7 +70,14 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     first stage is a cheap filter/project feeding a shuffle — measured
     regressions there (corpus_token_ids, cf_item_cosine,
     lang_nb_classifier, text_heavy_hitters_mg stay on plain
-    load_table)."""
+    load_table). Round-10 heavy-tier audit (tools/ab_scan.py,
+    interleaved medians at sf0.1): ADOPTED sim_pairs_blocked (0.19x)
+    and sim_ml_lsh_bucketed (0.25x) — per-pair vector math on the
+    scan; NEUTRAL (stay plain, ratios 0.92-1.02) for
+    dedup_keep_best_representative, dedup_cluster_components_star,
+    quality_lr_classifier, tokenizer_bpe_encode, graph_pagerank,
+    entity_resolution_clusters — their first stages aggregate or
+    shuffle before the heavy work, so the scan split buys nothing."""
     return load_table(spark, sf_dir, name).repartition(
         spark.sparkContext.defaultParallelism
     )
