@@ -3283,3 +3283,358 @@ def q_eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ------------------------------------------------------------- round 10
+PASS_AT_K = 3
+
+
+@register(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH tasks AS (
+      SELECT o.o_orderkey, o.o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l.l_quantity >= CAST(25 AS DOUBLE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority
+      HAVING count(*) >= {PASS_AT_K}
+    ),
+    per_task AS (
+      SELECT priority,
+             CASE WHEN n - c < {PASS_AT_K} THEN CAST(1000000 AS BIGINT)
+                  ELSE CAST(floor(
+                    (CAST(1 AS DOUBLE)
+                     - CAST((n - c) * (n - c - 1) * (n - c - 2) AS DOUBLE)
+                       / CAST(n * (n - 1) * (n - 2) AS DOUBLE)) * 1000000
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             END AS millionths
+      FROM tasks
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_tasks,
+           round(CAST(sum(millionths) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / CAST(1000000 AS DOUBLE),
+                 6) AS pass_at_k
+    FROM per_task
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    doc=f"pass@k (k={PASS_AT_K}) — THE code-generation eval metric, by "
+    "the unbiased estimator of the Codex paper: per task with n "
+    "sampled attempts and c successes, pass@k = 1 - C(n-c,k)/C(n,k), "
+    "averaged per group. Tasks are orders, attempts their lineitems, "
+    "an attempt succeeds when l_quantity >= 25 — deterministic stand-"
+    "ins for (problem, sample, unit-test verdict). Cross-engine "
+    "exactness: the combinatorial ratio is a closed-form integer "
+    "product for fixed k=3 (n <= 13 here, products <= 1716 — no "
+    "factorial overflow; at general n,k use the telescoped "
+    "prod((n-c-i)/(n-i)) form), the per-task estimate is quantized "
+    "to integer MILLIONTHS with half-up floor so the group sum is an "
+    "exact BIGINT (double sums across groups are order-sensitive; "
+    "integer sums are not), and the single division rounds at the "
+    "projection. Scale: one keyed aggregate over lineitem, one "
+    "partial->final per-priority aggregate. Ref: no reference "
+    "analog; estimator per the public Codex/HumanEval formulation.",
+)
+def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    k = PASS_AT_K
+    tasks = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("l_quantity") >= F.lit(25).cast("double"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+        .where(F.col("n") >= k)
+    )
+    f = F.col("n") - F.col("c")
+    ratio = (
+        F.lit(1).cast("double")
+        - (f * (f - 1) * (f - 2)).cast("double")
+        / (F.col("n") * (F.col("n") - 1) * (F.col("n") - 2)).cast("double")
+    )
+    per_task = tasks.select(
+        "priority",
+        F.when(f < k, F.lit(1_000_000).cast("bigint"))
+        .otherwise(F.floor(ratio * 1_000_000 + F.lit(0.5).cast("double")).cast("bigint"))
+        .alias("millionths"),
+    )
+    return (
+        per_task.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+            F.round(
+                F.sum("millionths").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1_000_000).cast("double"),
+                6,
+            ).alias("pass_at_k"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle="""
+    WITH labeled AS (
+      SELECT lang,
+             CAST(n_chars % 3 AS BIGINT) AS ann_a,
+             CAST((n_chars + doc_id) % 3 AS BIGINT) AS ann_b
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ann_a = ann_b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+             CAST(sum(CASE WHEN ann_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+             CAST(sum(CASE WHEN ann_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(sum(CASE WHEN ann_a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+             CAST(sum(CASE WHEN ann_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN ann_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN ann_b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2
+      FROM labeled GROUP BY lang
+    )
+    SELECT lang, n AS n_items,
+           round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+           round(CAST(a0 * b0 + a1 * b1 + a2 * b2 AS DOUBLE)
+                 / CAST(n * n AS DOUBLE), 6) AS p_expected,
+           CASE WHEN n * n <> a0 * b0 + a1 * b1 + a2 * b2
+                THEN round(CAST(n * agree - (a0 * b0 + a1 * b1 + a2 * b2) AS DOUBLE)
+                           / CAST(n * n - (a0 * b0 + a1 * b1 + a2 * b2) AS DOUBLE), 6)
+           END AS kappa
+    FROM s
+    ORDER BY lang
+    """,
+    doc="Cohen's kappa — inter-annotator agreement corrected for "
+    "chance, THE label-quality gate before an annotation batch "
+    "enters training data. Two simulated annotators label each "
+    "document into 3 classes (deterministic functions of n_chars / "
+    "doc_id standing in for two raters' outputs); per language: "
+    "po = agreement rate, pe = sum of marginal products, kappa = "
+    "(po - pe)/(1 - pe). Cross-engine exactness: every count and "
+    "marginal product is BIGINT (n <= ~1e9 per lang keeps n*n and "
+    "the marginal products inside int64 at any realistic SF... "
+    "n*agree <= n^2 ~ 1e18 is the ceiling — past that the nine "
+    "counts move to DECIMAL), kappa reduces to the integer-exact "
+    "form (n*agree - sum_products)/(n^2 - sum_products) with ONE "
+    "double division rounded at the projection, and the degenerate "
+    "pe=1 case yields NULL by the CASE guard. Scale: one "
+    "partial->final nine-way conditional aggregate per language — "
+    "the contingency table never materializes per-cell rows. Ref: "
+    "no reference analog; Cohen 1960 formulation.",
+)
+def q_eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "lang",
+        (F.col("n_chars") % 3).cast("bigint").alias("ann_a"),
+        ((F.col("n_chars") + F.col("doc_id")) % 3).cast("bigint").alias("ann_b"),
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    s = labeled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        cnt(F.col("ann_a") == F.col("ann_b")).alias("agree"),
+        *[cnt(F.col("ann_a") == i).alias(f"a{i}") for i in range(3)],
+        *[cnt(F.col("ann_b") == i).alias(f"b{i}") for i in range(3)],
+    )
+    prods = (
+        F.col("a0") * F.col("b0") + F.col("a1") * F.col("b1") + F.col("a2") * F.col("b2")
+    )
+    nn = F.col("n") * F.col("n")
+    return (
+        s.select(
+            "lang",
+            F.col("n").alias("n_items"),
+            F.round(F.col("agree").cast("double") / F.col("n").cast("double"), 6).alias(
+                "p_observed"
+            ),
+            F.round(prods.cast("double") / nn.cast("double"), 6).alias("p_expected"),
+            F.when(
+                nn != prods,
+                F.round(
+                    (F.col("n") * F.col("agree") - prods).cast("double")
+                    / (nn - prods).cast("double"),
+                    6,
+                ),
+            ).alias("kappa"),
+        )
+        .orderBy("lang")
+    )
+
+
+BT_ROUNDS = 3
+
+
+def _bt_oracle() -> str:
+    rounds = []
+    prev = "p0"
+    for t in range(1, BT_ROUNDS + 1):
+        rounds.append(f"""
+    d{t} AS (
+      SELECT s.i, sum(CAST(s.n AS DOUBLE) / nullif(pi.p + pj.p, CAST(0 AS DOUBLE)))
+               AS den
+      FROM sym s
+      JOIN {prev} pi ON pi.i = s.i
+      JOIN {prev} pj ON pj.i = s.j
+      GROUP BY s.i
+    ),
+    r{t} AS (
+      SELECT w.i, CAST(w.w AS DOUBLE) / d{t}.den AS praw
+      FROM wins w JOIN d{t} ON d{t}.i = w.i
+    ),
+    p{t} AS (
+      SELECT i, round(praw / (SELECT sum(praw) FROM r{t}), 12) AS p FROM r{t}
+    )""")
+        prev = f"p{t}"
+    return f"""
+    WITH comp AS (
+      SELECT least(a.source, b.source) AS s1,
+             greatest(a.source, b.source) AS s2,
+             CASE WHEN (a.n_chars > b.n_chars) = (a.source < b.source)
+                  THEN 1 ELSE 0 END AS w1
+      FROM documents a
+      JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.source <> b.source AND a.n_chars <> b.n_chars
+    ),
+    m AS (
+      SELECT s1, s2, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(w1) AS BIGINT) AS w1
+      FROM comp GROUP BY s1, s2
+    ),
+    sym AS (
+      SELECT s1 AS i, s2 AS j, n FROM m
+      UNION ALL
+      SELECT s2, s1, n FROM m
+    ),
+    wins AS (
+      SELECT i, CAST(sum(w) AS BIGINT) AS w
+      FROM (SELECT s1 AS i, w1 AS w FROM m
+            UNION ALL
+            SELECT s2, n - w1 FROM m)
+      GROUP BY i
+    ),
+    games AS (SELECT i, CAST(sum(n) AS BIGINT) AS g FROM sym GROUP BY i),
+    p0 AS (
+      SELECT i, CAST(1 AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM wins) AS p
+      FROM wins
+    ),
+    {','.join(rounds)}
+    SELECT p.i AS source, g.g AS games, w.w AS wins,
+           round(p.p, 6) AS strength
+    FROM p{BT_ROUNDS} p
+    JOIN games g ON g.i = p.i
+    JOIN wins w ON w.i = p.i
+    ORDER BY strength DESC, source ASC
+    """
+
+
+@register(
+    "rank_bradley_terry",
+    oracle=_bt_oracle(),
+    doc=f"Bradley-Terry pairwise-preference ranking ({BT_ROUNDS} "
+    "minorization-maximization rounds) — THE arena-style model-"
+    "ranking method: latent strengths p_i such that "
+    "P(i beats j) = p_i/(p_i + p_j), fit by Hunter's MM update "
+    "p_i' = W_i / sum_j n_ij/(p_i + p_j), normalized each round. "
+    "Comparisons derive deterministically from consecutive document "
+    "pairs of different sources (longer n_chars wins, ties skipped) "
+    "standing in for human preference votes between model outputs. "
+    "The determinism contract is the bounded-round unrolling "
+    "(graph_minplus_distance's pattern): the oracle unrolls the "
+    "identical rounds as CTEs; intermediate strengths round to 12 "
+    "decimals each round so double-sum association noise cannot "
+    "accumulate, the final projection rounds to 6. Scale: the "
+    "quadratic never materializes — comparisons aggregate to the "
+    "(source x source) match matrix FIRST (one keyed aggregate over "
+    "an adjacent-id self-join), and each MM round is two broadcast-"
+    "sized joins + one keyed aggregate over a matrix bounded by "
+    "#models^2, with O(1) driver state. Ref: no reference analog; "
+    "Bradley-Terry 1952 / Hunter 2004 MM formulation.",
+)
+def q_rank_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    a, b = d.alias("a"), d.alias("b")
+    comp = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(
+            (F.col("a.source") != F.col("b.source"))
+            & (F.col("a.n_chars") != F.col("b.n_chars"))
+        )
+        .select(
+            F.least(F.col("a.source"), F.col("b.source")).alias("s1"),
+            F.greatest(F.col("a.source"), F.col("b.source")).alias("s2"),
+            F.when(
+                (F.col("a.n_chars") > F.col("b.n_chars"))
+                == (F.col("a.source") < F.col("b.source")),
+                1,
+            )
+            .otherwise(0)
+            .alias("w1"),
+        )
+    )
+    m = (
+        comp.groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("w1").cast("bigint").alias("w1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sym = m.select(F.col("s1").alias("i"), F.col("s2").alias("j"), "n").unionByName(
+        m.select(F.col("s2").alias("i"), F.col("s1").alias("j"), "n")
+    )
+    wins = (
+        m.select(F.col("s1").alias("i"), F.col("w1").alias("w"))
+        .unionByName(m.select(F.col("s2").alias("i"), (F.col("n") - F.col("w1")).alias("w")))
+        .groupBy("i")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    games = sym.groupBy("i").agg(F.sum("n").cast("bigint").alias("g"))
+    whole = Window.partitionBy()
+    p = wins.select(
+        "i",
+        (F.lit(1).cast("double") / F.count(F.lit(1)).over(whole).cast("double")).alias(
+            "p"
+        ),
+    )
+    for _ in range(BT_ROUNDS):
+        pi = p.select(F.col("i").alias("pi_i"), F.col("p").alias("pi_p"))
+        pj = p.select(F.col("i").alias("pj_i"), F.col("p").alias("pj_p"))
+        den = (
+            sym.join(F.broadcast(pi), F.col("i") == F.col("pi_i"))
+            .join(F.broadcast(pj), F.col("j") == F.col("pj_i"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("n").cast("double")
+                    / F.nullif(F.col("pi_p") + F.col("pj_p"), F.lit(0).cast("double"))
+                ).alias("den")
+            )
+        )
+        r = wins.join(den, "i").select(
+            "i", (F.col("w").cast("double") / F.col("den")).alias("praw")
+        )
+        p = r.select(
+            "i", F.round(F.col("praw") / F.sum("praw").over(whole), 12).alias("p")
+        )
+    return (
+        p.join(games, "i")
+        .join(wins, "i")
+        .select(
+            F.col("i").alias("source"),
+            F.col("g").alias("games"),
+            F.col("w").alias("wins"),
+            F.round("p", 6).alias("strength"),
+        )
+        .orderBy(F.col("strength").desc(), F.col("source").asc())
+    )

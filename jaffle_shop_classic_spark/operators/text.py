@@ -2459,3 +2459,120 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------------- round 10
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+_ENTROPY_GATE_BITS = 3.5
+
+
+def _entropy_oracle() -> str:
+    counts = ",\n      ".join(
+        f"CAST(length(text) - length(replace(text, '{ch}', '')) AS BIGINT) AS c{i}"
+        for i, ch in enumerate(_ENTROPY_ALPHABET)
+    )
+    idx = range(len(_ENTROPY_ALPHABET))
+    other = " - ".join(["n"] + [f"c{i}" for i in idx])
+    terms = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN (CAST(c{i} AS DOUBLE) / nd) * log2(CAST(c{i} AS DOUBLE) / nd) ELSE CAST(0 AS DOUBLE) END"
+        for i in idx
+    )
+    cols = ", ".join(f"c{i}" for i in idx)
+    return f"""
+    WITH counted AS (
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n,
+      {counts}
+      FROM documents
+    ),
+    widened AS (
+      SELECT doc_id, lang, n, CAST(n AS DOUBLE) AS nd, {cols},
+             {other} AS co
+      FROM counted
+    ),
+    scored AS (
+      SELECT doc_id, lang, n,
+             CASE WHEN n > 0 THEN
+               -(({terms})
+                 + CASE WHEN co > 0 THEN (CAST(co AS DOUBLE) / nd) * log2(CAST(co AS DOUBLE) / nd) ELSE CAST(0 AS DOUBLE) END)
+             END AS h
+      FROM widened
+    )
+    SELECT doc_id, lang, n AS n_chars_counted,
+           round(h, 6) AS entropy_bits,
+           (h < CAST({_ENTROPY_GATE_BITS} AS DOUBLE)) AS is_low_entropy
+    FROM scored
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "text_char_entropy_gate",
+    oracle=_entropy_oracle(),
+    doc="Character-entropy quality gate — the gibberish/repetition "
+    "detector next to text_repetition_ratio and the Gopher-style "
+    "gates: Shannon entropy of each document's character "
+    "distribution over a FIXED 28-bucket alphabet (26 letters + "
+    "space + other), flagging docs below "
+    f"{_ENTROPY_GATE_BITS} bits/char (natural English sits ~4.1; "
+    "'aaaa...' collapses to 0 — low entropy means degenerate "
+    "repetition, high-entropy-above-text means noise, both poison "
+    "training data). Scale shape: NO explode — per-character counts "
+    "come from length(text) - length(replace(text, ch, '')) scalar "
+    "expressions, so the whole operator is a single map-only "
+    "projection over the scan (28 replaces per row beat shuffling "
+    "len(text) exploded rows by orders of magnitude at 100 TB). "
+    "Cross-engine exactness: counts are integers; the entropy sum "
+    "is ONE fixed expression tree generated from the same Python "
+    "list in both dialects (float adds are never reassociated by "
+    "either engine, so term order — and the result — is "
+    "bit-identical), rounded at the projection; empty docs yield "
+    "NULL by the n > 0 guard. Ref: no reference analog; Shannon "
+    "entropy per the classic definition.",
+)
+def q_text_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    idx = range(len(_ENTROPY_ALPHABET))
+    counted = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("len"),
+        *[
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch))))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, ch in enumerate(_ENTROPY_ALPHABET)
+        ],
+    )
+    total_known = None
+    for i in idx:
+        total_known = F.col(f"c{i}") if total_known is None else total_known + F.col(f"c{i}")
+    widened = counted.select(
+        "doc_id",
+        "lang",
+        *[f"c{i}" for i in idx],
+        (F.col("len") - total_known).alias("co"),
+        F.col("len").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+
+    def term(c):
+        frac = c.cast("double") / nd
+        return F.when(c > 0, frac * F.log2(frac)).otherwise(F.lit(0.0))
+
+    h_sum = None
+    for i in idx:
+        t = term(F.col(f"c{i}"))
+        h_sum = t if h_sum is None else h_sum + t
+    h = -(h_sum + term(F.col("co")))
+    return (
+        widened.select(
+            "doc_id",
+            "lang",
+            F.col("n").alias("n_chars_counted"),
+            F.round(F.when(F.col("n") > 0, h), 6).alias("entropy_bits"),
+            F.when(F.col("n") > 0, h < F.lit(_ENTROPY_GATE_BITS)).alias(
+                "is_low_entropy"
+            ),
+        )
+        .orderBy("doc_id")
+    )

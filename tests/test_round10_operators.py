@@ -137,3 +137,95 @@ def test_kcore_fixpoint_converges_inside_oracle_unroll(spark):
     edges = _symmetric_edges(_lsh_candidate_pairs(spark, "/root/testdata/sf0.001"))
     _, rounds_run = kcore_fixpoint(edges)
     assert rounds_run <= KCORE_FIXPOINT_ORACLE_ROUNDS - 2
+
+
+def test_pass_at_k_estimator_values(spark, tmp_path):
+    """Planted tasks with known (n, c): n=4,c=1 -> 1 - C(3,3)/C(4,3) =
+    0.75; n=3,c=0 -> 0; n=3,c=3 -> 1. One priority per task keeps the
+    groups separable."""
+    orders, lines = [], []
+    specs = [("1-URGENT", 4, 1), ("2-HIGH", 3, 0), ("3-MEDIUM", 3, 3)]
+    lid = 0
+    for oid, (prio, n, c) in enumerate(specs):
+        orders.append((oid, 0, "F", 1.0, "2024-01-01", prio))
+        for i in range(n):
+            qty = 30.0 if i < c else 1.0
+            lines.append((oid, lid, 1, 1, qty, 10.0, 0.0, 0.0, "N", "O", "2024-01-02"))
+            lid += 1
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate string, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    rows = {
+        r["priority"]: r["pass_at_k"]
+        for r in load_catalog()["eval_pass_at_k"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows == {"1-URGENT": 0.75, "2-HIGH": 0.0, "3-MEDIUM": 1.0}
+
+
+def test_cohens_kappa_known_table(spark, tmp_path):
+    """Hand-checkable contingency: labels derive from n_chars % 3 and
+    (n_chars + doc_id) % 3 — choose rows so annotators agree on 2 of 4
+    docs with known marginals: po=0.5, pe=(2*2 + 1*1 + 1*1)/16=0.375,
+    kappa=(0.5-0.375)/(1-0.375)=0.2."""
+    # (doc_id, n_chars): ann_a = n_chars%3, ann_b = (n_chars+doc_id)%3
+    rows = [(0, 3), (3, 3), (1, 1), (2, 2)]
+    # a: 0,0,1,2  b: 0,0,2,1 -> agree 2; a-marg (2,1,1), b-marg (2,1,1)
+    spark.createDataFrame(
+        [(d, "x" * n, "en", "s", n) for d, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = load_catalog()["eval_cohens_kappa"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["p_observed"], r["p_expected"], r["kappa"]) == (0.5, 0.375, 0.2)
+
+
+def test_bradley_terry_dominant_source_wins(spark, tmp_path):
+    """A source whose docs are always longer must come out with the
+    highest strength; strengths are positive and sum to ~1."""
+    docs = []
+    for i in range(60):
+        src = ("big", "mid", "small")[i % 3]
+        n = {"big": 300 + i, "mid": 200 + i, "small": 100 + i}[src]
+        docs.append((i, "t", "en", src, n))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = load_catalog()["rank_bradley_terry"].fn(spark, str(tmp_path)).collect()
+    assert [r["source"] for r in rows][0] == "big"
+    total = sum(r["strength"] for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    assert rows[0]["strength"] > rows[-1]["strength"]
+
+
+def test_char_entropy_gate_flags_degenerate_text(spark, tmp_path):
+    """'aaaa...' has 0 entropy and must be flagged; varied text clears
+    the gate; empty text yields NULLs."""
+    import math
+
+    docs = [
+        (0, "a" * 50, "en", "s", 50),
+        (1, "the quick brown fox jumps over the lazy dog with zeal", "en", "s", 53),
+        (2, "", "en", "s", 0),
+        (3, "ababababab", "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in load_catalog()["text_char_entropy_gate"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["entropy_bits"] == 0.0 and rows[0]["is_low_entropy"] is True
+    assert rows[1]["entropy_bits"] > 3.5 and rows[1]["is_low_entropy"] is False
+    assert rows[2]["entropy_bits"] is None and rows[2]["is_low_entropy"] is None
+    assert rows[3]["entropy_bits"] == round(math.log2(2), 6) == 1.0
+    assert rows[3]["is_low_entropy"] is True
