@@ -35,9 +35,9 @@ _REQUIRED_IN_WINDOW = {
     },
     # round 7: the round-6 flagships promoted into the hard signal
     # (round 9 rotated cdc_upsert_with_deletes, r07+r08-green, out)
+    # (round 10 rotated dedup_jaccard_prefix_filter r6..r9-green and
+    # graph_pagerank r7..r9-green back to tier 2)
     "round7_promotions": {
-        "dedup_jaccard_prefix_filter",
-        "graph_pagerank",
         "dedup_semantic_clusters",
         "distinct_exact_bitmap",
         "incremental_orders_state",
@@ -45,14 +45,12 @@ _REQUIRED_IN_WINDOW = {
     # round-8 session: the round-7 eval/mining flagships plus the two
     # never-hard-checked semantics (SQL-text model authoring, chained
     # streaming windows) promoted per the round-7 verdict's brief
+    # (round 10 rotated events_peak_concurrency / trend_mann_kendall /
+    # eval_ndcg_at_k / label_noise_knn_audit / fd_discovery_profile —
+    # all r8/r9-green — back to tier 2 for the round-9 newcomers)
     "round8_promotions": {
         "sql_model_customers_mart",
-        "events_peak_concurrency",
-        "trend_mann_kendall",
-        "eval_ndcg_at_k",
-        "label_noise_knn_audit",
         "eval_calibration_bins",
-        "fd_discovery_profile",
         "l_diversity_audit",
         "stream_chained_windows",
     },
@@ -66,15 +64,28 @@ _REQUIRED_IN_WINDOW = {
     # round 9 (the round-8 verdict's brief #1/#3/#4): the six
     # uncertified round-8 newcomers plus the YAML-authoring and
     # manifest-sink protocol certifications
+    # (round 10 rotated er_fellegi_sunter_em / sim_ann_recall_eval /
+    # tpch_q17/q21/q8 — all r9-green — back to tier 2)
     "round9_promotions": {
         "udtf_installment_plan",
-        "er_fellegi_sunter_em",
-        "sim_ann_recall_eval",
-        "tpch_q17_style",
-        "tpch_q21_style",
-        "tpch_q8_style",
         "yaml_model_customers_mart",
         "sink_manifest_roundtrip",
+    },
+    # round 10 (the round-9 verdict's brief #1/#7): the twelve round-9
+    # newcomers with zero driver-hash evidence
+    "round10_promotions": {
+        "winsorize_group_clip",
+        "graph_kcore_peel",
+        "tpch_q19_style",
+        "ks_test_two_sample",
+        "sim_binary_hamming_topk",
+        "eval_spearman_corr",
+        "source_kl_divergence",
+        "graph_link_prediction_jaccard",
+        "cusum_revenue_shift",
+        "keyset_pagination_page3",
+        "data_mixture_weights",
+        "sim_truncated_dim_recall",
     },
     # round 5: map_ops / text_repetition_ratio (duplicate-class reps of
     # array_vector_norm / the 5-strong text block) rotated to Tier 2 to

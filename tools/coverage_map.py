@@ -74,6 +74,7 @@ FAMILY_REPS = {
 
 # entries whose machinery is certified by a rep outside their name family
 OVERRIDES = {
+    "rank_bradley_terry": ["er_fellegi_sunter_em", "eval_calibration_bins"],
     "graph_link_prediction_jaccard": ["graph_pagerank", "dedup_minhash_lsh_pairs"],
     "sim_truncated_dim_recall": ["sim_cosine_topk", "sim_ann_recall_eval"],
     "source_kl_divergence": ["text_tfidf_topk", "quality_percentile_filter"],
