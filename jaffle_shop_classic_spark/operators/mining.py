@@ -3638,3 +3638,187 @@ def q_rank_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("strength").desc(), F.col("source").asc())
     )
+
+
+@register(
+    "eval_mcnemar_test",
+    oracle="""
+    WITH paired AS (
+      SELECT (n_chars % 5 IN (0, 1, 2)) AS model_a_correct,
+             (n_chars % 3 IN (0, 1)) AS model_b_correct
+      FROM documents
+    ),
+    s AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(CASE WHEN model_a_correct AND NOT model_b_correct
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b_discordant,
+        CAST(sum(CASE WHEN NOT model_a_correct AND model_b_correct
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c_discordant
+      FROM paired
+    )
+    SELECT n_items, b_discordant, c_discordant,
+           CASE WHEN b_discordant + c_discordant > 0
+                THEN round(CAST((b_discordant - c_discordant)
+                                * (b_discordant - c_discordant) AS DOUBLE)
+                           / CAST(b_discordant + c_discordant AS DOUBLE), 6)
+           END AS chi2_statistic,
+           (b_discordant + c_discordant >= 25
+            AND CAST((b_discordant - c_discordant)
+                     * (b_discordant - c_discordant) AS DOUBLE)
+                / CAST(b_discordant + c_discordant AS DOUBLE)
+                > CAST(3.841459 AS DOUBLE)) AS significant_05
+    FROM s
+    """,
+    doc="McNemar's test — the PAIRED model-comparison significance "
+    "test (are model A and B's per-item verdicts on the SAME eval "
+    "set different beyond chance?), the statistically sound way to "
+    "compare two checkpoints on one benchmark: only the DISCORDANT "
+    "pairs carry signal (b = A right/B wrong, c = the reverse), "
+    "chi2 = (b-c)^2/(b+c) against the 3.84 critical value at "
+    "alpha=0.05 (df=1; the classic large-sample form — continuity "
+    "correction and exact-binomial small-sample variants note the "
+    "b+c >= 25 applicability guard emitted alongside). Verdicts "
+    "derive deterministically from n_chars residues standing in for "
+    "two models' per-item scores. Cross-engine exactness: b and c "
+    "are exact BIGINT counts off ONE partial->final conditional "
+    "aggregate, the statistic is a single integer-ratio division "
+    "rounded at the projection, zero-discordance yields NULL by the "
+    "CASE guard. Scale: map-only verdict derivation + one global "
+    "aggregate; nothing shuffles but partials. Ref: no reference "
+    "analog; McNemar 1947 formulation.",
+)
+def q_eval_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    paired = d.select(
+        (F.col("n_chars") % 5).isin(0, 1, 2).alias("a_ok"),
+        (F.col("n_chars") % 3).isin(0, 1).alias("b_ok"),
+    )
+    s = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("a_ok") & ~F.col("b_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_discordant"),
+        F.sum(F.when(~F.col("a_ok") & F.col("b_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_discordant"),
+    )
+    b, c = F.col("b_discordant"), F.col("c_discordant")
+    chi2 = ((b - c) * (b - c)).cast("double") / (b + c).cast("double")
+    return s.select(
+        "n_items",
+        "b_discordant",
+        "c_discordant",
+        F.when(b + c > 0, F.round(chi2, 6)).alias("chi2_statistic"),
+        ((b + c >= 25) & (chi2 > F.lit(3.841459).cast("double"))).alias(
+            "significant_05"
+        ),
+    )
+
+
+@register(
+    "eval_f1_per_class",
+    oracle="""
+    WITH verdicts AS (
+      SELECT CAST(n_chars % 3 AS BIGINT) AS y_true,
+             CAST((n_chars + doc_id) % 3 AS BIGINT) AS y_pred
+      FROM documents
+    ),
+    classes AS (SELECT unnest(range(0, 3)) AS cls),
+    s AS (
+      SELECT c.cls,
+             CAST(sum(CASE WHEN v.y_true = c.cls AND v.y_pred = c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN v.y_pred = c.cls AND v.y_true <> c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN v.y_true = c.cls AND v.y_pred <> c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM classes c, verdicts v
+      GROUP BY c.cls
+    )
+    SELECT cls, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+           END AS precision_,
+           CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+           END AS recall_,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(CAST(2 * tp AS DOUBLE)
+                           / CAST(2 * tp + fp + fn AS DOUBLE), 6)
+           END AS f1
+    FROM s
+    ORDER BY cls
+    """,
+    doc="Per-class precision / recall / F1 from a multi-class confusion "
+    "matrix — the classifier-eval table every labeling pipeline "
+    "prints. True/predicted labels derive deterministically from "
+    "n_chars / doc_id residues (the same simulated-annotator pair as "
+    "eval_cohens_kappa, so the two entries cross-check each other). "
+    "F1 uses the integer identity 2tp/(2tp+fp+fn) — never the "
+    "two-stage harmonic mean of already-rounded P and R, which "
+    "compounds rounding. Cross-engine exactness: tp/fp/fn are exact "
+    "BIGINT counts, each output is ONE integer-ratio division "
+    "rounded at the projection, empty denominators yield NULL by "
+    "CASE guards. Spark computes the per-class counts WITHOUT the "
+    "oracle's class cross join: one aggregate per (y_true, y_pred) "
+    "cell (at most 9 rows), then three keyed reductions — at 100 TB "
+    "the verdict table collapses to the 9-cell matrix in a single "
+    "partial->final pass. Ref: no reference analog; standard "
+    "classification-metrics definitions.",
+)
+def q_eval_f1_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    v = d.select(
+        (F.col("n_chars") % 3).cast("bigint").alias("y_true"),
+        ((F.col("n_chars") + F.col("doc_id")) % 3).cast("bigint").alias("y_pred"),
+    )
+    cells = v.groupBy("y_true", "y_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    classes = load_table(spark, sf_dir, "documents").sparkSession.range(3).select(
+        F.col("id").cast("bigint").alias("cls")
+    )
+    tp = cells.where(F.col("y_true") == F.col("y_pred")).select(
+        F.col("y_true").alias("cls"), F.col("n").alias("tp")
+    )
+    fp = (
+        cells.where(F.col("y_true") != F.col("y_pred"))
+        .groupBy(F.col("y_pred").alias("cls"))
+        .agg(F.sum("n").cast("bigint").alias("fp"))
+    )
+    fn = (
+        cells.where(F.col("y_true") != F.col("y_pred"))
+        .groupBy(F.col("y_true").alias("cls"))
+        .agg(F.sum("n").cast("bigint").alias("fn"))
+    )
+    s = (
+        classes.join(F.broadcast(tp), "cls", "left")
+        .join(F.broadcast(fp), "cls", "left")
+        .join(F.broadcast(fn), "cls", "left")
+        .fillna(0, subset=["tp", "fp", "fn"])
+    )
+    tpc, fpc, fnc = F.col("tp"), F.col("fp"), F.col("fn")
+    return (
+        s.select(
+            "cls",
+            "tp",
+            "fp",
+            "fn",
+            F.when(
+                tpc + fpc > 0,
+                F.round(tpc.cast("double") / (tpc + fpc).cast("double"), 6),
+            ).alias("precision_"),
+            F.when(
+                tpc + fnc > 0,
+                F.round(tpc.cast("double") / (tpc + fnc).cast("double"), 6),
+            ).alias("recall_"),
+            F.when(
+                2 * tpc + fpc + fnc > 0,
+                F.round(
+                    (2 * tpc).cast("double") / (2 * tpc + fpc + fnc).cast("double"), 6
+                ),
+            ).alias("f1"),
+        )
+        .orderBy("cls")
+    )

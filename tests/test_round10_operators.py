@@ -229,3 +229,48 @@ def test_char_entropy_gate_flags_degenerate_text(spark, tmp_path):
     assert rows[2]["entropy_bits"] is None and rows[2]["is_low_entropy"] is None
     assert rows[3]["entropy_bits"] == round(math.log2(2), 6) == 1.0
     assert rows[3]["is_low_entropy"] is True
+
+
+def test_mcnemar_discordant_counts_and_significance(spark, tmp_path):
+    """30 docs with n_chars = doc_id: a_ok = id%5 in {0,1,2} (18 true),
+    b_ok = id%3 in {0,1} (20 true). Discordants: b = a and not b,
+    c = b and not a — hand-enumerated below; chi2 = (b-c)^2/(b+c)."""
+    ids = list(range(30))
+    b = sum(1 for i in ids if i % 5 in (0, 1, 2) and i % 3 == 2)
+    c = sum(1 for i in ids if i % 5 in (3, 4) and i % 3 in (0, 1))
+    spark.createDataFrame(
+        [(i, "t", "en", "s", i) for i in ids],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = load_catalog()["eval_mcnemar_test"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["b_discordant"], r["c_discordant"]) == (b, c)
+    assert r["chi2_statistic"] == round((b - c) ** 2 / (b + c), 6)
+    assert r["significant_05"] is False  # b+c < 25 on 30 docs
+
+
+def test_f1_identity_on_planted_confusion(spark, tmp_path):
+    """Planted verdicts with a known 3x3 confusion matrix; F1 must equal
+    2tp/(2tp+fp+fn) per class, cross-checked against sklearn-style
+    hand computation."""
+    rows, did = [], 0
+    # (y_true, y_pred, count): y_true=n%3, y_pred=(n+d)%3 -> choose n, d
+    for y_true, y_pred, count in [(0, 0, 5), (0, 1, 2), (1, 1, 4), (2, 0, 3), (2, 2, 6)]:
+        for _ in range(count):
+            n = [3, 4, 5][y_true]  # n % 3 == y_true
+            d = (y_pred - n) % 3
+            while d < did:  # keep doc_ids unique with d % 3 preserved
+                d += 3
+            rows.append((d, "t", "en", "s", n))
+            did = d + 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["cls"]: r for r in load_catalog()["eval_f1_per_class"].fn(spark, str(tmp_path)).collect()}
+    # class 0: tp=5 fp=3 fn=2 -> f1 = 10/15; class 1: tp=4 fp=2 fn=0;
+    # class 2: tp=6 fp=0 fn=3
+    assert (out[0]["tp"], out[0]["fp"], out[0]["fn"]) == (5, 3, 2)
+    assert out[0]["f1"] == round(10 / 15, 6)
+    assert (out[1]["tp"], out[1]["fp"], out[1]["fn"]) == (4, 2, 0)
+    assert out[1]["f1"] == round(8 / 10, 6)
+    assert (out[2]["tp"], out[2]["fp"], out[2]["fn"]) == (6, 0, 3)
+    assert out[2]["f1"] == round(12 / 15, 6)
