@@ -3822,3 +3822,105 @@ def q_eval_f1_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+MINPLUS_FIXPOINT_MAX_ROUNDS = 64
+MINPLUS_FIXPOINT_ORACLE_ROUNDS = 10
+
+
+def _minplus_fixpoint_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for t in range(1, MINPLUS_FIXPOINT_ORACLE_ROUNDS + 1):
+        rounds.append(f"""
+    r{t} AS MATERIALIZED (
+      SELECT t AS node, min({prev}.dist + e.w) AS dist
+      FROM e JOIN {prev} ON e.s = {prev}.node GROUP BY t
+      UNION ALL SELECT node, dist FROM {prev}
+    ),
+    d{t} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM r{t} GROUP BY node)""")
+        prev = f"d{t}"
+    return f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(101 - least(count(*), 100) AS BIGINT) AS w
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= {KHOP_MIN_SUPPORT}
+    ),
+    e AS MATERIALIZED (SELECT pa AS s, pb AS t, w FROM p
+          UNION ALL SELECT pb, pa, w FROM p),
+    seed AS (SELECT min(s) AS node FROM e),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seed),
+    {','.join(rounds)}
+    SELECT node, CAST(dist AS BIGINT) AS dist
+    FROM d{MINPLUS_FIXPOINT_ORACLE_ROUNDS}
+    ORDER BY dist ASC, node ASC
+    """
+
+
+@register(
+    "graph_minplus_fixpoint",
+    oracle=_minplus_fixpoint_oracle(),
+    doc="The RUN-TO-CONVERGENCE twin of graph_minplus_distance "
+    "(completing the fixpoint roster: components and k-core have "
+    "theirs; this closes single-source shortest paths): Bellman-Ford "
+    "relaxation loops until a (reached-count, distance-sum) probe "
+    "stops moving — sound because the reached set only GROWS and "
+    "every reached distance only DECREASES, so the integer pair is "
+    "strictly monotone until the fixpoint; the loop raises rather "
+    "than return a non-fixpoint if the round cap is hit (negative "
+    "edges impossible here — weights are 101-min(support,100) >= 1). "
+    f"The DuckDB twin unrolls {MINPLUS_FIXPOINT_ORACLE_ROUNDS} "
+    "MATERIALIZED rounds (rounds past convergence are idempotent at "
+    "the fixpoint; pytest asserts convergence well inside the unroll "
+    "at sf0.001; materialization stops DuckDB's CTE inlining from "
+    "exponentiating the round tree — the k-core lesson). Per-round "
+    "Spark shape: broadcast frontier join + min aggregate (the "
+    "min-plus semiring on the Pregel exchange shape), lazy "
+    "localCheckpoint materialized by the probe, O(1) driver state. "
+    "Ref: no reference analog; Bellman-Ford per the classic "
+    "formulation.",
+)
+def q_graph_minplus_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _copurchase_pairs(spark, sf_dir, KHOP_MIN_SUPPORT).select(
+        "pa",
+        "pb",
+        (101 - F.least(F.col("cnt"), F.lit(100))).cast("bigint").alias("w"),
+    )
+    e = p.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t"), "w"
+    ).unionAll(p.select(F.col("pb").alias("s"), F.col("pa").alias("t"), "w"))
+    e = e.localCheckpoint(eager=False)
+    cur = e.agg(F.min("s").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    prev_probe = (1, 0)
+    for _ in range(MINPLUS_FIXPOINT_MAX_ROUNDS):
+        relaxed = (
+            e.join(cur.hint("broadcast"), e["s"] == cur["node"])
+            .select(F.col("t").alias("node"), (cur["dist"] + e["w"]).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        cur = (
+            relaxed.unionAll(cur)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).first()
+        probe = (row["n"], row["s"])
+        if probe == prev_probe:
+            return cur.select(
+                "node", F.col("dist").cast("bigint").alias("dist")
+            ).orderBy(F.col("dist").asc(), F.col("node").asc())
+        prev_probe = probe
+    raise RuntimeError(
+        f"min-plus did not converge in {MINPLUS_FIXPOINT_MAX_ROUNDS} rounds — "
+        "raise MINPLUS_FIXPOINT_MAX_ROUNDS (positive weights guarantee "
+        "convergence within the node count)"
+    )

@@ -274,3 +274,41 @@ def test_f1_identity_on_planted_confusion(spark, tmp_path):
     assert out[1]["f1"] == round(8 / 10, 6)
     assert (out[2]["tp"], out[2]["fp"], out[2]["fn"]) == (6, 0, 3)
     assert out[2]["f1"] == round(12 / 15, 6)
+
+
+def test_minplus_fixpoint_idempotent_inside_oracle_unroll(spark):
+    """The fixpoint result at sf0.001 must equal an explicit
+    MINPLUS_FIXPOINT_ORACLE_ROUNDS-round bounded unrolling — proving
+    convergence lands inside the oracle's unroll depth (rounds past the
+    fixpoint are idempotent)."""
+    from jaffle_shop_classic_spark.operators.mining import (
+        KHOP_MIN_SUPPORT,
+        MINPLUS_FIXPOINT_ORACLE_ROUNDS,
+        _copurchase_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fix = {
+        (r["node"], r["dist"])
+        for r in load_catalog()["graph_minplus_fixpoint"].fn(spark, sf).collect()
+    }
+    p = _copurchase_pairs(spark, sf, KHOP_MIN_SUPPORT).select(
+        "pa", "pb", (101 - F.least(F.col("cnt"), F.lit(100))).cast("bigint").alias("w")
+    )
+    e = p.selectExpr("pa AS s", "pb AS t", "w").unionAll(
+        p.selectExpr("pb AS s", "pa AS t", "w")
+    )
+    cur = e.agg(F.min("s").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(MINPLUS_FIXPOINT_ORACLE_ROUNDS):
+        relaxed = (
+            e.join(cur.hint("broadcast"), e["s"] == cur["node"])
+            .select(F.col("t").alias("node"), (cur["dist"] + e["w"]).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        cur = relaxed.unionAll(cur).groupBy("node").agg(F.min("dist").alias("dist"))
+        cur = cur.localCheckpoint(eager=False)
+    bounded = {(r["node"], r["dist"]) for r in cur.collect()}
+    assert fix == bounded
