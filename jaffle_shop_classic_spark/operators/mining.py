@@ -3924,3 +3924,295 @@ def q_graph_minplus_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raise MINPLUS_FIXPOINT_MAX_ROUNDS (positive weights guarantee "
         "convergence within the node count)"
     )
+
+
+KMV_K = 256
+_HASH_DOMAIN = 4294967296  # md5-int8 values are uniform in [0, 2^32)
+
+
+@register(
+    "sketch_kmv_intersection",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT {_md5_int8_sql("CAST(user_id AS VARCHAR)")} AS h
+      FROM events WHERE event_type = 'view'
+    ),
+    hb AS (
+      SELECT DISTINCT {_md5_int8_sql("CAST(user_id AS VARCHAR)")} AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ta AS (
+      SELECT CASE WHEN (SELECT count(*) FROM ha) >= {KMV_K}
+                  THEN (SELECT h FROM ha ORDER BY h LIMIT 1 OFFSET {KMV_K - 1})
+                  ELSE CAST({_HASH_DOMAIN} AS BIGINT) END AS theta_a
+    ),
+    tb AS (
+      SELECT CASE WHEN (SELECT count(*) FROM hb) >= {KMV_K}
+                  THEN (SELECT h FROM hb ORDER BY h LIMIT 1 OFFSET {KMV_K - 1})
+                  ELSE CAST({_HASH_DOMAIN} AS BIGINT) END AS theta_b
+    ),
+    theta AS (SELECT least(ta.theta_a, tb.theta_b) AS t FROM ta, tb),
+    retained AS (
+      SELECT CAST(count(*) AS BIGINT) AS r
+      FROM ha JOIN hb ON ha.h = hb.h, theta
+      WHERE ha.h < theta.t
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS x FROM ha JOIN hb ON ha.h = hb.h
+    )
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           theta.t AS theta,
+           retained.r AS n_retained,
+           round(CAST(retained.r AS DOUBLE)
+                 * CAST({_HASH_DOMAIN} AS DOUBLE) / CAST(theta.t AS DOUBLE),
+                 4) AS est_intersection,
+           exact.x AS exact_intersection
+    FROM theta, retained, exact
+    """,
+    doc=f"Theta/KMV sketch set intersection (k={KMV_K}) — the MERGEABLE "
+    "distinct-intersection estimator (Datasketches' theta family): "
+    "audience overlap between viewers and purchasers without "
+    "shuffling either full id set. Each side keeps its k smallest "
+    "distinct portable hashes (the same first-8-md5-hex-digits "
+    "BIGINT family as the CMS/HLL sketches — engine-portable by "
+    "construction); theta = min of the two k-th order statistics; "
+    "the estimate is |retained common hashes below theta| scaled by "
+    "the sampled hash fraction, and degrades to EXACT when both "
+    "sets fit inside k (theta = the full 2^32 domain). The exact "
+    "intersection rides along so the entry self-reports its error. "
+    "Cross-engine exactness: hashes, thetas and retained counts are "
+    "all BIGINT order statistics (no floats until the single scaled "
+    "division, rounded at the projection). Scale: per-set "
+    "distinct-hash aggregate + a TakeOrdered(k) per sketch (driver "
+    "sees k values, never the id sets), one broadcast-able hash "
+    "equi-join for the retained count; union-merging more sketches "
+    "keeps the same k bound — the 100 TB path for cross-segment "
+    "overlap matrices. Ref: no reference analog; KMV/theta sketch "
+    "per the public Datasketches formulation.",
+)
+def q_sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def hashes(etype: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .select(
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+                .cast("bigint")
+                .alias("h")
+            )
+            .distinct()
+        )
+
+    ha = hashes("view").localCheckpoint(eager=False)
+    hb = hashes("purchase").localCheckpoint(eager=False)
+
+    def theta(h: DataFrame, name: str) -> DataFrame:
+        kth = h.orderBy("h").limit(KMV_K).agg(F.max("h").alias("kth"))
+        n = h.agg(F.count(F.lit(1)).alias("n"))
+        return (
+            kth.crossJoin(F.broadcast(n))
+            .select(
+                F.when(F.col("n") >= KMV_K, F.col("kth"))
+                .otherwise(F.lit(_HASH_DOMAIN).cast("bigint"))
+                .alias(name)
+            )
+        )
+
+    th = (
+        theta(ha, "theta_a")
+        .crossJoin(F.broadcast(theta(hb, "theta_b")))
+        .select(F.least("theta_a", "theta_b").alias("t"))
+    )
+    common = ha.join(hb, "h")
+    retained = (
+        common.crossJoin(F.broadcast(th))
+        .where(F.col("h") < F.col("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    exact = common.agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return (
+        th.crossJoin(F.broadcast(retained))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(KMV_K).cast("bigint").alias("k"),
+            F.col("t").alias("theta"),
+            F.col("r").alias("n_retained"),
+            F.round(
+                F.col("r").cast("double")
+                * F.lit(_HASH_DOMAIN).cast("double")
+                / F.col("t").cast("double"),
+                4,
+            ).alias("est_intersection"),
+            F.col("x").alias("exact_intersection"),
+        )
+    )
+
+
+_STATS_COLS = (
+    # (column, portable min/max representation for cross-engine parity)
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _stats_oracle() -> str:
+    parts = []
+    for col, kind in _STATS_COLS:
+        if kind == "cents":
+            mn = f"CAST(CAST(floor(min({col}) * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+            mx = f"CAST(CAST(floor(max({col}) * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+        elif kind == "date":
+            mn = f"strftime(min({col}), '%Y-%m-%d')"
+            mx = f"strftime(max({col}), '%Y-%m-%d')"
+        else:
+            mn, mx = f"CAST(min({col}) AS VARCHAR)", f"CAST(max({col}) AS VARCHAR)"
+        parts.append(f"""
+    SELECT '{col}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {mn} AS min_repr, {mx} AS max_repr
+    FROM orders""")
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@register(
+    "table_stats_profile",
+    oracle=_stats_oracle(),
+    doc="ANALYZE TABLE analog — the per-column statistics pass every "
+    "cost-based optimizer and data catalog runs: row count, null "
+    "count, EXACT distinct count, and min/max per column of orders, "
+    "emitted one row per column. The warehouse-surface twin of "
+    "fd_discovery_profile (which finds column RELATIONSHIPS; this "
+    "is the per-column marginal). Cross-engine exactness: min/max "
+    "are emitted in explicitly portable representations (ints as "
+    "decimal strings, money as integer cents, timestamps formatted "
+    "to date strings) because engine-native double/timestamp->string "
+    "casts differ; counts are BIGINT. Plan: Spark computes ALL "
+    "columns' stats in ONE aggregate pass over a single scan (the "
+    "multi-distinct expand multiplies rows by #columns map-side — "
+    "the standard cost of exact NDV; swap approx_count_distinct at "
+    "100 TB for one-pass sketched NDV) and unpivots the 1-row "
+    "result with stack(); the oracle states the same semantics as "
+    "per-column UNION ALL scans. Ref: no reference analog; ANALYZE "
+    "semantics per standard warehouse practice.",
+)
+def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for col, kind in _STATS_COLS:
+        if kind == "cents":
+            mn = F.floor(F.min(col) * 100 + 0.5).cast("bigint").cast("string")
+            mx = F.floor(F.max(col) * 100 + 0.5).cast("bigint").cast("string")
+        elif kind == "date":
+            mn = F.date_format(F.min(col), "yyyy-MM-dd")
+            mx = F.date_format(F.max(col), "yyyy-MM-dd")
+        else:
+            mn = F.min(col).cast("string")
+            mx = F.max(col).cast("string")
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias(f"nulls_{col}"),
+            F.countDistinct(col).cast("bigint").alias(f"ndv_{col}"),
+            mn.alias(f"mn_{col}"),
+            mx.alias(f"mx_{col}"),
+        ]
+    one = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{col}', nulls_{col}, ndv_{col}, mn_{col}, mx_{col}"
+        for col, _ in _STATS_COLS
+    )
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(_STATS_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_repr, max_repr)",
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+        .orderBy("column_name")
+    )
+
+
+SRM_ARMS = 3
+SRM_CHI2_CRIT = 13.816  # chi-square df=2, alpha=0.001 — the SRM alarm bar
+
+
+@register(
+    "ab_srm_check",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT {_md5_int8_sql("CAST(c_custkey AS VARCHAR)")} % {SRM_ARMS} AS arm
+      FROM customer
+    ),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM assigned
+    )
+    SELECT n0, n1, n2, n,
+           round((CAST({SRM_ARMS} AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                    + CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                    + CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 - CAST(n AS DOUBLE), 6) AS chi2_statistic,
+           ((CAST({SRM_ARMS} AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+               + CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+               + CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE))
+            - CAST(n AS DOUBLE)
+            > CAST({SRM_CHI2_CRIT} AS DOUBLE)) AS srm_detected
+    FROM counts
+    """,
+    doc=f"Sample-ratio-mismatch (SRM) check — the experiment-integrity "
+    "gate every A/B platform runs BEFORE reading outcomes (a skewed "
+    f"assignment invalidates ab_test_welch_ttest downstream): users "
+    f"hash-assign to {SRM_ARMS} equal arms via the portable md5 "
+    "bucket (deterministic, engine-identical), and the observed arm "
+    "counts test against the uniform expectation with the chi-square "
+    "goodness-of-fit statistic in its algebraically simplified form "
+    "chi2 = (k/n) * sum(n_i^2) - n (exact integer sums inside one "
+    f"fixed-shape double expression), alarming above the df={SRM_ARMS - 1} "
+    f"alpha=0.001 critical value {SRM_CHI2_CRIT} — SRM practice uses "
+    "a strict alpha because the test runs on every experiment every "
+    "day. Cross-engine exactness: counts are one partial->final "
+    "conditional aggregate; the statistic rounds at the projection. "
+    "Scale: map-only hash + one global aggregate. Ref: no reference "
+    "analog; SRM chi-square per standard experimentation practice.",
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % SRM_ARMS
+    )
+    counts = c.select(arm.alias("arm")).agg(
+        *[
+            F.sum(F.when(F.col("arm") == i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i in range(SRM_ARMS)
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    sq = None
+    for i in range(SRM_ARMS):
+        term = F.col(f"n{i}").cast("double") * F.col(f"n{i}").cast("double")
+        sq = term if sq is None else sq + term
+    chi2 = (F.lit(SRM_ARMS).cast("double") / F.col("n").cast("double")) * sq - F.col(
+        "n"
+    ).cast("double")
+    return counts.select(
+        "n0",
+        "n1",
+        "n2",
+        "n",
+        F.round(chi2, 6).alias("chi2_statistic"),
+        (chi2 > F.lit(SRM_CHI2_CRIT).cast("double")).alias("srm_detected"),
+    )

@@ -72,6 +72,7 @@ CROSS_OK = {
     "source_kl_divergence",  # vocab x sources smoothing grid + 1-row (V,N) join
     "sim_truncated_dim_recall",  # broadcast 1-row query vector join (two rankings)
     "tpch_q15_style",  # broadcast 1-row max-revenue scalar join
+    "sketch_kmv_intersection",  # broadcast 1-row theta/count scalar joins
 }
 
 

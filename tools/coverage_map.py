@@ -75,6 +75,8 @@ FAMILY_REPS = {
 # entries whose machinery is certified by a rep outside their name family
 OVERRIDES = {
     "rank_bradley_terry": ["er_fellegi_sunter_em", "eval_calibration_bins"],
+    "table_stats_profile": ["fd_discovery_profile", "distinct_exact_bitmap"],
+    "ab_srm_check": ["train_test_split_hash", "ks_test_two_sample"],
     "graph_link_prediction_jaccard": ["graph_pagerank", "dedup_minhash_lsh_pairs"],
     "sim_truncated_dim_recall": ["sim_cosine_topk", "sim_ann_recall_eval"],
     "source_kl_divergence": ["text_tfidf_topk", "quality_percentile_filter"],
