@@ -4103,7 +4103,9 @@ def _stats_oracle() -> str:
     "semantics per standard warehouse practice.",
 )
 def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # parallel scan: the multi-distinct expand sits directly on the scan
+    # (round-10 interleaved A/B at sf0.1: 2.31s -> 0.82s, ratio 0.36)
+    o = load_table_parallel(spark, sf_dir, "orders")
     aggs = []
     for col, kind in _STATS_COLS:
         if kind == "cents":

@@ -71,9 +71,12 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     regressions there (corpus_token_ids, cf_item_cosine,
     lang_nb_classifier, text_heavy_hitters_mg stay on plain
     load_table). Round-10 heavy-tier audit (tools/ab_scan.py,
-    interleaved medians at sf0.1): ADOPTED sim_pairs_blocked (0.19x)
-    and sim_ml_lsh_bucketed (0.25x) — per-pair vector math on the
-    scan; NEUTRAL (stay plain, ratios 0.92-1.02) for
+    interleaved medians at sf0.1): ADOPTED sim_pairs_blocked (0.19x),
+    sim_ml_lsh_bucketed (0.25x) — per-pair vector math on the scan —
+    and table_stats_profile (0.36x, multi-distinct expand on the
+    scan); REGRESS eval_pass_at_k (1.47x, stays plain — its first
+    stage is a cheap keyed aggregate); NEUTRAL (stay plain, ratios
+    0.92-1.06) for text_char_entropy_gate, rank_bradley_terry,
     dedup_keep_best_representative, dedup_cluster_components_star,
     quality_lr_classifier, tokenizer_bpe_encode, graph_pagerank,
     entity_resolution_clusters — their first stages aggregate or
