@@ -454,3 +454,31 @@ def test_winsorize_matches_python_order_statistics(spark, prices):
     assert r["n_clipped_high"] == sum(1 for v in cents if v > hi)
     want_total = round(sum(min(hi, max(lo, v)) for v in cents) / 100.0, 2)
     assert r["winsorized_total"] == want_total
+
+
+@given(
+    w=st.integers(min_value=1, max_value=13),
+    h=st.integers(min_value=1, max_value=13),
+    color_type=st.sampled_from([0, 2, 6]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, color_type, seed):
+    """Property: png_decode(png_encode(px)) == px for arbitrary
+    geometry, any supported color type, and arbitrary pixel bytes —
+    the encoder cycles all five scanline filters, so every (w, h >= 5)
+    case exercises the full filter set in both directions."""
+    import random
+
+    from jaffle_shop_classic_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        png_decode,
+        png_encode,
+    )
+
+    rng = random.Random(seed)
+    ch = _PNG_CHANNELS[color_type]
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    dw, dh, dch, out = png_decode(png_encode(w, h, px, color_type))
+    assert (dw, dh, dch) == (w, h, ch)
+    assert out == px
