@@ -2576,3 +2576,48 @@ def q_text_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _bpe_decode_oracle() -> str:
+    ctes = _bpe_ctes()
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
+           CAST(sum(CASE WHEN replace(sym, '|', '') = word
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lossless,
+           (count(*) = sum(CASE WHEN replace(sym, '|', '') = word
+                                THEN 1 ELSE 0 END)) AS all_lossless
+    FROM s{BPE_MERGES}
+    """
+    )
+
+
+@register(
+    "tokenizer_bpe_decode_roundtrip",
+    oracle=_bpe_decode_oracle(),
+    doc="BPE decode-roundtrip certification — the tokenizer-integrity "
+    "property every training pipeline must hold: decoding (symbol "
+    "concatenation, i.e. stripping the delimiters from the trained "
+    "symbol string) must reproduce the original word EXACTLY for "
+    "every vocabulary word, because BPE merges only ever remove "
+    "segmentation boundaries, never bytes. The entry runs the same "
+    "trained word-state as tokenizer_bpe_train/encode and emits the "
+    "corpus-wide verdict (vocab size, lossless count, all-lossless "
+    "flag) — a regression in the merge loop (e.g. an overlapping "
+    "replace) flips the flag and hash-mismatches. Scale: the check "
+    "runs on the vocabulary-sized word-state, one map expression + "
+    "one global aggregate; corpus size only enters through the "
+    "word-count pass training already does. Ref: no reference "
+    "analog; the roundtrip property per standard tokenizer test "
+    "practice.",
+)
+def q_tokenizer_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state, _merges = _bpe_train(spark, sf_dir)
+    ok = F.sum(
+        F.when(F.regexp_replace("sym", r"\|", "") == F.col("word"), 1).otherwise(0)
+    ).cast("bigint")
+    return state.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab_words"),
+        ok.alias("n_lossless"),
+        (F.count(F.lit(1)) == ok).alias("all_lossless"),
+    )

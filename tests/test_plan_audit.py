@@ -31,6 +31,7 @@ CROSS_OK = {
     "sample_temperature_mix",  # broadcast 1-row corpus-totals join
     "tokenizer_bpe_train",  # broadcast 1-row winning-pair join per round
     "tokenizer_bpe_encode",  # same 1-row pair joins inside the train subtree
+    "tokenizer_bpe_decode_roundtrip",  # same 1-row pair joins (train subtree)
     "text_boilerplate_shingles",  # broadcast 1-row corpus-size (N) join
     "text_pmi_collocations",  # broadcast 1-row corpus-size (N) join
     "dedup_embedding_cosine",  # non-equi self pair join within label blocks
