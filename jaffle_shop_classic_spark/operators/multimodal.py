@@ -1,12 +1,15 @@
 """Multimodal-column operators (SURVEY §2.4 mandate) — binary payloads
 with typed metadata.
 
-The driver corpus has no real image/audio bytes, so the *decode* step is
-a clearly-marked deterministic stub (see `decode_stub_batch`); everything
-around it — binary columns, byte-level metadata, Arrow-batched
-mapInPandas plumbing, frame-sampling expansion — is real Spark and
-tested. Swapping the stub for PIL/ffmpeg is a one-function change; the
-schema, partitioning and batch shape stay as-is.
+Round 10 made the codec path REAL for PNG: a pure-stdlib encoder/decoder
+(PNG's only compression is zlib) backs `mm_decode_png` / `mm_resize_png`
+— decode and nearest-neighbor resample both driver-hash-certified
+against closed-form pixel oracles — and `decode_stub_batch` decodes PNG
+payloads for real, falling back to its deterministic fake only for
+non-image bytes (the documents.text corpus). Non-PNG codecs (JPEG,
+audio, video) remain outside the stdlib envelope: PIL/ffmpeg are absent
+in this container, and swapping them in is a one-branch change with the
+schema, partitioning and Arrow batch shape unchanged.
 
 At 100 TB: binary payloads stay columnar in parquet (never shuffled
 unless an operator needs the bytes); metadata extraction is map-only;
@@ -483,3 +486,96 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phash")
         .agg(F.count(F.lit(1)).alias("n_items"), F.min("doc_id").alias("keep_doc_id"))
     )
+
+
+MM_RESIZE_TW, MM_RESIZE_TH = 3, 2
+MM_RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def _png_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize -> PNG-encode -> decode -> REAL nearest-neighbor
+    resize (numpy integer index map, the textbook sx = tx*w//tw) ->
+    per-channel means of the RESIZED pixels. The oracle recomputes the
+    same means straight from the pattern at the mapped coordinates, so
+    a wrong index map (off-by-one, x/y swap, channel interleave)
+    hash-mismatches."""
+    tw, th = MM_RESIZE_TW, MM_RESIZE_TH
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"].astype("int64"):
+            d = int(doc_id)
+            w, h = 4 + d % 5, 3 + d % 4
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    px.append((x + y + d) % 256)
+                    px.append((2 * x + 3 * y) % 256)
+                    px.append((x * y + 7) % 256)
+            dw, dh, ch, decoded = png_decode(png_encode(w, h, bytes(px)))
+            arr = np.frombuffer(decoded, dtype=np.uint8).reshape(dh, dw, ch)
+            sy = (np.arange(th) * dh) // th
+            sx = (np.arange(tw) * dw) // tw
+            resized = arr[sy][:, sx]  # nearest-neighbor gather
+            means = resized.reshape(tw * th, ch).mean(axis=0)
+            rows.append(
+                (d, dw, dh, tw, th,
+                 round(float(means[0]), 4),
+                 round(float(means[1]), 4),
+                 round(float(means[2]), 4))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                     "mean_r", "mean_g", "mean_b"],
+        )
+
+
+@register(
+    "mm_resize_png",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < {MM_PNG_DOCS}
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (unnest(range(0, {MM_RESIZE_TW * MM_RESIZE_TH}))
+              % {MM_RESIZE_TW}) * w // {MM_RESIZE_TW} AS sx,
+             (unnest(range(0, {MM_RESIZE_TW * MM_RESIZE_TH}))
+              // {MM_RESIZE_TW}) * h // {MM_RESIZE_TH} AS sy
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+           {MM_RESIZE_TW} AS dst_w, {MM_RESIZE_TH} AS dst_h,
+           round(avg(CAST((sx + sy + doc_id) % 256 AS DOUBLE)), 4) AS mean_r,
+           round(avg(CAST((2 * sx + 3 * sy) % 256 AS DOUBLE)), 4) AS mean_g,
+           round(avg(CAST((sx * sy + 7) % 256 AS DOUBLE)), 4) AS mean_b
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+    doc="Multimodal REAL resize path — the companion to mm_decode_png "
+    "that retires resize_stub_batch's geometry-only claim: each "
+    "synthesized image round-trips through the stdlib PNG codec and "
+    "is then ACTUALLY resampled (nearest-neighbor via the numpy "
+    f"integer index map sx = tx*w//{MM_RESIZE_TW}, sy = ty*h//"
+    f"{MM_RESIZE_TH} — the same gather a real thumbnailer does), "
+    "with the per-channel means of the RESIZED pixels certified "
+    "against a closed-form oracle evaluating the pattern at the "
+    "mapped coordinates. Off-by-one in the index map, an x/y swap, "
+    "or a channel interleave bug all hash-mismatch. Work bounded to "
+    f"doc_id < {MM_PNG_DOCS} at any SF; bilinear/Lanczos deployments "
+    "swap the gather for a weighted one inside the same Arrow "
+    "kernel. decode_stub_batch/resize_stub_batch stay as the "
+    "non-PNG-payload fallbacks.",
+)
+def q_mm_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < MM_PNG_DOCS)
+    )
+    return d.mapInPandas(_png_resize_batch, MM_RESIZE_SCHEMA)

@@ -312,3 +312,32 @@ def test_minplus_fixpoint_idempotent_inside_oracle_unroll(spark):
         cur = cur.localCheckpoint(eager=False)
     bounded = {(r["node"], r["dist"]) for r in cur.collect()}
     assert fix == bounded
+
+
+def test_mm_resize_png_nearest_neighbor_values(spark, tmp_path):
+    """The resized means must equal the pattern evaluated at the
+    nearest-neighbor index map sx = tx*w//tw, sy = ty*h//th — computed
+    independently here."""
+    from jaffle_shop_classic_spark.operators.multimodal import (
+        MM_RESIZE_TH,
+        MM_RESIZE_TW,
+    )
+
+    spark.createDataFrame(
+        [(i, "x") for i in range(5)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = load_catalog()["mm_resize_png"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        d = r["doc_id"]
+        w, h = 4 + d % 5, 3 + d % 4
+        coords = [
+            ((tx * w) // MM_RESIZE_TW, (ty * h) // MM_RESIZE_TH)
+            for ty in range(MM_RESIZE_TH)
+            for tx in range(MM_RESIZE_TW)
+        ]
+        n = len(coords)
+        assert (r["src_w"], r["src_h"]) == (w, h)
+        assert r["mean_r"] == round(sum((x + y + d) % 256 for x, y in coords) / n, 4)
+        assert r["mean_g"] == round(sum((2 * x + 3 * y) % 256 for x, y in coords) / n, 4)
+        assert r["mean_b"] == round(sum((x * y + 7) % 256 for x, y in coords) / n, 4)
