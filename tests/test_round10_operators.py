@@ -341,3 +341,26 @@ def test_mm_resize_png_nearest_neighbor_values(spark, tmp_path):
         assert r["mean_r"] == round(sum((x + y + d) % 256 for x, y in coords) / n, 4)
         assert r["mean_g"] == round(sum((2 * x + 3 * y) % 256 for x, y in coords) / n, 4)
         assert r["mean_b"] == round(sum((x * y + 7) % 256 for x, y in coords) / n, 4)
+
+
+def test_kmv_intersection_exact_when_sets_fit_inside_k(spark, tmp_path):
+    """With both distinct-user sets below k=256, theta covers the full
+    hash domain, every common hash is retained, and the estimate
+    DEGRADES TO EXACT: est == exact == |A ∩ B| (planted overlap 40)."""
+    rows, eid = [], 0
+    for u in range(100):  # viewers 0..99
+        rows.append((eid, "2024-01-01 00:00:00", u, "view", 1.0, "{}")); eid += 1
+    for u in range(60, 180):  # purchasers 60..179 -> overlap 60..99 = 40
+        rows.append((eid, "2024-01-01 00:00:00", u, "purchase", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = load_catalog()["sketch_kmv_intersection"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["exact_intersection"] == 40
+    assert r["n_retained"] == 40
+    assert r["est_intersection"] == 40.0
+    assert r["theta"] == 4294967296
