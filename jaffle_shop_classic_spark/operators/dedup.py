@@ -2093,7 +2093,20 @@ def _kcore_fixpoint_oracle() -> str:
     "localCheckpoint swaps for durable checkpoints.",
 )
 def q_graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e, _ = kcore_fixpoint(_symmetric_edges(_lsh_candidate_pairs(spark, sf_dir)))
+    e, rounds_run = kcore_fixpoint(
+        _symmetric_edges(_lsh_candidate_pairs(spark, sf_dir))
+    )
+    # oracle-coupling guard (at EVERY SF, not just the sf0.001 pytest):
+    # convergence at round r means r-1 rounds actually changed the edge
+    # set; the unrolled oracle equals the true k-core only when that
+    # depth fits inside its unroll. Raise the diagnosable error rather
+    # than let a deeper graph surface as a bare parity hash mismatch.
+    if rounds_run - 1 > KCORE_FIXPOINT_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"k-core needed {rounds_run - 1} changing rounds but the DuckDB "
+            f"oracle unrolls only {KCORE_FIXPOINT_ORACLE_ROUNDS} — raise "
+            "KCORE_FIXPOINT_ORACLE_ROUNDS to keep parity sound"
+        )
     return (
         e.groupBy(F.col("src").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))

@@ -3897,6 +3897,7 @@ def q_graph_minplus_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(0).cast("bigint").alias("dist")
     )
     prev_probe = (1, 0)
+    changed_rounds = 0
     for _ in range(MINPLUS_FIXPOINT_MAX_ROUNDS):
         relaxed = (
             e.join(cur.hint("broadcast"), e["s"] == cur["node"])
@@ -3915,10 +3916,23 @@ def q_graph_minplus_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         probe = (row["n"], row["s"])
         if probe == prev_probe:
+            # oracle-coupling guard: the DuckDB twin unrolls a FIXED
+            # number of rounds, so a graph whose shortest-path depth
+            # exceeds the unroll would put the oracle at a non-fixpoint
+            # and fail parity with a bare hash mismatch. Raise the
+            # diagnosable error instead, at EVERY SF this runs at.
+            if changed_rounds > MINPLUS_FIXPOINT_ORACLE_ROUNDS:
+                raise RuntimeError(
+                    f"min-plus converged in {changed_rounds} rounds but the "
+                    f"DuckDB oracle unrolls only "
+                    f"{MINPLUS_FIXPOINT_ORACLE_ROUNDS} — raise "
+                    "MINPLUS_FIXPOINT_ORACLE_ROUNDS to keep parity sound"
+                )
             return cur.select(
                 "node", F.col("dist").cast("bigint").alias("dist")
             ).orderBy(F.col("dist").asc(), F.col("node").asc())
         prev_probe = probe
+        changed_rounds += 1
     raise RuntimeError(
         f"min-plus did not converge in {MINPLUS_FIXPOINT_MAX_ROUNDS} rounds — "
         "raise MINPLUS_FIXPOINT_MAX_ROUNDS (positive weights guarantee "

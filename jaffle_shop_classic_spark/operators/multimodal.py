@@ -95,9 +95,22 @@ def decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         payloads = pdf["payload"]
         n_bytes = payloads.str.len().fillna(0).astype("int32")
         widths, heights, channels, feats = [], [], [], []
+        import struct
+        import zlib
+
         for b in payloads:
+            decoded = None
             if b is not None and bytes(b[:8]) == _PNG_SIG:
-                w, h, ch, px = png_decode(bytes(b))
+                # a truncated/corrupt payload can carry a valid signature;
+                # the stub's contract is graceful degrade, so decode
+                # failures fall through to the deterministic fake branch
+                # instead of failing the whole query
+                try:
+                    decoded = png_decode(bytes(b))
+                except (struct.error, zlib.error, ValueError, NotImplementedError):
+                    decoded = None
+            if decoded is not None:
+                w, h, ch, px = decoded
                 widths.append(w)
                 heights.append(h)
                 channels.append(ch)

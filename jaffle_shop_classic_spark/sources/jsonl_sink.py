@@ -370,28 +370,42 @@ def write_stream_exactly_once(stream_df, path: str, checkpoint_dir: str):
     fresh_run = not (os.path.isdir(offsets_dir) and os.listdir(offsets_dir))
     gpath = os.path.join(path, GENERATION_FILE)
     ppath = os.path.join(path, GENERATION_PENDING_FILE)
+    # identity of THIS run's checkpoint: the pending stage is only
+    # adoptable by a resume of the run that staged it — a pending file
+    # left by a DIFFERENT (aborted, never-committed) run must not leak
+    # its generation onto a resume of the prior run's intact checkpoint,
+    # which would retire that run's own earlier live batches as stale.
+    ckpt_id = os.path.abspath(checkpoint_dir)
     prev_gen = None
     if os.path.exists(gpath):
         with open(gpath) as f:
             prev_gen = int(json.load(f)["generation"])
     pending_gen = None
+    pending_ckpt = None
     if os.path.exists(ppath):
         with open(ppath) as f:
-            pending_gen = int(json.load(f)["generation"])
+            pending = json.load(f)
+        pending_gen = int(pending["generation"])
+        pending_ckpt = pending.get("checkpoint")
     if fresh_run:
         generation = max(prev_gen or 0, pending_gen or 0) + 1
         os.makedirs(path, exist_ok=True)
-        _write_json_atomic(ppath, {"generation": generation})
+        _write_json_atomic(ppath, {"generation": generation, "checkpoint": ckpt_id})
         flip_needed = True
-    elif pending_gen is not None:
+    elif pending_gen is not None and pending_ckpt == ckpt_id:
         # crash after the pending stage but (possibly) before the flip:
-        # the replaying run IS the pending generation — keep stamping it
-        # and flip on its next committed batch
+        # the replaying run IS the pending generation (its checkpoint
+        # identity matches the stage) — keep stamping it and flip on its
+        # next committed batch
         generation = pending_gen
         flip_needed = True
     else:
         # intact checkpoint: keep the live generation; a legacy sink
-        # written before the protocol existed (no file) stays unstamped
+        # written before the protocol existed (no file) stays unstamped.
+        # A pending file staged by some OTHER run's aborted fresh start
+        # is stale here — drop it so it can't be misadopted later.
+        if pending_gen is not None:
+            os.remove(ppath)
         generation = prev_gen
         flip_needed = False
 

@@ -271,7 +271,8 @@ def test_q6_every_predicate_pushes_to_scan(spark, sf_dir):
     assert pushed, plan
     line = pushed[0]
     assert "l_shipdate" in line and "l_discount" in line and "l_quantity" in line
-    assert "Exchange" not in plan.split("HashAggregate")[0] or True  # single agg
+    # single aggregate: nothing shuffles ABOVE the (final) HashAggregate
+    assert "Exchange" not in plan.split("HashAggregate")[0]
     assert "Join" not in plan
 
 

@@ -752,3 +752,88 @@ def test_stream_generation_flip_deferred_until_first_commit(spark, tmp_path):
     assert not os.path.exists(ppath)
     got2, rows2 = read_all_batches(spark, sink)
     assert rows2 == 20 and sorted(r["k"] for r in got2.collect()) == list(range(20))
+
+
+def test_stream_pending_generation_requires_matching_checkpoint(spark, tmp_path):
+    """Round-10 advice fix: the pending stage carries the STAGING run's
+    checkpoint identity, and a resume adopts it only when the identities
+    match. A pending file left by a DIFFERENT aborted fresh run must not
+    leak its generation onto a resume of the prior run's intact
+    checkpoint — pre-fix that resume stamped new batches with the
+    aborted run's counter and flipped on its next commit, retiring its
+    OWN earlier live batches as stale (silent partial data)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.sources.jsonl_sink import (
+        GENERATION_FILE,
+        GENERATION_PENDING_FILE,
+        read_all_batches,
+        write_stream_exactly_once,
+    )
+
+    src = str(tmp_path / "src")
+
+    def add_file(i):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("k")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+
+    for i in range(2):
+        add_file(i)
+    sink = str(tmp_path / "sink")
+
+    def start(checkpoint):
+        q = write_stream_exactly_once(
+            spark.readStream.schema("k bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*"),
+            sink,
+            checkpoint,
+        )
+        q.awaitTermination(120)
+
+    # run 1 (ckpt1): batches 0,1 live as generation 1
+    start(str(tmp_path / "ckpt1"))
+    with open(os.path.join(sink, GENERATION_FILE)) as f:
+        assert json.load(f)["generation"] == 1
+
+    # a DIFFERENT fresh run (ckpt2) stages pending=2 and aborts before
+    # committing anything — exactly what sink setup writes
+    ppath = os.path.join(sink, GENERATION_PENDING_FILE)
+    with open(ppath, "w") as f:
+        json.dump(
+            {"generation": 2, "checkpoint": os.path.abspath(str(tmp_path / "ckpt2"))},
+            f,
+        )
+
+    # resume ckpt1 with one new source file: identity mismatch -> the
+    # stale pending is ignored AND dropped; batch=2 stays generation 1
+    # and ALL three batches remain live
+    add_file(2)
+    start(str(tmp_path / "ckpt1"))
+    assert not os.path.exists(ppath)
+    with open(os.path.join(sink, GENERATION_FILE)) as f:
+        assert json.load(f)["generation"] == 1
+    got, rows = read_all_batches(spark, sink)
+    assert rows == 30 and sorted(r["k"] for r in got.collect()) == list(range(30))
+
+    # the crash-mid-first-batch branch still works: a pending file whose
+    # identity MATCHES the resuming checkpoint is adopted and flips on
+    # the next committed batch
+    with open(ppath, "w") as f:
+        json.dump(
+            {"generation": 7, "checkpoint": os.path.abspath(str(tmp_path / "ckpt1"))},
+            f,
+        )
+    add_file(3)
+    start(str(tmp_path / "ckpt1"))
+    with open(os.path.join(sink, GENERATION_FILE)) as f:
+        assert json.load(f)["generation"] == 7
+    assert not os.path.exists(ppath)
+    got2, rows2 = read_all_batches(spark, sink)
+    assert rows2 == 10 and sorted(r["k"] for r in got2.collect()) == list(
+        range(30, 40)
+    )
