@@ -70,31 +70,31 @@ _PRIORITY = (
     "test_accepted_values_violations",
     "test_relationships_violations",
     # one representative per relational-extension class (X1..X11, X14).
-    # events_peak_concurrency (r9-green) hands its slot to the TPC-H
-    # Q19 analog: the X1 filter class rides q1-style's date filter and
-    # the marts' status filters in-window, and the DISJUNCTIVE
-    # join-predicate shape (OR-of-conjuncts across both join sides —
-    # never driver-checked) gains its first hard signal
-    "tpch_q19_style",
+    # tpch_q19_style (r10-green) hands its slot to the Q13 analog: the
+    # disjunctive join-predicate shape carries r10 hard signal, and the
+    # LEFT-JOIN-then-count-DISTRIBUTION shape (group the aggregate,
+    # zero-preserving) gains its first driver evidence
+    "tpch_q13_style",
     "join_semi",
     "set_except",
     "rollup_flag_status",
-    # tpch_q21_style (r9-green) hands its slot to keyset pagination:
-    # the dual EXISTS/NOT-EXISTS decorrelation carries r9 hard signal,
-    # and the cursor-stability pagination contract (tuple-comparison
-    # seek vs OFFSET) gains its first driver evidence
-    "keyset_pagination_page3",
-    # trend_mann_kendall (r9-green) hands its slot to the two-sample
-    # Kolmogorov-Smirnov test: the trend family keeps cusum_revenue_
-    # shift + eval_spearman_corr in-window, and the ECDF sup-distance
-    # machinery gains its first hard signal
-    "ks_test_two_sample",
+    # keyset_pagination_page3 (r10-green) hands its slot to the Q15
+    # analog: the cursor-stability pagination contract carries r10 hard
+    # signal, and the max-of-aggregate view shape (top revenue via a
+    # reused aggregate, no window) gains its first driver evidence
+    "tpch_q15_style",
+    # ks_test_two_sample (r10-green) hands its slot to the Q20 analog:
+    # the ECDF sup-distance machinery carries r10 hard signal, and the
+    # NESTED semijoin shape (semi into semi with a correlated half-sum
+    # threshold) gains its first driver evidence
+    "tpch_q20_style",
     "json_schema_parse",
-    # sim_ann_recall_eval (r9-green) hands its slot to the Matryoshka
-    # truncation-recall eval: the offline ANN-evaluation family stays
-    # in-window through its newest member (prefix-dim cosine vs
-    # full-dim exact top-k), which had zero driver evidence
-    "sim_truncated_dim_recall",
+    # sim_truncated_dim_recall (r10-green) hands its slot to the REAL
+    # PNG decode path (round-10 flagship, multimodal.py:445): the ANN
+    # eval family keeps sim_cosine_topk + sim_ivf_topk in-window, and
+    # the stdlib zlib codec inside the Arrow mapInPandas kernel gets a
+    # driver-hash signal for the first time
+    "mm_decode_png",
     # X3 + X8 representatives (r01-green, rotated back in; map_ops'
     # X11 class stays certified via array_vector_norm)
     "topk_per_group",
@@ -115,19 +115,21 @@ _PRIORITY = (
     # path (the one reference-surface semantic the driver had never
     # hash-checked, dbt_project.yml:22-27)
     "train_test_split_hash",
-    # er_fellegi_sunter_em (r9-green) hands its slot to Spearman rank
-    # correlation: probabilistic record linkage carries r9 hard signal,
-    # and the histogram-CDF midrank machinery (overflow-safe double
-    # variance terms after the round-9 advice fix) gains driver
-    # evidence
-    "eval_spearman_corr",
-    # tpch_q17_style (r9-green) hands its slot to per-segment
-    # winsorization: the correlated scalar-subquery decorrelation
-    # carries r9 hard signal, and the histogram-CDF order-statistic
-    # clipping (hot-group-safe, no per-row sort) gains its first
-    # driver evidence
-    "winsorize_group_clip",
-    "distinct_exact_bitmap",
+    # eval_spearman_corr (r10-green) hands its slot to unbiased pass@k:
+    # the rank-correlation midrank machinery carries r10 hard signal,
+    # and the integer-millionths-exact estimator (the LLM-eval iconic
+    # metric, mining.py:3341) gains its first driver evidence
+    "eval_pass_at_k",
+    # winsorize_group_clip (r10-green) hands its slot to Bradley-Terry
+    # MM ranking: the order-statistic clipping carries r10 hard signal,
+    # and the bounded-round minorize-maximize over the aggregated match
+    # matrix (mining.py:3563) gains its first driver evidence
+    "rank_bradley_terry",
+    # distinct_exact_bitmap (r7..r10-green) hands its slot to the
+    # KMV/theta sketch distinct-intersection: the exact-distinct class
+    # carries four rounds of hard signal, and the mergeable-sketch
+    # set-operation estimator (mining.py:3993) gains driver evidence
+    "sketch_kmv_intersection",
     "incremental_orders_state",
     # text analysis (X12) — text_quality_score's class is also covered
     # by quality_percentile_filter below, so its slot certifies the
@@ -137,15 +139,16 @@ _PRIORITY = (
     # nDCG@k ranking metric: its token machinery is a subset of
     # text_tfidf_topk + quality_percentile_filter (both in-window), and
     # the ranking-evaluation family gains its first hard signal
-    # eval_ndcg_at_k (r07..r09-green) hands its slot to per-source KL
-    # divergence: the ranking-eval family keeps sim_truncated_dim_recall
-    # + eval_calibration_bins + eval_bleu_corpus in-window, and the
-    # distribution-divergence monitor gains its first hard signal
-    "source_kl_divergence",
-    # tpch_q8_style (r9-green) hands its slot to the CUSUM level-shift
-    # detector: the widest join tree carries r9 hard signal, and the
-    # cumulative-sum change-point machinery gains driver evidence
-    "cusum_revenue_shift",
+    # source_kl_divergence (r10-green) hands its slot to the char-
+    # entropy gibberish gate: the distribution-divergence monitor
+    # carries r10 hard signal, and the fixed-28-bucket entropy
+    # histogram (no explode, text.py) gains its first driver evidence
+    "text_char_entropy_gate",
+    # cusum_revenue_shift (r10-green) hands its slot to the SRM
+    # chi-square gate: the change-point machinery carries r10 hard
+    # signal, and the sample-ratio-mismatch guard (the A/B-test
+    # prerequisite check) gains its first driver evidence
+    "ab_srm_check",
     "dedup_semantic_clusters",
     "text_tfidf_topk",
     "quality_percentile_filter",
@@ -167,16 +170,17 @@ _PRIORITY = (
     # content dedup) gains its first hard signal
     "dedup_url_canonical",
     "dedup_minhash_lsh_pairs",
-    # label_noise_knn_audit (r8+r9-green) hands its slot to binary-
-    # Hamming retrieval: the LSH-bucketed-kNN family keeps sim_ivf_topk
-    # + sim_cosine_topk in-window, and the sign-bit-packed popcount
-    # top-k gains its first hard signal
-    "sim_binary_hamming_topk",
-    # dedup_jaccard_prefix_filter (r6..r9-green) hands its slot to
-    # link prediction: the exact-pair PPJoin carries four rounds of
-    # hard signal, and the capped-neighborhood Jaccard scorer (true
-    # intersection after the round-9 advice fix) gains driver evidence
-    "graph_link_prediction_jaccard",
+    # sim_binary_hamming_topk (r10-green) hands its slot to the REAL
+    # PNG resize path (round-10 flagship, multimodal.py:575): the
+    # popcount-retrieval class carries r10 hard signal, and the
+    # nearest-neighbor index-map resizer inside the Arrow kernel gets
+    # its first driver-hash signal
+    "mm_resize_png",
+    # graph_link_prediction_jaccard (r10-green) hands its slot to the
+    # min-plus run-to-convergence twin: the neighborhood-Jaccard scorer
+    # carries r10 hard signal, and Bellman-Ford-to-fixpoint (probe-
+    # terminated, mining.py:3886) gains its first driver evidence
+    "graph_minplus_fixpoint",
     "dedup_cluster_components",
     # similarity / embeddings (X13) — int8 quantization rotated to
     # tier 2 in r6 (X13 keeps five other green reps);
@@ -212,21 +216,23 @@ _PRIORITY = (
     # authoring surface without driver evidence — gets certified the
     # way the SQL-text path (sql_model_customers_mart) was in round 8
     "yaml_model_customers_mart",
-    # fd_discovery_profile (r8+r9-green) hands its slot to data-mixture
-    # weights: the profiling family keeps l_diversity_audit in-window,
-    # and the LLM-pipeline-iconic temperature-reweighted source-mixture
-    # solver gains its first hard signal
-    "data_mixture_weights",
+    # data_mixture_weights (r10-green) hands its slot to the ANALYZE-
+    # style stats profile: the mixture solver carries r10 hard signal,
+    # and the one-pass-aggregate + stack-unpivot table profiler
+    # (mining.py:4105) gains its first driver evidence
+    "table_stats_profile",
     # sample_temperature_mix (r06..r07-green) hands its slot to the
     # l-diversity audit: the sampling class keeps train_test_split_hash
     # in-window, and the privacy-audit family (k-anon's stronger
     # sibling) gains driver evidence
     "l_diversity_audit",
-    # graph_pagerank (r7..r9-green) hands its slot to k-core peeling:
-    # the iterative-graph family keeps dedup_cluster_components +
-    # graph_link_prediction_jaccard in-window, and the bounded-round
-    # degeneracy peel gains its first hard signal
-    "graph_kcore_peel",
+    # graph_kcore_peel (r10-green) hands its slot to its own
+    # run-to-convergence twin: the bounded-round approximation carries
+    # r10 hard signal, and the TRUE fixpoint (the semantically complete
+    # variant a user asking for 'the k-core' gets, dedup.py:2095) now
+    # carries the hard signal instead — the round-10 verdict's explicit
+    # ask
+    "graph_kcore_fixpoint",
     # mm_feature_extract (r06..r07-green) hands its slot to the chained
     # tumbling->hourly streaming rollup: the multimodal Arrow plumbing
     # stays certified by pytest (test_multimodal.py) and the phash lane
@@ -255,6 +261,25 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 in round 11 for the thirteen round-10
+    # newcomers (TPC-H Q13/Q15/Q20 analogs, real PNG decode/resize,
+    # pass@k, Bradley-Terry, KMV intersection, char-entropy gate, SRM
+    # gate, stats profile, both run-to-convergence fixpoints) — every
+    # one a duplicate-class rep with r10 (distinct_exact_bitmap r7..r10)
+    # hard signal when in-window
+    "tpch_q19_style",
+    "keyset_pagination_page3",
+    "ks_test_two_sample",
+    "sim_truncated_dim_recall",
+    "eval_spearman_corr",
+    "winsorize_group_clip",
+    "distinct_exact_bitmap",
+    "source_kl_divergence",
+    "cusum_revenue_shift",
+    "sim_binary_hamming_topk",
+    "graph_link_prediction_jaccard",
+    "graph_kcore_peel",
+    "data_mixture_weights",
     # rotated out of the top-50 in round 10 for the twelve round-9
     # newcomers (winsorize, k-core peel, Q19, KS test, binary-Hamming,
     # Spearman, KL divergence, link prediction, CUSUM, keyset

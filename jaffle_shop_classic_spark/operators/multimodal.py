@@ -140,13 +140,12 @@ def decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
-@register(
-    "mm_decode_stub",
-    oracle=None,  # Python-side stub decode — rows-only check
-    doc="Multimodal: Arrow-batched mapInPandas decode plumbing (stubbed "
-    "codec). Demonstrates the real UDF signature, schema and batch "
-    "iteration; the decode body is a deterministic fake.",
-)
+# Retired from the catalog in round 11: mm_decode_png/mm_resize_png are
+# the oracle-certified real-codec path, so the rows-only stub entries
+# added nothing but a weaker check on the same plumbing. The kernels
+# stay — decode_stub_batch is the graceful-degrade fallback for
+# non-PNG/corrupt payloads and both are value-tested directly in
+# tests/test_operators.py.
 def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
@@ -213,13 +212,9 @@ def resize_stub_batch(target_w: int, target_h: int):
     return kernel
 
 
-@register(
-    "mm_resize_stub",
-    oracle=None,  # stubbed geometry-only resize — rows-only check
-    doc="Multimodal: resize stage chained after decode — two mapInPandas "
-    "stages composing in one plan (decode -> resize), parameterized "
-    "kernel via closure factory. Codec-free geometry stub.",
-)
+# Retired catalog entry (round 11) — see q_mm_decode_stub above; the
+# chained two-stage mapInPandas composition it demonstrated is carried
+# by mm_resize_png with an oracle.
 def q_mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = q_mm_decode_stub(spark, sf_dir).select("doc_id", "width", "height")
     return decoded.mapInPandas(resize_stub_batch(224, 224), RESIZE_SCHEMA)

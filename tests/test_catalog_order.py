@@ -37,9 +37,10 @@ _REQUIRED_IN_WINDOW = {
     # (round 9 rotated cdc_upsert_with_deletes, r07+r08-green, out)
     # (round 10 rotated dedup_jaccard_prefix_filter r6..r9-green and
     # graph_pagerank r7..r9-green back to tier 2)
+    # (round 11 rotated distinct_exact_bitmap, r7..r10-green, out for
+    # sketch_kmv_intersection)
     "round7_promotions": {
         "dedup_semantic_clusters",
-        "distinct_exact_bitmap",
         "incremental_orders_state",
     },
     # round-8 session: the round-7 eval/mining flagships plus the two
@@ -71,21 +72,23 @@ _REQUIRED_IN_WINDOW = {
         "yaml_model_customers_mart",
         "sink_manifest_roundtrip",
     },
-    # round 10 (the round-9 verdict's brief #1/#7): the twelve round-9
-    # newcomers with zero driver-hash evidence
-    "round10_promotions": {
-        "winsorize_group_clip",
-        "graph_kcore_peel",
-        "tpch_q19_style",
-        "ks_test_two_sample",
-        "sim_binary_hamming_topk",
-        "eval_spearman_corr",
-        "source_kl_divergence",
-        "graph_link_prediction_jaccard",
-        "cusum_revenue_shift",
-        "keyset_pagination_page3",
-        "data_mixture_weights",
-        "sim_truncated_dim_recall",
+    # round 11 (the round-10 verdict's brief #1): the thirteen round-10
+    # newcomers with zero driver-hash evidence replace the round-9
+    # cohort (all r10-green when in-window, rotated back to tier 2)
+    "round11_promotions": {
+        "tpch_q13_style",
+        "tpch_q15_style",
+        "tpch_q20_style",
+        "mm_decode_png",
+        "mm_resize_png",
+        "eval_pass_at_k",
+        "rank_bradley_terry",
+        "sketch_kmv_intersection",
+        "text_char_entropy_gate",
+        "ab_srm_check",
+        "graph_minplus_fixpoint",
+        "graph_kcore_fixpoint",
+        "table_stats_profile",
     },
     # round 5: map_ops / text_repetition_ratio (duplicate-class reps of
     # array_vector_norm / the 5-strong text block) rotated to Tier 2 to
@@ -124,14 +127,10 @@ def test_every_class_has_a_gate_window_representative():
 
 # Modules allowed to live entirely in the tail because their class
 # representative carries PRIOR-ROUND driver certification (the driver's
-# cross-round union counts a query certified once as hard evidence):
-# multimodal's mm_feature_extract was driver-green in rounds 6 AND 7
-# before handing its slot to stream_chained_windows, and the Arrow
-# decode/resize plumbing stays executed by tests/test_operators.py's
-# multimodal cases every session.
-_PRIOR_ROUND_CERTIFIED_MODULES = {
-    "jaffle_shop_classic_spark.operators.multimodal",
-}
+# cross-round union counts a query certified once as hard evidence).
+# Empty since round 11: multimodal re-entered the window through the
+# real PNG codec entries (mm_decode_png / mm_resize_png).
+_PRIOR_ROUND_CERTIFIED_MODULES: set[str] = set()
 
 
 def test_tail_queries_are_variants_of_covered_classes():

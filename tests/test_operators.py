@@ -127,16 +127,32 @@ def test_boilerplate_ratios_bounded_and_nonvacuous(spark, sf_dir):
 
 
 def test_decode_stub_schema_and_determinism(spark, sf_dir):
-    cat = load_catalog()
-    df = cat["mm_decode_stub"].fn(spark, sf_dir)
+    # the stub entries retired from the catalog in round 11 (the _png
+    # path carries the oracle); the fallback kernel keeps its direct
+    # schema/determinism contract here
+    from jaffle_shop_classic_spark.operators.multimodal import q_mm_decode_stub
+
+    df = q_mm_decode_stub(spark, sf_dir)
     assert df.schema.simpleString() == (
         "struct<doc_id:bigint,n_bytes:int,width:int,height:int,"
         "channels:int,feature:array<double>>"
     )
     rows1 = {r["doc_id"]: r["feature"] for r in df.collect()}
-    rows2 = {r["doc_id"]: r["feature"] for r in cat["mm_decode_stub"].fn(spark, sf_dir).collect()}
+    rows2 = {
+        r["doc_id"]: r["feature"] for r in q_mm_decode_stub(spark, sf_dir).collect()
+    }
     assert rows1 == rows2
     assert all(len(v) == 8 for v in rows1.values())
+
+
+def test_resize_stub_chained_plan_still_composes(spark, sf_dir):
+    # the two-stage mapInPandas composition the retired mm_resize_stub
+    # entry demonstrated (decode -> resize in ONE plan)
+    from jaffle_shop_classic_spark.operators.multimodal import q_mm_resize_stub
+
+    rows = q_mm_resize_stub(spark, sf_dir).collect()
+    assert rows and all(r["target_w"] == 224 for r in rows)
+    assert all(r["scale"] > 0 for r in rows)
 
 
 def test_decode_stub_batch_is_pure_python():
