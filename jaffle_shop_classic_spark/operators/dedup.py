@@ -1600,7 +1600,13 @@ def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     "curation uses to pick a canonical representative by authority "
     "rather than min-id, and the third graph analytic next to "
     "connected components and triangle counting. Ranks live in "
-    "integer units of 1e-12: integer addition is associative, so "
+    "integer units of 1e-12 — int64-safe at ANY node count (audited "
+    "round 11): total rank mass is ~PR_SCALE=1e12 regardless of graph "
+    "size (it is a distribution, not a row sum), so the widest "
+    "intermediate 85*s is <= 8.5e13 even with every unit of mass "
+    "concentrated on one node (planted star-hub worst case matches an "
+    "exact Python twin in tests/test_round11_operators.py). "
+    "Integer addition is associative, so "
     "Spark's partial aggregation order and DuckDB's single-threaded "
     "fold produce the SAME value bit-for-bit, and `div` truncation "
     "(error ~1e-12/op) replaces the float drift that makes naive "

@@ -1565,7 +1565,11 @@ HIST_LO, HIST_HI = 0.0, 600_000.0
     "corpus scale. Out-of-range values land in the under/overflow "
     "buckets (0 and n+1); the oracle spells out the same arithmetic "
     "(DuckDB 1.0 has no width_bucket) with a bucket width chosen "
-    "exactly representable in binary so floor() agrees bit-for-bit.",
+    "exactly representable in binary so floor() agrees bit-for-bit "
+    "(boundary-exact edge assignment asserted in "
+    "tests/test_round11_operators.py). Integer surface is plain "
+    "counts — headroom is the int64 count ceiling itself, "
+    "unreachable at any SF.",
 )
 def q_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -2640,7 +2644,10 @@ def q_json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket), then a tiny sum of per-bucket popcounts per key — "
     "shuffle carries bitmaps, never user ids. The oracle states the "
     "same quantity as plain COUNT(DISTINCT); equal output is the "
-    "exactness proof.",
+    "exactness proof. int64 headroom (audited round 11): bucket/"
+    "position arithmetic is div/mod 32768 — no multiply — so the op "
+    "is exact over the full non-negative int64 id domain (planted "
+    "worst case at 2^62 in tests/test_round11_operators.py).",
 )
 def q_distinct_exact_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

@@ -3334,9 +3334,14 @@ PASS_AT_K = 3
     "to integer MILLIONTHS with half-up floor so the group sum is an "
     "exact BIGINT (double sums across groups are order-sensitive; "
     "integer sums are not), and the single division rounds at the "
-    "projection. Scale: one keyed aggregate over lineitem, one "
-    "partial->final per-priority aggregate. Ref: no reference "
-    "analog; estimator per the public Codex/HumanEval formulation.",
+    "projection. int64 headroom (audited round 11): the widest term "
+    "is f*(f-1)*(f-2) <= n^3, exact up to n = 2_097_151 samples per "
+    "task (planted worst case at n = 2e6 in "
+    "tests/test_round11_operators.py); the millionths group sum holds "
+    "to 9.2e12 tasks per group. Scale: one keyed aggregate over "
+    "lineitem, one partial->final per-priority aggregate. Ref: no "
+    "reference analog; estimator per the public Codex/HumanEval "
+    "formulation.",
 )
 def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
