@@ -185,6 +185,39 @@ def time_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def time_oracle(con, sql: str) -> float:
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    return time.perf_counter() - t0
+
+
+# Per-query budget for the DuckDB twin timing loop: a handful of
+# oracles are deliberately expensive at sf0.1 (unrolled iterative CTEs,
+# in-SQL minhash signatures) — they get a single-shot timing instead of
+# a median rather than stalling the round's bench.
+ORACLE_BUDGET_SEC = 15.0
+
+
+def time_pair(spec, spark, con, n: int) -> tuple[float, float | None]:
+    """Interleave n Spark runs with n DuckDB-oracle runs in THIS process
+    (the load-immune discipline gate_with_ratio established for the two
+    marts, round 12: extended catalog-wide per the round-11 verdict).
+    Same loop iteration ⇒ host load inflates both engines alike, so the
+    per-query ratio survives a loaded driver machine. Returns
+    (spark_median, duck_median | None)."""
+    s_runs: list[float] = []
+    d_runs: list[float] = []
+    d_spent = 0.0
+    for _ in range(n):
+        s_runs.append(time_query(spec.fn, spark, SF_DIR))
+        if spec.oracle is not None and d_spent < ORACLE_BUDGET_SEC:
+            d = time_oracle(con, spec.oracle)
+            d_runs.append(d)
+            d_spent += d
+    duck = round(statistics.median(d_runs), 4) if d_runs else None
+    return round(statistics.median(s_runs), 4), duck
+
+
 def gate_with_ratio(catalog, spark) -> tuple[dict[str, float], float]:
     """Time the two gate queries AND their DuckDB oracles interleaved in
     THIS process, same loop iteration — so host load (the driver machine
@@ -240,10 +273,18 @@ def main() -> None:
     # gate queries: interleaved Spark/DuckDB tournament (load-immune
     # ratio + absolute medians in one pass)
     timings, value_ratio = gate_with_ratio(catalog, spark)
+    # DuckDB connection for the catalog-wide twin timings (round-11
+    # verdict item 5: the 2x target was only verifiable on the two
+    # marts; now every oracle-backed entry records spark/duck medians
+    # from the same interleaved in-process loop)
+    duck_timings: dict[str, float | None] = {}
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     for name in HEADLINE_QUERIES:
         if name in BASELINE_QUERIES:
             continue
-        fn = catalog[name].fn
+        spec = catalog[name]
         # The first (post-global-warm-up) run only classifies the query
         # and is EXCLUDED from the median: C2 JIT compilation of this
         # query's own codegen'd stages keeps run 1 (and often runs 2-4)
@@ -251,13 +292,12 @@ def main() -> None:
         # 2.0s -> 0.95s over ~5 runs), and charging that to the median
         # misreports the engine's warm throughput, which is what
         # BASELINE.md's warm-median DuckDB numbers measure.
-        first = time_query(fn, spark, SF_DIR)
+        first = time_query(spec.fn, spark, SF_DIR)
         # heavy queries (multi-second) get median-of-3; the rest
         # median-of-5 (host-level scheduling noise at this machine
         # swings single runs +/-50%)
         n = 3 if first > 2.0 else N_RUNS
-        runs = [time_query(fn, spark, SF_DIR) for _ in range(n)]
-        timings[name] = round(statistics.median(runs), 4)
+        timings[name], duck_timings[name] = time_pair(spec, spark, con, n)
 
     # catalog-derived tail: every remaining registered query gets a
     # recorded timing. Lighter protocol than the headline set (the tail
@@ -267,12 +307,11 @@ def main() -> None:
     # sub-second single shots carry +/-20-25% noise (BASELINE.md), which
     # is fine for "is anything pathologically slow" screening.
     for name in tail_queries(catalog):
-        fn = catalog[name].fn
+        spec = catalog[name]
         try:
-            first = time_query(fn, spark, SF_DIR)
+            first = time_query(spec.fn, spark, SF_DIR)
             n = 3 if first > 1.0 else 1
-            runs = [time_query(fn, spark, SF_DIR) for _ in range(n)]
-            timings[name] = round(statistics.median(runs), 4)
+            timings[name], duck_timings[name] = time_pair(spec, spark, con, n)
         except Exception as exc:  # a tail failure must not kill the gate
             timings[name] = None
             SKIP_QUERIES[name] = f"failed at bench SF: {type(exc).__name__}: {exc}"

@@ -70,31 +70,29 @@ _PRIORITY = (
     "test_accepted_values_violations",
     "test_relationships_violations",
     # one representative per relational-extension class (X1..X11, X14).
-    # tpch_q19_style (r10-green) hands its slot to the Q13 analog: the
-    # disjunctive join-predicate shape carries r10 hard signal, and the
-    # LEFT-JOIN-then-count-DISTRIBUTION shape (group the aggregate,
-    # zero-preserving) gains its first driver evidence
-    "tpch_q13_style",
+    # tpch_q13_style (r11-green) hands its slot to the Q6 analog — the
+    # narrowest pushdown-heavy scan shape (range+BETWEEN filters into a
+    # two-column projection) had no driver evidence; Q13's
+    # LEFT-JOIN-count-DISTRIBUTION class keeps its r11 hard signal
+    "tpch_q6_style",
     "join_semi",
     "set_except",
     "rollup_flag_status",
-    # keyset_pagination_page3 (r10-green) hands its slot to the Q15
-    # analog: the cursor-stability pagination contract carries r10 hard
-    # signal, and the max-of-aggregate view shape (top revenue via a
-    # reused aggregate, no window) gains its first driver evidence
-    "tpch_q15_style",
-    # ks_test_two_sample (r10-green) hands its slot to the Q20 analog:
-    # the ECDF sup-distance machinery carries r10 hard signal, and the
-    # NESTED semijoin shape (semi into semi with a correlated half-sum
-    # threshold) gains its first driver evidence
-    "tpch_q20_style",
+    # tpch_q15_style (r11-green) hands its slot to the co-purchase
+    # recommender — the heaviest catalog entry (pair-generation +
+    # per-item top-k, the round-11 verdict's explicit rotation ask)
+    "recommend_copurchase_topk",
+    # tpch_q20_style (r11-green) hands its slot to item-item cosine
+    # collaborative filtering: the nested-semijoin shape keeps r11 hard
+    # signal, and the normalized co-rating similarity matrix (second
+    # heaviest entry) gains its first driver evidence
+    "cf_item_cosine",
     "json_schema_parse",
-    # sim_truncated_dim_recall (r10-green) hands its slot to the REAL
-    # PNG decode path (round-10 flagship, multimodal.py:445): the ANN
-    # eval family keeps sim_cosine_topk + sim_ivf_topk in-window, and
-    # the stdlib zlib codec inside the Arrow mapInPandas kernel gets a
-    # driver-hash signal for the first time
-    "mm_decode_png",
+    # mm_decode_png (r11-green) hands its slot to the trained logistic-
+    # regression quality classifier: the stdlib PNG codec keeps its r11
+    # hard signal, and the fixed-iteration distributed GD loop (O(1)
+    # driver state per round) gains its first driver evidence
+    "quality_lr_classifier",
     # X3 + X8 representatives (r01-green, rotated back in; map_ops'
     # X11 class stays certified via array_vector_norm)
     "topk_per_group",
@@ -115,21 +113,20 @@ _PRIORITY = (
     # path (the one reference-surface semantic the driver had never
     # hash-checked, dbt_project.yml:22-27)
     "train_test_split_hash",
-    # eval_spearman_corr (r10-green) hands its slot to unbiased pass@k:
-    # the rank-correlation midrank machinery carries r10 hard signal,
-    # and the integer-millionths-exact estimator (the LLM-eval iconic
-    # metric, mining.py:3341) gains its first driver evidence
-    "eval_pass_at_k",
-    # winsorize_group_clip (r10-green) hands its slot to Bradley-Terry
-    # MM ranking: the order-statistic clipping carries r10 hard signal,
-    # and the bounded-round minorize-maximize over the aggregated match
-    # matrix (mining.py:3563) gains its first driver evidence
-    "rank_bradley_terry",
-    # distinct_exact_bitmap (r7..r10-green) hands its slot to the
-    # KMV/theta sketch distinct-intersection: the exact-distinct class
-    # carries four rounds of hard signal, and the mergeable-sketch
-    # set-operation estimator (mining.py:3993) gains driver evidence
-    "sketch_kmv_intersection",
+    # eval_pass_at_k (r11-green) hands its slot to BPE tokenizer
+    # training: the millionths-exact estimator keeps r11 hard signal,
+    # and the iterative merge-rule learner (the LLM-pipeline tokenizer
+    # core) gains its first driver evidence
+    "tokenizer_bpe_train",
+    # rank_bradley_terry (r11-green) hands its slot to BPE encoding:
+    # the MM ranking keeps r11 hard signal, and the trained-rule
+    # longest-match-first encoder gains its first driver evidence
+    "tokenizer_bpe_encode",
+    # sketch_kmv_intersection (r11-green) hands its slot to IVF-PQ ANN:
+    # the mergeable-sketch estimator keeps r11 hard signal, and the
+    # coarse-quantize + ADC residual scan composite (the billion-vector
+    # index shape) gains its first driver evidence
+    "sim_ivfpq_topk",
     "incremental_orders_state",
     # text analysis (X12) — text_quality_score's class is also covered
     # by quality_percentile_filter below, so its slot certifies the
@@ -139,16 +136,16 @@ _PRIORITY = (
     # nDCG@k ranking metric: its token machinery is a subset of
     # text_tfidf_topk + quality_percentile_filter (both in-window), and
     # the ranking-evaluation family gains its first hard signal
-    # source_kl_divergence (r10-green) hands its slot to the char-
-    # entropy gibberish gate: the distribution-divergence monitor
-    # carries r10 hard signal, and the fixed-28-bucket entropy
-    # histogram (no explode, text.py) gains its first driver evidence
-    "text_char_entropy_gate",
-    # cusum_revenue_shift (r10-green) hands its slot to the SRM
-    # chi-square gate: the change-point machinery carries r10 hard
-    # signal, and the sample-ratio-mismatch guard (the A/B-test
-    # prerequisite check) gains its first driver evidence
-    "ab_srm_check",
+    # text_char_entropy_gate (r11-green) hands its slot to the
+    # entity-resolution clusterer: the entropy gate keeps r11 hard
+    # signal, and the blocking-key + similarity-edge + components
+    # composite gains its first driver evidence
+    "entity_resolution_clusters",
+    # ab_srm_check (r11-green) hands its slot to integer-exact
+    # PageRank: the SRM guard keeps r11 hard signal, and the iterative
+    # rank-mass propagation (judge-measured exponent 0.27/decade)
+    # gains its first driver evidence
+    "graph_pagerank",
     "dedup_semantic_clusters",
     "text_tfidf_topk",
     "quality_percentile_filter",
@@ -170,17 +167,16 @@ _PRIORITY = (
     # content dedup) gains its first hard signal
     "dedup_url_canonical",
     "dedup_minhash_lsh_pairs",
-    # sim_binary_hamming_topk (r10-green) hands its slot to the REAL
-    # PNG resize path (round-10 flagship, multimodal.py:575): the
-    # popcount-retrieval class carries r10 hard signal, and the
-    # nearest-neighbor index-map resizer inside the Arrow kernel gets
-    # its first driver-hash signal
-    "mm_resize_png",
-    # graph_link_prediction_jaccard (r10-green) hands its slot to the
-    # min-plus run-to-convergence twin: the neighborhood-Jaccard scorer
-    # carries r10 hard signal, and Bellman-Ford-to-fixpoint (probe-
-    # terminated, mining.py:3886) gains its first driver evidence
-    "graph_minplus_fixpoint",
+    # mm_resize_png (r11-green) hands its slot to multi-probe IVF: the
+    # resize kernel keeps r11 hard signal, and the recall-vs-probes ANN
+    # tradeoff surface gains its first driver evidence
+    "sim_ivf_multiprobe_topk",
+    # graph_minplus_fixpoint (r11-green) hands its slot to quality-
+    # aware representative selection: Bellman-Ford-to-fixpoint keeps
+    # r11 hard signal, and the LSH->components->top-1 dedup composite
+    # (sf1-curve-measured exponent 0.22) gains its first driver
+    # evidence
+    "dedup_keep_best_representative",
     "dedup_cluster_components",
     # similarity / embeddings (X13) — int8 quantization rotated to
     # tier 2 in r6 (X13 keeps five other green reps);
@@ -216,23 +212,23 @@ _PRIORITY = (
     # authoring surface without driver evidence — gets certified the
     # way the SQL-text path (sql_model_customers_mart) was in round 8
     "yaml_model_customers_mart",
-    # data_mixture_weights (r10-green) hands its slot to the ANALYZE-
-    # style stats profile: the mixture solver carries r10 hard signal,
-    # and the one-pass-aggregate + stack-unpivot table profiler
-    # (mining.py:4105) gains its first driver evidence
-    "table_stats_profile",
+    # table_stats_profile (r11-green) hands its slot to the streaming
+    # interval join: the table profiler keeps r11 hard signal, and the
+    # bucketed stream-stream range join — now draining through the
+    # distributed parquet file sink after the round-12 maxResultSize
+    # fix — gains its first driver evidence
+    "stream_interval_join",
     # sample_temperature_mix (r06..r07-green) hands its slot to the
     # l-diversity audit: the sampling class keeps train_test_split_hash
     # in-window, and the privacy-audit family (k-anon's stronger
     # sibling) gains driver evidence
     "l_diversity_audit",
-    # graph_kcore_peel (r10-green) hands its slot to its own
-    # run-to-convergence twin: the bounded-round approximation carries
-    # r10 hard signal, and the TRUE fixpoint (the semantically complete
-    # variant a user asking for 'the k-core' gets, dedup.py:2095) now
-    # carries the hard signal instead — the round-10 verdict's explicit
-    # ask
-    "graph_kcore_fixpoint",
+    # graph_kcore_fixpoint (r11-green) hands its slot to the
+    # large-star/small-star O(log n) connected-components variant: the
+    # k-core fixpoint keeps r11 hard signal, and the star algorithm
+    # (the 100 TB-scale CC path, judge-measured exponent 0.19) gains
+    # its first driver evidence
+    "dedup_cluster_components_star",
     # mm_feature_extract (r06..r07-green) hands its slot to the chained
     # tumbling->hourly streaming rollup: the multimodal Arrow plumbing
     # stays certified by pytest (test_multimodal.py) and the phash lane
@@ -261,6 +257,24 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 in round 12 for the never-driver-checked
+    # heavy tail (the round-11 verdict's explicit ask): all thirteen are
+    # the r11-green round-10 newcomers — each carries fresh r11 hard
+    # signal, so their slots fund first driver evidence for the heavy
+    # operators the local 299/299 parity sweep alone had certified
+    "tpch_q13_style",
+    "tpch_q15_style",
+    "tpch_q20_style",
+    "mm_decode_png",
+    "mm_resize_png",
+    "eval_pass_at_k",
+    "rank_bradley_terry",
+    "sketch_kmv_intersection",
+    "text_char_entropy_gate",
+    "ab_srm_check",
+    "table_stats_profile",
+    "graph_kcore_fixpoint",
+    "graph_minplus_fixpoint",
     # rotated out of the top-50 in round 11 for the thirteen round-10
     # newcomers (TPC-H Q13/Q15/Q20 analogs, real PNG decode/resize,
     # pass@k, Bradley-Terry, KMV intersection, char-entropy gate, SRM
@@ -297,7 +311,6 @@ _TIER2 = (
     "label_noise_knn_audit",
     "dedup_jaccard_prefix_filter",
     "fd_discovery_profile",
-    "graph_pagerank",
     # rotated out of the top-50 in round 9 for the six uncertified
     # round-8 newcomers (UDTF lateral, FS-EM linkage, ANN recall@k,
     # TPC-H Q17/Q21/Q8) plus the YAML-authoring and manifest-sink
@@ -359,7 +372,6 @@ _TIER2 = (
     "dedup_incremental_lsh",
     "source_schema_evolution",
     "dau_wau_rollup",
-    "recommend_copurchase_topk",
     "feature_hashing",
     "target_encode_kfold",
     "attribution_last_touch",
@@ -367,7 +379,6 @@ _TIER2 = (
     "referential_integrity_profile",
     "conversion_latency_percentiles",
     "user_max_drawdown",
-    "entity_resolution_clusters",
     "ab_test_welch_ttest",
     "forecast_backtest_mape",
     "contrastive_hard_negatives",
@@ -388,7 +399,6 @@ _TIER2 = (
     "segment_sales_trend",
     "chi2_feature_select",
     "lang_nb_classifier",
-    "cf_item_cosine",
     "events_ohlc_bars",
     "impute_group_median",
     "stream_ewma_last10",
@@ -401,7 +411,6 @@ _TIER2 = (
     "decimal_exact_pricing",
     "corpus_token_ids",
     "fuzzy_join_levenshtein",
-    "quality_lr_classifier",
     "sim_sparse_tfidf_pairs",
     "event_ewma_smoothing",
     "source_orc_roundtrip",
@@ -431,10 +440,8 @@ _TIER2 = (
     "tpch_q3_style",
     "tpch_q5_style",
     "tpch_q10_style",
-    "sim_ivfpq_topk",
     "util_surrogate_key",
     "audit_table_diff",
-    "dedup_keep_best_representative",
     "stream_window_top_type",
     "sample_weighted_priority",
     "quantiles_histogram_cdf",
@@ -456,11 +463,7 @@ _TIER2 = (
     # r04-green) to make room for the X3/X8 representatives
     "map_ops",
     "text_repetition_ratio",
-    "tokenizer_bpe_train",
-    "tokenizer_bpe_encode",
     "pack_sequences",
-    "dedup_cluster_components_star",
-    "sim_ivf_multiprobe_topk",
     "sim_ivf_kmeans_topk",
     "text_boilerplate_shingles",
     "pii_redact",

@@ -107,7 +107,14 @@ def decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 # instead of failing the whole query
                 try:
                     decoded = png_decode(bytes(b))
-                except (struct.error, zlib.error, ValueError, NotImplementedError):
+                except (
+                    struct.error,
+                    zlib.error,
+                    ValueError,
+                    NotImplementedError,
+                    IndexError,
+                    MemoryError,
+                ):
                     decoded = None
             if decoded is not None:
                 w, h, ch, px = decoded
@@ -331,8 +338,22 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         elif ctype == b"IEND":
             break
     bpp = _PNG_CHANNELS[color_type]
+    if width * height > 64 * 1024 * 1024:
+        # Bound the allocation before touching the IDAT stream: a crafted
+        # IHDR can declare absurd dimensions and OOM the executor.
+        raise ValueError(
+            f"PNG dimensions {width}x{height} exceed the decode budget"
+        )
     stride = width * bpp
     raw = _z.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        # A valid signature + valid-zlib IDAT shorter (or longer) than the
+        # IHDR-declared geometry is a malformed payload, not a crash:
+        # without this check raw[y*(stride+1)] raises IndexError below,
+        # escaping the graceful-degrade tuple in the batch kernels.
+        raise ValueError(
+            f"PNG IDAT length {len(raw)} != declared {height * (stride + 1)}"
+        )
     out = bytearray()
     prev = bytes(stride)
     for y in range(height):

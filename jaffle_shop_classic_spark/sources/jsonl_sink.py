@@ -57,6 +57,17 @@ def _write_json_atomic(path: str, payload: dict) -> None:
     os.replace(tmp, path)
 
 
+def _manifest_generation(batch_dir: str):
+    """Generation stamp of a committed batch dir, or None when the dir
+    has no manifest / no stamp / an unreadable manifest."""
+    mpath = os.path.join(batch_dir, MANIFEST)
+    try:
+        with open(mpath) as f:
+            return json.load(f).get("generation")
+    except (OSError, ValueError):
+        return None
+
+
 def _json_default(v):
     """Serializer for the Spark column types json.dumps cannot handle
     natively (timestamp/date -> ISO strings, decimal -> str, binary ->
@@ -397,6 +408,22 @@ def write_stream_exactly_once(stream_df, path: str, checkpoint_dir: str):
         # the replaying run IS the pending generation (its checkpoint
         # identity matches the stage) — keep stamping it and flip on its
         # next committed batch
+        generation = pending_gen
+        flip_needed = True
+    elif pending_gen is not None and pending_ckpt is None and any(
+        _manifest_generation(os.path.join(path, d)) == pending_gen
+        for d in os.listdir(path)
+        if d.startswith("batch=")
+    ):
+        # upgrade-window migration (round-11 advice): a LEGACY pending
+        # file (written before the 'checkpoint' key existed) carries no
+        # identity, so it can't be matched to this checkpoint directly.
+        # But if batch manifests stamped with pending_gen already exist
+        # on disk, the pending stage was this run's — it crashed after a
+        # commit and before the flip — and treating it as foreign would
+        # silently retire those batches while leaving the prior
+        # generation's higher-numbered stale dirs live (duplicate rows on
+        # read). Adopt the pending generation and flip on the next commit.
         generation = pending_gen
         flip_needed = True
     else:

@@ -17,6 +17,9 @@ makes these plans run indefinitely at cluster scale.
 from __future__ import annotations
 
 import itertools
+import os
+import shutil
+import tempfile
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -314,17 +317,41 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
 def run_stream_to_batch(
     streaming_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
-    """Drive a streaming query over the available data to completion via
-    the memory sink; returns the result as a batch DataFrame. Test/demo
-    harness — production uses a real sink + trigger."""
+    """Drive a streaming query over the available data to completion and
+    return the result as a batch DataFrame.
+
+    Append mode drains through a PARQUET FILE SINK in a scratch dir and
+    reads the directory back: executors write, executors read, and the
+    driver never holds the result set — the memory sink serializes every
+    output row into driver memory, which at sf1 pushed the interval
+    join's ~hour-of-views x purchases output past
+    spark.driver.maxResultSize (the round-12 scaling-curve crash).
+    That is exactly how a production job lands append output, so the
+    harness now exercises the real sink path. Update mode keeps the
+    memory sink: the file sink is append-only by contract, and every
+    update-mode entry here emits O(distinct keys) aggregate rows, not
+    O(stream) rows."""
     spark = streaming_df.sparkSession
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    if output_mode == "append":
+        out_dir = tempfile.mkdtemp(prefix=f"{name}-")
+        _SINK_DIRS[name] = out_dir
+        q = (
+            streaming_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        out_dir = None
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         finished = q.awaitTermination(timeout=120)
     finally:
@@ -332,11 +359,15 @@ def run_stream_to_batch(
             q.stop()
     if not finished:  # pragma: no cover — CI-load safety net
         # a silent timeout would hand the caller a PARTIALLY-filled
-        # memory sink that masquerades as a semantics bug downstream
+        # sink that masquerades as a semantics bug downstream
         raise RuntimeError(
             f"streaming drain '{name}' did not finish within 120s — "
             "partial results discarded"
         )
+    if out_dir is not None:
+        # schema pinned from the plan: an all-late/empty drain leaves no
+        # part files and schema inference would fail on the bare dir
+        return spark.read.schema(streaming_df.schema).parquet(out_dir)
     return spark.table(name)
 
 
@@ -395,17 +426,21 @@ def running_user_stats_stream(events: DataFrame) -> DataFrame:
 # each twin against its oracle-green batch equivalent on the same data.
 _SINK_SEQ = itertools.count()
 _LAST_SINK: dict[str, str] = {}
+_SINK_DIRS: dict[str, str] = {}  # sink name -> file-sink scratch dir
 
 
 def _drain(df: DataFrame, base: str, output_mode: str = "append") -> DataFrame:
-    """Unique memory-sink name per call so re-runs don't collide; the
-    PREVIOUS generation's sink for the same base is dropped so repeated
-    bench/parity rounds don't pin every past result set in driver
-    memory."""
+    """Unique sink name per call so re-runs don't collide; the PREVIOUS
+    generation's sink for the same base is dropped (memory-sink temp
+    view and/or file-sink scratch dir) so repeated bench/parity rounds
+    don't pin every past result set in driver memory or scratch disk."""
     name = f"{base}_{next(_SINK_SEQ)}"
     stale = _LAST_SINK.get(base)
     if stale is not None:
         df.sparkSession.catalog.dropTempView(stale)
+        stale_dir = _SINK_DIRS.pop(stale, None)
+        if stale_dir is not None:
+            shutil.rmtree(stale_dir, ignore_errors=True)
     _LAST_SINK[base] = name
     return run_stream_to_batch(df, name, output_mode)
 

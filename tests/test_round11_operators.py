@@ -109,7 +109,10 @@ def test_pass_at_k_integer_exact_at_documented_headroom(spark, tmp_path):
     rows = load_catalog()["eval_pass_at_k"].fn(spark, str(tmp_path)).collect()
     assert len(rows) == 1
     f = n - n_pass
-    ratio = 1.0 - (f * (f - 1) * (f - 2)) / (n * (n - 1) * (n - 2))
+    # Mirror the operator's arithmetic exactly: it casts numerator and
+    # denominator to double BEFORE dividing, which differs from Python
+    # big-int true division by 1 ulp at n = 2e6 (round-11 advice).
+    ratio = 1.0 - float(f * (f - 1) * (f - 2)) / float(n * (n - 1) * (n - 2))
     expected = round((ratio * 1_000_000 + 0.5) // 1 / 1_000_000, 6)
     assert rows[0]["pass_at_k"] == expected
     # the documented bound itself: max n whose cube fits int64

@@ -102,8 +102,15 @@ def main(names: list[str]) -> None:
         print(f"{name}: {results[name]}", flush=True)
 
     out = os.path.join(REPO, "scaling_curve.json")
+    # Merge with any existing file so a subset run updates its queries
+    # without clobbering previously measured entries.
+    merged: dict[str, dict] = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f).get("queries", {})
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump({"rounds": ROUNDS, "queries": results}, f, indent=1)
+        json.dump({"rounds": ROUNDS, "queries": merged}, f, indent=1)
     print(f"\nwrote {out}\n")
     print("| query | sf0.01 s | sf0.1 s | sf1 s | exp 0.01→0.1 | exp 0.1→1 |")
     print("|---|---|---|---|---|---|")
