@@ -2264,3 +2264,118 @@ def link_prediction_scores(pairs: DataFrame, edges: DataFrame) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
     ).limit(50)
+
+
+# --------------------------------------------------- exact substring dedup
+# Round-12 flagship: minimal-length EXACT substring dedup across documents
+# — the public "Deduplicating Training Data Makes Language Models Better"
+# (Lee et al., 2022) ExactSubstr operation, re-expressed Spark-first. The
+# paper builds one giant suffix array over the corpus; on Spark the same
+# duplicated-span set falls out of a k-gram inverted grouping: every
+# maximal duplicated substring of length >= SUBSTR_GRAM_LEN appears as a
+# RUN of consecutive duplicated k-gram start positions, so
+#   grams -> group-by-gram (keep grams in >= 2 distinct docs)
+#         -> per-doc island merge of the duplicated starts
+# recovers exactly the maximal spans with no all-pairs comparison and no
+# driver-side state.
+SUBSTR_GRAM_LEN = 30
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH g AS (
+      SELECT d.doc_id, CAST(t.i AS BIGINT) AS pos,
+             substr(d.text, CAST(t.i AS INT), {SUBSTR_GRAM_LEN}) AS gram
+      FROM documents d
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(1, length(d.text) - {SUBSTR_GRAM_LEN - 2})) AS i
+      ) t
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos = lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM p
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM isl
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + {SUBSTR_GRAM_LEN} AS BIGINT) AS span_len
+    FROM grp GROUP BY doc_id, isl_id
+    """,
+    doc="LLM-pipeline: exact substring-level dedup (Lee et al. 2022 "
+    "ExactSubstr) — emit every maximal span of length >= 30 chars that "
+    "occurs verbatim in >= 2 distinct documents, as (doc_id, span_start, "
+    "span_len). Plan: char-gram explode -> gram grouping with partial "
+    "map-side aggregation (never all-pairs; a boilerplate-hot gram is "
+    "one skewed reduce key, handled by AQE skew split) -> left-semi "
+    "rejoin (AQE reuses the gram exchange) -> per-doc window island "
+    "merge. 100 TB: the shuffle carries (gram, doc_id, pos) where gram "
+    "is 30 chars; swap the string for a 2-seed xxhash64 pair to cut the "
+    "key to 16 bytes with ~2^-128 collision odds — kept as the exact "
+    "string here so the DuckDB twin is bit-exact. State is O(duplicated "
+    "positions), driver state zero.",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_dup_spans(docs, SUBSTR_GRAM_LEN)
+
+
+def substring_dup_spans(docs: DataFrame, gram_len: int) -> DataFrame:
+    """Maximal cross-document duplicated spans of length >= gram_len.
+
+    The island-merge identity: start position s of a document is
+    'duplicated' iff text[s : s+gram_len] occurs in another document;
+    a maximal duplicated substring of length m >= gram_len contributes
+    the consecutive run s0, s0+1, ..., s0+(m-gram_len) of duplicated
+    starts, so merging adjacent runs and emitting (min, max-min+gram_len)
+    reconstructs (start, length) of every maximal span exactly."""
+    g = (
+        docs.where(F.length("text") >= gram_len)
+        .select(
+            "doc_id",
+            # sequence() with start > stop counts DOWN in Spark, so the
+            # length guard above is load-bearing, not cosmetic
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (gram_len - 1))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr(f"substring(text, pos, {gram_len})").alias("gram"),
+        )
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    p = g.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        p.withColumn(
+            "brk",
+            F.when(F.col("pos") == F.lag("pos").over(w) + 1, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn("isl_id", F.sum("brk").over(w))
+        .groupBy("doc_id", "isl_id")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + gram_len).cast("bigint").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )
+    return spans

@@ -51,6 +51,45 @@ def test_png_decode_short_idat_is_value_error_not_index_error(spark):
     assert rows[2]["width"] == len(huge) % 640
 
 
+def test_substring_dup_spans_recovers_planted_overlaps(spark):
+    """Exact substring dedup (Lee et al. ExactSubstr analog): plant a
+    40-char string shared verbatim by two documents at different
+    offsets, a 29-char shared string (below the 30-char threshold), and
+    two disjoint shared spans inside one document — the operator must
+    emit exactly the maximal spans at their exact (start, length)."""
+    from jaffle_shop_classic_spark.operators.dedup import substring_dup_spans
+
+    shared40 = "THE-QUICK-BROWN-FOX-JUMPS-OVER-LAZY-DOGS"  # 40 chars
+    assert len(shared40) == 40
+    shared29 = "x" * 29
+    other35 = "PACK-MY-BOX-WITH-FIVE-DOZEN-JUGS-OK"  # 35 chars
+    assert len(other35) == 35
+    # fillers from disjoint alphabets so no accidental 30-gram collisions
+    docs = spark.createDataFrame(
+        [
+            # shared40 at 1-based pos 11; shared29 tails doc 1 only
+            (1, "aAbBcCdDeE" + shared40 + "fFgGhHiIjJ" + shared29),
+            # shared40 at pos 21; other35 at pos 20+40+6+1 = 67
+            (2, "kKlLmMnNoOpPqQrRsStT" + shared40 + "uUvVwW"
+             + other35 + "zZyYxX"),
+            # other35 at pos 6; shared29 tails doc 3 (still < threshold)
+            (3, "01234" + other35 + "56789" + shared29),
+            (4, "entirely unique text with no repeats anywhere at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in substring_dup_spans(docs, 30).collect()
+    }
+    assert spans == {
+        (1, 11, 40),
+        (2, 21, 40),
+        (2, 67, 35),
+        (3, 6, 35),
+    }
+
+
 def test_stream_legacy_pending_adopted_when_its_batches_exist(spark, tmp_path):
     """Round-11 advice (low): a LEGACY pending file (pre-'checkpoint'-key
     format) left by a run that crashed after committing batches but

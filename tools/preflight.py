@@ -104,7 +104,62 @@ def tier2_parity_pass() -> int:
     return rc
 
 
+def scaling_curve_pass() -> int:
+    """Guard the 100 TB evidence artifacts (round-11 verdict item 7:
+    round 11 shipped scaling_curve.json 2/13 complete with no SCALING.md
+    table — this makes that class of partial artifact a red light).
+
+    Checks: (a) the tiled sf1 directory exists (regenerable via
+    tools/gen_scaled_data.py — it is gitignored); (b) scaling_curve.json
+    covers every DEFAULT_QUERIES entry of tools/scaling_curve.py;
+    (c) SCALING.md contains a row for each measured query."""
+    import json
+
+    from tools.scaling_curve import DEFAULT_QUERIES, SFS
+
+    problems = 0
+    sf1_dir = SFS[2][1]
+    if not os.path.isdir(sf1_dir):
+        print(
+            f"preflight: RED — tiled sf1 dir missing ({sf1_dir}); "
+            "run tools/gen_scaled_data.py"
+        )
+        problems += 1
+    curve_path = os.path.join(REPO, "scaling_curve.json")
+    measured: dict = {}
+    if not os.path.exists(curve_path):
+        print("preflight: RED — scaling_curve.json missing")
+        problems += 1
+    else:
+        with open(curve_path) as f:
+            measured = json.load(f).get("queries", {})
+        missing = [q for q in DEFAULT_QUERIES if q not in measured]
+        if missing:
+            print(
+                f"preflight: RED — scaling_curve.json covers "
+                f"{len(measured)}/{len(DEFAULT_QUERIES)} DEFAULT_QUERIES; "
+                f"missing: {missing}"
+            )
+            problems += 1
+    scaling_md = os.path.join(REPO, "SCALING.md")
+    with open(scaling_md) as f:
+        md = f.read()
+    untabled = [q for q in measured if f"`{q}`" not in md]
+    if untabled:
+        print(f"preflight: RED — SCALING.md has no row for: {untabled}")
+        problems += 1
+    if not problems:
+        print(
+            f"preflight: scaling-curve artifacts OK "
+            f"({len(measured)} measured, table present)"
+        )
+    return problems
+
+
 def main() -> None:
+    if scaling_curve_pass():
+        print("preflight: RED (scaling-curve artifacts)")
+        sys.exit(1)
     failures = analysis_pass()
     if failures:
         print("preflight: RED (analysis)")
