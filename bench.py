@@ -18,6 +18,7 @@ import json
 import os
 import statistics
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -185,17 +186,29 @@ def time_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def time_oracle(con, sql: str) -> float:
-    t0 = time.perf_counter()
-    con.execute(sql).fetchall()
-    return time.perf_counter() - t0
-
-
 # Per-query budget for the DuckDB twin timing loop: a handful of
 # oracles are deliberately expensive at sf0.1 (unrolled iterative CTEs,
-# in-SQL minhash signatures) — they get a single-shot timing instead of
-# a median rather than stalling the round's bench.
+# recursive-closure twins that replay a whole fixpoint in SQL) — a
+# timer thread interrupts any single oracle run at the budget so one
+# pathological twin cannot stall the round's bench, and once the budget
+# is spent the remaining reps are skipped (single-shot timing).
 ORACLE_BUDGET_SEC = 15.0
+
+
+def time_oracle(con, sql: str) -> float | None:
+    """One timed oracle run, hard-capped at ORACLE_BUDGET_SEC via
+    duckdb's interrupt API; returns None when the run was cut off
+    (recorded as 'no twin timing', not a bogus number)."""
+    timer = threading.Timer(ORACLE_BUDGET_SEC, con.interrupt)
+    t0 = time.perf_counter()
+    timer.start()
+    try:
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0
+    except duckdb.InterruptException:
+        return None
+    finally:
+        timer.cancel()
 
 
 def time_pair(spec, spark, con, n: int) -> tuple[float, float | None]:
@@ -208,12 +221,16 @@ def time_pair(spec, spark, con, n: int) -> tuple[float, float | None]:
     s_runs: list[float] = []
     d_runs: list[float] = []
     d_spent = 0.0
+    d_dead = spec.oracle is None
     for _ in range(n):
         s_runs.append(time_query(spec.fn, spark, SF_DIR))
-        if spec.oracle is not None and d_spent < ORACLE_BUDGET_SEC:
+        if not d_dead and d_spent < ORACLE_BUDGET_SEC:
             d = time_oracle(con, spec.oracle)
-            d_runs.append(d)
-            d_spent += d
+            if d is None:  # interrupted at the budget — stop trying
+                d_dead = True
+            else:
+                d_runs.append(d)
+                d_spent += d
     duck = round(statistics.median(d_runs), 4) if d_runs else None
     return round(statistics.median(s_runs), 4), duck
 
@@ -318,6 +335,20 @@ def main() -> None:
 
     value = round(sum(timings[q] for q in BASELINE_QUERIES), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # catalog-wide per-query spark/duck ratios (round-11 verdict item 5).
+    # Interpretation note for the >2x count: at this SF most entries sit
+    # on Spark's fixed per-action floor (~0.1-0.3 s scheduling) while
+    # their DuckDB twin runs in single-digit ms, so the ratio measures
+    # fixed overhead, not throughput — the scaling curve (SCALING.md)
+    # shows the floor amortizing with data size. The gate's load-immune
+    # value_ratio (the two marts, real work both sides) stays the
+    # headline signal.
+    ratios = {
+        q: round(timings[q] / duck_timings[q], 2)
+        for q in duck_timings
+        if duck_timings.get(q) and timings.get(q)
+    }
+    n_over_2x = sum(r > 2.0 for r in ratios.values())
     # Full per-query medians go to a repo file (diffable history); the
     # driver's stdout tail capture is ~2 KB, so stdout carries ONLY a
     # compact gate object as the FINAL line — the 94-query map overflowed
@@ -334,8 +365,12 @@ def main() -> None:
                 "sf": sf_val,
                 "n_catalog": len(catalog),
                 "n_timed": sum(v is not None for v in timings.values()),
+                "n_oracle_timed": len(ratios),
+                "n_over_2x": n_over_2x,
                 "skipped": SKIP_QUERIES,
                 "queries": timings,
+                "duck": duck_timings,
+                "ratios": ratios,
             },
             fh,
             indent=1,

@@ -2317,15 +2317,22 @@ SUBSTR_GRAM_LEN = 30
     "span_len). Plan: char-gram explode -> gram grouping with partial "
     "map-side aggregation (never all-pairs; a boilerplate-hot gram is "
     "one skewed reduce key, handled by AQE skew split) -> left-semi "
-    "rejoin (AQE reuses the gram exchange) -> per-doc window island "
-    "merge. 100 TB: the shuffle carries (gram, doc_id, pos) where gram "
+    "rejoin (the dup-gram set broadcasts while it fits — the measured "
+    "plan at test SF — and demotes to a shuffle semi-join on the gram "
+    "key beyond that) -> per-doc window island merge, where both "
+    "windows and the final span aggregate share ONE doc_id exchange. "
+    "100 TB: the shuffle carries (gram, doc_id, pos) where gram "
     "is 30 chars; swap the string for a 2-seed xxhash64 pair to cut the "
     "key to 16 bytes with ~2^-128 collision odds — kept as the exact "
     "string here so the DuckDB twin is bit-exact. State is O(duplicated "
     "positions), driver state zero.",
 )
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # parallel loader: the 30x gram explode + substring kernel sits
+    # directly on the scan, and the bench parquet is single-row-group —
+    # adopted per the interleaved A/B discipline (tools/ab_scan.py,
+    # round 12: plain 8.07 s -> parallel 1.18 s at sf0.1, ratio 0.146)
+    docs = load_table_parallel(spark, sf_dir, "documents").select("doc_id", "text")
     return substring_dup_spans(docs, SUBSTR_GRAM_LEN)
 
 
