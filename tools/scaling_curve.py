@@ -59,6 +59,7 @@ DEFAULT_QUERIES = [
     "entity_resolution_clusters",
     "sim_sparse_tfidf_pairs",
     "dedup_minhash_lsh_pairs",
+    "dedup_substring_spans",
     "stream_interval_join",
     "jaffle_customers",
     "jaffle_orders",
