@@ -2621,3 +2621,122 @@ def q_tokenizer_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         ok.alias("n_lossless"),
         (F.count(F.lit(1)) == ok).alias("all_lossless"),
     )
+
+
+# ----------------------------------------------------- round 12: DSIR
+DSIR_BUCKETS = 256
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    big AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST({_md5_int8_sql('bg')} % {DSIR_BUCKETS} AS INT) AS bucket
+      FROM big
+    ),
+    cnt AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_tgt
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(n_raw) AS BIGINT) AS tot_raw,
+             CAST(sum(n_tgt) AS BIGINT) AS tot_tgt
+      FROM cnt
+    ),
+    wt AS (
+      SELECT bucket,
+             CAST(round(ln(
+               (CAST(n_tgt + 1 AS DOUBLE) * CAST(tot_raw + {DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(n_raw + 1 AS DOUBLE) * CAST(tot_tgt + {DSIR_BUCKETS} AS DOUBLE))
+             ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS w_int
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(wt.w_int) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)
+             AS dsir_score
+    FROM b JOIN wt USING (bucket)
+    GROUP BY b.doc_id
+    """,
+    doc="LLM-pipeline: DSIR data selection (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling') — score "
+    "every raw document by its hashed-bigram importance weight toward "
+    "a target distribution (here: the lang='en' slice standing in for "
+    "the high-quality target corpus). Features are word bigrams hashed "
+    "to 256 buckets (first-8-md5-hex fold — the engine-portable "
+    "construction feature_hashing certifies); the bucket unigram "
+    "models are (count+1)/(total+B)-smoothed, and a document's log "
+    "importance weight is the sum of its bigram buckets' log-ratios. "
+    "Cross-engine exactness: ONE ln per bucket over an exact integer "
+    "ratio, requantized once to micro-units (<=256 doubles in the "
+    "whole query), then every per-doc sum is BIGINT — headroom: "
+    "|w_int| <= ~2e7, so int64 holds past 4e11 bigrams per document. "
+    "Scale shape: one posexplode + doc-keyed lead window builds the "
+    "bigram stream (shared exchange with the final per-doc aggregate), "
+    "the bucket stats collapse to <=256 rows in one partial->final "
+    "aggregate, the weight table broadcasts, and nothing "
+    "vocabulary-sized ever materializes — DSIR's entire point vs "
+    "training a quality classifier per target. The score FEEDS the "
+    "map-side rate samplers (sample_quality_deciles / "
+    "train_test_split_hash) exactly like quality_lr_classifier's "
+    "logit. Ref: no reference analog; public DSIR method.",
+)
+def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens_col(F.col("text")).alias("toks")
+    )
+    tok = d.select("doc_id", "lang", F.posexplode("toks").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", "tok", "nxt").alias("bg"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    ).cast("int")
+    b = big.select("doc_id", "lang", bucket.alias("bucket"))
+    cnt = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("n_tgt"),
+    )
+    tot = cnt.agg(
+        F.sum("n_raw").cast("bigint").alias("tot_raw"),
+        F.sum("n_tgt").cast("bigint").alias("tot_tgt"),
+    )
+    wt = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("n_tgt") + 1).cast("double")
+                 * (F.col("tot_raw") + DSIR_BUCKETS).cast("double"))
+                / ((F.col("n_raw") + 1).cast("double")
+                   * (F.col("tot_tgt") + DSIR_BUCKETS).cast("double"))
+            )
+            * F.lit(1000000.0)
+        ).cast("bigint").alias("w_int"),
+    )
+    return (
+        b.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("w_int").cast("double") / F.lit(1000000.0), 6
+            ).alias("dsir_score"),
+        )
+    )

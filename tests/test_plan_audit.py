@@ -74,6 +74,7 @@ CROSS_OK = {
     "sim_truncated_dim_recall",  # broadcast 1-row query vector join (two rankings)
     "tpch_q15_style",  # broadcast 1-row max-revenue scalar join
     "sketch_kmv_intersection",  # broadcast 1-row theta/count scalar joins
+    "sample_dsir_importance",  # broadcast 1-row bucket-total join (DSIR smoothing)
 }
 
 

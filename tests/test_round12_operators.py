@@ -90,6 +90,77 @@ def test_substring_dup_spans_recovers_planted_overlaps(spark):
     }
 
 
+def test_dsir_importance_matches_exact_python_twin(spark, tmp_path):
+    """DSIR importance weights: plant a corpus where the target (en)
+    docs share one bigram vocabulary and the off-target docs another,
+    then check every Spark score bit-for-bit against a Python twin that
+    mirrors the operator's arithmetic (md5 bucket fold, one ln per
+    bucket, micro-unit requantization, integer sums) — and that the
+    ordering separates target-like from off-target docs."""
+    import hashlib
+    import math
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.operators.text import DSIR_BUCKETS
+
+    docs = [
+        (1, "alpha beta alpha beta alpha", "en"),
+        (2, "alpha beta gamma", "en"),
+        (3, "gamma delta gamma delta", "de"),
+        (4, "delta gamma delta", "de"),
+        (5, "alpha beta epsilon zeta", "fr"),  # target-like content
+    ]
+    spark.createDataFrame(
+        [(i, t, lang, "src0", len(t)) for i, t, lang in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    rows = {
+        r["doc_id"]: r
+        for r in load_catalog()["sample_dsir_importance"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    def bucket(bg: str) -> int:
+        return int(hashlib.md5(bg.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    n_raw: dict[int, int] = {}
+    n_tgt: dict[int, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for doc_id, text, lang in docs:
+        toks = text.split()
+        for a, b in zip(toks, toks[1:]):
+            bk = bucket(f"{a} {b}")
+            n_raw[bk] = n_raw.get(bk, 0) + 1
+            if lang == "en":
+                n_tgt[bk] = n_tgt.get(bk, 0) + 1
+            per_doc.setdefault(doc_id, []).append(bk)
+    tot_raw, tot_tgt = sum(n_raw.values()), sum(n_tgt.values())
+    w_int = {
+        bk: int(
+            round(
+                math.log(
+                    (float(n_tgt.get(bk, 0) + 1) * float(tot_raw + DSIR_BUCKETS))
+                    / (float(n_raw[bk] + 1) * float(tot_tgt + DSIR_BUCKETS))
+                )
+                * 1000000.0
+            )
+        )
+        for bk in n_raw
+    }
+    for doc_id, _, _ in docs:
+        expected = round(sum(w_int[bk] for bk in per_doc[doc_id]) / 1000000.0, 6)
+        assert rows[doc_id]["dsir_score"] == expected, doc_id
+        assert rows[doc_id]["n_bigrams"] == len(per_doc[doc_id])
+    # target-vocabulary docs outrank off-target ones, and the fr doc
+    # with target-like content scores above the pure off-target docs
+    assert min(rows[1]["dsir_score"], rows[2]["dsir_score"]) > max(
+        rows[3]["dsir_score"], rows[4]["dsir_score"]
+    )
+    assert rows[5]["dsir_score"] > max(rows[3]["dsir_score"], rows[4]["dsir_score"])
+
+
 def test_stream_legacy_pending_adopted_when_its_batches_exist(spark, tmp_path):
     """Round-11 advice (low): a LEGACY pending file (pre-'checkpoint'-key
     format) left by a run that crashed after committing batches but
