@@ -72,23 +72,23 @@ _REQUIRED_IN_WINDOW = {
         "yaml_model_customers_mart",
         "sink_manifest_roundtrip",
     },
-    # round 11 (the round-10 verdict's brief #1): the thirteen round-10
-    # newcomers with zero driver-hash evidence replace the round-9
-    # cohort (all r10-green when in-window, rotated back to tier 2)
-    "round11_promotions": {
-        "tpch_q13_style",
-        "tpch_q15_style",
-        "tpch_q20_style",
-        "mm_decode_png",
-        "mm_resize_png",
-        "eval_pass_at_k",
-        "rank_bradley_terry",
-        "sketch_kmv_intersection",
-        "text_char_entropy_gate",
-        "ab_srm_check",
-        "graph_minplus_fixpoint",
-        "graph_kcore_fixpoint",
-        "table_stats_profile",
+    # round 12 (the round-11 verdict's brief #3): the thirteen r11-green
+    # round-10 newcomers rotated back to tier 2, their slots funding
+    # first driver evidence for the never-driver-checked heavy tail
+    "round12_promotions": {
+        "tpch_q6_style",
+        "recommend_copurchase_topk",
+        "cf_item_cosine",
+        "quality_lr_classifier",
+        "tokenizer_bpe_train",
+        "tokenizer_bpe_encode",
+        "sim_ivfpq_topk",
+        "sim_ivf_multiprobe_topk",
+        "dedup_keep_best_representative",
+        "dedup_cluster_components_star",
+        "entity_resolution_clusters",
+        "graph_pagerank",
+        "stream_interval_join",
     },
     # round 5: map_ops / text_repetition_ratio (duplicate-class reps of
     # array_vector_norm / the 5-strong text block) rotated to Tier 2 to
@@ -128,9 +128,12 @@ def test_every_class_has_a_gate_window_representative():
 # Modules allowed to live entirely in the tail because their class
 # representative carries PRIOR-ROUND driver certification (the driver's
 # cross-round union counts a query certified once as hard evidence).
-# Empty since round 11: multimodal re-entered the window through the
-# real PNG codec entries (mm_decode_png / mm_resize_png).
-_PRIOR_ROUND_CERTIFIED_MODULES: set[str] = set()
+# Round 12: multimodal moved back to the tail — mm_decode_png /
+# mm_resize_png carry r11 driver-hash green, and their slots fund the
+# never-driver-checked heavy tail per the round-11 verdict.
+_PRIOR_ROUND_CERTIFIED_MODULES: set[str] = {
+    "jaffle_shop_classic_spark.operators.multimodal",
+}
 
 
 def test_tail_queries_are_variants_of_covered_classes():
