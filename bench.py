@@ -261,9 +261,10 @@ def gate_with_ratio(catalog, spark) -> tuple[dict[str, float], float]:
             con.execute(catalog[name].oracle).fetchall()
             duck_runs[name].append(time.perf_counter() - t0)
     timings = {q: round(statistics.median(spark_runs[q]), 4) for q in BASELINE_QUERIES}
-    duck_total = sum(statistics.median(duck_runs[q]) for q in BASELINE_QUERIES)
+    ducks = {q: round(statistics.median(duck_runs[q]), 4) for q in BASELINE_QUERIES}
+    duck_total = sum(ducks.values())
     ratio = round(sum(timings.values()) / duck_total, 4)
-    return timings, ratio
+    return timings, ducks, ratio
 
 
 def main() -> None:
@@ -289,12 +290,12 @@ def main() -> None:
 
     # gate queries: interleaved Spark/DuckDB tournament (load-immune
     # ratio + absolute medians in one pass)
-    timings, value_ratio = gate_with_ratio(catalog, spark)
+    timings, gate_ducks, value_ratio = gate_with_ratio(catalog, spark)
     # DuckDB connection for the catalog-wide twin timings (round-11
     # verdict item 5: the 2x target was only verifiable on the two
     # marts; now every oracle-backed entry records spark/duck medians
     # from the same interleaved in-process loop)
-    duck_timings: dict[str, float | None] = {}
+    duck_timings: dict[str, float | None] = dict(gate_ducks)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
