@@ -2740,3 +2740,138 @@ def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dsir_score"),
         )
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+                  AS BIGINT) AS total_chars,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                      AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter({list(GOPHER_REQUIRED_STOPWORDS)!r}::VARCHAR[],
+                                  w -> list_contains(toks, w))) AS BIGINT)
+               AS n_req_stopwords,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+                 l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')))
+                  AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+                  AS BIGINT) AS n_ellipsis_lines
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           (n_words >= 50 AND n_words <= 100000) AS words_in_range,
+           (3 * n_words <= total_chars AND total_chars <= 10 * n_words)
+             AS mean_word_len_ok,
+           (10 * n_symbols < n_words) AS symbol_ratio_ok,
+           (10 * n_bullet_lines < 9 * n_lines) AS bullet_ok,
+           (10 * n_ellipsis_lines < 3 * n_lines) AS ellipsis_ok,
+           (5 * n_alpha_words >= 4 * n_words) AS alpha_ratio_ok,
+           (n_req_stopwords >= 2) AS stopwords_ok,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (3 * n_words <= total_chars AND total_chars <= 10 * n_words)
+            AND (10 * n_symbols < n_words)
+            AND (10 * n_bullet_lines < 9 * n_lines)
+            AND (10 * n_ellipsis_lines < 3 * n_lines)
+            AND (5 * n_alpha_words >= 4 * n_words)
+            AND (n_req_stopwords >= 2)) AS pass_gopher
+    FROM m
+    """,
+    doc="LLM-pipeline: the Gopher quality-rule gate (Rae et al. 2021, "
+    "Appendix A1.1) — the named heuristic battery most public corpus "
+    "pipelines (MassiveText, RefinedWeb, Dolma) apply before any "
+    "model-based scoring: word count in [50, 100k], mean word length "
+    "in [3, 10], symbol-to-word ratio (#/ellipsis) < 0.1, < 90% "
+    "bullet-started lines, < 30% ellipsis-ended lines, >= 80% of words "
+    "alphabetic, >= 2 required English stopwords present. Emitted as "
+    "per-rule booleans + the composite flag so the gate is auditable, "
+    "not just applied. Cross-engine exactness: every ratio threshold "
+    "is an integer cross-multiplication (10*symbols < words, "
+    "5*alpha >= 4*words, ...) — no float ever touches a keep/drop "
+    "boundary, so the decision set is engine-exact by construction. "
+    "Scale shape: pure map-side token/line higher-order expressions in "
+    "one codegen span — zero shuffles, scan-speed at any corpus size, "
+    "composes in front of quality_lr_classifier / "
+    "sample_dsir_importance exactly as the public pipelines order "
+    "their stages. Ref: no reference analog; public Gopher rules.",
+)
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        tokens_col(F.col("text")).alias("toks"),
+        F.split(F.col("text"), "\n", -1).alias("lines"),
+    )
+    stop_arr = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS)
+    m = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.expr(
+            "aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+        ).alias("total_chars"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "#", "")))
+            + (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+            )
+            / F.lit(3)
+        ).cast("bigint").alias("n_symbols"),
+        F.expr("size(filter(toks, x -> x rlike '[a-zA-Z]'))")
+        .cast("bigint")
+        .alias("n_alpha_words"),
+        F.expr(
+            f"size(filter(array({stop_arr}), w -> array_contains(toks, w)))"
+        ).cast("bigint").alias("n_req_stopwords"),
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.expr(
+            "size(filter(lines, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'))"
+        ).cast("bigint").alias("n_bullet_lines"),
+        F.expr("size(filter(lines, l -> rtrim(l) LIKE '%...'))")
+        .cast("bigint")
+        .alias("n_ellipsis_lines"),
+    )
+    words_in_range = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    mean_len_ok = (3 * F.col("n_words") <= F.col("total_chars")) & (
+        F.col("total_chars") <= 10 * F.col("n_words")
+    )
+    symbol_ok = 10 * F.col("n_symbols") < F.col("n_words")
+    bullet_ok = 10 * F.col("n_bullet_lines") < 9 * F.col("n_lines")
+    ellipsis_ok = 10 * F.col("n_ellipsis_lines") < 3 * F.col("n_lines")
+    alpha_ok = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    stop_ok = F.col("n_req_stopwords") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        words_in_range.alias("words_in_range"),
+        mean_len_ok.alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ratio_ok"),
+        stop_ok.alias("stopwords_ok"),
+        (
+            words_in_range
+            & mean_len_ok
+            & symbol_ok
+            & bullet_ok
+            & ellipsis_ok
+            & alpha_ok
+            & stop_ok
+        ).alias("pass_gopher"),
+    )

@@ -90,6 +90,42 @@ def test_substring_dup_spans_recovers_planted_overlaps(spark):
     }
 
 
+def test_gopher_rules_flag_each_planted_violation(spark, tmp_path):
+    """Gopher quality gate: one document per rule violation, each
+    engineered to fail EXACTLY that rule (others hold), plus one clean
+    passer — the per-rule booleans must isolate the planted defect."""
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    good_words = ("the quick brown foxes jumped over that lazy hound "
+                  "keeping pace with every passing season ") * 6  # 60 words
+    docs = {
+        1: good_words,  # passes everything
+        2: "the of and that have with just a few words here",  # 11 words < 50
+        3: ("#### " + good_words).replace("jumped", "####ed"),  # symbol spam
+        4: " ".join(["12345"] * 30 + good_words.split()[:30]),  # 50% non-alpha
+        5: " ".join(["zq"] * 60),  # mean word length 2 < 3, no stopwords
+        6: "\n".join(["- bullet line of the have"] * 10),  # 100% bullets
+        7: "\n".join([f"the sentence number {i} trails off..." for i in range(10)]),
+    }
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in load_catalog()["quality_gopher_rules"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["pass_gopher"], rows[1]
+    assert not rows[2]["words_in_range"] and rows[2]["stopwords_ok"]
+    assert not rows[3]["symbol_ratio_ok"]
+    assert not rows[4]["alpha_ratio_ok"] and rows[4]["words_in_range"]
+    assert not rows[5]["mean_word_len_ok"] and not rows[5]["stopwords_ok"]
+    assert not rows[6]["bullet_ok"]
+    assert not rows[7]["ellipsis_ok"]
+    for i in range(2, 8):
+        assert not rows[i]["pass_gopher"], i
+
+
 def test_dsir_importance_matches_exact_python_twin(spark, tmp_path):
     """DSIR importance weights: plant a corpus where the target (en)
     docs share one bigram vocabulary and the off-target docs another,
