@@ -96,7 +96,11 @@ _PRIORITY = (
     # X3 + X8 representatives (r01-green, rotated back in; map_ops'
     # X11 class stays certified via array_vector_norm)
     "topk_per_group",
-    "percentile_exact",
+    # percentile_exact (r01+r11-green, X8 quantile machinery also
+    # exercised by quality_percentile_filter below) hands its slot to
+    # DSIR importance resampling — the round-12 hashed-bigram
+    # target/raw importance sampler gains same-round driver evidence
+    "sample_dsir_importance",
     # session_window_batch (r01..r06-green) hands its slot to
     # seq_pattern_funnel — a strict superset of the same 30-min-gap
     # sessionization algebra (identical lag/cumsum with event_id
@@ -160,12 +164,12 @@ _PRIORITY = (
     # pipeline_corpus_curation + curation_strip_dup_spans) gives its
     # slot to the round-6 exact all-pairs PPJoin flagship
     "dedup_exact",
-    # curation_strip_dup_spans (r06..r07-green) hands its slot to the
-    # canonical-URL dedup: the gram/strip machinery keeps four other
-    # in-window dedup reps, and the crawl-side URL-canonicalization
-    # class (scheme/host/port/param/fragment normalization before any
-    # content dedup) gains its first hard signal
-    "dedup_url_canonical",
+    # dedup_url_canonical (r08..r11-green; the URL-normalization class
+    # keeps that hard signal) hands its slot to the round-12 exact
+    # substring-level dedup (sorted rolling-hash k-grams -> adjacent
+    # extension, the "Deduplicating Training Data" approach) so the
+    # newest dedup family member gains same-round driver evidence
+    "dedup_substring_spans",
     "dedup_minhash_lsh_pairs",
     # mm_resize_png (r11-green) hands its slot to multi-probe IVF: the
     # resize kernel keeps r11 hard signal, and the recall-vs-probes ANN
@@ -187,12 +191,11 @@ _PRIORITY = (
     # has dedup_semantic_clusters certified above plus sim_cosine_topk)
     # gives its slot to the round-6 CDC-tombstone flagship
     "sim_cosine_topk",
-    # embedding_pq_encode (r06..r07-green) hands its slot to corpus
-    # BLEU: the PQ codebook lane keeps sim_ivf_topk + sim_cosine_topk
-    # in-window and its ADC/IVF-PQ siblings in local parity, while the
-    # generation-evaluation family (clipped n-gram precision + brevity
-    # penalty) gains its first hard signal
-    "eval_bleu_corpus",
+    # eval_bleu_corpus (r08+r11-green; generation-eval class keeps that
+    # hard signal, eval_calibration_bins stays in-window) hands its
+    # slot to the round-12 Gopher quality-rule gate so the multi-rule
+    # document filter gains same-round driver evidence
+    "quality_gopher_rules",
     # cdc_upsert_with_deletes (r07+r08-green) hands its slot to the
     # manifest-sink round trip: the CDC-tombstone class carries two
     # rounds of hard signal, and the two-phase-commit write path —
@@ -257,6 +260,14 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 mid-round-12 so the three round-12
+    # newcomers (DSIR resampling, exact substring dedup, Gopher gate)
+    # carry same-round driver evidence; each of these three keeps
+    # multi-round hard signal (percentile_exact r01+r11,
+    # dedup_url_canonical r08..r11, eval_bleu_corpus r08+r11)
+    "percentile_exact",
+    "dedup_url_canonical",
+    "eval_bleu_corpus",
     # rotated out of the top-50 in round 12 for the never-driver-checked
     # heavy tail (the round-11 verdict's explicit ask): all thirteen are
     # the r11-green round-10 newcomers — each carries fresh r11 hard

@@ -55,12 +55,13 @@ _REQUIRED_IN_WINDOW = {
         "l_diversity_audit",
         "stream_chained_windows",
     },
-    # round-8 session 2: the new BLEU / canonical-URL classes promoted
-    # in exchange for r06/r07-certified duplicate-class reps
-    # (curation_strip_dup_spans, embedding_pq_encode)
-    "round8_session2_promotions": {
-        "eval_bleu_corpus",
-        "dedup_url_canonical",
+    # round-8 session 2 promoted eval_bleu_corpus / dedup_url_canonical;
+    # both r8+r11-green, rotated back to tier 2 mid-round-12 so the
+    # round-12 newcomers carry same-round driver evidence
+    "round12_newcomers": {
+        "dedup_substring_spans",
+        "sample_dsir_importance",
+        "quality_gopher_rules",
     },
     # round 9 (the round-8 verdict's brief #1/#3/#4): the six
     # uncertified round-8 newcomers plus the YAML-authoring and
@@ -93,7 +94,9 @@ _REQUIRED_IN_WINDOW = {
     # round 5: map_ops / text_repetition_ratio (duplicate-class reps of
     # array_vector_norm / the 5-strong text block) rotated to Tier 2 to
     # re-certify the X3 top-k and X8 exact-percentile classes
-    "topk_and_percentiles": {"topk_per_group", "percentile_exact"},
+    # (percentile_exact r01+r11-green, rotated out mid-round-12; X8's
+    # quantile machinery keeps quality_percentile_filter in-window)
+    "topk_and_percentiles": {"topk_per_group"},
     # round 7: session_window_batch handed its slot to seq_pattern_funnel,
     # which carries the SAME CAST(sum(...) AS BIGINT) session-id algebra
     # (the hugeint regression surface) plus the sequence-regex family
