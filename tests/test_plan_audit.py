@@ -75,6 +75,7 @@ CROSS_OK = {
     "tpch_q15_style",  # broadcast 1-row max-revenue scalar join
     "sketch_kmv_intersection",  # broadcast 1-row theta/count scalar joins
     "sample_dsir_importance",  # broadcast 1-row bucket-total join (DSIR smoothing)
+    "retrieval_bm25_topk",  # broadcast 1-row corpus-stats (N, avgdl) join
 }
 
 

@@ -277,3 +277,73 @@ def test_stream_legacy_pending_adopted_when_its_batches_exist(spark, tmp_path):
         assert json.load(f)["generation"] == 2
     got2, rows2 = read_all_batches(spark, sink)
     assert rows2 == 50 and sorted(r["k"] for r in got2.collect()) == list(range(50))
+
+
+def test_bm25_matches_exact_python_twin(spark, tmp_path):
+    """Okapi BM25: plant a corpus where term frequency and document
+    length pull in opposite directions, then check every score against
+    a Python twin that mirrors the operator's arithmetic exactly
+    (Lucene idf, 9dp HALF_UP contribution rounding, exact decimal sum,
+    6dp final round) — and that length normalization actually demotes
+    the padded document."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.operators.text import BM25_B, BM25_K1
+
+    pad = " ".join(["filler"] * 200)
+    docs = {
+        0: "spark shuffle spark join spark agg",  # query doc
+        1: "spark shuffle join agg",  # short, all query terms once
+        2: "spark spark spark shuffle shuffle join " + pad,  # high tf, padded
+        3: "spark join",  # short, two terms
+        4: "filler only document with no query words",
+        5: "shuffle shuffle shuffle shuffle agg",  # tf saturation case
+    }
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in load_catalog()["retrieval_bm25_topk"].fn(spark, str(tmp_path)).collect()
+    }
+
+    def r_half_up(x: float, n: int) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP)
+        )
+
+    toks = {i: t.strip().split() for i, t in docs.items()}
+    tf = {
+        i: {w: ts.count(w) for w in set(ts)} for i, ts in toks.items()
+    }
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n_docs = len(dl)
+    avgdl = float(sum(dl.values())) / n_docs
+    df: dict[str, int] = {}
+    for ts in tf.values():
+        for w in ts:
+            df[w] = df.get(w, 0) + 1
+    # query = doc 0's top-8 terms by (tf desc, term asc) — doc 0 has 4
+    q = sorted(tf[0], key=lambda w: (-tf[0][w], w))[:8]
+    expect: dict[int, float] = {}
+    for i in range(1, 6):
+        contribs = []
+        for w in q:
+            if w not in tf[i]:
+                continue
+            idf = math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+            c = (
+                idf
+                * (tf[i][w] * (BM25_K1 + 1.0))
+                / (tf[i][w] + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[i] / avgdl))
+            )
+            contribs.append(Decimal(repr(r_half_up(c, 9))))
+        if contribs:
+            expect[i] = r_half_up(float(sum(contribs)), 6)
+    assert got == expect  # doc 4 matches no query term: absent both sides
+    # the padded high-tf doc must rank below the short exact-match doc
+    assert got[1] > got[2]

@@ -124,6 +124,7 @@ OVERRIDES = {
     "decontam_ngram_overlap": ["dedup_minhash_lsh_pairs"],
     "pii_redact": ["dedup_url_canonical"],
     "hybrid_retrieval_rrf": ["sim_cosine_topk", "eval_ndcg_at_k"],
+    "retrieval_bm25_topk": ["text_tfidf_topk", "eval_ndcg_at_k"],
     "vocab_id_assign": ["text_tfidf_topk"],
     "vocab_oov_rate": ["text_tfidf_topk"],
     "corpus_token_ids": ["text_tfidf_topk"],
