@@ -338,10 +338,11 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # catalog-wide per-query spark/duck ratios (round-11 verdict item 5).
     # Interpretation note for the >2x count: at this SF most entries sit
-    # on Spark's fixed per-action floor (~0.1-0.3 s scheduling) while
-    # their DuckDB twin runs in single-digit ms, so the ratio measures
-    # fixed overhead, not throughput — the scaling curve (SCALING.md)
-    # shows the floor amortizing with data size. The gate's load-immune
+    # on Spark's fixed per-action floor (measured: range(1).count() =
+    # 0.08-0.16 s, tools/ratio_scale.py) while their DuckDB twin runs in
+    # single-digit ms, so the ratio measures fixed overhead, not
+    # throughput — ratio_scale.json shows 11/12 worst-offender ratios
+    # collapsing on 10x data (BASELINE.md table). The gate's load-immune
     # value_ratio (the two marts, real work both sides) stays the
     # headline signal.
     ratios = {
