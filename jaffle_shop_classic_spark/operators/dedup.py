@@ -2386,3 +2386,130 @@ def substring_dup_spans(docs: DataFrame, gram_len: int) -> DataFrame:
         .select("doc_id", "span_start", "span_len")
     )
     return spans
+
+
+# --------------------------------------------------- winnowing (MOSS)
+# Schleimer, Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for
+# Document Fingerprinting" (the MOSS algorithm). Public method; no
+# reference analog.
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 5  # gram-hash window; density bound ~2/(W+1)
+WINNOW_MIN_SHARED = 2  # pair threshold on shared fingerprints
+
+_WINNOW_FOLD = "(acc * 131 + x) % 1000000007"
+
+
+def _winnow_oracle() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    v AS (
+      SELECT doc_id,
+             list_transform(tk, x ->
+               CAST(ascii(substr(x, 1, 1)) * 256 + length(x) AS BIGINT)) AS vals
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(vals) >= {k} THEN
+               list_transform(range(1, len(vals) - {k} + 2),
+                 j -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                                     list_slice(vals, j, j + {k} - 1)),
+                        (acc, x) -> {_WINNOW_FOLD}))
+             ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+                               (acc, x) -> {_WINNOW_FOLD})]
+             END AS gh
+      FROM v
+    ),
+    f AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(1, len(gh) - {w} + 1) + 1),
+               j -> list_min(list_slice(gh, j, j + {w} - 1))))) AS fp
+      FROM g
+    ),
+    sized AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n FROM f)
+      WHERE n <= {MAX_BAND_SIZE}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS shared_fps
+    FROM sized a JOIN sized b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle=_winnow_oracle(),
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+    f"2003 — the MOSS algorithm): polynomial {WINNOW_K}-gram hashes "
+    f"(mod 1e9+7, integer-exact cross-engine), a sliding window of "
+    f"{WINNOW_W} gram hashes keeps each window's MINIMUM, giving "
+    f"position-robust fingerprints at bounded density ~2/(W+1) with "
+    f"the guarantee that any shared token run of >= "
+    f"{WINNOW_K + WINNOW_W - 1} tokens yields >= 1 shared "
+    "fingerprint. Pairs sharing >= "
+    f"{WINNOW_MIN_SHARED} fingerprints are emitted with their count — "
+    "the positional complement to MinHash LSH (which is order-blind) "
+    "and to dedup_substring_spans (which is exact but span-level). "
+    "Plan: gram hashing and window minima are per-row higher-order "
+    "folds (zero shuffle); the fingerprint table is the only "
+    "exchange; hot fingerprint buckets are capped at "
+    f"{MAX_BAND_SIZE} members by the same windowed count the LSH "
+    "join uses (rides the join's own exchange), so the pair join is "
+    "O(shared fingerprints), never O(n^2) — identical scale posture "
+    "to the banded LSH path at 100 TB.",
+)
+def q_dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, w = WINNOW_K, WINNOW_W
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens_col(F.col("text"))
+    vals = F.transform(
+        tk, lambda x: (F.ascii(F.substring(x, 1, 1)) * 256 + F.length(x)).cast("bigint")
+    )
+    base = d.select("doc_id", vals.alias("vals"))
+
+    def fold(arr: Column) -> Column:
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 131 + x) % 1000000007,
+        )
+
+    grams = F.when(
+        F.size("vals") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("vals") - k + 1),
+            lambda j: fold(F.slice(F.col("vals"), j, k)),
+        ),
+    ).otherwise(F.array(fold(F.col("vals"))))
+    gh = base.select("doc_id", grams.alias("gh"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size("gh") - w + 1)),
+            lambda j: F.array_min(F.slice(F.col("gh"), j, w)),
+        )
+    )
+    f = gh.select("doc_id", F.explode(fps).alias("fp"))
+    # hot-fingerprint cap: same windowed count as capped_bands, keyed on
+    # the join's own shuffle key
+    wn = Window.partitionBy("fp")
+    sized = (
+        f.withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("n") <= MAX_BAND_SIZE)
+        .drop("n")
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -347,3 +347,50 @@ def test_bm25_matches_exact_python_twin(spark, tmp_path):
     assert got == expect  # doc 4 matches no query term: absent both sides
     # the padded high-tf doc must rank below the short exact-match doc
     assert got[1] > got[2]
+
+
+def test_winnowing_guarantee_and_hot_cap(spark, tmp_path):
+    """Winnowing (Schleimer et al. 2003): (a) any token run of length
+    >= K+W-1 shared verbatim by two documents must yield >= 1 shared
+    fingerprint (the paper's coverage guarantee) — with >= MIN_SHARED
+    met here, the pair must surface; (b) documents with no shared
+    K-gram share nothing; (c) a fingerprint bucket hotter than the cap
+    is dropped, so a 70-document boilerplate cluster produces NO pairs
+    from the boilerplate run alone."""
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.operators.dedup import (
+        MAX_BAND_SIZE,
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(2 * (WINNOW_K + WINNOW_W - 1)))
+    boiler = " ".join(f"boiler{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    docs = [
+        (1, "alpha beta gamma " + run + " delta"),
+        (2, run + " epsilon zeta eta theta iota"),
+        (3, "kappa lam mu nu xi omicron pi rho sigma tau"),  # disjoint
+    ]
+    # 70 docs (> MAX_BAND_SIZE) sharing ONLY the boilerplate run, each
+    # padded with a unique tail so they share nothing else
+    assert MAX_BAND_SIZE < 70
+    docs += [
+        (100 + i, boiler + f" unique{i}a unique{i}b unique{i}c unique{i}d")
+        for i in range(70)
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    rows = (
+        load_catalog()["dedup_winnowing_fingerprints"].fn(spark, str(tmp_path)).collect()
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["shared_fps"] for r in rows}
+    # (a) the long shared run surfaces the (1, 2) pair
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    # (b) doc 3 shares no K-gram with anything
+    assert not any(3 in p for p in pairs)
+    # (c) the boilerplate cluster's only shared content sits in a
+    # fingerprint bucket of 70 > cap — dropped, so no 100-series pairs
+    assert not any(a >= 100 or b >= 100 for a, b in pairs)
