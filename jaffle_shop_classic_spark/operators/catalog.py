@@ -87,15 +87,21 @@ _PRIORITY = (
     # signal, and the normalized co-rating similarity matrix (second
     # heaviest entry) gains its first driver evidence
     "cf_item_cosine",
-    "json_schema_parse",
+    # json_schema_parse (r11-green; the JSON-path class keeps
+    # json_extract's r01..r05 hard signal in the cross-round union)
+    # hands its slot to the round-12 BM25 retrieval scorer so the
+    # ranked-retrieval newcomer carries same-round driver evidence
+    "retrieval_bm25_topk",
     # mm_decode_png (r11-green) hands its slot to the trained logistic-
     # regression quality classifier: the stdlib PNG codec keeps its r11
     # hard signal, and the fixed-iteration distributed GD loop (O(1)
     # driver state per round) gains its first driver evidence
     "quality_lr_classifier",
-    # X3 + X8 representatives (r01-green, rotated back in; map_ops'
-    # X11 class stays certified via array_vector_norm)
-    "topk_per_group",
+    # topk_per_group (r01+r11-green; the X3 per-group top-k algebra is
+    # also in-window inside recommend_copurchase_topk's per-item top-k
+    # window) hands its slot to the round-12 winnowing fingerprints so
+    # the MOSS dedup newcomer carries same-round driver evidence
+    "dedup_winnowing_fingerprints",
     # percentile_exact (r01+r11-green, X8 quantile machinery also
     # exercised by quality_percentile_filter below) hands its slot to
     # DSIR importance resampling — the round-12 hashed-bigram
@@ -264,10 +270,13 @@ _TIER2 = (
     # newcomers (DSIR resampling, exact substring dedup, Gopher gate)
     # carry same-round driver evidence; each of these three keeps
     # multi-round hard signal (percentile_exact r01+r11,
-    # dedup_url_canonical r08..r11, eval_bleu_corpus r08+r11)
+    # dedup_url_canonical r08..r11, eval_bleu_corpus r08+r11,
+    # json_schema_parse r11, topk_per_group r01+r11)
     "percentile_exact",
     "dedup_url_canonical",
     "eval_bleu_corpus",
+    "json_schema_parse",
+    "topk_per_group",
     # rotated out of the top-50 in round 12 for the never-driver-checked
     # heavy tail (the round-11 verdict's explicit ask): all thirteen are
     # the r11-green round-10 newcomers — each carries fresh r11 hard

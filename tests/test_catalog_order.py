@@ -62,6 +62,8 @@ _REQUIRED_IN_WINDOW = {
         "dedup_substring_spans",
         "sample_dsir_importance",
         "quality_gopher_rules",
+        "retrieval_bm25_topk",
+        "dedup_winnowing_fingerprints",
     },
     # round 9 (the round-8 verdict's brief #1/#3/#4): the six
     # uncertified round-8 newcomers plus the YAML-authoring and
@@ -91,12 +93,11 @@ _REQUIRED_IN_WINDOW = {
         "graph_pagerank",
         "stream_interval_join",
     },
-    # round 5: map_ops / text_repetition_ratio (duplicate-class reps of
-    # array_vector_norm / the 5-strong text block) rotated to Tier 2 to
-    # re-certify the X3 top-k and X8 exact-percentile classes
-    # (percentile_exact r01+r11-green, rotated out mid-round-12; X8's
-    # quantile machinery keeps quality_percentile_filter in-window)
-    "topk_and_percentiles": {"topk_per_group"},
+    # round 5 re-certified the X3 top-k and X8 exact-percentile classes
+    # (topk_per_group and percentile_exact, both r01+r11-green, rotated
+    # out mid-round-12 for round-12 newcomers; X8's quantile machinery
+    # keeps quality_percentile_filter in-window and X3's per-group
+    # top-k window runs inside recommend_copurchase_topk in-window)
     # round 7: session_window_batch handed its slot to seq_pattern_funnel,
     # which carries the SAME CAST(sum(...) AS BIGINT) session-id algebra
     # (the hugeint regression surface) plus the sequence-regex family
