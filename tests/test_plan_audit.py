@@ -76,6 +76,7 @@ CROSS_OK = {
     "sketch_kmv_intersection",  # broadcast 1-row theta/count scalar joins
     "sample_dsir_importance",  # broadcast 1-row bucket-total join (DSIR smoothing)
     "retrieval_bm25_topk",  # broadcast 1-row corpus-stats (N, avgdl) join
+    "embedding_pca_power",  # broadcast 1-row norm join per power-iteration step
 }
 
 

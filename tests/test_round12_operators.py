@@ -394,3 +394,57 @@ def test_winnowing_guarantee_and_hot_cap(spark, tmp_path):
     # (c) the boilerplate cluster's only shared content sits in a
     # fingerprint bucket of 70 > cap — dropped, so no 100-series pairs
     assert not any(a >= 100 or b >= 100 for a, b in pairs)
+
+
+def test_pca_power_matches_numpy_on_planted_direction(spark, tmp_path):
+    """PCA power iteration: plant a 64-dim corpus with one dominant
+    variance direction (big eigengap, so 12 power iterations converge
+    far past the rounding grain), then check the operator's loadings
+    and eigenvalue against numpy's exact eigendecomposition of the SAME
+    quantized integer covariance the operator defines."""
+    import numpy as np
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.operators.similarity import (
+        _PCA_SCALE,
+        _PCA_SCALE_SQ,
+        PCA_DIM,
+    )
+
+    rng = np.random.RandomState(7)
+    u = rng.randn(PCA_DIM)
+    u /= np.linalg.norm(u)
+    # dominant direction variance ~0.04, isotropic noise variance 1e-4
+    data = (
+        np.outer(rng.randn(300) * 0.2, u) + rng.randn(300, PCA_DIM) * 0.01
+    ).astype(np.float32)
+    spark.createDataFrame(
+        [(i, [float(x) for x in row], 0) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    rows = (
+        load_catalog()["embedding_pca_power"]
+        .fn(spark, str(tmp_path))
+        .orderBy("dim")
+        .collect()
+    )
+    got = np.array([r["loading"] for r in rows])
+    got_eig = rows[0]["eigenvalue"]
+
+    # numpy twin of the operator's definition: floor-quantized ints,
+    # covariance in original units
+    xq = np.floor(data.astype(np.float64) * _PCA_SCALE)
+    n = xq.shape[0]
+    s = xq.T @ xq
+    m = xq.sum(axis=0)
+    cov = (s - np.outer(m, m) / n) / n / _PCA_SCALE_SQ
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    # sign: power iteration starts from all-positive, so align signs
+    if np.dot(got, top) < 0:
+        top = -top
+    assert np.abs(np.dot(got, top)) > 0.999999, np.dot(got, top)
+    assert abs(got_eig - evals[-1]) < 1e-6, (got_eig, evals[-1])
+    # and the planted direction is what it found
+    assert abs(abs(np.dot(got, u)) - 1.0) < 1e-2
