@@ -63,6 +63,10 @@ DEFAULT_QUERIES = [
     "stream_interval_join",
     "jaffle_customers",
     "jaffle_orders",
+    # round-12 newcomers with a data-proportional stage worth curving
+    "dedup_winnowing_fingerprints",
+    "retrieval_bm25_topk",
+    "embedding_pca_power",
 ]
 
 ROUNDS = 3
