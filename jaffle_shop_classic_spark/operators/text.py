@@ -2976,3 +2976,79 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & stop_ok
         ).alias("pass_gopher"),
     )
+
+
+@register(
+    "vocab_unseen_estimate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
+    fof AS (SELECT f, count(*) AS n_f FROM tf GROUP BY f),
+    agg AS (
+      SELECT
+        (SELECT sum(f * n_f) FROM fof) AS n_tokens,
+        (SELECT sum(n_f) FROM fof) AS v_observed,
+        coalesce((SELECT n_f FROM fof WHERE f = 1), 0) AS v1,
+        coalesce((SELECT n_f FROM fof WHERE f = 2), 0) AS v2
+    )
+    SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(v_observed AS BIGINT) AS v_observed,
+           CAST(v1 AS BIGINT) AS v_hapax,
+           CAST(v2 AS BIGINT) AS v_dis,
+           round(CAST(v1 AS DOUBLE) / n_tokens, 9) AS p_unseen_gt,
+           round(v_observed + CASE WHEN v2 > 0
+                 THEN CAST(v1 AS DOUBLE) * v1 / (2.0 * v2)
+                 ELSE CAST(v1 AS DOUBLE) * (v1 - 1) / 2.0 END,
+                 4) AS chao1_richness
+    FROM agg
+    """,
+    doc="Vocabulary richness / unseen-mass estimation from the "
+    "frequency-of-frequencies profile — the corpus-planning statistic "
+    "behind 'how much vocabulary does the NEXT shard add': Good-Turing "
+    "missing mass P(unseen) = V1/N (Good 1953) and the Chao1 richness "
+    "lower bound V + V1^2/(2*V2) (Chao 1984; bias-corrected "
+    "V1(V1-1)/2 form when no doubletons exist). Integer counts all "
+    "the way to two final divisions, so cross-engine exact. Plan: one "
+    "token aggregate -> a vocabulary-sized frequency table -> a "
+    "frequency-of-frequencies aggregate (at most max-count rows) -> "
+    "a 1-row summary; partial->final combine at every level, no "
+    "corpus-sized state anywhere. At 100 TB the fof table is dozens "
+    "of rows regardless of corpus size. Ref: no reference analog; "
+    "public Good-Turing / Chao1 estimators.",
+)
+def q_vocab_unseen_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    fof = tf.groupBy("f").agg(F.count(F.lit(1)).alias("n_f"))
+    agg = fof.agg(
+        F.sum(F.col("f") * F.col("n_f")).alias("n_tokens"),
+        F.sum("n_f").alias("v_observed"),
+        F.coalesce(
+            F.sum(F.when(F.col("f") == 1, F.col("n_f"))), F.lit(0)
+        ).alias("v1"),
+        F.coalesce(
+            F.sum(F.when(F.col("f") == 2, F.col("n_f"))), F.lit(0)
+        ).alias("v2"),
+    )
+    return agg.select(
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("v_observed").cast("bigint").alias("v_observed"),
+        F.col("v1").cast("bigint").alias("v_hapax"),
+        F.col("v2").cast("bigint").alias("v_dis"),
+        F.round(F.col("v1").cast("double") / F.col("n_tokens"), 9).alias(
+            "p_unseen_gt"
+        ),
+        F.round(
+            F.col("v_observed")
+            + F.when(
+                F.col("v2") > 0,
+                F.col("v1").cast("double") * F.col("v1") / (2.0 * F.col("v2")),
+            ).otherwise(
+                F.col("v1").cast("double") * (F.col("v1") - 1) / 2.0
+            ),
+            4,
+        ).alias("chao1_richness"),
+    )

@@ -448,3 +448,33 @@ def test_pca_power_matches_numpy_on_planted_direction(spark, tmp_path):
     assert abs(got_eig - evals[-1]) < 1e-6, (got_eig, evals[-1])
     # and the planted direction is what it found
     assert abs(abs(np.dot(got, u)) - 1.0) < 1e-2
+
+
+def test_vocab_unseen_estimate_exact_counts(spark, tmp_path):
+    """Good-Turing/Chao1: plant a corpus with a known
+    frequency-of-frequencies profile (3 hapaxes, 2 doubletons, 1
+    triple) and check every output, then the no-doubleton
+    bias-corrected Chao1 branch."""
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    def write(docs, sub):
+        d = tmp_path / sub
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return str(d)
+
+    # tokens: a,b,c once; d,e twice; f three times -> N=10, V=6
+    p = write([(1, "a b c d e f"), (2, "d e f"), (3, "f")], "case1")
+    row = load_catalog()["vocab_unseen_estimate"].fn(spark, p).collect()[0]
+    assert row["n_tokens"] == 10 and row["v_observed"] == 6
+    assert row["v_hapax"] == 3 and row["v_dis"] == 2
+    assert row["p_unseen_gt"] == 0.3  # 3/10
+    assert row["chao1_richness"] == 6 + 3 * 3 / (2 * 2)  # 8.25
+
+    # no doubletons: V1=2, V2=0 -> chao1 = V + V1(V1-1)/2 = 4 + 1
+    p = write([(1, "x y z z"), (2, "z w w w")], "case2")
+    row = load_catalog()["vocab_unseen_estimate"].fn(spark, p).collect()[0]
+    assert row["v_hapax"] == 2 and row["v_dis"] == 0
+    assert row["chao1_richness"] == 5.0

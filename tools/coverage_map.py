@@ -127,6 +127,7 @@ OVERRIDES = {
     "retrieval_bm25_topk": ["text_tfidf_topk", "eval_ndcg_at_k"],
     "dedup_winnowing_fingerprints": ["dedup_minhash_lsh_pairs", "dedup_substring_spans"],
     "embedding_pca_power": ["sim_cosine_topk", "graph_pagerank"],
+    "vocab_unseen_estimate": ["text_tfidf_topk"],
     "vocab_id_assign": ["text_tfidf_topk"],
     "vocab_oov_rate": ["text_tfidf_topk"],
     "corpus_token_ids": ["text_tfidf_topk"],
