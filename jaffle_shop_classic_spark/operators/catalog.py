@@ -204,10 +204,12 @@ _PRIORITY = (
     "quality_gopher_rules",
     # cdc_upsert_with_deletes (r07+r08-green) hands its slot to the
     # manifest-sink round trip: the CDC-tombstone class carries two
-    # rounds of hard signal, and the two-phase-commit write path —
-    # today pytest-only — gains end-to-end value certification
-    # (task shards -> atomic manifest commit -> manifest-first read)
-    "sink_manifest_roundtrip",
+    # sink_manifest_roundtrip (r9+r11-green; the two-phase-commit write
+    # path keeps that hard signal and its pytest protocol suite) hands
+    # its slot — the most expensive window entry — to the round-12
+    # Good-Turing/Chao1 vocabulary estimator so all six round-12
+    # newcomers carry same-round driver evidence
+    "vocab_unseen_estimate",
     "sim_ivf_topk",
     # kmeans_lloyd (r01..r07-green) hands its slot to reliability-
     # diagram calibration bins: the Lloyd-iteration machinery trains
@@ -277,6 +279,7 @@ _TIER2 = (
     "eval_bleu_corpus",
     "json_schema_parse",
     "topk_per_group",
+    "sink_manifest_roundtrip",
     # rotated out of the top-50 in round 12 for the never-driver-checked
     # heavy tail (the round-11 verdict's explicit ask): all thirteen are
     # the r11-green round-10 newcomers — each carries fresh r11 hard

@@ -64,6 +64,7 @@ _REQUIRED_IN_WINDOW = {
         "quality_gopher_rules",
         "retrieval_bm25_topk",
         "dedup_winnowing_fingerprints",
+        "vocab_unseen_estimate",
     },
     # round 9 (the round-8 verdict's brief #1/#3/#4): the six
     # uncertified round-8 newcomers plus the YAML-authoring and
@@ -73,7 +74,8 @@ _REQUIRED_IN_WINDOW = {
     "round9_promotions": {
         "udtf_installment_plan",
         "yaml_model_customers_mart",
-        "sink_manifest_roundtrip",
+        # sink_manifest_roundtrip rotated out mid-round-12 (r9+r11
+        # hard signal) for the vocab estimator newcomer below
     },
     # round 12 (the round-11 verdict's brief #3): the thirteen r11-green
     # round-10 newcomers rotated back to tier 2, their slots funding
