@@ -507,12 +507,13 @@ BM25_QUERY_TERMS = 8  # query = doc 0's top-8 terms by tf (term tiebreak)
     "exact-int sum/count divided once (bit-identical cross-engine); "
     "per-(doc,term) contributions round to 9dp then sum as "
     "DECIMAL(28,9); final score rounds to 6dp with doc_id tiebreak. "
-    "Plan: tf is the only corpus-sized shuffle; df and the 8-term "
-    "query are broadcast; the postings probe joins tf against the "
-    "query terms FIRST, so the dl join touches only matching docs — "
-    "a per-term inverted-list probe, never all-pairs. At 100 TB this "
-    "is the text_inverted_index layout plus a vocabulary-sized "
-    "broadcast, identical to how a distributed search engine "
+    "Plan: tf is the only corpus-sized shuffle; the vocabulary-sized "
+    "df table is semi-joined down to the <=8 query terms FIRST and "
+    "only that pruned frame is broadcast (a vocabulary broadcast "
+    "would OOM at 100 TB where distinct terms reach 1e8-1e9); the "
+    "same broadcast doubles as the postings probe, so the dl join "
+    "touches only matching docs — a per-term inverted-list probe, "
+    "never all-pairs, exactly how a distributed search engine "
     "evaluates a disjunctive query. Ref: no reference analog; public "
     "BM25 formula.",
 )
@@ -533,10 +534,15 @@ def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl = F.col("total").cast("double") / F.col("n_docs")
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     denom = F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    # Prune the vocabulary-sized df table down to the <=BM25_QUERY_TERMS
+    # query rows BEFORE broadcasting: dfreq is O(vocabulary) (1e8-1e9 rows
+    # at 100 TB) and must never ship whole, while dfreq_q is <=8 rows and
+    # doubles as the query-term postings filter (one broadcast join covers
+    # both the term filter and the df lookup).
+    dfreq_q = dfreq.join(F.broadcast(q), "term")
     scored = (
         tf.filter(F.col("doc_id") != 0)
-        .join(F.broadcast(q), "term")
-        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(dfreq_q), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(

@@ -303,3 +303,38 @@ def test_q20_pair_aggregate_precedes_threshold_join(spark, sf_dir):
     assert "HashAggregate" in plan
     assert tree.count("LeftSemi") == 1
     assert "CartesianProduct" not in plan
+
+
+def _broadcast_subtrees(tree: str) -> list[str]:
+    """Extract each BroadcastExchange node's subtree from a formatted
+    plan tree, using node-marker indentation."""
+    lines = tree.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange (" not in line:
+            continue
+        indent = max(line.find("+- "), line.find(":- "))
+        sub = [line]
+        for nxt in lines[i + 1 :]:
+            pos = max(nxt.find("+- "), nxt.find(":- "))
+            if pos != -1 and pos <= indent:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def test_bm25_broadcasts_query_pruned_df_not_vocabulary(spark, sf_dir):
+    # the vocabulary-sized term->df table must be semi-joined down to
+    # the <=8 query terms BEFORE broadcasting: the broadcast build side
+    # of the postings probe is therefore a join (dfreq x windowed query),
+    # never the raw df aggregate. At 100 TB the raw vocabulary is
+    # 1e8-1e9 rows and an unpruned broadcast OOMs.
+    plan = _plan(spark, sf_dir, "retrieval_bm25_topk")
+    tree = plan[: plan.find("(1) Scan")]
+    pruned = [
+        s
+        for s in _broadcast_subtrees(tree)
+        if "BroadcastHashJoin" in s and "Window" in s
+    ]
+    assert pruned, tree  # the df broadcast wraps the query-pruned join
