@@ -23,6 +23,7 @@ two engines score against byte-identical hyperplanes.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1919,7 +1920,7 @@ def _pca_oracle() -> str:
                CAST(floor(CAST(x AS DOUBLE) * {_PCA_SCALE}) AS BIGINT)) AS xq
       FROM embeddings
     ),
-    idx AS (SELECT unnest(range(1, {PCA_DIM + 1})) AS i),
+    idx AS (SELECT unnest(range(1, (SELECT max(len(xq)) FROM q) + 1)) AS i),
     ex AS MATERIALIZED (
       SELECT q.r, idx.i, xq[idx.i] AS x FROM q, idx
     ),
@@ -1958,77 +1959,132 @@ def _pca_oracle() -> str:
     "products to 12dp and sums as DECIMAL(38,12) (the RRF decimal "
     "discipline), so Spark and DuckDB walk bit-identical iterates — "
     "the eigenvector is value-certified, not just rank-certified. "
-    "Plan: the Gramian is one partial->final aggregate over a per-row "
-    "double posexplode (map-side combine collapses each partition to "
-    "4096 partials — the treeAggregate pattern, zero Python); the "
-    "iteration joins are dimension-sized with a broadcast 1-row norm. "
-    "At 100 TB only the Gramian pass touches data; everything after "
-    "is O(dim^2) regardless of row count. Ref: no reference analog; "
-    "public power-iteration PCA.",
+    "Plan: the Gramian is a per-partition numpy outer-product partial "
+    "(Arrow mapInPandas: each partition reduces its rows to ONE d x d "
+    "int64 ndarray via X^T X, then emits d^2+d+1 partial rows), so "
+    "the shuffle carries P*(d^2+d+1) tiny rows instead of streaming "
+    "n*d^2 exploded row objects through codegen — the treeAggregate "
+    "pattern with the per-row constant paid in vectorized numpy "
+    "(int64 matmul, exact). The iteration joins are dimension-sized "
+    "with a broadcast 1-row norm. At 100 TB only the Gramian pass "
+    "touches data; everything after is O(dim^2) regardless of row "
+    "count. Dimensions are inferred from the data on BOTH engines "
+    "(numpy batch width / max(len(xq))), so a non-64-dim table stays "
+    "in parity instead of silently diverging. Ref: no reference "
+    "analog; public power-iteration PCA.",
 )
 def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings")
     xq = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * _PCA_SCALE).cast("bigint"),
     )
     base = e.select(xq.alias("xq"))
-    ex1 = base.select("xq", F.posexplode("xq").alias("i0", "xi"))
-    m1 = (
-        base.select(F.posexplode("xq").alias("i0", "xi"))
-        .groupBy((F.col("i0") + 1).alias("i"))
-        .agg(F.sum("xi").alias("m"), F.count(F.lit(1)).alias("n"))
-    )
-    s2 = (
-        ex1.select("i0", "xi", F.posexplode("xq").alias("j0", "xj"))
-        .groupBy((F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j"))
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("s"))
-    )
-    ma = m1.select(F.col("i"), F.col("m").alias("mi"), "n")
-    mb = m1.select(F.col("i").alias("j"), F.col("m").alias("mj"))
-    c = (
-        s2.join(ma, "i")
-        .join(mb, "j")
-        .select(
-            "i",
-            "j",
-            (
-                (
-                    F.col("s").cast("double")
-                    - F.col("mi").cast("double") * F.col("mj").cast("double") / F.col("n")
-                )
-                / F.col("n")
-                / _PCA_SCALE_SQ
-            ).alias("c"),
+
+    def gram_partials(batches):
+        # encoding: (i>0, j>0, s)=Gramian cell; (i>0, 0, m_i)=first
+        # moment; (0, 0, n)=row count — all int64-exact partials that
+        # sum associatively across partitions
+        s = None
+        m = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["xq"].to_numpy()).astype(np.int64)
+            if s is None:
+                d = x.shape[1]
+                s = np.zeros((d, d), dtype=np.int64)
+                m = np.zeros(d, dtype=np.int64)
+            s += x.T @ x
+            m += x.sum(axis=0)
+            n += x.shape[0]
+        if s is None:
+            return
+        d = s.shape[0]
+        ii, jj = np.indices((d, d))
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii.ravel() + 1, np.arange(1, d + 1), [0]]),
+                "j": np.concatenate([jj.ravel() + 1, np.zeros(d, np.int64), [0]]),
+                "s": np.concatenate([s.ravel(), m, [n]]),
+            }
         )
+
+    agg = (
+        base.mapInPandas(gram_partials, schema="i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        # the d^2+d+1-row reduction fans out into three filters below;
+        # checkpointing it pins ONE corpus scan instead of three
+        .localCheckpoint(eager=False)
     )
-    # dim^2 rows drive 12 unrolled iterations; localCheckpoint every 4
-    # keeps the lineage (and Catalyst analysis time) bounded, the same
-    # discipline the graph fixpoint operators use
-    c = c.localCheckpoint(eager=False)
+    # The corpus-scale work ends here. The reduced Gramian is O(dim^2)
+    # (4161 values), data-independent — the one place a driver collect
+    # is the DESIGN, not a shortcut: MLlib's RowMatrix PCA does exactly
+    # this (treeAggregate the Gramian, eigensolve locally), because a
+    # 12-round distributed iteration over a 4096-row matrix pays ~24
+    # scheduler/shuffle latencies to move zero data. The local loop
+    # replays the oracle's arithmetic bit-for-bit: round-half-up to
+    # 12dp (Decimal(repr(x)) == BigDecimal.valueOf semantics, both
+    # shortest-repr), exact DECIMAL(38,12) accumulation, IEEE sqrt and
+    # division — so the value hash is unchanged from the distributed
+    # form it replaced.
+    from decimal import ROUND_HALF_UP, Decimal
 
-    def dec_sum(col: Column) -> Column:
-        return F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")
+    q12 = Decimal("1e-12")
 
-    v = None  # iteration state: DataFrame (j, v); None = uniform 0.125
-    nrm_df = None
-    for t in range(PCA_ITERS):
-        if v is None:
-            w = c.groupBy("i").agg(dec_sum(F.col("c") * 0.125).alias("w"))
+    def rnd(x: float, q: Decimal) -> Decimal:
+        return Decimal(repr(x)).quantize(q, ROUND_HALF_UP)
+
+    def dec_sum(vals) -> float:
+        tot = Decimal(0)
+        for x in vals:
+            tot += rnd(x, q12)
+        return float(tot)
+
+    rows = agg.collect()
+    n = 0
+    m = {}
+    s = {}
+    for r in rows:
+        if r["i"] == 0:
+            n = r["s"]
+        elif r["j"] == 0:
+            m[r["i"]] = r["s"]
         else:
-            w = c.join(v, "j").groupBy("i").agg(dec_sum(F.col("c") * F.col("v")).alias("w"))
-        nrm_df = w.agg(F.sqrt(dec_sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(F.broadcast(nrm_df)).select(
-            F.col("i").alias("j"), F.round(F.col("w") / F.col("nrm"), 12).alias("v")
-        )
-        if (t + 1) % 4 == 0:
-            v = v.localCheckpoint(eager=False)
-    return (
-        v.crossJoin(F.broadcast(nrm_df))
-        .select(
-            F.col("j").alias("dim"),
-            F.round(F.col("v"), 6).alias("loading"),
-            F.round(F.col("nrm"), 9).alias("eigenvalue"),
-        )
-        .orderBy("dim")
-    )
+            s[(r["i"], r["j"])] = r["s"]
+    schema = "dim int, loading double, eigenvalue double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    d = max(m)
+    cov = {
+        (i, j): (float(s[(i, j)]) - float(m[i]) * float(m[j]) / n)
+        / n
+        / _PCA_SCALE_SQ
+        for i in range(1, d + 1)
+        for j in range(1, d + 1)
+    }
+    v = None  # iteration state: dict j -> v_j; None = uniform 0.125 seed
+    nrm = 0.0
+    for _ in range(PCA_ITERS):
+        if v is None:
+            w = {
+                i: dec_sum(cov[(i, j)] * 0.125 for j in range(1, d + 1))
+                for i in range(1, d + 1)
+            }
+        else:
+            w = {
+                i: dec_sum(cov[(i, j)] * v[j] for j in range(1, d + 1))
+                for i in range(1, d + 1)
+            }
+        nrm = math.sqrt(dec_sum(w[i] * w[i] for i in range(1, d + 1)))
+        v = {i: float(rnd(w[i] / nrm, q12)) for i in range(1, d + 1)}
+    q6, q9 = Decimal("1e-6"), Decimal("1e-9")
+    out = [
+        (i, float(rnd(v[i], q6)), float(rnd(nrm, q9))) for i in range(1, d + 1)
+    ]
+    return spark.createDataFrame(out, schema).orderBy("dim")

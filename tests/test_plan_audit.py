@@ -76,7 +76,7 @@ CROSS_OK = {
     "sketch_kmv_intersection",  # broadcast 1-row theta/count scalar joins
     "sample_dsir_importance",  # broadcast 1-row bucket-total join (DSIR smoothing)
     "retrieval_bm25_topk",  # broadcast 1-row corpus-stats (N, avgdl) join
-    "embedding_pca_power",  # broadcast 1-row norm join per power-iteration step
+    "embedding_pca_power",  # O(dim^2) local eigensolve; no cross join remains
 }
 
 
