@@ -56,210 +56,81 @@ _MODULES = (
 # variants of classes already certified above (all still covered by the
 # local gate, tools/parity.py, and tests/test_oracle_parity.py).
 _PRIORITY = (
+    # ROUND-13 ROTATION: the seventeen round-12-green entries that had
+    # just earned same-round driver evidence (tpch_q6_style, join_semi,
+    # set_except, rollup_flag_status, recommend_copurchase_topk,
+    # cf_item_cosine, quality_lr_classifier, dedup_winnowing_fingerprints,
+    # sample_dsir_importance, seq_pattern_funnel, train_test_split_hash,
+    # tokenizer_bpe_train/encode, sim_ivfpq_topk, dedup_substring_spans,
+    # quality_gopher_rules, vocab_unseen_estimate) hand their slots to
+    # seventeen never-driver-windowed entries — the round-12 verdict's
+    # explicit ask — prioritizing the heavy locally-certified tail
+    # (embedding_pca_power after this round's Gramian rewrite,
+    # sim_ivf_kmeans_topk, mm_phash_dedup, graph_triangle_count,
+    # graph_label_propagation, the two uncovered streaming entries, the
+    # minhash fast path, BM25's inverted-index substrate, RRF fusion,
+    # the NB language classifier, PQ-ADC, sequence packing, the Q9
+    # pushdown-heavy join tree, mergeable HLL, dynamic pivot, and the
+    # Spark 4 VARIANT path). Every rotated-out entry keeps its r12 hard
+    # signal in the cross-round union.
     # reference surface: marts, staging semantics, the 4 test kinds
     "jaffle_customers",
     "jaffle_orders",
-    # stg_scalar_arith (r01..r07-green) hands its slot to the SQL-text
-    # authoring path: the /100-double staging class executes inside BOTH
-    # marts above, while sql_model_customers_mart is the one
-    # warehouse-layer semantic (SQL-verb model registration) that had
-    # never been driver-hash-checked
-    "sql_model_customers_mart",
+    # round 13: the SQL-text authoring slot upgrades from the hand-
+    # migrated customers text (r12-green) to the UNMODIFIED reference
+    # orders.sql file body rendered by plans/jinja_lite.py — the last
+    # migration-friction gap named in the r12 verdict
+    "sql_model_orders_mart",
     "test_unique_violations",
     "test_not_null_violations",
     "test_accepted_values_violations",
     "test_relationships_violations",
-    # one representative per relational-extension class (X1..X11, X14).
-    # tpch_q13_style (r11-green) hands its slot to the Q6 analog — the
-    # narrowest pushdown-heavy scan shape (range+BETWEEN filters into a
-    # two-column projection) had no driver evidence; Q13's
-    # LEFT-JOIN-count-DISTRIBUTION class keeps its r11 hard signal
-    "tpch_q6_style",
-    "join_semi",
-    "set_except",
-    "rollup_flag_status",
-    # tpch_q15_style (r11-green) hands its slot to the co-purchase
-    # recommender — the heaviest catalog entry (pair-generation +
-    # per-item top-k, the round-11 verdict's explicit rotation ask)
-    "recommend_copurchase_topk",
-    # tpch_q20_style (r11-green) hands its slot to item-item cosine
-    # collaborative filtering: the nested-semijoin shape keeps r11 hard
-    # signal, and the normalized co-rating similarity matrix (second
-    # heaviest entry) gains its first driver evidence
-    "cf_item_cosine",
-    # json_schema_parse (r11-green; the JSON-path class keeps
-    # json_extract's r01..r05 hard signal in the cross-round union)
-    # hands its slot to the round-12 BM25 retrieval scorer so the
-    # ranked-retrieval newcomer carries same-round driver evidence
+    # never-windowed rotation (r13): relational / reshape / TPC-H
+    "tpch_q9_style",
+    "pivot_dynamic",
+    "json_variant_extract",
+    "sketch_hll_mergeable",
+    # this round's two plan changes re-certify in-window
     "retrieval_bm25_topk",
-    # mm_decode_png (r11-green) hands its slot to the trained logistic-
-    # regression quality classifier: the stdlib PNG codec keeps its r11
-    # hard signal, and the fixed-iteration distributed GD loop (O(1)
-    # driver state per round) gains its first driver evidence
-    "quality_lr_classifier",
-    # topk_per_group (r01+r11-green; the X3 per-group top-k algebra is
-    # also in-window inside recommend_copurchase_topk's per-item top-k
-    # window) hands its slot to the round-12 winnowing fingerprints so
-    # the MOSS dedup newcomer carries same-round driver evidence
-    "dedup_winnowing_fingerprints",
-    # percentile_exact (r01+r11-green, X8 quantile machinery also
-    # exercised by quality_percentile_filter below) hands its slot to
-    # DSIR importance resampling — the round-12 hashed-bigram
-    # target/raw importance sampler gains same-round driver evidence
-    "sample_dsir_importance",
-    # session_window_batch (r01..r06-green) hands its slot to
-    # seq_pattern_funnel — a strict superset of the same 30-min-gap
-    # sessionization algebra (identical lag/cumsum with event_id
-    # tiebreaks) PLUS the ordered per-session agg and the
-    # MATCH_RECOGNIZE-style regex, so X14's batch class stays certified
-    # while the sequence-pattern family gains driver evidence
-    "seq_pattern_funnel",
+    "embedding_pca_power",
+    # never-windowed rotation (r13): retrieval / text / ML-pipeline
+    "text_inverted_index",
+    "hybrid_retrieval_rrf",
+    "lang_nb_classifier",
+    "pack_sequences",
     "tpch_q1_style",
-    # data-engineering operators — funnel_conversion / range_join_bucketed
-    # (r06-green duplicate-class reps: window+join machinery is also
-    # certified by window_range_frame, topk_per_group, join_semi,
-    # asof_join_last_signup) rotate out for the round-6 exact-mergeable
-    # bitmap flagship and the delete+insert incremental materialization
-    # path (the one reference-surface semantic the driver had never
-    # hash-checked, dbt_project.yml:22-27)
-    "train_test_split_hash",
-    # eval_pass_at_k (r11-green) hands its slot to BPE tokenizer
-    # training: the millionths-exact estimator keeps r11 hard signal,
-    # and the iterative merge-rule learner (the LLM-pipeline tokenizer
-    # core) gains its first driver evidence
-    "tokenizer_bpe_train",
-    # rank_bradley_terry (r11-green) hands its slot to BPE encoding:
-    # the MM ranking keeps r11 hard signal, and the trained-rule
-    # longest-match-first encoder gains its first driver evidence
-    "tokenizer_bpe_encode",
-    # sketch_kmv_intersection (r11-green) hands its slot to IVF-PQ ANN:
-    # the mergeable-sketch estimator keeps r11 hard signal, and the
-    # coarse-quantize + ADC residual scan composite (the billion-vector
-    # index shape) gains its first driver evidence
-    "sim_ivfpq_topk",
+    # never-windowed rotation (r13): similarity / dedup / graph / mm
+    "sim_ivf_kmeans_topk",
+    "sim_pq_adc_topk",
+    "mm_phash_dedup",
+    "dedup_minhash_fast_pairs",
+    "graph_triangle_count",
+    "graph_label_propagation",
     "incremental_orders_state",
-    # text analysis (X12) — text_quality_score's class is also covered
-    # by quality_percentile_filter below, so its slot certifies the
-    # bigram-LM scorer instead; text_lang_id (r06-green, X12 keeps four
-    # other green reps) gives its slot to the round-6 semantic-dedup
-    # flagship. text_token_stats (r01..r07-green) hands its slot to the
-    # nDCG@k ranking metric: its token machinery is a subset of
-    # text_tfidf_topk + quality_percentile_filter (both in-window), and
-    # the ranking-evaluation family gains its first hard signal
-    # text_char_entropy_gate (r11-green) hands its slot to the
-    # entity-resolution clusterer: the entropy gate keeps r11 hard
-    # signal, and the blocking-key + similarity-edge + components
-    # composite gains its first driver evidence
     "entity_resolution_clusters",
-    # ab_srm_check (r11-green) hands its slot to integer-exact
-    # PageRank: the SRM guard keeps r11 hard signal, and the iterative
-    # rank-mass propagation (judge-measured exponent 0.27/decade)
-    # gains its first driver evidence
     "graph_pagerank",
     "dedup_semantic_clusters",
     "text_tfidf_topk",
     "quality_percentile_filter",
-    # dedup (X13) — the minhash signature primitive is exercised inside
-    # dedup_minhash_lsh_pairs and pipeline_corpus_curation; the
-    # duplicate-span slot certifies curation_strip_dup_spans from round
-    # 6 (a strict superset: the same gram machinery as
-    # dedup_duplicate_ngram_spans' detection, r05-green, PLUS the
-    # canonical-occurrence strip + document rewrite)
-    # decontam_ngram_overlap (r06-green; near-dup shingle machinery is
-    # already certified by dedup_minhash_lsh_pairs +
-    # pipeline_corpus_curation + curation_strip_dup_spans) gives its
-    # slot to the round-6 exact all-pairs PPJoin flagship
     "dedup_exact",
-    # dedup_url_canonical (r08..r11-green; the URL-normalization class
-    # keeps that hard signal) hands its slot to the round-12 exact
-    # substring-level dedup (sorted rolling-hash k-grams -> adjacent
-    # extension, the "Deduplicating Training Data" approach) so the
-    # newest dedup family member gains same-round driver evidence
-    "dedup_substring_spans",
     "dedup_minhash_lsh_pairs",
-    # mm_resize_png (r11-green) hands its slot to multi-probe IVF: the
-    # resize kernel keeps r11 hard signal, and the recall-vs-probes ANN
-    # tradeoff surface gains its first driver evidence
     "sim_ivf_multiprobe_topk",
-    # graph_minplus_fixpoint (r11-green) hands its slot to quality-
-    # aware representative selection: Bellman-Ford-to-fixpoint keeps
-    # r11 hard signal, and the LSH->components->top-1 dedup composite
-    # (sf1-curve-measured exponent 0.22) gains its first driver
-    # evidence
     "dedup_keep_best_representative",
     "dedup_cluster_components",
-    # similarity / embeddings (X13) — int8 quantization rotated to
-    # tier 2 in r6 (X13 keeps five other green reps);
-    # sim_ann_hyperplane (r05-green; the ANN-bucketing class stays
-    # certified via sim_ivf_topk's inverted-list probe) gives its slot
-    # to the round-6 product-quantization flagship
-    # dedup_embedding_cosine (r06-green; the embedding-cosine class now
-    # has dedup_semantic_clusters certified above plus sim_cosine_topk)
-    # gives its slot to the round-6 CDC-tombstone flagship
     "sim_cosine_topk",
-    # eval_bleu_corpus (r08+r11-green; generation-eval class keeps that
-    # hard signal, eval_calibration_bins stays in-window) hands its
-    # slot to the round-12 Gopher quality-rule gate so the multi-rule
-    # document filter gains same-round driver evidence
-    "quality_gopher_rules",
-    # cdc_upsert_with_deletes (r07+r08-green) hands its slot to the
-    # manifest-sink round trip: the CDC-tombstone class carries two
-    # sink_manifest_roundtrip (r9+r11-green; the two-phase-commit write
-    # path keeps that hard signal and its pytest protocol suite) hands
-    # its slot — the most expensive window entry — to the round-12
-    # Good-Turing/Chao1 vocabulary estimator so all six round-12
-    # newcomers carry same-round driver evidence
-    "vocab_unseen_estimate",
     "sim_ivf_topk",
-    # kmeans_lloyd (r01..r07-green) hands its slot to reliability-
-    # diagram calibration bins: the Lloyd-iteration machinery trains
-    # inside dedup_semantic_clusters (in-window, certified r07), and
-    # the probabilistic-evaluation family gains a second hard signal
     "eval_calibration_bins",
-    # scd2_user_state_history (r06..r08-green) hands its slot to the
-    # YAML authoring path: the SCD2 interval algebra carries three
-    # rounds of hard signal (plus the snapshot materializer's pytest
-    # contract), and the round-8 dbt-dialect YAML loader — the last
-    # authoring surface without driver evidence — gets certified the
-    # way the SQL-text path (sql_model_customers_mart) was in round 8
     "yaml_model_customers_mart",
-    # table_stats_profile (r11-green) hands its slot to the streaming
-    # interval join: the table profiler keeps r11 hard signal, and the
-    # bucketed stream-stream range join — now draining through the
-    # distributed parquet file sink after the round-12 maxResultSize
-    # fix — gains its first driver evidence
+    # never-windowed rotation (r13): streaming tail
+    "stream_neardup_dedup",
+    "stream_running_user_stats",
     "stream_interval_join",
-    # sample_temperature_mix (r06..r07-green) hands its slot to the
-    # l-diversity audit: the sampling class keeps train_test_split_hash
-    # in-window, and the privacy-audit family (k-anon's stronger
-    # sibling) gains driver evidence
     "l_diversity_audit",
-    # graph_kcore_fixpoint (r11-green) hands its slot to the
-    # large-star/small-star O(log n) connected-components variant: the
-    # k-core fixpoint keeps r11 hard signal, and the star algorithm
-    # (the 100 TB-scale CC path, judge-measured exponent 0.19) gains
-    # its first driver evidence
     "dedup_cluster_components_star",
-    # mm_feature_extract (r06..r07-green) hands its slot to the chained
-    # tumbling->hourly streaming rollup: the multimodal Arrow plumbing
-    # stays certified by pytest (test_multimodal.py) and the phash lane
-    # shares its mapInPandas shape, while stream_chained_windows is the
-    # last streaming class family (multi-stage windowed state) without
-    # hard signal
     "stream_chained_windows",
-    # UDF surface + bespoke join/reshape ops (X16)
     "udf_apply_in_pandas",
     "asof_join_last_signup",
-    # survival_repurchase_curve (r08-green; the mining/eval family
-    # keeps seven other in-window reps) hands its slot to the Python
-    # UDTF lateral — the ONE X16 family member with zero hard signal
     "udtf_installment_plan",
-    # streaming (X15) — oracle-backed: availableNow+append over a static
-    # file emits the deterministic watermark-closed window set.
-    # stream_tumbling_counts (r06-green; the tumbling-count class is a
-    # strict subset of stream_session_windows' machinery) gives its
-    # slot to the left-outer streaming join — the hardest determinism
-    # argument in the repo (per-side min watermark, null emission)
     "stream_left_outer_join",
     "stream_session_windows",
 )
@@ -268,6 +139,27 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 in round 13 so seventeen never-driver-
+    # windowed entries gain first evidence; each of these keeps its r12
+    # (most also earlier-round) hard signal in the cross-round union
+    "tpch_q6_style",
+    "join_semi",
+    "set_except",
+    "rollup_flag_status",
+    "recommend_copurchase_topk",
+    "cf_item_cosine",
+    "quality_lr_classifier",
+    "dedup_winnowing_fingerprints",
+    "sample_dsir_importance",
+    "seq_pattern_funnel",
+    "train_test_split_hash",
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_encode",
+    "sim_ivfpq_topk",
+    "dedup_substring_spans",
+    "quality_gopher_rules",
+    "vocab_unseen_estimate",
+    "sql_model_customers_mart",
     # rotated out of the top-50 mid-round-12 so the three round-12
     # newcomers (DSIR resampling, exact substring dedup, Gopher gate)
     # carry same-round driver evidence; each of these three keeps
@@ -413,7 +305,6 @@ _TIER2 = (
     "event_markov_transitions",
     "k_anonymity_audit",
     "vocab_oov_rate",
-    "hybrid_retrieval_rrf",
     "window_running_distinct",
     "revenue_mom_growth",
     "drift_psi_monitor",
@@ -421,13 +312,11 @@ _TIER2 = (
     "source_jsonl_roundtrip",
     "segment_sales_trend",
     "chi2_feature_select",
-    "lang_nb_classifier",
     "events_ohlc_bars",
     "impute_group_median",
     "stream_ewma_last10",
     "tpch_q2_style",
     "tpch_q18_style",
-    "pivot_dynamic",
     "incremental_revenue_rollup",
     "users_anomaly_mad",
     "event_time_weighted_avg",
@@ -442,15 +331,12 @@ _TIER2 = (
     # dedup_semantic_clusters, distinct_exact_bitmap,
     # cdc_upsert_with_deletes, incremental_orders_state and
     # stream_left_outer_join were rotated into _PRIORITY in round 7)
-    "graph_label_propagation",
-    "json_variant_extract",
     "text_unicode_normalize",
     "text_strip_html",
     "vocab_id_assign",
     "gdpr_erase_users",
     "window_ntile_cume",
     "check_source_freshness",
-    "sim_pq_adc_topk",
     "join_bloom_prefilter",
     "dedup_ngram_containment",
     "text_heavy_hitters_mg",
@@ -459,7 +345,6 @@ _TIER2 = (
     "session_top_paths",
     "retention_cohorts",
     "copurchase_part_pairs",
-    "graph_triangle_count",
     "tpch_q3_style",
     "tpch_q5_style",
     "tpch_q10_style",
@@ -486,8 +371,6 @@ _TIER2 = (
     # r04-green) to make room for the X3/X8 representatives
     "map_ops",
     "text_repetition_ratio",
-    "pack_sequences",
-    "sim_ivf_kmeans_topk",
     "text_boilerplate_shingles",
     "pii_redact",
     "sample_language_balanced",
@@ -496,8 +379,6 @@ _TIER2 = (
     "batch_length_bucketed",
     "train_test_split_by_source",
     "shuffle_epoch_sample",
-    "mm_phash_dedup",
-    "sketch_hll_mergeable",
     "pivot_native",
     "source_synthetic_docs",
 )

@@ -442,3 +442,193 @@ sources:
             "yamlm_customers_mart",
         ):
             spark.catalog.dropTempView(v)
+
+
+# -- verbatim reference-file execution (plans/jinja_lite.py) ------------
+#
+# The raw_* source adapters below re-shape the driver's TPC-H-ish tables
+# into the column surface the reference's staging models expect (id,
+# user_id, order_date, status / id, order_id, payment_method, amount-in-
+# cents), so the five reference .sql files run UNMODIFIED on top. Two
+# determinism choices, mirrored exactly in the DuckDB oracles:
+# - payment_method is derived as l_linenumber % 4 into the reference's
+#   own four-method list (orders.sql:1);
+# - amount is whole-dollar cents (round(l_extendedprice)*100): after the
+#   reference's amount/100 staging division every payment is an
+#   integer-valued double, so the marts' un-rounded sum(amount) columns
+#   (orders.sql:24; customers.sql:36) are order-independent and
+#   bit-identical cross-engine WITHOUT editing the reference SQL.
+
+_REF_MODELS_DIR = "/root/reference/models"
+
+_REF_PAYMENT_SRC = """
+    SELECT l_orderkey AS order_id,
+           CASE l_linenumber % 4 WHEN 0 THEN 'credit_card'
+                WHEN 1 THEN 'coupon' WHEN 2 THEN 'bank_transfer'
+                ELSE 'gift_card' END AS payment_method,
+           CAST(round(l_extendedprice) AS BIGINT) * 100 AS amount
+    FROM lineitem
+"""
+
+_REF_ORDERS_MART_ORACLE = f"""
+    WITH raw_pay AS ({_REF_PAYMENT_SRC}),
+    pay AS (SELECT order_id, payment_method, amount / 100 AS amount FROM raw_pay),
+    order_payments AS (
+      SELECT order_id,
+             sum(CASE WHEN payment_method = 'credit_card' THEN amount ELSE 0 END) AS credit_card_amount,
+             sum(CASE WHEN payment_method = 'coupon' THEN amount ELSE 0 END) AS coupon_amount,
+             sum(CASE WHEN payment_method = 'bank_transfer' THEN amount ELSE 0 END) AS bank_transfer_amount,
+             sum(CASE WHEN payment_method = 'gift_card' THEN amount ELSE 0 END) AS gift_card_amount,
+             sum(amount) AS amount
+      FROM pay GROUP BY order_id
+    )
+    SELECT o.o_orderkey AS order_id,
+           o.o_custkey AS customer_id,
+           o.o_orderdate AS order_date,
+           o.o_orderstatus AS status,
+           p.credit_card_amount, p.coupon_amount,
+           p.bank_transfer_amount, p.gift_card_amount,
+           p.amount
+    FROM orders o
+    LEFT JOIN order_payments p ON o.o_orderkey = p.order_id
+"""
+
+_REF_CUSTOMERS_MART_ORACLE = f"""
+    WITH raw_pay AS ({_REF_PAYMENT_SRC}),
+    pay AS (SELECT order_id, amount / 100 AS amount FROM raw_pay),
+    customer_orders AS (
+      SELECT o_custkey AS customer_id,
+             min(o_orderdate) AS first_order,
+             max(o_orderdate) AS most_recent_order,
+             count(o_orderkey) AS number_of_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    customer_payments AS (
+      SELECT o.o_custkey AS customer_id, sum(p.amount) AS total_amount
+      FROM pay p LEFT JOIN orders o ON p.order_id = o.o_orderkey
+      GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey AS customer_id,
+           c.c_name AS first_name,
+           c.c_mktsegment AS last_name,
+           co.first_order,
+           co.most_recent_order,
+           co.number_of_orders,
+           cp.total_amount AS customer_lifetime_value
+    FROM customer c
+    LEFT JOIN customer_orders co ON c.c_custkey = co.customer_id
+    LEFT JOIN customer_payments cp ON c.c_custkey = cp.customer_id
+"""
+
+_REF_VIEWS = (
+    "raw_customers",
+    "raw_orders",
+    "raw_payments",
+    "stg_customers",
+    "stg_orders",
+    "stg_payments",
+    "ref_orders_mart",
+    "ref_customers_mart",
+)
+
+
+def _ref_jinja_project(spark: SparkSession, sf_dir: str):
+    """Build a Project whose five models are the UNMODIFIED reference
+    .sql file bodies, over raw_* adapters of the driver tables."""
+    import os
+
+    from ..plans.registry import Project
+
+    p = Project()
+    p.add_source(
+        "raw_customers",
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("first_name"),
+            F.col("c_mktsegment").alias("last_name"),
+        ),
+    )
+    p.add_source(
+        "raw_orders",
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderstatus").alias("status"),
+        ),
+    )
+    methods = F.array(
+        *(F.lit(m) for m in ("credit_card", "coupon", "bank_transfer", "gift_card"))
+    )
+    p.add_source(
+        "raw_payments",
+        load_table(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+            F.col("l_orderkey").alias("order_id"),
+            F.element_at(methods, (F.col("l_linenumber") % 4) + 1).alias(
+                "payment_method"
+            ),
+            (
+                F.round(F.col("l_extendedprice")).cast("bigint") * 100
+            ).alias("amount"),
+        ),
+    )
+    for fname, model in (
+        ("staging/stg_customers.sql", "stg_customers"),
+        ("staging/stg_orders.sql", "stg_orders"),
+        ("staging/stg_payments.sql", "stg_payments"),
+        ("orders.sql", "ref_orders_mart"),
+        ("customers.sql", "ref_customers_mart"),
+    ):
+        path = os.path.join(_REF_MODELS_DIR, fname)
+        with open(path) as fh:
+            p.jinja_sql_model(model, fh.read())
+    return p
+
+
+@register(
+    "sql_model_orders_mart",
+    oracle=_REF_ORDERS_MART_ORACLE,
+    doc="The reference's models/orders.sql FILE BODY executed verbatim — "
+    "no brace-stripping, no hand-migrated loop: plans/jinja_lite.py "
+    "renders the {% set %} list, both {% for %} pivot loops and the "
+    "{{ ref() }} edges (orders.sql:1,5,11,20-22,42-46) plus the "
+    "staging files' {#- comments and refs, and Project.sql_model "
+    "executes the rendered SQL through Spark's own analyzer. The only "
+    "authored code is the raw_* source adapters (TPC-H columns -> the "
+    "seed surface) — the exact dbt 'switch your sources, keep your "
+    "models' migration. Same conditional-aggregate pivot + LEFT join "
+    "scale shape as the certified jaffle_orders twin: one partial-> "
+    "final hash aggregate on order_id and a key join, no new shuffle "
+    "class. Whole-dollar payment amounts keep the reference's "
+    "UN-rounded sum(amount) columns exact cross-engine (see adapter "
+    "comment).",
+)
+def q_sql_model_orders_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _ref_jinja_project(spark, sf_dir)
+    try:
+        return p.resolve("ref_orders_mart", spark)
+    finally:
+        for v in _REF_VIEWS:
+            spark.catalog.dropTempView(v)
+
+
+@register(
+    "jinja_model_customers_mart",
+    oracle=_REF_CUSTOMERS_MART_ORACLE,
+    doc="The reference's models/customers.sql FILE BODY executed "
+    "verbatim through the same jinja_lite render path as "
+    "sql_model_orders_mart (customers.sql:1-67: three {{ ref() }} "
+    "CTEs, join-then-aggregate customer_payments, NULL-preserving "
+    "LEFT joins). Certifies the renderer on the no-loop model shape "
+    "and pins the reference's unfused two-aggregate plan next to the "
+    "engine-native fused rewrite (jaffle_customers) under the same "
+    "oracle discipline.",
+)
+def q_jinja_model_customers_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _ref_jinja_project(spark, sf_dir)
+    try:
+        return p.resolve("ref_customers_mart", spark)
+    finally:
+        for v in _REF_VIEWS:
+            spark.catalog.dropTempView(v)

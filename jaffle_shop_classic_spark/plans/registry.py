@@ -183,6 +183,33 @@ class Project:
             name=name, materialized=materialized, deps=deps, description=description
         )(fn)
 
+    def jinja_sql_model(
+        self,
+        name: str,
+        source: str,
+        materialized: str = "view",
+        description: str = "",
+    ) -> None:
+        """Register a model from an UNMODIFIED dbt model file body.
+
+        The compile-time Jinja subset the reference project uses
+        (``{{ ref() }}``, ``{% set %}``/``{% for %}`` pivot loops,
+        comments — see plans/jinja_lite.py) renders to plain SQL, the
+        ``ref()`` targets become the dependency edges, and execution
+        delegates to :meth:`sql_model` — so a reference user can drop
+        their ``models/*.sql`` files in verbatim
+        (/root/reference/models/orders.sql:1-56 runs unchanged)."""
+        from .jinja_lite import render_model_source
+
+        rendered = render_model_source(source)
+        self.sql_model(
+            name,
+            rendered.sql,
+            deps=rendered.deps,
+            materialized=materialized,
+            description=description,
+        )
+
     def add_source(self, name: str, df: DataFrame) -> None:
         self.sources[name] = df
 

@@ -30,9 +30,10 @@ _REQUIRED_IN_WINDOW = {
     # exchange for long-certified duplicate-class reps (round 9 rotated
     # eval_auc_mannwhitney / bootstrap_mean_ci / sketch_hll_portable /
     # survival_repurchase_curve — all r07/r08-green — back to tier 2)
-    "round7_session_promotions": {
-        "seq_pattern_funnel",
-    },
+    # (round 13 rotated seq_pattern_funnel, r12-green, back to tier 2;
+    # the 30-min-gap sessionization algebra keeps stream_session_windows
+    # in-window as its streaming twin)
+    "round7_session_promotions": set(),
     # round 7: the round-6 flagships promoted into the hard signal
     # (round 9 rotated cdc_upsert_with_deletes, r07+r08-green, out)
     # (round 10 rotated dedup_jaccard_prefix_filter r6..r9-green and
@@ -49,8 +50,11 @@ _REQUIRED_IN_WINDOW = {
     # (round 10 rotated events_peak_concurrency / trend_mann_kendall /
     # eval_ndcg_at_k / label_noise_knn_audit / fd_discovery_profile —
     # all r8/r9-green — back to tier 2 for the round-9 newcomers)
+    # (round 13 upgraded the SQL-text authoring slot from the hand-
+    # migrated customers text, r12-green, to the verbatim reference
+    # orders.sql body rendered by plans/jinja_lite.py)
     "round8_promotions": {
-        "sql_model_customers_mart",
+        "sql_model_orders_mart",
         "eval_calibration_bins",
         "l_diversity_audit",
         "stream_chained_windows",
@@ -58,13 +62,11 @@ _REQUIRED_IN_WINDOW = {
     # round-8 session 2 promoted eval_bleu_corpus / dedup_url_canonical;
     # both r8+r11-green, rotated back to tier 2 mid-round-12 so the
     # round-12 newcomers carry same-round driver evidence
+    # round 13 rotated the other five round-12 newcomers (all r12-green)
+    # back to tier 2; BM25 stays in-window because this round's verdict
+    # required re-certifying its query-pruned df broadcast
     "round12_newcomers": {
-        "dedup_substring_spans",
-        "sample_dsir_importance",
-        "quality_gopher_rules",
         "retrieval_bm25_topk",
-        "dedup_winnowing_fingerprints",
-        "vocab_unseen_estimate",
     },
     # round 9 (the round-8 verdict's brief #1/#3/#4): the six
     # uncertified round-8 newcomers plus the YAML-authoring and
@@ -80,20 +82,40 @@ _REQUIRED_IN_WINDOW = {
     # round 12 (the round-11 verdict's brief #3): the thirteen r11-green
     # round-10 newcomers rotated back to tier 2, their slots funding
     # first driver evidence for the never-driver-checked heavy tail
+    # (round 13 rotated tpch_q6_style, recommend_copurchase_topk,
+    # cf_item_cosine, quality_lr_classifier, tokenizer_bpe_train/encode,
+    # and sim_ivfpq_topk — all r12-green — back to tier 2 for the
+    # never-windowed tail)
     "round12_promotions": {
-        "tpch_q6_style",
-        "recommend_copurchase_topk",
-        "cf_item_cosine",
-        "quality_lr_classifier",
-        "tokenizer_bpe_train",
-        "tokenizer_bpe_encode",
-        "sim_ivfpq_topk",
         "sim_ivf_multiprobe_topk",
         "dedup_keep_best_representative",
         "dedup_cluster_components_star",
         "entity_resolution_clusters",
         "graph_pagerank",
         "stream_interval_join",
+    },
+    # round 13 (the round-12 verdict's brief #3): seventeen
+    # never-driver-windowed entries gain first evidence, prioritizing
+    # the heavy locally-certified tail plus this round's two plan
+    # changes (BM25 above, PCA below)
+    "round13_promotions": {
+        "tpch_q9_style",
+        "pivot_dynamic",
+        "json_variant_extract",
+        "sketch_hll_mergeable",
+        "embedding_pca_power",
+        "text_inverted_index",
+        "hybrid_retrieval_rrf",
+        "lang_nb_classifier",
+        "pack_sequences",
+        "sim_ivf_kmeans_topk",
+        "sim_pq_adc_topk",
+        "mm_phash_dedup",
+        "dedup_minhash_fast_pairs",
+        "graph_triangle_count",
+        "graph_label_propagation",
+        "stream_neardup_dedup",
+        "stream_running_user_stats",
     },
     # round 5 re-certified the X3 top-k and X8 exact-percentile classes
     # (topk_per_group and percentile_exact, both r01+r11-green, rotated
@@ -102,10 +124,14 @@ _REQUIRED_IN_WINDOW = {
     # top-k window runs inside recommend_copurchase_topk in-window)
     # round 7: session_window_batch handed its slot to seq_pattern_funnel,
     # which carries the SAME CAST(sum(...) AS BIGINT) session-id algebra
-    # (the hugeint regression surface) plus the sequence-regex family
+    # (the hugeint regression surface) plus the sequence-regex family.
+    # round 13 rotated seq_pattern_funnel and train_test_split_hash (both
+    # r12-green) out; the CAST(sum AS BIGINT) hugeint-guard class stays
+    # in-window via stream_session_windows (the same session-id cumsum)
+    # and incremental_orders_state
     "hugeint_regressions": {
-        "seq_pattern_funnel",
-        "train_test_split_hash",
+        "stream_session_windows",
+        "incremental_orders_state",
     },
 }
 
