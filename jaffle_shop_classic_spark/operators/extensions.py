@@ -4389,16 +4389,35 @@ def q_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_ER_BLOCK = 256
+"""Hot-block guard for entity resolution: a (brand, first-letter) block
+holding more than this many DISTINCT names is excluded from the fuzzy
+quadratic entirely (exact-duplicate clustering still applies inside it).
+An adversarial key — one blocking value covering the table — would
+otherwise go quadratic silently, the same failure mode MAX_BAND_SIZE
+guards in the LSH path. Mirrored verbatim in the DuckDB oracle, so the
+cap is part of the certified semantics, not a Spark-side shortcut; at
+the normal data's block-size distribution (~2-25 distinct names/block
+across sf0.001-sf1) it never binds."""
+
+
 @register(
     "entity_resolution_clusters",
-    oracle="""
-    WITH RECURSIVE cand AS (
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT p_brand, p_name, substr(p_name, 1, 1) AS blk
+      FROM part GROUP BY 1, 2, 3
+    ),
+    bn AS (SELECT p_brand, blk, count(*) AS n FROM g GROUP BY 1, 2),
+    cand AS (
       SELECT a.p_partkey AS src, b.p_partkey AS dst
       FROM part a JOIN part b
         ON a.p_brand = b.p_brand
        AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
        AND a.p_partkey < b.p_partkey
-      WHERE levenshtein(a.p_name, b.p_name) <= 3
+      JOIN bn ON bn.p_brand = a.p_brand AND bn.blk = substr(a.p_name, 1, 1)
+      WHERE a.p_name = b.p_name
+         OR (bn.n <= {MAX_ER_BLOCK} AND levenshtein(a.p_name, b.p_name) <= 3)
     ),
     edges AS (
       SELECT src, dst FROM cand
@@ -4433,8 +4452,19 @@ def q_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blocks AND only on DISTINCT names — exact duplicates collapse to "
     "partkey arrays before the edit-distance step and re-expand "
     "afterwards (~1M evals -> ~1k at sf0.1; 2.09 s -> 0.59 s measured, "
-    "identical output); clustering is the same monotone-fixpoint loop as CC "
-    "(near-dup entity graphs are shallow), lazily localCheckpoint-ed "
+    "identical output). Two scale guards added round 13: (a) duplicate "
+    "groups emit STAR edges (group-min to each member; one "
+    "representative edge per matching name pair) instead of all-pairs "
+    "— connected components, and therefore every output value, are "
+    "identical, but edge count drops from sum(|ka|*|kb|) to linear in "
+    "records + one per fuzzy match, removing the duplicate-count "
+    "quadratic the r12 curve flagged (exp 1.09/decade); (b) a "
+    "(brand, first-letter) block with more than MAX_ER_BLOCK distinct "
+    "names is excluded from the fuzzy quadratic (exact-dup clustering "
+    "still applies), mirrored in the oracle — the planted degenerate- "
+    "block pytest proves pair generation stays bounded under an "
+    "adversarial key. Clustering is the same monotone-fixpoint loop as "
+    "CC (near-dup entity graphs are shallow), lazily localCheckpoint-ed "
     "per round — at 100 TB the checkpoints become durable and hot "
     "blocks salt exactly like any skewed equi-join key. Oracle is the "
     "identical fixpoint as a recursive min-label closure.",
@@ -4452,8 +4482,24 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape holds — the groupBy is a keyed exchange of the record
     # table, and the quadratic term runs on the (much smaller) distinct
     # value space inside each block.
-    grp = p.groupBy("p_brand", "p_name").agg(F.collect_list("p_partkey").alias("ks"))
-    g1, g2 = grp.alias("g1"), grp.alias("g2")
+    grp = (
+        p.groupBy("p_brand", "p_name")
+        .agg(F.collect_list("p_partkey").alias("ks"))
+        .withColumn("rep", F.array_min("ks"))
+    )
+    # hot-block guard: blocks with > MAX_ER_BLOCK distinct names sit out
+    # the fuzzy quadratic; the windowed count partitions by the block
+    # key, the same key the candidate self-join shuffles on
+    blk = Window.partitionBy("p_brand", F.substring("p_name", 1, 1))
+    fz = (
+        grp.withColumn("blk_n", F.count(F.lit(1)).over(blk))
+        .filter(F.col("blk_n") <= MAX_ER_BLOCK)
+        .select("p_brand", "p_name", "rep")
+    )
+    # one representative edge per matching DISTINCT-name pair (star
+    # contraction: components — and thus every output value — identical
+    # to the all-pairs expansion it replaced)
+    g1, g2 = fz.alias("g1"), fz.alias("g2")
     cross = (
         g1.join(
             g2,
@@ -4465,35 +4511,37 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("g1.p_name") < F.col("g2.p_name")),
         )
         .where(F.levenshtein(F.col("g1.p_name"), F.col("g2.p_name")) <= 3)
-        .select(F.col("g1.ks").alias("ka"), F.col("g2.ks").alias("kb"))
-        .select(F.explode("ka").alias("k1"), "kb")
-        .select("k1", F.explode("kb").alias("k2"))
-        .select(F.least("k1", "k2").alias("src"), F.greatest("k1", "k2").alias("dst"))
+        .select(
+            F.least("g1.rep", "g2.rep").alias("src"),
+            F.greatest("g1.rep", "g2.rep").alias("dst"),
+        )
     )
-    # same-name pairs (distance 0): ordered combinations within a group
-    same = grp.selectExpr(
-        "explode(flatten(transform(ks, x -> transform(filter(ks, y -> y > x), "
-        "y -> struct(x AS src, y AS dst))))) AS pr"
-    ).select("pr.src", "pr.dst")
-    cand = cross.unionByName(same)
-    edges = cand.unionByName(
-        cand.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # The fixpoint runs on the REPRESENTATIVE graph — one node per
+    # distinct name, edges = fuzzy name matches — because rep ==
+    # array_min(ks) <= every member, so min-partkey per component over
+    # members equals min-rep per component over reps: expanding members
+    # after convergence is provably output-identical and shrinks every
+    # propagation frame by the duplicate multiplicity (~12x here).
+    edges = cross.unionByName(
+        cross.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     labels = (
-        edges.groupBy(F.col("src").alias("p_partkey"))
+        edges.groupBy(F.col("src").alias("rep"))
         .agg(F.min("dst").alias("mn"))
-        .select("p_partkey", F.least(F.col("p_partkey"), F.col("mn")).alias("label"))
+        .select("rep", F.least(F.col("rep"), F.col("mn")).alias("label"))
         .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    converged = False
+    converged = prev_sum is None  # no fuzzy edges at all -> trivially done
     for _ in range(8):
-        prop = edges.join(labels, edges.src == labels.p_partkey).select(
-            F.col("dst").alias("p_partkey"), "label"
+        if converged:
+            break
+        prop = edges.join(labels, edges.src == labels.rep).select(
+            F.col("dst").alias("rep"), "label"
         )
         labels = (
             labels.unionByName(prop)
-            .groupBy("p_partkey")
+            .groupBy("rep")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
@@ -4512,7 +4560,18 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reach a fixpoint within 8 rounds — raise the round budget "
             "or switch to the star-contraction path for this graph"
         )
-    comp = labels.select("p_partkey", F.col("label").alias("entity_id"))
+    # exact-duplicate groups (|ks| >= 2) with no fuzzy neighbor are
+    # their own component; singleton names with no match emit no row
+    dup_only = (
+        grp.filter(F.size("ks") >= 2)
+        .select("rep")
+        .join(labels, "rep", "left_anti")
+        .select("rep", F.col("rep").alias("label"))
+    )
+    comp = (
+        grp.join(labels.unionByName(dup_only), "rep")
+        .select(F.explode("ks").alias("p_partkey"), F.col("label").alias("entity_id"))
+    )
     sizes = comp.groupBy("entity_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
