@@ -54,6 +54,12 @@ def main(argv=None) -> int:
     ap.add_argument("--warehouse", default=None, help="parquet output dir for table models")
     ap.add_argument("--out", default=None, help="docs: output JSON path; curate: corpus output dir")
     ap.add_argument(
+        "--html",
+        default=None,
+        help="docs: write a self-contained browsable HTML catalog (the "
+        "`dbt docs serve` artifact) to this path instead of JSON/stdout",
+    )
+    ap.add_argument(
         "--sf-dir",
         default="/root/testdata/sf0.001",
         help="curate: input tables directory (documents.parquet)",
@@ -268,6 +274,13 @@ def main(argv=None) -> int:
 
     if args.command == "docs":
         catalog = generate_catalog(project, built)
+        if args.html:
+            from .plans.docs import generate_query_catalog, render_html
+
+            with open(args.html, "w") as fh:
+                fh.write(render_html(catalog, generate_query_catalog()))
+            print(f"wrote {args.html}")
+            return 0
         if args.out:
             write_catalog(project, built, args.out)
             print(f"wrote {args.out}")

@@ -160,6 +160,26 @@ def test_docs_catalog(built):
     assert "customer_lifetime_value" in md
 
 
+def test_docs_html_artifact(built):
+    """--html: the `dbt docs serve` artifact — one self-contained page
+    with nav anchors, dependency links, and schema tables."""
+    from jaffle_shop_classic_spark.plans.docs import generate_catalog, render_html
+
+    project, models = built
+    cat = generate_catalog(project, models)
+    html = render_html(cat, {"q1": {"oracle": "hash", "description": "x < y"}})
+    assert html.startswith("<!doctype html>")
+    # nav anchor and section id pair up for every model
+    for name in cat["models"]:
+        assert html.count(f'id="m-{name}"') == 1
+        assert f'href="#m-{name}"' in html
+    # dependency edges render as links, schema rows carry column docs
+    assert 'href="#m-stg_orders"' in html
+    assert "customer_lifetime_value" in html
+    # operator list present and HTML-escaped
+    assert "x &lt; y" in html
+
+
 def test_orders_mart_matches_duckdb(built, seed_dir):
     """Full-output cross-check of the orders mart (pivot + left join)
     against the reference SQL shape run by DuckDB on the same CSVs."""

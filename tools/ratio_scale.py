@@ -76,7 +76,20 @@ def time_spark(fn, spark, sf_dir: str) -> float:
 def time_duck(con, sql: str) -> float | None:
     import threading
 
-    timer = threading.Timer(ORACLE_BUDGET_SEC, con.interrupt)
+    # The interrupt is gated on a lock-guarded flag: Timer.cancel() after
+    # fetchall() returns cannot un-schedule a callback that already fired,
+    # and an unguarded con.interrupt() landing in that window would
+    # spuriously kill the NEXT query on the shared connection and
+    # misrecord it as over-budget (r12 advice).
+    lock = threading.Lock()
+    running = True
+
+    def interrupt_if_running():
+        with lock:
+            if running:
+                con.interrupt()
+
+    timer = threading.Timer(ORACLE_BUDGET_SEC, interrupt_if_running)
     t0 = time.perf_counter()
     timer.start()
     try:
@@ -85,6 +98,8 @@ def time_duck(con, sql: str) -> float | None:
     except duckdb.InterruptException:
         return None
     finally:
+        with lock:
+            running = False
         timer.cancel()
 
 

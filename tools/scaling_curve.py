@@ -67,6 +67,12 @@ DEFAULT_QUERIES = [
     "dedup_winnowing_fingerprints",
     "retrieval_bm25_topk",
     "embedding_pca_power",
+    # round 13 (verdict item 7): the r12 drift suspects and a second +
+    # third streaming family member — tumbling watermark agg and the
+    # Arrow-UDF SimHash ingest gate — plus the trained-BPE encoder
+    "stream_tumbling_counts",
+    "stream_neardup_dedup",
+    "tokenizer_bpe_encode",
 ]
 
 ROUNDS = 3
