@@ -74,6 +74,9 @@ FAMILY_REPS = {
 
 # entries whose machinery is certified by a rep outside their name family
 OVERRIDES = {
+    # same jinja_lite render path as the windowed orders-file entry;
+    # same mart algebra as the flagship customers mart
+    "jinja_model_customers_mart": ["sql_model_orders_mart", "jaffle_customers"],
     "rank_bradley_terry": ["er_fellegi_sunter_em", "eval_calibration_bins"],
     "table_stats_profile": ["fd_discovery_profile", "distinct_exact_bitmap"],
     "ab_srm_check": ["train_test_split_hash", "ks_test_two_sample"],
