@@ -2513,3 +2513,79 @@ def q_dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+LINE_DEDUP_SEG = 10
+
+
+@register(
+    "curation_line_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(i AS INT) AS seg_pos,
+             array_to_string(ts[(i*{LINE_DEDUP_SEG}+1):(i*{LINE_DEDUP_SEG}+{LINE_DEDUP_SEG})], ' ') AS seg
+      FROM t, unnest(range(0, CAST(ceil(len(ts) / {float(LINE_DEDUP_SEG)}) AS BIGINT))) AS u(i)
+    ),
+    fo AS (
+      SELECT doc_id, seg_pos, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_pos) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_pos) FILTER (WHERE rn = 1), '')
+             AS text_deduped
+    FROM fo GROUP BY doc_id
+    """,
+    doc="Corpus-wide line-level dedup WITH document rewrite — the CCNet "
+    "/ RefinedWeb curation step (Wenzek 2020 'CCNet' dedups shared "
+    "lines/paragraphs across the crawl before any model sees them; "
+    "boilerplate headers/footers are the bulk of crawl bytes). The "
+    "synthetic corpus has no newlines, so 'lines' are fixed "
+    f"{LINE_DEDUP_SEG}-token segments built JVM-side with sequence/"
+    "slice/array_join higher-order functions (no per-token explode for "
+    "construction); each segment keeps only its FIRST corpus "
+    "occurrence (min (doc_id, position) via one row_number window "
+    "keyed on the segment — the exact-dedup shuffle shape), and "
+    "documents are reassembled from their surviving segments in "
+    "position order. A fully-duplicate document rewrites to '' (and "
+    "its n_kept = 0) rather than disappearing — curation must keep "
+    "the doc row so downstream joins see the tombstone. Plan: one "
+    "segment-keyed exchange + one doc-keyed exchange, both "
+    "partial->final; the rewrite state per doc is its surviving "
+    "segment list, never the corpus. At 100 TB this is exactly the "
+    "production line-dedup job: shuffle on segment hash, keep "
+    "first-seen, regroup by document. Ref: no reference analog; "
+    "public CCNet pipeline shape.",
+)
+def q_curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    nseg = F.ceil(F.size(toks) / F.lit(float(LINE_DEDUP_SEG))).cast("int")
+    segs = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * LINE_DEDUP_SEG + 1, LINE_DEDUP_SEG), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select("doc_id", F.posexplode(segs).alias("seg_pos", "seg"))
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_pos")
+    fo = ex.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("seg_pos", "seg"))
+    return fo.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )

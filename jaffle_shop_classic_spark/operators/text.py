@@ -3058,3 +3058,114 @@ def q_vocab_unseen_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chao1_richness"),
     )
+
+
+HEAPS_BUCKETS = 32
+
+_HEAPS_SLOPE_SQL = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+
+
+@register(
+    "vocab_heaps_law",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+    nt AS (SELECT doc_id, len(ts) AS n_tok FROM t),
+    tok AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+    ft AS (SELECT min(doc_id) AS doc_id FROM tok GROUP BY tok),
+    nv AS (SELECT doc_id, count(*) AS new_v FROM ft GROUP BY doc_id),
+    mx AS (SELECT CAST(ceil((max(doc_id) + 1) / {float(HEAPS_BUCKETS)}) AS BIGINT) AS w
+           FROM documents),
+    b AS (SELECT CAST(floor(nt.doc_id / mx.w) AS INT) AS bucket,
+                 nt.n_tok, coalesce(nv.new_v, 0) AS new_v
+          FROM nt LEFT JOIN nv ON nt.doc_id = nv.doc_id, mx),
+    pb AS (SELECT bucket, sum(n_tok) AS bn, sum(new_v) AS bv
+           FROM b GROUP BY bucket),
+    pts AS (SELECT round(ln(CAST(sum(bn) OVER wsp AS DOUBLE)), 9) AS x,
+                   round(ln(CAST(sum(bv) OVER wsp AS DOUBLE)), 9) AS y
+            FROM pb WINDOW wsp AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+    s AS (SELECT count(*) AS n,
+            CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+            CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+          FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round({_HEAPS_SLOPE_SQL}, 6) AS heaps_beta,
+           round((sy - round({_HEAPS_SLOPE_SQL}, 9) * sx) / n, 6) AS heaps_ln_k
+    FROM s
+    """,
+    doc="Heaps'-law vocabulary-growth fit V(N) = k * N^beta (Heaps 1978; "
+    "the corpus-planning companion to vocab_unseen_estimate's "
+    "Good-Turing/Chao1 point estimates): how fast does vocabulary grow "
+    "as the corpus grows. The growth curve is built EXACTLY without "
+    "any corpus-sized cumulative state: each term contributes one "
+    "first-occurrence event at min(doc_id), first-occurrence counts "
+    f"and token counts aggregate into {HEAPS_BUCKETS} contiguous "
+    "doc_id-range buckets (a keyed parallel aggregate), and the "
+    "cumulative (N, V) checkpoints come from a window over the "
+    f"{HEAPS_BUCKETS}-row bucket frame — so the only ordered scan is "
+    "O(buckets), never O(docs), and at 100 TB the plan is two "
+    "partial->final aggregates plus constant-size driver-free "
+    "postprocessing. The log-log OLS slope/intercept use the repo's "
+    "decimal discipline (9dp-rounded lns, 12dp-rounded products "
+    "summed as DECIMAL(38,12), slope rounded to 9dp before the "
+    "intercept) so both engines walk identical arithmetic. Ref: no "
+    "reference analog; public Heaps/Herdan law.",
+)
+def q_vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col(F.col("text")).alias("ts"))
+    nt = toks.select("doc_id", F.size("ts").alias("n_tok"))
+    tok = toks.select("doc_id", F.explode("ts").alias("tok"))
+    nv = (
+        tok.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_v"))
+    )
+    mx = d.agg(
+        F.ceil((F.max("doc_id") + 1) / float(HEAPS_BUCKETS))
+        .cast("bigint")
+        .alias("w")
+    )
+    b = (
+        nt.join(nv, "doc_id", "left")
+        .na.fill({"new_v": 0})
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("doc_id") / F.col("w")).cast("int").alias("bucket"),
+            "n_tok",
+            "new_v",
+        )
+    )
+    pb = b.groupBy("bucket").agg(
+        F.sum("n_tok").alias("bn"), F.sum("new_v").alias("bv")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    pts = pb.select(
+        F.round(F.log(F.sum("bn").over(w).cast("double")), 9).alias("x"),
+        F.round(F.log(F.sum("bv").over(w).cast("double")), 9).alias("y"),
+    )
+
+    def dec(col: Column) -> Column:
+        return F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")
+
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - F.round(slope, 9) * F.col("sx")) / F.col("n"), 6
+        ).alias("heaps_ln_k"),
+    )

@@ -77,6 +77,12 @@ OVERRIDES = {
     # same jinja_lite render path as the windowed orders-file entry;
     # same mart algebra as the flagship customers mart
     "jinja_model_customers_mart": ["sql_model_orders_mart", "jaffle_customers"],
+    # fof/first-occurrence token machinery = the windowed estimator +
+    # tfidf token aggregates
+    "vocab_heaps_law": ["vocab_unseen_estimate", "text_tfidf_topk"],
+    # segment-keyed first-occurrence shuffle = exact dedup; rewrite =
+    # the certified strip-dup-spans reassembly
+    "curation_line_dedup": ["dedup_exact", "curation_strip_dup_spans"],
     "rank_bradley_terry": ["er_fellegi_sunter_em", "eval_calibration_bins"],
     "table_stats_profile": ["fd_discovery_profile", "distinct_exact_bitmap"],
     "ab_srm_check": ["train_test_split_hash", "ks_test_two_sample"],
