@@ -77,6 +77,7 @@ CROSS_OK = {
     "sample_dsir_importance",  # broadcast 1-row bucket-total join (DSIR smoothing)
     "retrieval_bm25_topk",  # broadcast 1-row corpus-stats (N, avgdl) join
     "embedding_pca_power",  # O(dim^2) local eigensolve; no cross join remains
+    "vocab_heaps_law",  # broadcast 1-row bucket-width join
 }
 
 
