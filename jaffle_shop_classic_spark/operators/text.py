@@ -3169,3 +3169,192 @@ def q_vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - F.round(slope, 9) * F.col("sx")) / F.col("n"), 6
         ).alias("heaps_ln_k"),
     )
+
+
+RM3_FB_DOCS = 10  # pseudo-relevance feedback depth
+RM3_EXP_TERMS = 8  # expansion terms kept from the feedback model
+RM3_LAMBDA = 0.5  # original-query interpolation weight
+
+
+def _rm3_oracle() -> str:
+    """DuckDB twin of q_retrieval_rm3_expansion — two BM25 scoring
+    passes around a uniform-prior RM1 feedback model, every float
+    rounded at the same grain as the Spark side."""
+    contrib = (
+        "round(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))"
+        f" * (tf.tf * ({BM25_K1} + 1.0))"
+        f" / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl"
+        " / (CAST(stats.total AS DOUBLE) / stats.n_docs))), 9)"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total FROM dl
+    ),
+    q0 AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY tf DESC, term ASC) AS rn
+        FROM tf WHERE doc_id = 0
+      ) WHERE rn <= {BM25_QUERY_TERMS}
+    ),
+    s1 AS (
+      SELECT tf.doc_id,
+             round(CAST(sum(CAST({contrib} AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+      FROM tf JOIN q0 USING (term) JOIN df USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      WHERE tf.doc_id <> 0
+      GROUP BY tf.doc_id
+    ),
+    fb AS (
+      SELECT doc_id FROM s1 ORDER BY bm25 DESC, doc_id ASC LIMIT {RM3_FB_DOCS}
+    ),
+    wexp AS (
+      SELECT tf.term,
+             round(CAST(sum(CAST(round(CAST(tf.tf AS DOUBLE) / dl.dl, 9)
+                   AS DECIMAL(38,9))) AS DOUBLE), 9) AS w
+      FROM tf JOIN fb USING (doc_id) JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.term
+    ),
+    texp AS (
+      SELECT term, w FROM wexp ORDER BY w DESC, term ASC LIMIT {RM3_EXP_TERMS}
+    ),
+    sumw AS (
+      SELECT CAST(sum(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS s FROM texp
+    ),
+    wfin AS (
+      SELECT coalesce(o.term, e.term) AS term,
+             round({RM3_LAMBDA} * CASE WHEN o.term IS NULL THEN 0.0
+                     ELSE {1.0 / BM25_QUERY_TERMS} END
+                   + {1.0 - RM3_LAMBDA} * coalesce(round(e.w / sumw.s, 9), 0.0),
+                   9) AS wt
+      FROM (SELECT term FROM q0) o
+      FULL JOIN texp e ON o.term = e.term
+      CROSS JOIN sumw
+    ),
+    s3 AS (
+      SELECT tf.doc_id,
+             round(CAST(sum(CAST(round(wfin.wt * {contrib}, 9)
+                   AS DECIMAL(28,9))) AS DOUBLE), 6) AS rm3_score
+      FROM tf JOIN wfin USING (term) JOIN df USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      WHERE tf.doc_id <> 0
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, rm3_score FROM s3
+    ORDER BY rm3_score DESC, doc_id ASC LIMIT {BM25_TOPK}
+    """
+
+
+@register(
+    "retrieval_rm3_expansion",
+    oracle=_rm3_oracle(),
+    doc="RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance "
+    "models; the Anserini/Indri default query-expansion stage): score "
+    f"the corpus with BM25 against doc 0's top-{BM25_QUERY_TERMS} "
+    f"terms, take the top-{RM3_FB_DOCS} feedback docs, build a "
+    "uniform-prior RM1 term model from their length-normalized term "
+    f"frequencies, keep the top-{RM3_EXP_TERMS} expansion terms "
+    f"(normalized), interpolate with the original query at lambda="
+    f"{RM3_LAMBDA}, and rescore — the classic recall-recovery loop on "
+    "top of retrieval_bm25_topk. Determinism: every per-(doc,term) "
+    "contribution and every model weight rounds to 9dp before an "
+    "exact DECIMAL accumulation; all top-k steps carry explicit "
+    "term/doc_id tiebreaks. Plan: the corpus-sized tf/dl/df "
+    "aggregates are built once and BOTH scoring passes probe them "
+    "with <=16-term broadcast frames (the BM25 query-pruned-df "
+    "discipline); the feedback model is a <=10-doc x vocabulary "
+    "aggregate pruned by a broadcast semi-join on the feedback docs. "
+    "At 100 TB nothing beyond the postings shuffle grows — expansion "
+    "adds two tiny broadcasts and one more probe of the same "
+    "inverted-index layout. Ref: no reference analog; public RM3.",
+)
+def q_retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total"))
+    avgdl = F.col("total").cast("double") / F.col("n_docs")
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    contrib = F.round(idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom, 9)
+
+    def score(wq: DataFrame, out_col: str) -> DataFrame:
+        # wq: (term, wt) — <=16 rows; prune the vocabulary-sized df
+        # to the query terms BEFORE broadcasting (the BM25 discipline)
+        dfreq_q = dfreq.join(F.broadcast(wq), "term")
+        c = F.round(F.col("wt") * contrib, 9)
+        return (
+            tf.filter(F.col("doc_id") != 0)
+            .join(F.broadcast(dfreq_q), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.sum(c.cast("decimal(28,9)")).cast("double"), 6
+                ).alias(out_col)
+            )
+        )
+
+    wq0 = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    q0 = (
+        tf.filter(F.col("doc_id") == 0)
+        .withColumn("rn", F.row_number().over(wq0))
+        .filter(F.col("rn") <= BM25_QUERY_TERMS)
+        .select("term")
+    )
+    s1 = score(q0.withColumn("wt", F.lit(1.0)), "bm25")
+    fb = (
+        s1.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(RM3_FB_DOCS)
+        .select("doc_id")
+    )
+    wexp = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .join(dl, "doc_id")
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("tf").cast("double") / F.col("dl"), 9).cast(
+                        "decimal(38,9)"
+                    )
+                ).cast("double"),
+                9,
+            ).alias("w")
+        )
+    )
+    texp = (
+        wexp.orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(RM3_EXP_TERMS)
+        .localCheckpoint(eager=False)  # reused by sumw + wfin
+    )
+    sumw = texp.agg(
+        F.sum(F.col("w").cast("decimal(38,9)")).cast("double").alias("s")
+    )
+    worig = q0.select("term", F.lit(1.0 / BM25_QUERY_TERMS).alias("wo"))
+    wfin = (
+        worig.join(texp, "term", "full")
+        .crossJoin(F.broadcast(sumw))
+        .select(
+            "term",
+            F.round(
+                RM3_LAMBDA * F.coalesce(F.col("wo"), F.lit(0.0))
+                + (1.0 - RM3_LAMBDA)
+                * F.coalesce(F.round(F.col("w") / F.col("s"), 9), F.lit(0.0)),
+                9,
+            ).alias("wt"),
+        )
+    )
+    return (
+        score(wfin, "rm3_score")
+        .orderBy(F.col("rm3_score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )

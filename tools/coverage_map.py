@@ -80,6 +80,9 @@ OVERRIDES = {
     # fof/first-occurrence token machinery = the windowed estimator +
     # tfidf token aggregates
     "vocab_heaps_law": ["vocab_unseen_estimate", "text_tfidf_topk"],
+    # two passes of the windowed BM25 probe around a broadcast feedback
+    # model — same postings shuffle, same pruned-df broadcast
+    "retrieval_rm3_expansion": ["retrieval_bm25_topk", "hybrid_retrieval_rrf"],
     # segment-keyed first-occurrence shuffle = exact dedup; rewrite =
     # the certified strip-dup-spans reassembly
     "curation_line_dedup": ["dedup_exact", "curation_strip_dup_spans"],
