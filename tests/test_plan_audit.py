@@ -78,6 +78,7 @@ CROSS_OK = {
     "retrieval_bm25_topk",  # broadcast 1-row corpus-stats (N, avgdl) join
     "embedding_pca_power",  # O(dim^2) local eigensolve; no cross join remains
     "vocab_heaps_law",  # broadcast 1-row bucket-width join
+    "retrieval_rm3_expansion",  # broadcast 1-row corpus-stats + sum-w joins
 }
 
 
