@@ -2589,3 +2589,151 @@ def q_curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_deduped"),
     )
+
+
+# ----------------------------------------------------------------- HITS
+HITS_ITERS = 4
+HITS_SCALE = 10**6  # 1e-6 rank units: the normalize multiply ar*SCALE
+# stays inside int64 for in-degrees up to ~9e6 (SCALE^2 * indeg < 2^63);
+# larger hubs would drop SCALE another decade, trading rank resolution
+# for headroom — the same knob PR_SCALE documents for PageRank.
+
+
+def _hits_oracle() -> str:
+    iters = []
+    prev = "h0"
+    for k in range(1, HITS_ITERS + 1):
+        iters.append(f"""
+    ar{k} AS (
+      SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS ar
+      FROM edges e JOIN {prev} h ON h.src = e.src GROUP BY e.dst
+    ),
+    a{k} AS (
+      SELECT dst, CAST((ar * {HITS_SCALE}::BIGINT)
+                       // (sum(ar) OVER ()) AS BIGINT) AS a
+      FROM ar{k}
+    ),
+    hr{k} AS (
+      SELECT e.src, CAST(sum(a.a) AS BIGINT) AS hr
+      FROM edges e JOIN a{k} a ON a.dst = e.dst GROUP BY e.src
+    ),
+    h{k} AS (
+      SELECT src, CAST((hr * {HITS_SCALE}::BIGINT)
+                       // (sum(hr) OVER ()) AS BIGINT) AS h
+      FROM hr{k}
+    )""")
+        prev = f"h{k}"
+    return f"""
+    WITH {_SIGS_CTE},
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sigs),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+    srcs AS (SELECT DISTINCT src FROM edges),
+    h0 AS (
+      SELECT src, {HITS_SCALE}::BIGINT // (count(*) OVER ()) AS h
+      FROM srcs
+    ),
+    {','.join(iters)}
+    SELECT COALESCE(h.src, a.dst) AS doc_id,
+           COALESCE(h.h, 0) AS hub_unit,
+           COALESCE(a.a, 0) AS auth_unit,
+           round(CAST(COALESCE(h.h, 0) AS DOUBLE) / {HITS_SCALE}, 6) AS hub,
+           round(CAST(COALESCE(a.a, 0) AS DOUBLE) / {HITS_SCALE}, 6) AS auth
+    FROM h{HITS_ITERS} h FULL JOIN a{HITS_ITERS} a ON a.dst = h.src
+    ORDER BY auth_unit DESC, doc_id ASC
+    """
+
+
+def hits_scores(pairs: DataFrame, iters: int = HITS_ITERS):
+    """Integer-unit HITS kernel (Kleinberg 1999, JACM 46(5)) over
+    (doc_a < doc_b) candidate pairs oriented doc_a -> doc_b:
+    returns (hubs DataFrame[src, h], authorities DataFrame[dst, a])
+    after ``iters`` synchronous mutual-reinforcement rounds, each
+    L1-normalized in integer units via the PageRank `div`-truncation
+    discipline (integer sums are associative, so Spark's map-side
+    partials and DuckDB's single-threaded fold agree bit-for-bit).
+    Each half-round is ONE keyed exchange of (node, long) messages
+    with map-side combine — the Pregel shape pagerank_ranks
+    certifies — plus a 1-row broadcast of the normalizer."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    srcs = edges.select("src").distinct()
+    n = srcs.agg(F.count(F.lit(1)).alias("n"))
+    h = srcs.crossJoin(F.broadcast(n)).selectExpr(
+        "src", f"{HITS_SCALE}L div n AS h"
+    )
+    a = None
+    for _ in range(iters):
+        # ar/hr each feed BOTH the normalizer aggregate and the
+        # normalize projection; without a lineage cut the second
+        # reference re-derives the edge join, doubling work per
+        # half-round (2^8 recomputes over 4 rounds — measured 43 s at
+        # sf0.01 vs ~2 s checkpointed). Lazy: the normalizer's action
+        # is what materializes it.
+        ar = (
+            edges.join(h, "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ar"))
+            .localCheckpoint(eager=False)
+        )
+        sa = ar.agg(F.sum("ar").alias("s"))
+        a = ar.crossJoin(F.broadcast(sa)).selectExpr(
+            "dst", f"(ar * {HITS_SCALE}L) div s AS a"
+        )
+        hr = (
+            edges.join(a, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("hr"))
+            .localCheckpoint(eager=False)
+        )
+        sh = hr.agg(F.sum("hr").alias("s"))
+        h = hr.crossJoin(F.broadcast(sh)).selectExpr(
+            "src", f"(hr * {HITS_SCALE}L) div s AS h"
+        )
+    return h, a
+
+
+@register(
+    "graph_hits_scores",
+    oracle=_hits_oracle(),
+    doc="HITS hubs-and-authorities (Kleinberg 1999) on the MinHash-LSH "
+    "similarity graph oriented low-id -> high-id: the fourth "
+    "eigenvector-style graph analytic next to PageRank, connected "
+    "components and label propagation, and the one that "
+    "DISTINGUISHES pointer-rich from pointed-at nodes (PageRank on "
+    "this graph conflates them). 4 synchronous rounds; each round "
+    "updates authorities from hub mass then hubs from the NEW "
+    "authority mass, L1-normalizing both sides in integer units of "
+    f"1/{HITS_SCALE} with `div` truncation — the graph_pagerank "
+    "exact-integer discipline, so both engines agree bit-for-bit "
+    "with no float drift. Plan: edges localCheckpoint once; each "
+    "half-round is one keyed (node, long) exchange whose sum "
+    "partially combines map-side (hub fanout ships per-partition "
+    "partials, never raw in-degree), and each normalizer is a 1-row "
+    "broadcast. At 100 TB: 8 bounded exchanges over the candidate "
+    "graph + durable checkpoints — same cost envelope as PageRank. "
+    "Ref: no reference analog; public HITS formula.",
+)
+def q_graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h, a = hits_scores(_lsh_candidate_pairs(spark, sf_dir))
+    return (
+        h.select(F.col("src").alias("doc_id"), "h")
+        .join(a.select(F.col("dst").alias("doc_id"), "a"), "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("h"), F.lit(0)).alias("hub_unit"),
+            F.coalesce(F.col("a"), F.lit(0)).alias("auth_unit"),
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)).cast("double") / HITS_SCALE, 6
+            ).alias("hub"),
+            F.round(
+                F.coalesce(F.col("a"), F.lit(0)).cast("double") / HITS_SCALE, 6
+            ).alias("auth"),
+        )
+        .orderBy(F.col("auth_unit").desc(), F.col("doc_id").asc())
+    )

@@ -4237,3 +4237,113 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2_statistic"),
         (chi2 > F.lit(SRM_CHI2_CRIT).cast("double")).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------- isotonic (PAV)
+ISO_BINS = 50
+
+
+@register(
+    "eval_isotonic_calibration",
+    oracle=f"""
+    WITH s AS (
+      SELECT round({_CALIB_P_SQL}, 6) AS p6,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    bins AS MATERIALIZED (
+      SELECT CAST(least(floor(p6 * {ISO_BINS}), {ISO_BINS - 1}) AS INT)
+               AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM s GROUP BY bin
+    ),
+    ivl AS MATERIALIZED (
+      SELECT a.bin AS i, b.bin AS j,
+             CAST(sum(m.pos) AS DOUBLE) / sum(m.n) AS avg_y
+      FROM bins a JOIN bins b ON a.bin <= b.bin
+      JOIN bins m ON m.bin >= a.bin AND m.bin <= b.bin
+      GROUP BY a.bin, b.bin
+    ),
+    mn AS (
+      SELECT k.bin, v.i, min(v.avg_y) AS lo
+      FROM bins k JOIN ivl v ON v.i <= k.bin AND v.j >= k.bin
+      GROUP BY k.bin, v.i
+    ),
+    fit AS (SELECT bin, max(lo) AS iso FROM mn GROUP BY bin)
+    SELECT b.bin, b.n,
+           round(CAST(b.pos AS DOUBLE) / b.n, 6) AS frac_pos,
+           round(f.iso, 6) AS iso_p
+    FROM bins b JOIN fit f ON f.bin = b.bin
+    ORDER BY b.bin ASC
+    """,
+    doc="Isotonic-regression probability calibration via the minimax "
+    "characterization of PAV (Ayer et al. 1955; Barlow & Brunk 1972: "
+    "fitted(k) = max over i<=k of min over j>=k of the weighted mean "
+    "of bins i..j) — the nonparametric upgrade over "
+    "eval_calibration_bins' raw reliability diagram (and over Platt "
+    "scaling, which assumes a sigmoid miscalibration shape): the "
+    "monotone step function closest in L2 to the observed "
+    "per-score-bin positive rates, which is exactly the calibration "
+    "map production rerankers apply to raw model scores. Pool-"
+    "adjacent-violators itself is sequential; the minimax form is "
+    f"pure relational algebra over the {ISO_BINS}-bin summary — "
+    "O(B^3) interval rows (~21k at B=50), all in ONE set of joins "
+    "with NO iteration and NO driver loop. The corpus-scale work is "
+    "the single partial->final (bin, n, pos) aggregate; everything "
+    "after runs on a 50-row frame regardless of data size — the "
+    "classic summarize-then-solve split for order-constrained fits. "
+    "Determinism: per-bin n/pos are exact integers, interval means "
+    "divide once in each engine, min/max over doubles are exact, "
+    "output rounds to 6dp. Ref: no reference analog; public PAV "
+    "minimax formula.",
+)
+def q_eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        F.round(F.expr(_CALIB_P_SQL), 6).alias("p6"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = (
+        s.select(
+            F.least(F.floor(F.col("p6") * ISO_BINS), F.lit(ISO_BINS - 1))
+            .cast("int")
+            .alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        .localCheckpoint(eager=True)  # <=50 rows; feeds 4 self-joins
+    )
+    a, b, m = bins.alias("a"), bins.alias("b"), bins.alias("m")
+    ivl = (
+        a.join(b, F.col("a.bin") <= F.col("b.bin"))
+        .join(
+            m,
+            (F.col("m.bin") >= F.col("a.bin")) & (F.col("m.bin") <= F.col("b.bin")),
+        )
+        .groupBy(F.col("a.bin").alias("i"), F.col("b.bin").alias("j"))
+        .agg(
+            (F.sum("m.pos").cast("double") / F.sum("m.n")).alias("avg_y")
+        )
+    )
+    k, v = bins.alias("k"), ivl.alias("v")
+    mn = (
+        k.join(v, (F.col("v.i") <= F.col("k.bin")) & (F.col("v.j") >= F.col("k.bin")))
+        .groupBy(F.col("k.bin").alias("bin"), F.col("v.i").alias("i"))
+        .agg(F.min("v.avg_y").alias("lo"))
+    )
+    fit = mn.groupBy("bin").agg(F.max("lo").alias("iso"))
+    return (
+        bins.join(fit, "bin")
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("frac_pos"),
+            F.round(F.col("iso"), 6).alias("iso_p"),
+        )
+        .orderBy(F.col("bin").asc())
+    )

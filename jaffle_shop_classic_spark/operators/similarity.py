@@ -2088,3 +2088,330 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, float(rnd(v[i], q6)), float(rnd(nrm, q9))) for i in range(1, d + 1)
     ]
     return spark.createDataFrame(out, schema).orderBy("dim")
+
+
+# ---------------------------------------------------------------- MMR
+MMR_POOL = 20  # relevance candidate pool fed to the greedy rerank
+MMR_K = 8  # diversified picks returned
+MMR_LAMBDA = 0.7  # relevance weight; (1 - lambda) penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    ctes = []
+    prev = "sel1"
+    for t in range(2, MMR_K + 1):
+        ctes.append(f"""
+    s{t} AS MATERIALIZED (
+      SELECT c.vec_id, c.rel, {t} AS pick,
+             round({MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 1)} * (
+                 SELECT max(s.sim) FROM sims s JOIN {prev} p ON s.b = p.vec_id
+                 WHERE s.a = c.vec_id), 6) AS mmr
+      FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+      ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM s{t})""")
+        prev = f"sel{t}"
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.embedding,
+             round({cosine_sql('e.embedding', 'q.qv')}, 6) AS rel
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    cand AS MATERIALIZED (
+      SELECT * FROM scored ORDER BY rel DESC, vec_id ASC LIMIT {MMR_POOL}
+    ),
+    sims AS MATERIALIZED (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round({cosine_sql('x.embedding', 'y.embedding')}, 6) AS sim
+      FROM cand x JOIN cand y ON x.vec_id <> y.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT vec_id, rel, 1 AS pick, round({MMR_LAMBDA} * rel, 6) AS mmr
+      FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+    ),
+    {','.join(ctes)}
+    SELECT pick, vec_id, rel, mmr FROM sel{MMR_K} ORDER BY pick ASC
+    """
+
+
+@register(
+    "retrieval_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc="Maximal Marginal Relevance diversified top-k (Carbonell & "
+    f"Goldstein 1998, SIGIR): greedy rerank of the top-{MMR_POOL} "
+    f"cosine candidates, each of {MMR_K} picks maximizing "
+    f"lambda*rel - (1-lambda)*max_sim_to_selected (lambda={MMR_LAMBDA}"
+    "), ties to min vec_id — the standard redundancy-removal step "
+    "between ANN retrieval and a RAG context window, and the "
+    "diversity complement to sim_cosine_topk's pure-relevance "
+    "ranking. Determinism: rel and pairwise sims pre-round to 6dp, "
+    "the MMR score is ONE double expression in identical operation "
+    "order both engines, re-rounded to 6dp before the argmax. Plan: "
+    "the CORPUS-scale work is the broadcast-query cosine scan + "
+    f"TakeOrdered({MMR_POOL}) — exactly sim_cosine_topk's plan; "
+    "everything after operates on the <=20-row candidate frame "
+    f"(eager localCheckpoint), where {MMR_K - 1} greedy rounds each "
+    "run a <=20-row anti-join + max-sim aggregate + 1-row argmax. "
+    "The greedy tail is O(K*C) on a broadcast-sized frame — at "
+    "100 TB only the candidate scan grows; the rerank stays "
+    "constant-size (that is MMR's point: C bounds the quadratic "
+    "term). Ref: no reference analog; public MMR formula.",
+)
+def q_retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("rel"),
+        )
+    )
+    cand = (
+        scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    x, y = cand.alias("x"), cand.alias("y")
+    sims = (
+        x.join(y, F.col("x.vec_id") != F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            F.round(
+                F.expr(cosine_expr("x.embedding", "y.embedding")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pool = cand.select("vec_id", "rel")
+    selected = (
+        pool.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel",
+            F.lit(1).alias("pick"),
+            F.round(F.lit(MMR_LAMBDA) * F.col("rel"), 6).alias("mmr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, MMR_K + 1):
+        rem = pool.join(selected.select("vec_id"), "vec_id", "left_anti")
+        msim = (
+            sims.join(selected.select(F.col("vec_id").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.max("sim").alias("ms"))
+        )
+        step = (
+            rem.join(msim, rem.vec_id == msim.a)
+            .select(
+                "vec_id",
+                "rel",
+                F.lit(t).alias("pick"),
+                F.round(
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(round(1 - MMR_LAMBDA, 1)) * F.col("ms"),
+                    6,
+                ).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
+            .limit(1)
+        )
+        # selected is <=MMR_K rows; the eager checkpoint keeps the
+        # unrolled greedy from doubling the logical plan each round
+        selected = selected.unionByName(
+            step.select("vec_id", "rel", "pick", "mmr")
+        ).localCheckpoint(eager=True)
+    return selected.select("pick", "vec_id", "rel", "mmr").orderBy("pick")
+
+
+# ------------------------------------------------------- grid DBSCAN
+DBSCAN_EPS = 0.02  # cell size == eps: neighbors live in the 3x3 block
+DBSCAN_MINPTS = 4  # neighbor count INCLUDING the point itself
+
+
+@register(
+    "cluster_dbscan_grid",
+    oracle=f"""
+    WITH RECURSIVE pts AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS px,
+             CAST(embedding[2] AS DOUBLE) AS py
+      FROM embeddings
+    ),
+    prs AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+      WHERE round(sqrt((a.px - b.px) * (a.px - b.px)
+                       + (a.py - b.py) * (a.py - b.py)), 6) <= {DBSCAN_EPS}
+    ),
+    nbr AS (
+      SELECT v, CAST(1 + count(*) AS BIGINT) AS n FROM (
+        SELECT va AS v FROM prs UNION ALL SELECT vb AS v FROM prs
+      ) GROUP BY v
+    ),
+    core AS MATERIALIZED (SELECT v FROM nbr WHERE n >= {DBSCAN_MINPTS}),
+    ce AS (
+      SELECT p.va AS src, p.vb AS dst FROM prs p
+      JOIN core c1 ON c1.v = p.va JOIN core c2 ON c2.v = p.vb
+      UNION ALL
+      SELECT p.vb AS src, p.va AS dst FROM prs p
+      JOIN core c1 ON c1.v = p.va JOIN core c2 ON c2.v = p.vb
+    ),
+    reach(v, label) AS (
+      SELECT v, v FROM core
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN ce e ON e.src = r.v
+      WHERE r.label < e.dst
+    ),
+    comp AS MATERIALIZED (SELECT v, min(label) AS cluster_id FROM reach GROUP BY v),
+    bord AS (
+      SELECT q.v AS v, min(c.cluster_id) AS cluster_id FROM (
+        SELECT p.va AS v, p.vb AS c FROM prs p JOIN core k ON k.v = p.vb
+        UNION ALL
+        SELECT p.vb AS v, p.va AS c FROM prs p JOIN core k ON k.v = p.va
+      ) q JOIN comp c ON c.v = q.c
+      WHERE q.v NOT IN (SELECT v FROM core)
+      GROUP BY q.v
+    )
+    SELECT p.vec_id,
+           CAST(COALESCE(c.cluster_id, b.cluster_id, -1) AS BIGINT)
+             AS cluster_id,
+           CASE WHEN c.v IS NOT NULL THEN 'core'
+                WHEN b.v IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM pts p
+    LEFT JOIN comp c ON c.v = p.vec_id
+    LEFT JOIN bord b ON b.v = p.vec_id
+    """,
+    doc="Density-based clustering: exact DBSCAN (Ester et al. 1996, KDD) "
+    "over the 2-d embedding projection (dims 1-2 — the demo plane; any "
+    "low-d feature pair slots in), grid-partitioned the way MR-DBSCAN "
+    "(He et al. 2011) distributes it: cells of side eps="
+    f"{DBSCAN_EPS}, so every eps-neighbor lives in the 3x3 cell block "
+    "and candidate pairs come from a KEYED equi-join of 9-cell probes "
+    "against cell-bucketed points — never an all-pairs product "
+    f"(the oracle's brute quadratic IS the semantics; the grid prunes "
+    "it exactly). Core = >= "
+    f"{DBSCAN_MINPTS} neighbors counting itself; clusters = connected "
+    "components over core-core eps-edges via the O(log n) large-star/"
+    "small-star kernel (spatial chains make hash-min's diameter-many "
+    "rounds unbounded — a 0.02-eps chain across the plane is ~35 "
+    "hops); borders adopt min(cluster) of their core neighbors; the "
+    "rest is noise (cluster_id = -1). Determinism: distances round to "
+    "6dp before the eps test; component id = min vec_id; border ties "
+    "break by min cluster_id. At 100 TB the cell key IS the shuffle "
+    "partition key (spatial locality = partition locality) and "
+    "per-cell counts bound the quadratic term exactly like "
+    "MAX_BAND_SIZE bounds LSH bands. Ref: no reference analog; "
+    "public DBSCAN/MR-DBSCAN.",
+)
+def q_cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import star_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = (
+        e.select(
+            "vec_id",
+            F.col("embedding")[0].cast("double").alias("px"),
+            F.col("embedding")[1].cast("double").alias("py"),
+        )
+        .withColumn("cx", F.floor(F.col("px") / DBSCAN_EPS))
+        .withColumn("cy", F.floor(F.col("py") / DBSCAN_EPS))
+        .localCheckpoint(eager=True)  # probes + build side + final join
+    )
+    probe_cells = ", ".join(
+        f"struct(cx + {i} AS gx, cy + {j} AS gy)"
+        for i in (-1, 0, 1)
+        for j in (-1, 0, 1)
+    )
+    probes = pts.select(
+        "vec_id", "px", "py", F.explode(F.expr(f"array({probe_cells})")).alias("g")
+    ).select("vec_id", "px", "py", F.col("g.gx").alias("gx"), F.col("g.gy").alias("gy"))
+    a, b = probes.alias("a"), pts.alias("b")
+    dist = F.round(
+        F.sqrt(
+            (F.col("a.px") - F.col("b.px")) * (F.col("a.px") - F.col("b.px"))
+            + (F.col("a.py") - F.col("b.py")) * (F.col("a.py") - F.col("b.py"))
+        ),
+        6,
+    )
+    prs = (
+        a.join(
+            b,
+            (F.col("a.gx") == F.col("b.cx"))
+            & (F.col("a.gy") == F.col("b.cy"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(dist <= DBSCAN_EPS)
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .localCheckpoint(eager=True)  # feeds nbr, cc edges, border probes
+    )
+    nbr = (
+        prs.select(F.col("va").alias("v"))
+        .unionByName(prs.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg((F.count(F.lit(1)) + 1).alias("n"))
+    )
+    core = (
+        nbr.filter(F.col("n") >= DBSCAN_MINPTS).select("v").localCheckpoint(eager=True)
+    )
+    cc_pairs = (
+        prs.join(core.withColumnRenamed("v", "va"), "va")
+        .join(core.withColumnRenamed("v", "vb"), "vb")
+        .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
+    )
+    comp = star_components(cc_pairs)
+    comp_full = (
+        core.join(comp, core.v == comp.doc_id, "left")
+        .select(
+            F.col("v"),
+            F.coalesce(F.col("component_id"), F.col("v")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)  # probed by border AND the final join
+    )
+    nb_core = (
+        prs.join(core.withColumnRenamed("v", "vb"), "vb")
+        .select(F.col("va").alias("v"), F.col("vb").alias("c"))
+        .unionByName(
+            prs.join(core.withColumnRenamed("v", "va"), "va").select(
+                F.col("vb").alias("v"), F.col("va").alias("c")
+            )
+        )
+    )
+    bord = (
+        nb_core.join(core, "v", "left_anti")
+        .join(
+            comp_full.select(F.col("v").alias("c"), F.col("cluster_id")), "c"
+        )
+        .groupBy("v")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return (
+        pts.select("vec_id")
+        .join(
+            comp_full.select(
+                F.col("v").alias("vec_id"), F.col("cluster_id").alias("cc")
+            ),
+            "vec_id",
+            "left",
+        )
+        .join(
+            bord.select(F.col("v").alias("vec_id"), F.col("cluster_id").alias("cb")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cc"), F.col("cb"), F.lit(-1))
+            .cast("bigint")
+            .alias("cluster_id"),
+            F.when(F.col("cc").isNotNull(), "core")
+            .when(F.col("cb").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
+    )

@@ -3358,3 +3358,233 @@ def q_retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rm3_score").desc(), F.col("doc_id").asc())
         .limit(BM25_TOPK)
     )
+
+
+KN_D = 0.75  # absolute discount (Kneser-Ney 1995's fixed-D variant)
+
+
+@register(
+    "text_kneser_ney_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+    uc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1fw
+           FROM bc GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM bc GROUP BY w2),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bc),
+    p AS (
+      SELECT bc.w1, bc.w2,
+             (greatest(CAST(bc.c12 AS DOUBLE) - {KN_D}, 0.0)
+              + {KN_D} * uc.n1fw * cont.n1bw / tt.t) / uc.c1 AS p
+      FROM bc JOIN uc USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+    )
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(round(ln(p.p), 9) AS DECIMAL(28,9))) AS DOUBLE)
+                 / count(*), 6) AS kn_logprob
+    FROM b JOIN p USING (w1, w2)
+    GROUP BY b.doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; "
+    f"Chen & Goodman 1999's fixed-discount form, D={KN_D}): "
+    "P(w2|w1) = (max(c12-D,0) + D*N1+(w1,.)*Pcont(w2)) / c(w1) with "
+    "the CONTINUATION probability Pcont(w2) = N1+(.,w2)/|bigram types| "
+    "— the smoothing that made n-gram LMs production-grade and the "
+    "upgrade over text_lm_score's unsmoothed MLE (which assigns "
+    "p=c12/c1 with no mass reserved for unseen continuations; KN "
+    "scores the same docs lower when their bigrams are frequent but "
+    "their second words are contextually promiscuous). Determinism: "
+    "all four model statistics (c12, c1, N1+ forward/backward, type "
+    "count T) are exact integers in both engines; the probability is "
+    "ONE double expression evaluated in the identical operation order "
+    "(left-assoc discount product, then the single divide by c1), "
+    "per-bigram ln rounds to 9dp, sums as DECIMAL(28,9), and the "
+    "per-doc mean rounds to 6dp — the BM25/RM3 decimal discipline. "
+    "Plan: one posexplode bigram pass (localCheckpoint, reused as "
+    "model input and scoring probe), THREE aggregates of the "
+    "bigram-TYPE table (vocabulary^2-sparse, far below corpus scale) "
+    "derive c1/N1fw/N1bw/T without re-touching the corpus, and the "
+    "model joins back onto the stream keyed (w1,w2) — AQE picks "
+    "broadcast vs shuffle by the model's runtime size (tiny here; "
+    "1e9-type corpora fall back to a sort-merge join on the same "
+    "key). Ref: no reference analog; public KN formula.",
+)
+def q_text_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    ex = base.select(
+        "doc_id", F.size("tk").alias("n"), "tk", F.posexplode("tk").alias("pos", "tok")
+    )
+    big = ex.filter(F.col("pos") <= F.col("n") - 2).select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.element_at("tk", F.col("pos") + 2).alias("w2"),
+    )
+    # one bigram pass feeds both the model and the probe (lm_score's
+    # measured pattern); the TYPE table feeds four model aggregates
+    big = big.localCheckpoint(eager=True)
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bc = bc.localCheckpoint(eager=True)
+    uc = bc.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1fw"),
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1bw"))
+    tt = bc.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    disc = F.lit(KN_D) * F.col("n1fw") * F.col("n1bw") / F.col("t")
+    prob = (
+        F.greatest(F.col("c12").cast("double") - KN_D, F.lit(0.0)) + disc
+    ) / F.col("c1")
+    p = (
+        bc.join(uc, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("w1", "w2", prob.alias("p"))
+    )
+    return (
+        big.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.round(F.log("p"), 9).cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kn_logprob"),
+        )
+    )
+
+
+# ------------------------------------------------- Aho-Corasick tagging
+AC_PATTERNS = (
+    "batch batch",
+    "hash join",
+    "key order",
+    "merge join",
+    "slow query",
+    "sort merge",
+    "spark",
+    "table scan",
+    "vector",
+    "window window",
+)
+
+
+def _ac_build(patterns: tuple[str, ...]):
+    """Aho-Corasick automaton (Aho & Corasick 1975, CACM 18(6)):
+    goto trie + BFS failure links + merged output sets. Built once per
+    mapInPandas task from the closure-captured pattern tuple —
+    automaton size is O(total pattern chars), independent of corpus."""
+    goto: list[dict[str, int]] = [{}]
+    fail = [0]
+    out: list[tuple[int, ...]] = [()]
+    for pi, p in enumerate(patterns):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                fail.append(0)
+                out.append(())
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s] = out[s] + (pi,)
+    from collections import deque
+
+    dq = deque(goto[0].values())
+    while dq:
+        r = dq.popleft()
+        for ch, s in goto[r].items():
+            dq.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            t = goto[f].get(ch, 0)
+            fail[s] = 0 if t == s else t
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
+def _pattern_list_sql() -> str:
+    return "[" + ", ".join(f"'{p}'" for p in AC_PATTERNS) + "]"
+
+
+@register(
+    "text_multipattern_tags",
+    oracle=f"""
+    WITH pats AS (SELECT unnest({_pattern_list_sql()}) AS pattern),
+    hits AS (
+      SELECT d.doc_id, p.pattern,
+             CAST(len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+                  i -> substr(d.text, i, len(p.pattern)) = p.pattern))
+                  AS BIGINT) AS n_hits
+      FROM documents d CROSS JOIN pats p
+    )
+    SELECT doc_id, pattern, n_hits FROM hits WHERE n_hits > 0
+    """,
+    doc=f"Multi-pattern keyword tagging via Aho-Corasick (Aho & Corasick "
+    f"1975): count every (overlapping) occurrence of {len(AC_PATTERNS)} "
+    "literal phrases in every document in ONE character pass per doc — "
+    "the keyword/PII/blocklist tagger of a curation pipeline, where "
+    "the pattern dictionary reaches 1e4-1e6 entries and per-pattern "
+    "scans (P passes, the oracle's shape) stop being affordable. The "
+    "automaton (goto trie + failure links + merged output sets) builds "
+    "once per task from the broadcast-closure pattern tuple, "
+    "O(dictionary chars) memory regardless of corpus size; the scan is "
+    "O(chars + matches) per doc inside an Arrow mapInPandas batch — "
+    "Python is justified here because character-level automaton "
+    "traversal has no JVM higher-order-function form (a per-pattern "
+    "locate() composition would be P corpus passes). Overlapping and "
+    "nested matches both count ('window window window' -> 2; 'spark' "
+    "inside longer tokens too), exactly matching the oracle's "
+    "every-position substring scan. No shuffle at all: scan -> map -> "
+    "filter; output is (doc_id, pattern, n_hits>0). At 100 TB this is "
+    "embarrassingly parallel and the dictionary broadcast is the only "
+    "shared state. Ref: no reference analog; public AC algorithm.",
+)
+def q_text_multipattern_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    pats = AC_PATTERNS
+
+    def scan(batches):
+        goto, fail, out = _ac_build(pats)
+        root = goto[0]
+        for pdf in batches:
+            ids: list[int] = []
+            names: list[str] = []
+            hits: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                counts = [0] * len(pats)
+                s = 0
+                for ch in text:
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0) if s else root.get(ch, 0)
+                    if out[s]:
+                        for pi in out[s]:
+                            counts[pi] += 1
+                for pi, c in enumerate(counts):
+                    if c:
+                        ids.append(doc_id)
+                        names.append(pats[pi])
+                        hits.append(c)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "pattern": pd.array(names, dtype="string"),
+                    "n_hits": pd.array(hits, dtype="int64"),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        scan, "doc_id bigint, pattern string, n_hits bigint"
+    )

@@ -99,3 +99,227 @@ def test_er_star_contraction_matches_duckdb_on_planted_blocks(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.sql(spec.oracle).fetchall())
     assert got == want
+
+
+# ---------------------------------------------- round-13 batch 2: new ops
+
+
+def test_ac_automaton_matches_brute_scan():
+    """Aho-Corasick counts must equal a brute every-position substring
+    scan for every pattern, including overlapping and nested matches."""
+    import random
+
+    from jaffle_shop_classic_spark.operators.text import AC_PATTERNS, _ac_build
+
+    random.seed(7)
+    vocab = [
+        "batch", "hash", "join", "key", "order", "merge", "slow", "query",
+        "sort", "spark", "table", "scan", "vector", "window", "the",
+    ]
+    goto, fail, out = _ac_build(AC_PATTERNS)
+    root = goto[0]
+    for _ in range(200):
+        text = " ".join(
+            random.choice(vocab) for _ in range(random.randint(0, 60))
+        )
+        counts = [0] * len(AC_PATTERNS)
+        s = 0
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0) if s else root.get(ch, 0)
+            for pi in out[s]:
+                counts[pi] += 1
+        brute = [
+            sum(
+                1
+                for i in range(len(text) - len(p) + 1)
+                if text[i : i + len(p)] == p
+            )
+            for p in AC_PATTERNS
+        ]
+        assert counts == brute
+
+
+def test_hits_planted_star_matches_integer_twin(spark):
+    """Directed star 0 -> {1..5}: node 0 is the only hub, the five
+    leaves split authority mass equally; values must equal the exact
+    integer recurrence (all mass on the hub, SCALE//5 per authority,
+    minus div truncation)."""
+    from jaffle_shop_classic_spark.operators.dedup import HITS_SCALE, hits_scores
+
+    pairs = spark.createDataFrame(
+        [(0, b) for b in range(1, 6)], "doc_a long, doc_b long"
+    )
+    h, a = hits_scores(pairs)
+    hubs = {r.src: r.h for r in h.collect()}
+    auths = {r.dst: r.a for r in a.collect()}
+    # exact twin: h0(0) = SCALE (sole src); each round ar(b) = h(0),
+    # sum = 5*h -> a(b) = SCALE//5 each; hr(0) = 5*(SCALE//5) -> h(0)
+    # re-normalizes to SCALE exactly.
+    assert hubs == {0: HITS_SCALE}
+    assert auths == {b: HITS_SCALE // 5 for b in range(1, 6)}
+
+
+def test_mmr_skips_near_duplicate_candidate(spark, tmp_path):
+    """Plant a near-duplicate of the best candidate: pure relevance
+    ranks it #2, but MMR's diversity penalty must push it below the
+    orthogonal-ish alternatives at pick 2."""
+    import math
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    dim = 8
+    def unit(*coords):
+        v = [0.0] * dim
+        for i, c in coords:
+            v[i] = c
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # query on the bisector of two topic clusters: the A-cluster's
+    # near-dup pair ranks #1/#2 by pure relevance, but after picking
+    # A1 the diversity penalty (sim(A2,A1) ~ 0.999 vs sim(B1,A1) ~
+    # 0.73) must promote the B-cluster at pick 2 despite lower rel.
+    rows = [
+        (0, unit((0, 1.0), (1, 1.0)), 0),            # query (bisector)
+        (1, unit((0, 1.0), (1, 0.45)), 0),           # A1: best match
+        (2, unit((0, 1.0), (1, 0.40)), 0),           # A2: near-dup of A1
+        (3, unit((0, 0.42), (1, 1.0)), 1),           # B1: diverse cluster
+        (4, unit((0, 0.30), (2, 1.0)), 1),           # filler
+        (5, unit((4, 1.0)), 2),                      # irrelevant
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = (
+        load_catalog()["retrieval_mmr_rerank"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    picks = [r.vec_id for r in sorted(out, key=lambda r: r.pick)]
+    assert picks[0] == 1  # relevance argmax
+    assert picks[1] == 3  # NOT the near-dup (2): diversity term wins
+    assert 2 in picks  # the dup still surfaces later, not dropped
+
+
+def test_dbscan_planted_blobs_and_noise(spark, tmp_path):
+    """Two tight 5-point blobs 0.5 apart plus one isolated point: each
+    blob is one all-core cluster labeled by its min vec_id; the
+    isolated point is noise with cluster_id -1."""
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.operators.similarity import DBSCAN_EPS
+
+    step = DBSCAN_EPS / 4.0
+    rows = []
+    vid = 0
+    for bx in (0.0, 0.5):
+        for k in range(5):
+            emb = [bx + k * step, 0.25] + [0.0] * 62
+            rows.append((vid, emb, 0))
+            vid += 1
+    rows.append((vid, [0.9, -0.9] + [0.0] * 62, 1))  # noise
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {
+        r.vec_id: (r.cluster_id, r.role)
+        for r in load_catalog()["cluster_dbscan_grid"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert all(out[v] == (0, "core") for v in range(5))
+    assert all(out[v] == (5, "core") for v in range(5, 10))
+    assert out[10] == (-1, "noise")
+
+
+def test_isotonic_output_is_monotone_and_matches_pav(spark, sf_dir):
+    """iso_p must be non-decreasing in bin order and equal the exact
+    pool-adjacent-violators fit of the (n, pos) bin summary."""
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    out = sorted(
+        load_catalog()["eval_isotonic_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    iso = [r.iso_p for r in out]
+    assert iso == sorted(iso)
+    # exact PAV twin over the bin summary
+    blocks = [
+        [r.n, round(r.frac_pos * r.n), r.bin] for r in out
+    ]  # [weight, pos, _]
+    stack: list[list[float]] = []
+    for w, p, _ in blocks:
+        stack.append([w, p])
+        while len(stack) >= 2 and (
+            stack[-2][1] * stack[-1][0] >= stack[-1][1] * stack[-2][0]
+        ):
+            w2, p2 = stack.pop()
+            stack[-1][0] += w2
+            stack[-1][1] += p2
+    fitted = []
+    for w, p in stack:
+        fitted.extend([p / w] * 1)
+    # expand: each stack block covers consecutive bins by weight-merge
+    # order; rebuild per-bin fit by replaying merges
+    expanded: list[float] = []
+    i = 0
+    for w, p in stack:
+        covered = 0
+        while covered < w:
+            covered += blocks[i][0]
+            expanded.append(p / w)
+            i += 1
+    assert len(expanded) == len(out)
+    for got, want in zip(iso, expanded):
+        assert abs(got - want) < 1e-6
+
+
+def test_kneser_ney_matches_python_twin(spark, tmp_path):
+    """Exact KN probabilities on a tiny planted corpus."""
+    import math
+    from collections import Counter
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    docs = [
+        (0, "a b a b c"),
+        (1, "b c b a"),
+        (2, "a b"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    bigrams = {
+        i: [(tk[j], tk[j + 1]) for j in range(len(tk) - 1)]
+        for i, t in docs
+        for tk in [t.split()]
+    }
+    bc = Counter(bg for bgs in bigrams.values() for bg in bgs)
+    c1 = Counter()
+    n1fw = Counter()
+    n1bw = Counter()
+    for (w1, w2), c in bc.items():
+        c1[w1] += c
+        n1fw[w1] += 1
+        n1bw[w2] += 1
+    T = len(bc)
+    D = 0.75
+
+    def prob(w1, w2):
+        return (max(bc[(w1, w2)] - D, 0.0) + D * n1fw[w1] * n1bw[w2] / T) / c1[w1]
+
+    want = {}
+    for i, bgs in bigrams.items():
+        lps = [round(math.log(prob(w1, w2)), 9) for w1, w2 in bgs]
+        want[i] = (len(bgs), round(sum(lps) / len(bgs), 6))
+    out = {
+        r.doc_id: (r.n_bigrams, r.kn_logprob)
+        for r in load_catalog()["text_kneser_ney_score"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    for i, (n, lp) in want.items():
+        assert out[i][0] == n
+        assert abs(out[i][1] - lp) < 2e-6
