@@ -108,18 +108,18 @@ _PRIORITY = (
     "graph_label_propagation",
     "incremental_orders_state",
     "entity_resolution_clusters",
-    "graph_pagerank",
-    "dedup_semantic_clusters",
-    "text_tfidf_topk",
+    "graph_hits_scores",
+    "cluster_dbscan_grid",
+    "text_kneser_ney_score",
     "quality_percentile_filter",
     "dedup_exact",
-    "dedup_minhash_lsh_pairs",
+    "text_multipattern_tags",
     "sim_ivf_multiprobe_topk",
     "dedup_keep_best_representative",
     "dedup_cluster_components",
-    "sim_cosine_topk",
+    "retrieval_mmr_rerank",
     "sim_ivf_topk",
-    "eval_calibration_bins",
+    "eval_isotonic_calibration",
     "yaml_model_customers_mart",
     # never-windowed rotation (r13): streaming tail
     "stream_neardup_dedup",
@@ -139,6 +139,20 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 mid-round-13 so the six round-13
+    # batch-2 newcomers (Kneser-Ney, HITS, MMR, Aho-Corasick tagging,
+    # grid DBSCAN, isotonic calibration) carry same-round driver
+    # evidence; every one of these six is r12-green (most also earlier
+    # rounds) and several keep an in-window same-kernel twin
+    # (pagerank's Pregel exchange -> graph_hits_scores; the cosine
+    # kernel -> retrieval_mmr_rerank's scoring stage; the LSH band
+    # substrate -> dedup_minhash_fast_pairs + graph_* entries)
+    "graph_pagerank",
+    "dedup_semantic_clusters",
+    "text_tfidf_topk",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk",
+    "eval_calibration_bins",
     # rotated out of the top-50 in round 13 so seventeen never-driver-
     # windowed entries gain first evidence; each of these keeps its r12
     # (most also earlier-round) hard signal in the cross-round union

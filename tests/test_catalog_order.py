@@ -18,12 +18,20 @@ _REQUIRED_IN_WINDOW = {
     },
     # round 8: text_token_stats (r01..r07-green; subset of tfidf +
     # quality machinery) rotated out for eval_ndcg_at_k
-    "text": {"text_tfidf_topk", "quality_percentile_filter"},
-    "dedup": {"dedup_exact", "dedup_minhash_lsh_pairs", "dedup_cluster_components"},
+    # round 13 batch 2: text_tfidf_topk (r12-green) handed its slot to
+    # text_kneser_ney_score (same tokenize->bigram->model-join shape,
+    # plus the smoothing algebra)
+    "text": {"text_kneser_ney_score", "quality_percentile_filter"},
+    # round 13 batch 2: dedup_minhash_lsh_pairs (r12-green) rotated out;
+    # the banded-LSH kernel stays in-window via dedup_minhash_fast_pairs
+    "dedup": {"dedup_exact", "dedup_minhash_fast_pairs", "dedup_cluster_components"},
     # round 8: kmeans_lloyd (r01..r07-green; Lloyd iterations train
     # inside dedup_semantic_clusters, certified r07) rotated out for
     # eval_calibration_bins
-    "similarity": {"sim_cosine_topk", "sim_ivf_topk"},
+    # round 13 batch 2: sim_cosine_topk (r12-green) rotated out; its
+    # exact broadcast-cosine kernel runs as retrieval_mmr_rerank's
+    # scoring stage in-window
+    "similarity": {"retrieval_mmr_rerank", "sim_ivf_topk"},
     "udfs": {"udf_apply_in_pandas", "asof_join_last_signup"},
     "streaming": {"stream_left_outer_join", "stream_session_windows"},
     # round-7 session: the mining/eval/inference flagships promoted in
@@ -40,8 +48,9 @@ _REQUIRED_IN_WINDOW = {
     # graph_pagerank r7..r9-green back to tier 2)
     # (round 11 rotated distinct_exact_bitmap, r7..r10-green, out for
     # sketch_kmv_intersection)
+    # round 13 batch 2: dedup_semantic_clusters (r12-green) rotated out;
+    # the clustering class keeps cluster_dbscan_grid in-window
     "round7_promotions": {
-        "dedup_semantic_clusters",
         "incremental_orders_state",
     },
     # round-8 session: the round-7 eval/mining flagships plus the two
@@ -53,9 +62,11 @@ _REQUIRED_IN_WINDOW = {
     # (round 13 upgraded the SQL-text authoring slot from the hand-
     # migrated customers text, r12-green, to the verbatim reference
     # orders.sql body rendered by plans/jinja_lite.py)
+    # round 13 batch 2: eval_calibration_bins (r12-green) handed its
+    # slot to eval_isotonic_calibration (same p6/label substrate, PAV
+    # on top)
     "round8_promotions": {
         "sql_model_orders_mart",
-        "eval_calibration_bins",
         "l_diversity_audit",
         "stream_chained_windows",
     },
@@ -86,12 +97,13 @@ _REQUIRED_IN_WINDOW = {
     # cf_item_cosine, quality_lr_classifier, tokenizer_bpe_train/encode,
     # and sim_ivfpq_topk — all r12-green — back to tier 2 for the
     # never-windowed tail)
+    # round 13 batch 2: graph_pagerank (r12-green) rotated out; its
+    # Pregel keyed-exchange shape stays in-window via graph_hits_scores
     "round12_promotions": {
         "sim_ivf_multiprobe_topk",
         "dedup_keep_best_representative",
         "dedup_cluster_components_star",
         "entity_resolution_clusters",
-        "graph_pagerank",
         "stream_interval_join",
     },
     # round 13 (the round-12 verdict's brief #3): seventeen
@@ -129,6 +141,16 @@ _REQUIRED_IN_WINDOW = {
     # r12-green) out; the CAST(sum AS BIGINT) hugeint-guard class stays
     # in-window via stream_session_windows (the same session-id cumsum)
     # and incremental_orders_state
+    # round 13 batch 2: the six new operators added this round carry
+    # same-round driver evidence
+    "round13_batch2": {
+        "text_kneser_ney_score",
+        "graph_hits_scores",
+        "retrieval_mmr_rerank",
+        "text_multipattern_tags",
+        "cluster_dbscan_grid",
+        "eval_isotonic_calibration",
+    },
     "hugeint_regressions": {
         "stream_session_windows",
         "incremental_orders_state",
