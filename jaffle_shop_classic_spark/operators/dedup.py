@@ -2737,3 +2737,184 @@ def q_graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("auth_unit").desc(), F.col("doc_id").asc())
     )
+
+
+# ------------------------------------------- neighborhood function
+NF_HOPS = 3
+
+
+def _nf_oracle() -> str:
+    ctes = []
+    prev = "p1"
+    for k in range(2, NF_HOPS + 1):
+        ctes.append(f"""
+    p{k} AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT u, v FROM {prev}
+        UNION ALL
+        SELECT p.u, e.dst AS v FROM {prev} p JOIN edges e ON e.src = p.v
+        WHERE p.u <> e.dst
+      )
+    )""")
+        prev = f"p{k}"
+    counts = "\n      UNION ALL\n".join(
+        f"      SELECT {k} AS hop, CAST(count(*) AS BIGINT) AS n_pairs "
+        f"FROM p{k} WHERE u < v" for k in range(1, NF_HOPS + 1)
+    )
+    return f"""
+    WITH {_SIGS_CTE},
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sigs),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    p1 AS MATERIALIZED (SELECT DISTINCT src AS u, dst AS v FROM edges),
+    {','.join(ctes)}
+    SELECT hop, n_pairs FROM (
+{counts}
+    ) ORDER BY hop ASC
+    """
+
+
+@register(
+    "graph_neighborhood_function",
+    oracle=_nf_oracle(),
+    doc="Exact neighborhood function N(t) = #{(u,v): dist(u,v) <= t} "
+    f"for t = 1..{NF_HOPS} over the LSH similarity graph — the "
+    "distance-distribution summary behind effective-diameter and "
+    "closeness analytics (Palmer et al. 2002 ANF; Boldi et al. 2011 "
+    "HyperBall). Each hop is ONE keyed self-join of the reachable-"
+    "pair set with the edge list plus a distinct — the exact "
+    "frontier-expansion semantics. EXACT pair enumeration is "
+    "O(n^2)-bounded by design and correct at test scale; at 100 TB "
+    "the same loop swaps the distinct pair set for per-node mergeable "
+    "HLL registers (HyperBall's bitwise-max exchange, constant state "
+    "per node) — the plan SHAPE (k keyed exchanges) is what this "
+    "entry certifies, exactly as the approx-distinct family documents "
+    "its sketch swap. Determinism: pure set algebra on integer ids; "
+    "counts of u<v pairs per hop. Ref: no reference analog; public "
+    "ANF/HyperBall.",
+)
+def q_graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _symmetric_edges(_lsh_candidate_pairs(spark, sf_dir))
+    pk = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in range(1, NF_HOPS + 1):
+        if k > 1:
+            pk = (
+                pk.unionByName(
+                    pk.join(edges, pk.v == edges.src)
+                    .select("u", F.col("dst").alias("v"))
+                    .filter(F.col("u") != F.col("v"))
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        cnt = (
+            pk.filter(F.col("u") < F.col("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .select(F.lit(k).alias("hop"), "n_pairs")
+        )
+        out = cnt if out is None else out.unionByName(cnt)
+    return out.orderBy(F.col("hop").asc())
+
+
+# --------------------------------------- content-defined chunking
+CDC_MOD = 64  # boundary when rolling hash % 64 == 0 (~64-char chunks)
+CDC_MIN_LEN = 16  # report duplicate chunks at least this long
+_CDC_P = 2147483648  # 2^31 window modulus (31-char Gear memory)
+_CDC_M = 2654435761  # Knuth multiplicative constant as the gear table
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, text, len(text) AS n,
+             list_filter(range(1, len(text) + 1),
+               i -> (list_sum(list_transform(range(0, least(i, 31)),
+                     k -> ((ascii(text[i-k]) * {_CDC_M}) % {_CDC_P}
+                           * CAST(pow(2, k) AS BIGINT)) % {_CDC_P}))
+                    ) % {_CDC_P} % {CDC_MOD} = 0) AS bnds
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(b) + 1),
+                j -> substr(text, CASE WHEN j = 1 THEN 1
+                                       ELSE b[j-1] + 1 END,
+                            b[j] - CASE WHEN j = 1 THEN 0
+                                        ELSE b[j-1] END))) AS chunk
+      FROM (SELECT doc_id, text, list_append(bnds, n) AS b FROM h)
+    )
+    SELECT md5(chunk) AS fp, CAST(min(len(chunk)) AS BIGINT) AS chunk_len,
+           CAST(count(*) AS BIGINT) AS occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+    FROM ch WHERE len(chunk) >= {CDC_MIN_LEN}
+    GROUP BY fp HAVING count(*) >= 2
+    """,
+    doc="Content-defined chunking dedup (LBFS, Muthitacharoen et al. "
+    "2001 SOSP; Gear/FastCDC, Xia et al. 2016 USENIX ATC): a Gear-"
+    "style rolling hash h_i = sum over the last 31 chars of "
+    "g(c)*2^k mod 2^31 declares a chunk boundary where "
+    f"h % {CDC_MOD} == 0, so boundaries depend only on LOCAL content "
+    "— an insertion re-chunks one neighborhood instead of shifting "
+    "every fixed-width block (the failure mode of offset-based "
+    "chunking, and the storage-layer complement to winnowing's "
+    "k-gram FINGERPRINT selection: CDC segments, winnowing samples). "
+    "Reported: chunks >= "
+    f"{CDC_MIN_LEN} chars appearing >= 2 times across the corpus — "
+    "the shared-segment table a chunk store would dedup against. "
+    "Determinism: the windowed dot-product form of the Gear hash "
+    "(mod-2^31 forgets chars older than 31 positions, so the rolling "
+    "recurrence has a CLOSED per-position form) is one JVM/DuckDB "
+    "higher-order expression with identical BIGINT arithmetic — no "
+    "UDF, no sequential state; boundary sets are bit-identical. "
+    "Plan: per-row map (O(chars x 31) inside codegen) -> explode -> "
+    "one partial->final aggregate keyed by chunk hash; "
+    "embarrassingly parallel at 100 TB with fingerprint-keyed "
+    "shuffle only for the duplicate summary. Ref: no reference "
+    "analog; public LBFS/FastCDC.",
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    bnds = (
+        f"filter(sequence(1, length(text)), "
+        f"i -> (aggregate(sequence(0, least(i, 31) - 1), 0L, "
+        f"(acc, k) -> acc + ((ascii(substring(text, i - k, 1)) * {_CDC_M}L) "
+        f"% {_CDC_P}L * CAST(pow(2, k) AS BIGINT)) % {_CDC_P}L)"
+        f") % {_CDC_P}L % {CDC_MOD} = 0)"
+    )
+    withb = d.selectExpr(
+        "doc_id",
+        "text",
+        f"concat({bnds}, array(length(text))) AS b",
+    )
+    chunks = withb.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(b)), "
+        "j -> substring(text, CASE WHEN j = 1 THEN 1 "
+        "ELSE element_at(b, j - 1) + 1 END, "
+        "element_at(b, j) - CASE WHEN j = 1 THEN 0 "
+        "ELSE element_at(b, j - 1) END))) AS chunk",
+    )
+    return (
+        chunks.filter(F.length("chunk") >= CDC_MIN_LEN)
+        .groupBy(F.md5("chunk").alias("fp"))
+        .agg(
+            F.min(F.length("chunk")).cast("bigint").alias("chunk_len"),
+            F.count(F.lit(1)).cast("bigint").alias("occ"),
+            F.count_distinct("doc_id").cast("bigint").alias("docs"),
+        )
+        .filter(F.col("occ") >= 2)
+    )

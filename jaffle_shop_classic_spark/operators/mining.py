@@ -4347,3 +4347,354 @@ def q_eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bin").asc())
     )
+
+
+# -------------------------------------------- multiple testing (BH FDR)
+FDR_ALPHA = 0.05
+# Bowling et al. 2009 single-constant logistic approximation of the
+# normal CDF: Phi(z) ~ 1/(1+exp(-1.702*z)). Max abs error ~0.0095 —
+# fine for a *procedure* test (BH consumes the p-value ORDER plus a
+# threshold compare; both engines evaluate the identical expression).
+_PHI = "1.0 / (1.0 + exp(-1.702 * ({z})))"
+
+
+@register(
+    "stats_fdr_bh",
+    oracle=f"""
+    WITH o AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(price) AS DECIMAL(38,2)) AS s1,
+             CAST(sum(price * price) AS DECIMAL(38,4)) AS s2
+      FROM o
+    ),
+    per AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(price) AS DECIMAL(38,2)) AS s1_g
+      FROM o GROUP BY nation
+    ),
+    z AS (
+      SELECT nation, n_g,
+             round((CAST(s1_g AS DOUBLE) / n_g - CAST(s1 AS DOUBLE) / n)
+                   / sqrt((CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n)
+                             * (CAST(s1 AS DOUBLE) / n)) / n_g), 6) AS z
+      FROM per CROSS JOIN g
+    ),
+    p AS (
+      SELECT nation, n_g, z,
+             round(2.0 * (1.0 - {_PHI.format(z='abs(z)')}), 9) AS p
+      FROM z
+    ),
+    r AS (
+      SELECT nation, n_g, z, p,
+             CAST(row_number() OVER (ORDER BY p ASC, nation ASC) AS BIGINT)
+               AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM p
+    ),
+    k AS (
+      SELECT COALESCE(max(rnk), 0) AS kstar
+      FROM r WHERE p <= rnk * {FDR_ALPHA} / m
+    )
+    SELECT nation, n_g, z, round(p, 6) AS p, rnk,
+           CASE WHEN rnk <= k.kstar THEN 1 ELSE 0 END AS rejected
+    FROM r CROSS JOIN k
+    ORDER BY rnk ASC
+    """,
+    doc="Benjamini-Hochberg FDR-controlled multiple testing (Benjamini & "
+    "Hochberg 1995, JRSS-B) over the per-nation order-value z-tests — "
+    "the correction every metrics platform applies when it runs one "
+    "hypothesis per segment (25 nations = 25 chances for a false "
+    f"positive; BH at alpha={FDR_ALPHA} bounds the EXPECTED false-"
+    "discovery fraction instead of Bonferroni's family-wise all-or-"
+    "nothing). Step-up rule: sort p ascending, reject ranks 1..k* "
+    "where k* = max k with p(k) <= k*alpha/m — pure window algebra "
+    "(row_number + count over () + one filtered max), no iteration. "
+    "Determinism: group sums are exact DECIMAL; z is one fixed-shape "
+    "double expression rounded 6dp; the p-value uses Bowling 2009's "
+    "single-constant logistic CDF approximation (identical expression "
+    "both engines — BH consumes only the ORDER and a threshold "
+    "compare), rounds to 9dp before ranking with a nation tiebreak. "
+    "Plan: one corpus aggregate per group + a 1-row global broadcast; "
+    "the BH step runs on the m-row summary — segment-count-sized, "
+    "never corpus-sized. Ref: no reference analog; public BH step-up "
+    "procedure.",
+)
+def q_stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("price").cast("decimal(38,2)").alias("s1"),
+        F.sum(F.col("price") * F.col("price")).cast("decimal(38,4)").alias("s2"),
+    )
+    per = base.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("price").cast("decimal(38,2)").alias("s1_g"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = F.round(
+        (F.col("s1_g").cast("double") / F.col("n_g") - mean)
+        / F.sqrt(var / F.col("n_g")),
+        6,
+    )
+    zt = per.crossJoin(F.broadcast(g)).select("nation", "n_g", z.alias("z"))
+    p = zt.select(
+        "nation",
+        "n_g",
+        "z",
+        F.round(
+            2.0 * (1.0 - F.expr(_PHI.format(z="abs(z)"))), 9
+        ).alias("p"),
+    )
+    w = Window.orderBy(F.col("p").asc(), F.col("nation").asc())
+    r = p.select(
+        "nation",
+        "n_g",
+        "z",
+        "p",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    k = r.filter(
+        F.col("p") <= F.col("rnk") * FDR_ALPHA / F.col("m")
+    ).agg(F.coalesce(F.max("rnk"), F.lit(0)).alias("kstar"))
+    return (
+        r.crossJoin(F.broadcast(k))
+        .select(
+            "nation",
+            "n_g",
+            "z",
+            F.round(F.col("p"), 6).alias("p"),
+            "rnk",
+            F.when(F.col("rnk") <= F.col("kstar"), 1).otherwise(0).alias("rejected"),
+        )
+        .orderBy(F.col("rnk").asc())
+    )
+
+
+# ------------------------------------------------- t-closeness audit
+T_CLOSE_THRESHOLD = 0.2
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_nationkey AS qi, c.c_mktsegment AS s
+      FROM customer c
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM j
+    ),
+    gdist AS MATERIALIZED (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_s FROM j GROUP BY s
+    ),
+    grp AS MATERIALIZED (
+      SELECT qi, CAST(count(*) AS BIGINT) AS n_g FROM j GROUP BY qi
+    ),
+    cell AS (
+      SELECT qi, s, CAST(count(*) AS BIGINT) AS n_gs FROM j GROUP BY qi, s
+    ),
+    diff AS (
+      SELECT g.qi,
+             abs(CAST(COALESCE(c.n_gs, 0) AS DOUBLE) / g.n_g
+                 - CAST(gl.n_s AS DOUBLE) / t.n) AS d
+      FROM grp g CROSS JOIN gdist gl CROSS JOIN tot t
+      LEFT JOIN cell c ON c.qi = g.qi AND c.s = gl.s
+    )
+    SELECT d.qi, g.n_g,
+           round(sum(d.d) / 2.0, 6) AS t_dist,
+           CASE WHEN round(sum(d.d) / 2.0, 6) > {T_CLOSE_THRESHOLD}
+                THEN 1 ELSE 0 END AS violates
+    FROM diff d JOIN grp g ON g.qi = d.qi
+    GROUP BY d.qi, g.n_g
+    ORDER BY d.qi ASC
+    """,
+    doc="t-closeness audit (Li, Li & Venkatasubramanian 2007, ICDE) — "
+    "the third rung of the release-gate ladder after "
+    "k_anonymity_audit (class size) and l_diversity_audit (distinct "
+    "sensitive values): a class can be large AND diverse yet still "
+    "leak if its sensitive-value DISTRIBUTION diverges from the "
+    "table-wide one (skewness attack). Per QI class (nationkey), "
+    "distance between the class's mktsegment distribution and the "
+    "global distribution — variational distance sum|p-q|/2, the "
+    "equal-ground-metric EMD the paper prescribes for nominal "
+    f"attributes — flagged above t={T_CLOSE_THRESHOLD}. Determinism: "
+    "all three distributions are exact integer counts; the distance "
+    "is one fixed-shape double per (class, value) cell summed over a "
+    "sensitive-domain-sized frame and rounded 6dp. Plan: three "
+    "partial->final aggregates of the same scan + a (QI x domain) "
+    "left join on two broadcast-sized frames — output is QI-domain-"
+    "sized regardless of table size. Ref: no reference analog; "
+    "public t-closeness definition.",
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    j = c.select(F.col("c_nationkey").alias("qi"), F.col("c_mktsegment").alias("s"))
+    j = j.localCheckpoint(eager=True)  # one scan feeds four aggregates
+    tot = j.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    glob = j.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    grp = j.groupBy("qi").agg(F.count(F.lit(1)).cast("bigint").alias("n_g"))
+    cell = j.groupBy("qi", "s").agg(F.count(F.lit(1)).cast("bigint").alias("n_gs"))
+    d = (
+        grp.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["qi", "s"], "left")
+        .select(
+            "qi",
+            "n_g",
+            F.abs(
+                F.coalesce(F.col("n_gs"), F.lit(0)).cast("double") / F.col("n_g")
+                - F.col("n_s").cast("double") / F.col("n")
+            ).alias("d"),
+        )
+    )
+    t_dist = F.round(F.sum("d") / 2.0, 6)
+    return (
+        d.groupBy("qi", "n_g")
+        .agg(t_dist.alias("t_dist"))
+        .select(
+            "qi",
+            "n_g",
+            "t_dist",
+            F.when(F.col("t_dist") > T_CLOSE_THRESHOLD, 1).otherwise(0).alias(
+                "violates"
+            ),
+        )
+        .orderBy(F.col("qi").asc())
+    )
+
+
+# ------------------------------------------- mutual-information audit
+@register(
+    "feature_mi_audit",
+    oracle="""
+    WITH lab AS MATERIALIZED (
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > (SELECT quantile_cont(o_totalprice, 0.5)
+                                       FROM orders) THEN 1 ELSE 0 END AS y,
+             o_orderstatus, o_orderpriority,
+             CAST(month(o_orderdate) AS VARCHAR) AS omonth
+      FROM orders
+    ),
+    x AS (
+      SELECT feature, level, y FROM (
+        SELECT 'status' AS feature, o_orderstatus AS level, y FROM lab
+        UNION ALL
+        SELECT 'priority', o_orderpriority, y FROM lab
+        UNION ALL
+        SELECT 'month', omonth, y FROM lab
+      )
+    ),
+    nxy AS MATERIALIZED (
+      SELECT feature, level, y, CAST(count(*) AS BIGINT) AS n_xy
+      FROM x GROUP BY feature, level, y
+    ),
+    nx AS (
+      SELECT feature, level, CAST(sum(n_xy) AS BIGINT) AS n_x
+      FROM nxy GROUP BY feature, level
+    ),
+    ny AS (
+      SELECT feature, y, CAST(sum(n_xy) AS BIGINT) AS n_y
+      FROM nxy GROUP BY feature, y
+    ),
+    nn AS (
+      SELECT feature, CAST(sum(n_xy) AS BIGINT) AS n FROM nxy GROUP BY feature
+    ),
+    terms AS (
+      SELECT c.feature,
+             round(CAST(c.n_xy AS DOUBLE) / nn.n
+                   * ln(CAST(c.n_xy AS DOUBLE) * nn.n
+                        / (CAST(nx.n_x AS DOUBLE) * ny.n_y)), 9) AS term
+      FROM nxy c
+      JOIN nx ON nx.feature = c.feature AND nx.level = c.level
+      JOIN ny ON ny.feature = c.feature AND ny.y = c.y
+      JOIN nn ON nn.feature = c.feature
+    )
+    SELECT t.feature,
+           round(CAST(sum(CAST(t.term AS DECIMAL(28,9))) AS DOUBLE), 6)
+             AS mi_nats,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM terms t GROUP BY t.feature
+    ORDER BY t.feature ASC
+    """,
+    doc="Per-feature mutual information against the label (I(X;Y) = "
+    "sum p_xy ln(p_xy/(p_x p_y))) for three categorical order "
+    "features vs the above-median-price label — the feature-screening "
+    "/ target-leakage audit step of a training pipeline (a feature "
+    "with MI ~ H(Y) predicts the label suspiciously well; one with "
+    "~0 bits is dead weight), the per-feature cousin of "
+    "text_pmi_collocations' pairwise PMI and chi2_feature_select's "
+    "frequentist screen. Determinism: all marginals derive from ONE "
+    "(feature, level, y) exact-integer contingency aggregate (never a "
+    "second corpus pass); each cell's p*ln term is a fixed-shape "
+    "double rounded 9dp and summed as DECIMAL(28,9) — the BM25 "
+    "decimal discipline; the label threshold is the exact interpolated "
+    "median. Plan: one unpivot (3x row multiplier, map-side) into one "
+    "partial->final aggregate keyed (feature, level, y) — cardinality "
+    "= sum of feature domains x 2, tiny at any corpus size; marginals "
+    "are re-aggregates of that summary. Ref: no reference analog; "
+    "public MI definition.",
+)
+def q_feature_mi_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    med = o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("med"))
+    lab = o.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("o_totalprice") > F.col("med"), 1).otherwise(0).alias("y"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.month("o_orderdate").cast("string").alias("month"),
+    )
+    x = lab.select(
+        F.expr(
+            "stack(3, 'status', status, 'priority', priority, 'month', month)"
+        ).alias("feature", "level"),
+        "y",
+    )
+    nxy = (
+        x.groupBy("feature", "level", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+        .localCheckpoint(eager=True)  # contingency summary feeds 3 marginals
+    )
+    nx = nxy.groupBy("feature", "level").agg(
+        F.sum("n_xy").cast("bigint").alias("n_x")
+    )
+    ny = nxy.groupBy("feature", "y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    nn = nxy.groupBy("feature").agg(F.sum("n_xy").cast("bigint").alias("n"))
+    term = F.round(
+        F.col("n_xy").cast("double")
+        / F.col("n")
+        * F.log(
+            F.col("n_xy").cast("double")
+            * F.col("n")
+            / (F.col("n_x").cast("double") * F.col("n_y"))
+        ),
+        9,
+    )
+    terms = (
+        nxy.join(nx, ["feature", "level"])
+        .join(ny, ["feature", "y"])
+        .join(nn, "feature")
+        .select("feature", term.alias("term"))
+    )
+    return (
+        terms.groupBy("feature")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(28,9)")).cast("double"), 6
+            ).alias("mi_nats"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+        .orderBy(F.col("feature").asc())
+    )

@@ -323,3 +323,125 @@ def test_kneser_ney_matches_python_twin(spark, tmp_path):
     for i, (n, lp) in want.items():
         assert out[i][0] == n
         assert abs(out[i][1] - lp) < 2e-6
+
+
+# ---------------------------------------------- round-13 batch 3: new ops
+
+
+def test_fdr_bh_rejection_set_is_step_up_consistent(spark, sf_dir):
+    """The rejected set must equal an independent recomputation of the
+    BH step-up rule from the output's own (p, rank) columns."""
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.operators.mining import FDR_ALPHA
+
+    out = sorted(
+        load_catalog()["stats_fdr_bh"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    m = len(out)
+    assert [r.rnk for r in out] == list(range(1, m + 1))
+    kstar = max((r.rnk for r in out if r.p <= r.rnk * FDR_ALPHA / m), default=0)
+    for r in out:
+        assert r.rejected == (1 if r.rnk <= kstar else 0)
+    # p must be sorted ascending along rank
+    ps = [r.p for r in out]
+    assert ps == sorted(ps)
+
+
+def test_t_closeness_flags_planted_skew(spark, tmp_path):
+    """One nation whose members all share a single segment must show a
+    large t distance; a nation mirroring the global mix shows ~0."""
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    rows = []
+    ck = 0
+    # nation 0: perfectly mirrors the global 50/50 mix
+    for seg in ("AUTOMOBILE", "BUILDING") * 10:
+        rows.append((ck, 0, seg)); ck += 1
+    # nation 1: homogeneous - maximal skew vs the global mix
+    for _ in range(20):
+        rows.append((ck, 1, "AUTOMOBILE")); ck += 1
+    spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    out = {
+        r.qi: (r.t_dist, r.violates)
+        for r in load_catalog()["t_closeness_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    # global mix: 3/4 AUTOMOBILE, 1/4 BUILDING
+    assert abs(out[0][0] - 0.25) < 1e-9 and out[0][1] == 1
+    assert abs(out[1][0] - 0.25) < 1e-9 and out[1][1] == 1
+    # a third nation matching the global 3:1 mix exactly -> t = 0
+    rows2 = rows + [(ck + i, 2, seg) for i, seg in enumerate(
+        ["AUTOMOBILE"] * 3 + ["BUILDING"])]
+    # fresh sf_dir: load_table caches the parquet file listing per
+    # (app, dir, table), so an in-place overwrite would serve stale files
+    d2 = tmp_path / "v2"
+    spark.createDataFrame(
+        rows2, "c_custkey long, c_nationkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{d2}/customer.parquet")
+    out2 = {
+        r.qi: (r.t_dist, r.violates)
+        for r in load_catalog()["t_closeness_audit"].fn(spark, str(d2)).collect()
+    }
+    assert out2[2][0] < 0.03 and out2[2][1] == 0
+
+
+def test_feature_mi_independent_vs_dependent(spark, tmp_path):
+    """A feature that determines the label carries MI = H(Y); one
+    independent of it carries ~0 nats."""
+    import datetime as dt
+    import math
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    rows = []
+    for i in range(400):
+        price = 200.0 if i % 2 == 0 else 100.0  # label y = i%2==0
+        status = "O" if i % 2 == 0 else "F"  # determines y
+        prio = "1-URGENT" if (i // 2) % 2 == 0 else "5-LOW"  # independent
+        rows.append(
+            (i, i, status, price, dt.datetime(1995, 1 + (i % 2) * 6, 1), prio)
+        )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = {
+        r.feature: r.mi_nats
+        for r in load_catalog()["feature_mi_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    assert abs(out["status"] - math.log(2)) < 1e-6  # = H(Y) for 50/50
+    assert abs(out["priority"]) < 1e-6
+    assert abs(out["month"] - math.log(2)) < 1e-6  # month tracks i%2 too
+
+
+def test_neighborhood_function_monotone(spark, sf_dir):
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    out = sorted(
+        load_catalog()["graph_neighborhood_function"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.hop,
+    )
+    assert [r.hop for r in out] == [1, 2, 3]
+    assert out[0].n_pairs <= out[1].n_pairs <= out[2].n_pairs
+    assert out[0].n_pairs > 0
+
+
+def test_cdc_chunking_is_insertion_local(spark, tmp_path):
+    """Content-defined boundaries: prepending text to a document must
+    leave the tail chunks identical (shared fingerprints), which fixed-
+    width chunking cannot do."""
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    body = " ".join(f"token{i % 13} word{i % 7}" for i in range(120))
+    docs = [(0, body), (1, "inserted prefix changes offsets badly " + body)]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = load_catalog()["dedup_cdc_chunks"].fn(spark, str(tmp_path)).collect()
+    # at least one >=16-char chunk is shared by BOTH docs despite the
+    # offset shift
+    assert any(r.docs == 2 for r in out)
