@@ -92,6 +92,14 @@ OVERRIDES = {
     "graph_link_prediction_jaccard": ["graph_pagerank", "dedup_minhash_lsh_pairs"],
     "sim_truncated_dim_recall": ["sim_cosine_topk", "sim_ann_recall_eval"],
     "source_kl_divergence": ["text_tfidf_topk", "quality_percentile_filter"],
+    # group-summary window algebra over the same per-nation z substrate
+    # as the anomaly entries; the step-up rule runs on a 25-row frame
+    "stats_fdr_bh": ["ks_test_two_sample", "trend_mann_kendall"],
+    # same QI-class aggregate family as the certified release gates
+    "t_closeness_audit": ["l_diversity_audit", "k_anonymity_audit"],
+    # one-pass contingency aggregate + log-ratio scoring = the PMI /
+    # chi-square screening machinery
+    "feature_mi_audit": ["text_pmi_collocations", "chi2_feature_select"],
     "keyset_pagination_page3": ["topk_per_group", "tpch_q11_style"],
     "sim_binary_hamming_topk": ["sim_cosine_topk", "sim_ivf_topk"],
     "eval_spearman_corr": ["trend_mann_kendall", "eval_calibration_bins"],
