@@ -4698,3 +4698,230 @@ def q_feature_mi_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("feature").asc())
     )
+
+
+# ----------------------------------------------------- CUPED adjustment
+CUPED_ARMS = 2
+CUPED_SPLIT = "1998-01-01"
+
+
+@register(
+    "ab_cuped_adjustment",
+    oracle=f"""
+    WITH per AS (
+      SELECT c.c_custkey AS ck,
+             {_md5_int8_sql("CAST(c.c_custkey AS VARCHAR)")}
+               % {CUPED_ARMS} AS arm,
+             CAST(COALESCE(sum(CASE WHEN o.o_orderdate < DATE '{CUPED_SPLIT}'
+                  THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0)
+                  AS DECIMAL(38,2)) AS x,
+             CAST(COALESCE(sum(CASE WHEN o.o_orderdate >= DATE '{CUPED_SPLIT}'
+                  THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0)
+                  AS DECIMAL(38,2)) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ),
+    mom AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,2)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+             CAST(sum(x * x) AS DECIMAL(38,4)) AS sxx,
+             CAST(sum(x * y) AS DECIMAL(38,4)) AS sxy
+      FROM per
+    ),
+    th AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS mx,
+             (CAST(sxy AS DOUBLE) / n
+              - CAST(sx AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))
+             / (CAST(sxx AS DOUBLE) / n
+                - CAST(sx AS DOUBLE) / n * (CAST(sx AS DOUBLE) / n)) AS theta
+      FROM mom
+    ),
+    adj AS (
+      SELECT p.arm, CAST(p.y AS DOUBLE) AS y,
+             CAST(p.y AS DOUBLE)
+               - th.theta * (CAST(p.x AS DOUBLE) - th.mx) AS y_adj
+      FROM per p CROSS JOIN th
+    )
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           round(avg(y), 4) AS mean_y,
+           round(avg(y_adj), 4) AS mean_y_adj,
+           round(var_pop(y), 2) AS var_y,
+           round(var_pop(y_adj), 2) AS var_y_adj
+    FROM adj GROUP BY arm ORDER BY arm ASC
+    """,
+    doc="CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013, "
+    "WSDM): adjust the experiment metric with a pre-period covariate, "
+    "Y' = Y - theta*(X - E[X]) with theta = cov(X,Y)/var(X), so the "
+    "per-arm readout keeps its mean (in expectation) while shedding "
+    "the covariate-explained variance — the standard trick that cuts "
+    "experiment runtimes 30-50% and the third experimentation entry "
+    "next to ab_srm_check (assignment health) and ab_test_welch_ttest "
+    f"(the readout itself). Pre-period = orders before {CUPED_SPLIT}, "
+    "metric = revenue after; arms assigned by the portable md5 bucket "
+    "(engine-identical). Determinism: per-customer X/Y and all five "
+    "pooled moments are exact DECIMAL sums; theta and the adjusted "
+    "values are fixed-shape doubles; means/variances round at the "
+    "projection (var_pop = exact sum-of-squares form both engines). "
+    "Plan: one customer-keyed aggregate (the corpus pass), a 1-row "
+    "moment broadcast, then a map-side adjust + one arm-keyed "
+    "aggregate — no extra shuffle beyond the group-bys. Ref: no "
+    "reference analog; public CUPED formula.",
+)
+def q_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % CUPED_ARMS
+    )
+    per = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderdate") < CUPED_SPLIT, price)),
+                F.lit(0),
+            )
+            .cast("decimal(38,2)")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderdate") >= CUPED_SPLIT, price)),
+                F.lit(0),
+            )
+            .cast("decimal(38,2)")
+            .alias("y"),
+        )
+        .select(F.col("c_custkey"), arm.alias("arm"), "x", "y")
+        .localCheckpoint(eager=True)  # feeds the moment pass AND the adjust
+    )
+    mom = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,2)").alias("sx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,4)").alias("sxy"),
+    )
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    theta = (F.col("sxy").cast("double") / F.col("n") - mx * my) / (
+        F.col("sxx").cast("double") / F.col("n") - mx * mx
+    )
+    th = mom.select("n", mx.alias("mx"), theta.alias("theta"))
+    adj = per.crossJoin(F.broadcast(th)).select(
+        "arm",
+        F.col("y").cast("double").alias("y"),
+        (
+            F.col("y").cast("double")
+            - F.col("theta") * (F.col("x").cast("double") - F.col("mx"))
+        ).alias("y_adj"),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("y"), 4).alias("mean_y"),
+            F.round(F.avg("y_adj"), 4).alias("mean_y_adj"),
+            F.round(F.var_pop("y"), 2).alias("var_y"),
+            F.round(F.var_pop("y_adj"), 2).alias("var_y_adj"),
+        )
+        .orderBy(F.col("arm").asc())
+    )
+
+
+# ----------------------------------------------- disparate-impact audit
+DI_THRESHOLD = 0.8  # the EEOC four-fifths rule
+
+
+@register(
+    "fairness_disparate_impact",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment AS grp,
+             CAST(COALESCE(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                  AS DECIMAL(38,2)) AS total
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    med AS MATERIALIZED (
+      SELECT quantile_cont(CAST(total AS DOUBLE), 0.5) AS m FROM spend
+    ),
+    rates AS MATERIALIZED (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CASE WHEN CAST(total AS DOUBLE) > med.m
+                            THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+               AS pos_rate
+      FROM spend CROSS JOIN med GROUP BY grp
+    ),
+    best AS (SELECT max(pos_rate) AS best FROM rates)
+    SELECT r.grp, r.n, r.pos_rate,
+           round(r.pos_rate / b.best, 6) AS di_ratio,
+           CASE WHEN round(r.pos_rate / b.best, 6) < {DI_THRESHOLD}
+                THEN 1 ELSE 0 END AS violates
+    FROM rates r CROSS JOIN best b
+    ORDER BY r.grp ASC
+    """,
+    doc="Disparate-impact fairness audit (the EEOC four-fifths rule; "
+    "Feldman et al. 2015, KDD): per protected-group positive-outcome "
+    "rate (here: above-median customer spend per mktsegment) divided "
+    "by the best group's rate, flagged when the ratio drops below "
+    f"{DI_THRESHOLD} — the governance gate an ML platform runs on "
+    "every scored cohort before shipping a model, completing the "
+    "audit family next to the privacy ladder (k-anon/l-div/"
+    "t-closeness) and the calibration entries. Determinism: outcomes "
+    "are exact DECIMAL spend totals against the exact interpolated "
+    "median (one 1-row broadcast); rates round to 6dp before the "
+    "ratio, the ratio re-rounds before the threshold compare. Plan: "
+    "one customer-keyed aggregate, a 1-row median broadcast into a "
+    "map-side flag, one group-keyed aggregate — output is "
+    "group-domain-sized at any scale. Ref: no reference analog; "
+    "public four-fifths rule.",
+)
+def q_fairness_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("grp"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("decimal(38,2)")
+            .alias("total")
+        )
+        .localCheckpoint(eager=True)  # feeds median AND the rate pass
+    )
+    med = spend.agg(
+        F.percentile(F.col("total").cast("double"), F.lit(0.5)).alias("m")
+    )
+    rates = (
+        spend.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(
+                    F.when(F.col("total").cast("double") > F.col("m"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pos_rate"),
+        )
+    )
+    best = rates.agg(F.max("pos_rate").alias("best"))
+    di = F.round(F.col("pos_rate") / F.col("best"), 6)
+    return (
+        rates.crossJoin(F.broadcast(best))
+        .select(
+            "grp",
+            "n",
+            "pos_rate",
+            di.alias("di_ratio"),
+            F.when(di < DI_THRESHOLD, 1).otherwise(0).alias("violates"),
+        )
+        .orderBy(F.col("grp").asc())
+    )

@@ -3588,3 +3588,85 @@ def q_text_multipattern_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         scan, "doc_id bigint, pattern string, n_hits bigint"
     )
+
+
+@register(
+    "vocab_zipf_fit",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_TOKENS_SQL}) AS term FROM documents),
+    freq AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM t GROUP BY term),
+    rk AS (
+      SELECT row_number() OVER (ORDER BY f DESC, term ASC) AS r, f
+      FROM freq
+    ),
+    pts AS (
+      SELECT round(ln(CAST(r AS DOUBLE)), 9) AS x,
+             round(ln(CAST(f AS DOUBLE)), 9) AS y
+      FROM rk
+    ),
+    s AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT n AS n_terms,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                 * (sx / n), 6) AS intercept,
+           round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+    FROM s
+    """,
+    doc="Zipf's-law fit over the corpus word-frequency distribution: "
+    "OLS of ln(freq) on ln(rank) — slope ~ -1 is the signature of "
+    "natural language (Zipf 1949; Piantadosi 2014), and a corpus "
+    "whose slope drifts far from it (too flat = scrambled/templated "
+    "text, too steep = token collapse) fails the same intake gate "
+    "vocab_heaps_law checks from the growth side; together they are "
+    "the two classic vocabulary power laws. Determinism: frequencies "
+    "are exact integers; rank is a deterministic (freq desc, term "
+    "asc) row_number; each ln/product term rounds to 9dp and sums as "
+    "DECIMAL(28,9) (order-independent), and the closed-form OLS "
+    "slope/intercept/r2 are fixed-shape doubles rounded 6dp. Plan: "
+    "one token explode -> term aggregate (the corpus pass), then a "
+    "vocabulary-sized global sort for ranks and one 1-row moment "
+    "aggregate; at 1e9-term vocabularies the sort is the cost and a "
+    "bucketed rank (range partitioner) replaces it — the output "
+    "stays one row. Ref: no reference analog; public Zipf/OLS.",
+)
+def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+    freq = t.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
+    pts = freq.select(F.row_number().over(w).alias("r"), "f").select(
+        F.round(F.log(F.col("r").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 9).alias("y"),
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(28,9)")).cast("double")
+
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("y"), 9)).alias("sxy"),
+        dsum(F.round(F.col("x") * F.col("x"), 9)).alias("sxx"),
+        dsum(F.round(F.col("y") * F.col("y"), 9)).alias("syy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / vx
+    return s.select(
+        n.alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("sy") / n - slope * (F.col("sx") / n), 6).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"),
+    )

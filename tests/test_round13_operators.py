@@ -445,3 +445,86 @@ def test_cdc_chunking_is_insertion_local(spark, tmp_path):
     # at least one >=16-char chunk is shared by BOTH docs despite the
     # offset shift
     assert any(r.docs == 2 for r in out)
+
+
+# ---------------------------------------------- round-13 batch 4: new ops
+
+
+def test_cuped_kills_variance_under_perfect_correlation(spark, tmp_path):
+    """When the post-period metric equals the pre-period covariate per
+    customer, theta = 1 and the adjusted metric collapses to a
+    constant: var_y_adj ~ 0 while var_y stays large."""
+    import datetime as dt
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    custs = [(i, f"c{i}", "BUILDING", 0) for i in range(40)]
+    spark.createDataFrame(
+        custs, "c_custkey long, c_name string, c_mktsegment string, c_nationkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    orders = []
+    for i in range(40):
+        amt = 100.0 + 10.0 * i  # varies across customers
+        orders.append((2 * i, i, "F", amt, dt.datetime(1997, 1, 1), "3-MEDIUM"))
+        orders.append((2 * i + 1, i, "O", amt, dt.datetime(1999, 1, 1), "3-MEDIUM"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = load_catalog()["ab_cuped_adjustment"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.var_y > 0
+        assert r.var_y_adj < 1e-6
+        # CUPED preserves the metric's location up to the theta*(x-mx)
+        # shift, which is zero-mean pooled
+        assert abs(r.mean_y_adj - r.mean_y) < r.var_y ** 0.5
+
+
+def test_disparate_impact_flags_planted_gap(spark, tmp_path):
+    """A segment whose members all land below the median outcome must
+    show di_ratio 0 and violate the four-fifths rule."""
+    import datetime as dt
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    custs, orders = [], []
+    for i in range(30):
+        grp = "MACHINERY" if i < 15 else "HOUSEHOLD"
+        custs.append((i, f"c{i}", grp, 0))
+        amt = 1000.0 if grp == "MACHINERY" else 10.0
+        orders.append((i, i, "F", amt, dt.datetime(1997, 1, 1), "3-MEDIUM"))
+    spark.createDataFrame(
+        custs, "c_custkey long, c_name string, c_mktsegment string, c_nationkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = {
+        r.grp: r
+        for r in load_catalog()["fairness_disparate_impact"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["MACHINERY"].pos_rate == 1.0 and out["MACHINERY"].violates == 0
+    assert out["HOUSEHOLD"].pos_rate == 0.0 and out["HOUSEHOLD"].violates == 1
+    assert out["HOUSEHOLD"].di_ratio == 0.0
+
+
+def test_zipf_fit_exact_two_point_slope(spark, tmp_path):
+    """freqs 4 and 2 at ranks 1 and 2 give slope exactly -1
+    (ln2 - ln4)/(ln2 - ln1) and r2 = 1."""
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    text = " ".join(["aa"] * 4 + ["bb"] * 2)
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = load_catalog()["vocab_zipf_fit"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n_terms == 2
+    assert abs(r.slope - (-1.0)) < 1e-6
+    assert abs(r.r2 - 1.0) < 1e-6

@@ -80,6 +80,9 @@ OVERRIDES = {
     # fof/first-occurrence token machinery = the windowed estimator +
     # tfidf token aggregates
     "vocab_heaps_law": ["vocab_unseen_estimate", "text_tfidf_topk"],
+    # same term-frequency aggregate + windowed rank as the certified
+    # token analytics; OLS runs on the vocabulary summary
+    "vocab_zipf_fit": ["vocab_unseen_estimate", "text_tfidf_topk"],
     # two passes of the windowed BM25 probe around a broadcast feedback
     # model — same postings shuffle, same pruned-df broadcast
     "retrieval_rm3_expansion": ["retrieval_bm25_topk", "hybrid_retrieval_rrf"],
@@ -100,6 +103,12 @@ OVERRIDES = {
     # one-pass contingency aggregate + log-ratio scoring = the PMI /
     # chi-square screening machinery
     "feature_mi_audit": ["text_pmi_collocations", "chi2_feature_select"],
+    # per-customer decimal aggregate + 1-row moment broadcast = the
+    # certified experimentation substrate (arms via the SRM md5 bucket)
+    "ab_cuped_adjustment": ["ab_srm_check", "bootstrap_mean_ci"],
+    # group positive rates against a broadcast exact percentile = the
+    # quality-gate aggregate shape
+    "fairness_disparate_impact": ["quality_percentile_filter", "l_diversity_audit"],
     "keyset_pagination_page3": ["topk_per_group", "tpch_q11_style"],
     "sim_binary_hamming_topk": ["sim_cosine_topk", "sim_ivf_topk"],
     "eval_spearman_corr": ["trend_mann_kendall", "eval_calibration_bins"],

@@ -73,6 +73,15 @@ DEFAULT_QUERIES = [
     "stream_tumbling_counts",
     "stream_neardup_dedup",
     "tokenizer_bpe_encode",
+    # round-13 batch-2/3 newcomers with data-proportional stages: the
+    # Python AC scan, the per-char Gear hash, the bigram model join,
+    # the HITS exchanges, and grid DBSCAN (whose pair count grows with
+    # density by SEMANTICS at fixed eps — see SCALING.md)
+    "text_multipattern_tags",
+    "dedup_cdc_chunks",
+    "text_kneser_ney_score",
+    "graph_hits_scores",
+    "cluster_dbscan_grid",
 ]
 
 ROUNDS = 3
