@@ -4925,3 +4925,106 @@ def q_fairness_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("grp").asc())
     )
+
+
+# ----------------------------------------------------------- PR-AUC
+@register(
+    "eval_auprc",
+    oracle=f"""
+    WITH s AS (
+      SELECT round({_CALIB_P_SQL}, 6) AS p6,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    g AS (
+      SELECT p6, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM s GROUP BY p6
+    ),
+    cum AS (
+      SELECT p6, pos, neg,
+             CAST(sum(pos) OVER w AS BIGINT) AS tp,
+             CAST(sum(neg) OVER w AS BIGINT) AS fp
+      FROM g WINDOW w AS (ORDER BY p6 DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS MATERIALIZED (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                                CAST(sum(pos) + sum(neg) AS BIGINT) AS n
+                         FROM g),
+    terms AS (
+      SELECT round((CAST(c.pos AS DOUBLE) / tot.p)
+                   * (CAST(c.tp AS DOUBLE) / (c.tp + c.fp)), 9) AS term
+      FROM cum c CROSS JOIN tot WHERE c.pos > 0
+    )
+    SELECT tot.n, tot.p AS n_pos,
+           round(CAST(tot.p AS DOUBLE) / tot.n, 6) AS prevalence,
+           round(CAST((SELECT sum(CAST(term AS DECIMAL(28,9))) FROM terms)
+                      AS DOUBLE), 6) AS auprc
+    FROM tot
+    """,
+    doc="Exact area under the precision-recall curve (average precision "
+    "with block tie handling: AP = sum over distinct-score groups of "
+    "deltaRecall x end-of-group precision — the step-integral "
+    "definition scikit-learn's average_precision_score computes) for "
+    "the logistic event score against the purchase label. The "
+    "IMBALANCE-robust companion to eval_auc_mannwhitney: AUC stays "
+    "near 0.5-1.0 under heavy class skew while PR-AUC collapses "
+    "toward prevalence, which is why retrieval/anomaly evaluations "
+    "report it. Determinism: scores pre-round to 6dp; ties collapse "
+    "into ONE group so cumulative TP/FP are exact integers and "
+    "order-unambiguous (a per-row ranking over tied doubles would "
+    "NOT be); each group term is a fixed-shape double rounded 9dp "
+    "summed as DECIMAL(28,9). Plan: one (score) aggregate (the "
+    "corpus pass), a distinct-score-sized window cumsum, one 1-row "
+    "total broadcast — at 1e9 distinct scores the cumsum becomes a "
+    "range-partitioned prefix sum, same algebra. Ref: no reference "
+    "analog; public AP definition.",
+)
+def q_eval_auprc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        F.round(F.expr(_CALIB_P_SQL), 6).alias("p6"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("p6").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    g = g.localCheckpoint(eager=True)  # feeds the cumsum AND the totals
+    w = (
+        Window.orderBy(F.col("p6").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "p6",
+        "pos",
+        F.sum("pos").over(w).cast("bigint").alias("tp"),
+        F.sum("neg").over(w).cast("bigint").alias("fp"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        (F.sum("pos") + F.sum("neg")).cast("bigint").alias("n"),
+    )
+    terms = (
+        cum.filter(F.col("pos") > 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("pos").cast("double") / F.col("p"))
+                * (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))),
+                9,
+            ).alias("term")
+        )
+    )
+    ap = terms.agg(
+        F.sum(F.col("term").cast("decimal(28,9)")).cast("double").alias("ap")
+    )
+    return (
+        tot.crossJoin(F.broadcast(ap))
+        .select(
+            "n",
+            F.col("p").alias("n_pos"),
+            F.round(F.col("p").cast("double") / F.col("n"), 6).alias("prevalence"),
+            F.round(F.col("ap"), 6).alias("auprc"),
+        )
+    )

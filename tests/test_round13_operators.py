@@ -528,3 +528,42 @@ def test_zipf_fit_exact_two_point_slope(spark, tmp_path):
     assert r.n_terms == 2
     assert abs(r.slope - (-1.0)) < 1e-6
     assert abs(r.r2 - 1.0) < 1e-6
+
+
+def test_auprc_perfect_and_random_rankers(spark, tmp_path):
+    """A score that separates classes perfectly gives AP = 1; a
+    constant score gives AP = prevalence."""
+    import datetime as dt
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    # events schema piece used: value (drives the score), event_type
+    rows = []
+    for i in range(200):
+        # value > 35 <=> purchase: monotone score => perfect ranking
+        if i % 4 == 0:
+            rows.append((i, dt.datetime(2024, 1, 1), i % 7, "purchase", 90.0, "{}"))
+        else:
+            rows.append((i, dt.datetime(2024, 1, 1), i % 7, "view", 10.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = load_catalog()["eval_auprc"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n == 200 and r.n_pos == 50
+    assert abs(r.auprc - 1.0) < 1e-9
+    # constant score: every event ties -> one block, AP = prevalence
+    d2 = tmp_path / "const"
+    rows2 = [
+        (i, dt.datetime(2024, 1, 1), i % 7,
+         "purchase" if i % 4 == 0 else "view", 50.0, "{}")
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d2}/events.parquet")
+    r2 = load_catalog()["eval_auprc"].fn(spark, str(d2)).collect()[0]
+    assert abs(r2.auprc - r2.prevalence) < 1e-9

@@ -106,6 +106,9 @@ OVERRIDES = {
     # per-customer decimal aggregate + 1-row moment broadcast = the
     # certified experimentation substrate (arms via the SRM md5 bucket)
     "ab_cuped_adjustment": ["ab_srm_check", "bootstrap_mean_ci"],
+    # same p6/label substrate as the windowed calibration entries;
+    # tie-blocked cumsum = the certified AUC ranking machinery
+    "eval_auprc": ["eval_calibration_bins", "eval_auc_mannwhitney"],
     # group positive rates against a broadcast exact percentile = the
     # quality-gate aggregate shape
     "fairness_disparate_impact": ["quality_percentile_filter", "l_diversity_audit"],
