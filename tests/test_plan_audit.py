@@ -79,6 +79,18 @@ CROSS_OK = {
     "embedding_pca_power",  # O(dim^2) local eigensolve; no cross join remains
     "vocab_heaps_law",  # broadcast 1-row bucket-width join
     "retrieval_rm3_expansion",  # broadcast 1-row corpus-stats + sum-w joins
+    # round-13 batch 2/3 newcomers — every cross/BNLJ below is a
+    # broadcast of a 1-row scalar frame or a bounded summary frame:
+    "text_kneser_ney_score",  # broadcast 1-row bigram-type-count (T) join
+    "graph_hits_scores",  # broadcast 1-row L1-normalizer join per half-round
+    "eval_isotonic_calibration",  # bin-range non-equi joins on the <=50-row summary
+    "stats_fdr_bh",  # broadcast 1-row global moments + k* threshold joins
+    "t_closeness_audit",  # QI x sensitive-domain grid (the output shape) + 1-row total
+    "feature_mi_audit",  # broadcast 1-row exact-median label threshold join
+    "ab_cuped_adjustment",  # broadcast 1-row pooled-moment (theta, mx) join
+    "fairness_disparate_impact",  # broadcast 1-row median + best-rate joins
+    "eval_auprc",  # broadcast 1-row totals (P, N) + final AP scalar joins
+    "vocab_zipf_fit",  # 1-row moment frame; OLS closed form
 }
 
 
