@@ -3670,3 +3670,165 @@ def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sy") / n - slope * (F.col("sx") / n), 6).alias("intercept"),
         F.round(cov * cov / (vx * vy), 6).alias("r2"),
     )
+
+
+# ------------------------------------------ PPS systematic sampling
+PPS_STEPS = 50  # target sample size (one draw per weight stratum)
+
+
+@register(
+    "sample_pps_systematic",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS wt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, wt,
+             CAST(sum(wt) OVER (ORDER BY doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM w
+    ),
+    tot AS MATERIALIZED (SELECT CAST(sum(wt) AS BIGINT) AS t FROM w)
+    SELECT c.doc_id, c.wt,
+           CAST((c.cum * {PPS_STEPS}) // tot.t AS BIGINT) AS stratum
+    FROM c CROSS JOIN tot
+    WHERE (c.cum * {PPS_STEPS}) // tot.t
+          > ((c.cum - c.wt) * {PPS_STEPS}) // tot.t
+    ORDER BY c.doc_id ASC
+    """,
+    doc="Systematic probability-proportional-to-size sampling (PPS; "
+    "Madow 1949 — the fixed-interval walk down the cumulative weight "
+    "axis): a document is drawn when its weight interval spans a "
+    f"multiple of total_weight/{PPS_STEPS}, so inclusion probability "
+    "is exactly proportional to size (here n_chars — 'sample tokens, "
+    "not documents', the correct unit when the training budget is "
+    "measured in tokens) and the draw count is FIXED at ~"
+    f"{PPS_STEPS} with zero variance in sample size, unlike the "
+    "Bernoulli/priority samplers beside it (sample_weighted_priority "
+    "draws a random-size sample; this one fills an exact token "
+    "budget). Deterministic zero-offset variant: draw points are "
+    "k*T/{steps} exactly, expressed in pure BIGINT floor division "
+    "(cum*steps//T strictly increases across a selected row's "
+    "interval) — no doubles anywhere. Plan: one window cumsum over "
+    "the doc_id order + a 1-row total broadcast into a map-side "
+    "interval test. At 100 TB the global cumsum is a two-pass "
+    "range-partitioned prefix sum (per-partition subtotals broadcast "
+    "back — the standard distributed scan); everything else stays "
+    "map-side. Ref: no reference analog; public PPS-systematic "
+    "design.",
+)
+def q_sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.col("n_chars").cast("bigint").alias("wt"))
+    win = Window.orderBy(F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = w.select(
+        "doc_id", "wt", F.sum("wt").over(win).cast("bigint").alias("cum")
+    )
+    tot = w.agg(F.sum("wt").cast("bigint").alias("t"))
+    hi = F.expr(f"(cum * {PPS_STEPS}) div t")
+    lo = F.expr(f"((cum - wt) * {PPS_STEPS}) div t")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(hi > lo)
+        .select("doc_id", "wt", hi.cast("bigint").alias("stratum"))
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+# --------------------------------------- temporal purged train/test
+PURGE_TRAIN_END = "1998-01-01"
+PURGE_GAP_DAYS = 90
+
+
+@register(
+    "train_test_split_temporal_purged",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CASE
+               WHEN o_orderdate < DATE '{PURGE_TRAIN_END}' THEN 'train'
+               WHEN o_orderdate >= DATE '{PURGE_TRAIN_END}'
+                    + INTERVAL {PURGE_GAP_DAYS} DAY THEN 'test'
+               ELSE 'gap'
+             END AS split
+      FROM orders
+    ),
+    leaky AS MATERIALIZED (
+      SELECT DISTINCT o_custkey FROM o WHERE split = 'gap'
+    ),
+    final AS (
+      SELECT o.o_orderkey, o.o_custkey, o.split,
+             CASE WHEN o.split = 'train' AND l.o_custkey IS NOT NULL
+                  THEN 1 ELSE 0 END AS purged
+      FROM o LEFT JOIN leaky l ON l.o_custkey = o.o_custkey
+      WHERE o.split <> 'gap'
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(purged) AS BIGINT) AS n_purged,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_entities
+    FROM final GROUP BY split ORDER BY split ASC
+    """,
+    doc="Temporal train/test split with an embargo gap and entity "
+    "purging (the de Prado 2018 'purged K-fold' discipline, one "
+    f"fold): train < {PURGE_TRAIN_END}, test >= train_end + "
+    f"{PURGE_GAP_DAYS} days, and train rows belonging to entities "
+    "ACTIVE INSIDE the gap are flagged as purge candidates — the "
+    "leakage that random/hash splits cannot see (an entity whose "
+    "behavior straddles the boundary carries test-period information "
+    "into train features). Completes the split family: hash "
+    "(train_test_split_hash) for iid, source-stratified "
+    "(train_test_split_by_source) for domain shift, temporal-purged "
+    "for time-ordered label horizons. Determinism: pure date "
+    "arithmetic and integer counts. Plan: one map-side split tag, "
+    "one distinct over the (small) gap window's entities broadcast "
+    "back as the purge probe, one group aggregate — the gap-entity "
+    "frame is bounded by the embargo window, not the corpus. Ref: "
+    "no reference analog; public purged-CV design.",
+)
+def q_train_test_split_temporal_purged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    split = (
+        F.when(F.col("o_orderdate") < PURGE_TRAIN_END, "train")
+        .when(
+            F.col("o_orderdate")
+            >= F.date_add(F.lit(PURGE_TRAIN_END).cast("date"), PURGE_GAP_DAYS),
+            "test",
+        )
+        .otherwise("gap")
+    )
+    tagged = o.select("o_orderkey", "o_custkey", split.alias("split"))
+    tagged = tagged.localCheckpoint(eager=True)  # feeds gap probe + final
+    leaky = (
+        tagged.filter(F.col("split") == "gap").select("o_custkey").distinct()
+    )
+    final = (
+        tagged.filter(F.col("split") != "gap")
+        .join(
+            F.broadcast(leaky.withColumn("leak", F.lit(1))), "o_custkey", "left"
+        )
+        .select(
+            "split",
+            "o_custkey",
+            F.when(
+                (F.col("split") == "train") & F.col("leak").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("purged"),
+        )
+    )
+    return (
+        final.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("purged").cast("bigint").alias("n_purged"),
+            F.count_distinct("o_custkey").cast("bigint").alias("n_entities"),
+        )
+        .orderBy(F.col("split").asc())
+    )

@@ -567,3 +567,48 @@ def test_auprc_perfect_and_random_rankers(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{d2}/events.parquet")
     r2 = load_catalog()["eval_auprc"].fn(spark, str(d2)).collect()[0]
     assert abs(r2.auprc - r2.prevalence) < 1e-9
+
+
+def test_pps_sample_size_and_proportionality(spark, sf_dir):
+    """Systematic PPS draws a FIXED ~PPS_STEPS-size sample and each
+    selected doc's interval must actually span a draw point."""
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+    from jaffle_shop_classic_spark.operators.text import PPS_STEPS
+
+    out = load_catalog()["sample_pps_systematic"].fn(spark, sf_dir).collect()
+    assert PPS_STEPS - 1 <= len(out) <= PPS_STEPS
+    # strata strictly increase along doc order (no stratum drawn twice)
+    strata = [r.stratum for r in sorted(out, key=lambda r: r.doc_id)]
+    assert strata == sorted(strata)
+    assert len(set(strata)) == len(strata)
+
+
+def test_temporal_purged_split_flags_straddlers(spark, tmp_path):
+    """Entities active inside the embargo gap mark their train rows as
+    purge candidates; clean entities do not."""
+    import datetime as dt
+
+    from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+    rows = [
+        # customer 0: train only - clean
+        (0, 0, "F", 10.0, dt.datetime(1997, 5, 1), "3-MEDIUM"),
+        # customer 1: train + gap activity - train row must be purged
+        (1, 1, "F", 10.0, dt.datetime(1997, 6, 1), "3-MEDIUM"),
+        (2, 1, "O", 10.0, dt.datetime(1998, 2, 1), "3-MEDIUM"),
+        # customer 2: test only
+        (3, 2, "O", 10.0, dt.datetime(1999, 1, 1), "3-MEDIUM"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = {
+        r.split: r
+        for r in load_catalog()["train_test_split_temporal_purged"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["train"].n == 2 and out["train"].n_purged == 1
+    assert out["test"].n == 1 and out["test"].n_purged == 0

@@ -109,6 +109,10 @@ OVERRIDES = {
     # same p6/label substrate as the windowed calibration entries;
     # tie-blocked cumsum = the certified AUC ranking machinery
     "eval_auprc": ["eval_calibration_bins", "eval_auc_mannwhitney"],
+    # window cumsum + 1-row total broadcast = the certified split/
+    # sampler machinery
+    "sample_pps_systematic": ["train_test_split_hash", "sample_dsir_importance"],
+    "train_test_split_temporal_purged": ["train_test_split_hash", "incremental_orders_state"],
     # group positive rates against a broadcast exact percentile = the
     # quality-gate aggregate shape
     "fairness_disparate_impact": ["quality_percentile_filter", "l_diversity_audit"],
