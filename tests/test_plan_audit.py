@@ -91,6 +91,7 @@ CROSS_OK = {
     "fairness_disparate_impact",  # broadcast 1-row median + best-rate joins
     "eval_auprc",  # broadcast 1-row totals (P, N) + final AP scalar joins
     "vocab_zipf_fit",  # 1-row moment frame; OLS closed form
+    "sample_pps_systematic",  # broadcast 1-row total-weight (T) join
 }
 
 
