@@ -1458,7 +1458,8 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     wts = (
-        tf.join(F.broadcast(dfreq), "term")
+        # dfreq is shingle-vocabulary-sized: no broadcast hint (AQE decides)
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

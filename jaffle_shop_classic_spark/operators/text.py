@@ -423,10 +423,12 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TF-IDF top-3 terms per document: explode -> tf per (doc, term), "
     "df per term, idf = ln(N/df) with N from a 1-row count aggregate "
     "(broadcast), window top-k per doc. Ordering uses the ROUNDED "
-    "score so cross-engine float noise cannot flip ranks. At 100 TB "
-    "the df table is vocabulary-sized (broadcast), tf is the only "
-    "big shuffle, and the top-k window re-uses tf's doc_id "
-    "partitioning.",
+    "score so cross-engine float noise cannot flip ranks. The df "
+    "table is vocabulary-sized and carries NO broadcast hint: AQE "
+    "picks broadcast at test scale from measured sizes and falls "
+    "back to a shuffled join at 100 TB, where a forced hint would "
+    "OOM executors. tf is the only big shuffle, and the top-k "
+    "window re-uses tf's doc_id partitioning.",
 )
 def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -437,7 +439,7 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -1088,11 +1090,12 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     "count each document's tokens under the learned merges, the number "
     "every training-data budget ('how many tokens is this corpus?') "
     "actually means. The trained per-word symbol counts form a "
-    "vocabulary-sized broadcast map; encoding the corpus is then one "
-    "map-side join on the word plus a per-doc aggregate — corpus-"
-    "scale work is a single pass regardless of merge count. (True "
-    "encode-to-ids emits the symbol array instead of its size; same "
-    "join, wider payload.)",
+    "vocabulary-sized map joined on the word — NO broadcast hint, so "
+    "AQE broadcasts it at test scale and shuffles it at 100 TB where "
+    "a distinct-word table no longer fits executor memory; corpus-"
+    "scale work is one join plus a per-doc aggregate regardless of "
+    "merge count. (True encode-to-ids emits the symbol array instead "
+    "of its size; same join, wider payload.)",
 )
 def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, _merges = _bpe_train(spark, sf_dir)
@@ -1102,7 +1105,7 @@ def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     doctok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
     return (
-        doctok.join(F.broadcast(enc), "word")
+        doctok.join(enc, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -1303,8 +1306,8 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 = uni_counts.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni_counts.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     pmi = (
-        bi_counts.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        bi_counts.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(n_total))
         .select(
             "w1",
@@ -1887,7 +1890,7 @@ def q_sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     kept = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .filter(F.col("df") <= F.greatest(F.lit(2.0), F.col("n_docs") * SPARSE_DF_FRAC))
         .select(
@@ -1976,7 +1979,7 @@ def q_corpus_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok", (F.row_number().over(w) - 1).cast("bigint").alias("vocab_id")
     )
     return (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
@@ -2067,8 +2070,9 @@ def q_lang_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ltok = tok.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
     ctl = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     model = (
-        langs.select("lang")
-        .crossJoin(F.broadcast(vocab))
+        # cross the UNBOUNDED vocabulary with the bounded language list —
+        # broadcast the langs side (vocab at 100 TB is 1e8+ rows)
+        vocab.crossJoin(F.broadcast(langs.select("lang")))
         .crossJoin(F.broadcast(vsize))
         .join(ltok, "lang")
         .join(ctl, ["lang", "tok"], "left")
@@ -2083,7 +2087,9 @@ def q_lang_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dtok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     scores = (
-        dtok.join(F.broadcast(model), "tok")
+        # model is |langs| x |V| — vocabulary-sized, so NO broadcast hint;
+        # AQE broadcasts at test scale, shuffles at 100 TB
+        dtok.join(model, "tok")
         .join(F.broadcast(langs), "lang")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "lang", "n_docs", "n")
@@ -2168,7 +2174,9 @@ def q_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     dft = pres.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     atl = pres.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
     grid = (
-        nl.crossJoin(F.broadcast(dft))
+        # dft is vocabulary-sized: keep it as the probe side and broadcast
+        # the bounded per-language counts instead
+        dft.crossJoin(F.broadcast(nl))
         .crossJoin(F.broadcast(n))
         .join(atl, ["lang", "tok"], "left")
         .select(
