@@ -2597,6 +2597,12 @@ HITS_SCALE = 10**6  # 1e-6 rank units: the normalize multiply ar*SCALE
 # stays inside int64 for in-degrees up to ~9e6 (SCALE^2 * indeg < 2^63);
 # larger hubs would drop SCALE another decade, trading rank resolution
 # for headroom — the same knob PR_SCALE documents for PageRank.
+# Node-count floor: a naive h0 = SCALE div n would zero ALL hub mass
+# once n > SCALE (first normalizer sum(ar) = 0 -> integer-div-by-zero,
+# and the two engines diverge: DuckDB errors, Spark yields nulls), so
+# h0's unit is greatest(SCALE, n) — the very first normalization
+# rescales everything back to SCALE units, leaving small-graph values
+# (n <= SCALE) bit-identical while staying well-defined at any n.
 
 
 def _hits_oracle() -> str:
@@ -2634,7 +2640,8 @@ def _hits_oracle() -> str:
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
     srcs AS (SELECT DISTINCT src FROM edges),
     h0 AS (
-      SELECT src, {HITS_SCALE}::BIGINT // (count(*) OVER ()) AS h
+      SELECT src, greatest({HITS_SCALE}::BIGINT, count(*) OVER ())
+                  // (count(*) OVER ()) AS h
       FROM srcs
     ),
     {','.join(iters)}
@@ -2665,7 +2672,7 @@ def hits_scores(pairs: DataFrame, iters: int = HITS_ITERS):
     srcs = edges.select("src").distinct()
     n = srcs.agg(F.count(F.lit(1)).alias("n"))
     h = srcs.crossJoin(F.broadcast(n)).selectExpr(
-        "src", f"{HITS_SCALE}L div n AS h"
+        "src", f"greatest({HITS_SCALE}L, n) div n AS h"
     )
     a = None
     for _ in range(iters):
@@ -2888,12 +2895,19 @@ _CDC_M = 2654435761  # Knuth multiplicative constant as the gear table
 )
 def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
+    # length(text) >= 1 guard: Spark's sequence(1, 0) yields the
+    # DESCENDING [1, 0] (DuckDB's range(1, 1) is empty), which would
+    # evaluate the hash lambda at i=0 with negative inner ranges —
+    # currently filtered out downstream by CDC_MIN_LEN, but the guard
+    # keeps the boundary list itself correct (r13 advice)
     bnds = (
+        f"CASE WHEN length(text) >= 1 THEN "
         f"filter(sequence(1, length(text)), "
         f"i -> (aggregate(sequence(0, least(i, 31) - 1), 0L, "
         f"(acc, k) -> acc + ((ascii(substring(text, i - k, 1)) * {_CDC_M}L) "
         f"% {_CDC_P}L * CAST(pow(2, k) AS BIGINT)) % {_CDC_P}L)"
-        f") % {_CDC_P}L % {CDC_MOD} = 0)"
+        f") % {_CDC_P}L % {CDC_MOD} = 0) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END"
     )
     withb = d.selectExpr(
         "doc_id",

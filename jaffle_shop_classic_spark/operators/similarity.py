@@ -2094,7 +2094,12 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- MMR
 MMR_POOL = 20  # relevance candidate pool fed to the greedy rerank
 MMR_K = 8  # diversified picks returned
-MMR_LAMBDA = 0.7  # relevance weight; (1 - lambda) penalizes redundancy
+MMR_LAMBDA = 0.7  # relevance weight; MMR_MU penalizes redundancy
+# complement computed ONCE at full precision and formatted identically
+# into both engines' expressions — a round(1-lambda, 1) here would
+# silently use the wrong weight for any lambda with >1 decimal (r13
+# advice) while both engines still agreed, masking the semantic error
+MMR_MU = 1 - MMR_LAMBDA
 
 
 def _mmr_oracle() -> str:
@@ -2104,7 +2109,7 @@ def _mmr_oracle() -> str:
         ctes.append(f"""
     s{t} AS MATERIALIZED (
       SELECT c.vec_id, c.rel, {t} AS pick,
-             round({MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 1)} * (
+             round({MMR_LAMBDA} * c.rel - {MMR_MU!r} * (
                  SELECT max(s.sim) FROM sims s JOIN {prev} p ON s.b = p.vec_id
                  WHERE s.a = c.vec_id), 6) AS mmr
       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
@@ -2215,7 +2220,7 @@ def q_retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(t).alias("pick"),
                 F.round(
                     F.lit(MMR_LAMBDA) * F.col("rel")
-                    - F.lit(round(1 - MMR_LAMBDA, 1)) * F.col("ms"),
+                    - F.lit(MMR_MU) * F.col("ms"),
                     6,
                 ).alias("mmr"),
             )
@@ -2246,8 +2251,8 @@ DBSCAN_MINPTS = 4  # neighbor count INCLUDING the point itself
     prs AS MATERIALIZED (
       SELECT a.vec_id AS va, b.vec_id AS vb
       FROM pts a JOIN pts b ON a.vec_id < b.vec_id
-      WHERE round(sqrt((a.px - b.px) * (a.px - b.px)
-                       + (a.py - b.py) * (a.py - b.py)), 6) <= {DBSCAN_EPS}
+      WHERE sqrt((a.px - b.px) * (a.px - b.px)
+                 + (a.py - b.py) * (a.py - b.py)) <= {DBSCAN_EPS}
     ),
     nbr AS (
       SELECT v, CAST(1 + count(*) AS BIGINT) AS n FROM (
@@ -2302,9 +2307,11 @@ DBSCAN_MINPTS = 4  # neighbor count INCLUDING the point itself
     "small-star kernel (spatial chains make hash-min's diameter-many "
     "rounds unbounded — a 0.02-eps chain across the plane is ~35 "
     "hops); borders adopt min(cluster) of their core neighbors; the "
-    "rest is noise (cluster_id = -1). Determinism: distances round to "
-    "6dp before the eps test; component id = min vec_id; border ties "
-    "break by min cluster_id. At 100 TB the cell key IS the shuffle "
+    "rest is noise (cluster_id = -1). Determinism: the eps test uses "
+    "the UNROUNDED IEEE distance (identical across engines; rounding "
+    "first would admit pairs outside the 3x3 block, breaking the "
+    "grid's completeness guarantee); component id = min vec_id; "
+    "border ties break by min cluster_id. At 100 TB the cell key IS the shuffle "
     "partition key (spatial locality = partition locality) and "
     "per-cell counts bound the quadratic term exactly like "
     "MAX_BAND_SIZE bounds LSH bands. Ref: no reference analog; "
@@ -2333,12 +2340,14 @@ def q_cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "px", "py", F.explode(F.expr(f"array({probe_cells})")).alias("g")
     ).select("vec_id", "px", "py", F.col("g.gx").alias("gx"), F.col("g.gy").alias("gy"))
     a, b = probes.alias("a"), pts.alias("b")
-    dist = F.round(
-        F.sqrt(
-            (F.col("a.px") - F.col("b.px")) * (F.col("a.px") - F.col("b.px"))
-            + (F.col("a.py") - F.col("b.py")) * (F.col("a.py") - F.col("b.py"))
-        ),
-        6,
+    # UNROUNDED distance: dist <= eps implies |dx|,|dy| <= eps, so every
+    # admitted pair is inside the 3x3 probe block — a rounded test would
+    # admit pairs up to eps+5e-7 that can sit two cells apart and escape
+    # the grid join (r13 advice). IEEE doubles + correctly-rounded sqrt
+    # make the predicate bit-identical across engines.
+    dist = F.sqrt(
+        (F.col("a.px") - F.col("b.px")) * (F.col("a.px") - F.col("b.px"))
+        + (F.col("a.py") - F.col("b.py")) * (F.col("a.py") - F.col("b.py"))
     )
     prs = (
         a.join(

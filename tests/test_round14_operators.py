@@ -1,0 +1,66 @@
+"""Round-14 planted regression tests for the r13 ADVICE.md findings."""
+
+from __future__ import annotations
+
+from jaffle_shop_classic_spark.operators.catalog import load_catalog
+
+
+def _write_docs(spark, tmp_path, docs):
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+
+def test_cdc_chunks_handles_empty_text(spark, tmp_path):
+    """Empty text must not evaluate the rolling hash on Spark's
+    descending sequence(1, 0) = [1, 0] (DuckDB's range(1,1) is empty).
+    The guard makes the boundary list empty, so the only chunk is the
+    empty substring, filtered by CDC_MIN_LEN — and duplicated long text
+    still dedups."""
+    dup = "the same shared sentence appears verbatim in both docs"
+    _write_docs(spark, tmp_path, {1: "", 2: dup, 3: dup, 4: " "})
+    rows = (
+        load_catalog()["dedup_cdc_chunks"].fn(spark, str(tmp_path)).collect()
+    )
+    # no chunk fingerprint may come from the empty/whitespace docs
+    assert all(r["chunk_len"] >= 16 for r in rows)
+    assert any(r["occ"] == 2 and r["docs"] == 2 for r in rows), rows
+
+
+def test_cdc_empty_text_boundary_list_is_empty(spark):
+    """The guarded boundary expression itself (not just the filtered
+    output) yields [] for empty text — asserting the CASE guard, which
+    CDC_MIN_LEN previously masked."""
+    # reproduce the descending-sequence hazard in isolation
+    df = spark.sql(
+        "SELECT CASE WHEN length('') >= 1 THEN sequence(1, length('')) "
+        "ELSE CAST(array() AS ARRAY<INT>) END AS b"
+    )
+    assert df.collect()[0]["b"] == []
+    # and confirm the hazard is real: unguarded sequence(1, 0) descends
+    assert spark.sql("SELECT sequence(1, 0) AS s").collect()[0]["s"] == [1, 0]
+
+
+def test_mmr_complement_full_precision():
+    """MMR_MU must be the exact complement of MMR_LAMBDA, not a
+    1-decimal rounding of it (which silently mis-weights any future
+    lambda with more decimals)."""
+    from jaffle_shop_classic_spark.operators import similarity as sim
+
+    assert sim.MMR_MU == 1 - sim.MMR_LAMBDA
+
+
+def test_hits_init_survives_many_nodes(spark):
+    """h0's unit is greatest(SCALE, n): with n > HITS_SCALE a naive
+    SCALE div n zeroes all hub mass and the first normalizer
+    divides by zero. Exercise the kernel expression at a planted
+    n > SCALE without materializing 1e6 rows by shrinking the check to
+    the expression level."""
+    from jaffle_shop_classic_spark.operators.dedup import HITS_SCALE
+
+    n = HITS_SCALE * 10
+    row = spark.sql(
+        f"SELECT greatest({HITS_SCALE}L, {n}L) div {n}L AS h"
+    ).collect()[0]
+    assert row["h"] == 1  # unit mass survives; naive form would be 0
