@@ -534,11 +534,27 @@ _REF_VIEWS = (
 
 def _ref_jinja_project(spark: SparkSession, sf_dir: str):
     """Build a Project whose five models are the UNMODIFIED reference
-    .sql file bodies, over raw_* adapters of the driver tables."""
+    .sql file bodies, over raw_* adapters of the driver tables.
+
+    These two catalog entries are the only ones with a RUNTIME
+    dependency on the reference checkout (they read its .sql files to
+    prove unmodified-model execution). Degrade loudly — not with a
+    bare ENOENT deep in the stack — when it is absent, so the rest of
+    the 329-query catalog stays fully usable in any environment.
+    """
     import os
 
     from ..plans.registry import Project
 
+    if not os.path.isdir(_REF_MODELS_DIR):
+        raise FileNotFoundError(
+            f"reference models dir {_REF_MODELS_DIR!r} is not present: "
+            "the sql_model_orders_mart / jinja_model_customers_mart "
+            "entries execute the reference's unmodified .sql files and "
+            "need that checkout; every other catalog entry is "
+            "self-contained. Point _REF_MODELS_DIR at a checkout of "
+            "dbt-labs/jaffle-shop-classic models/ to enable them."
+        )
     p = Project()
     p.add_source(
         "raw_customers",

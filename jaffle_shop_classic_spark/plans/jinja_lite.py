@@ -18,13 +18,18 @@ use — dbt's COMPILE-time templating, not its runtime:
   dashes (``{%- … -%}``) are accepted and treated as plain tags, since
   SQL is whitespace-insensitive;
 - ``{{ ref('model') }}`` — replaced by the bare relation name and
-  collected as a dependency edge (dbt's DAG extraction).
+  collected as a dependency edge (dbt's DAG extraction);
+- ``{% if cond %}`` ... ``{% else %}`` ... ``{% endif %}`` — cond must
+  be a ``{% set %}``-bound name or a Python literal (optionally
+  ``not``-negated), judged by Python truthiness.  No comparisons, no
+  calls, no ``var()``, no nesting — the first conditional shape a
+  real dbt user hits beyond the reference subset, nothing more.
 
-Anything outside this subset (macros, ``{% if %}``, filters, ``var()``,
-``source()``) raises ``UnsupportedJinja`` loudly instead of emitting
-broken SQL.  That is a documented design boundary, not an accident:
-the reference project — and the long tail of dbt-core starter projects
-it represents — uses only this subset.
+Anything outside this subset (macros, filters, ``var()``,
+``source()``, computed conditions) raises ``UnsupportedJinja`` loudly
+instead of emitting broken SQL.  That is a documented design boundary,
+not an accident: the reference project — and the long tail of dbt-core
+starter projects it represents — uses only this subset.
 """
 
 from __future__ import annotations
@@ -38,10 +43,27 @@ class UnsupportedJinja(ValueError):
     """A Jinja construct outside the supported compile-time subset."""
 
 
+# Jinja spells booleans/none in lowercase; Python's literal_eval doesn't
+_JINJA_LITERALS = {"true": True, "false": False, "none": None}
+
+
+def _literal(src: str):
+    key = src.strip().lower()
+    if key in _JINJA_LITERALS:
+        return _JINJA_LITERALS[key]
+    return ast.literal_eval(src)
+
+
 _COMMENT = re.compile(r"\{#.*?#\}", re.S)
 _SET = re.compile(r"\{%-?\s*set\s+(\w+)\s*=\s*(.*?)\s*-?%\}", re.S)
 _FOR = re.compile(
     r"\{%-?\s*for\s+(\w+)\s+in\s+(\w+)\s*-?%\}(.*?)\{%-?\s*endfor\s*-?%\}",
+    re.S,
+)
+_IF = re.compile(
+    r"\{%-?\s*if\s+(.+?)\s*-?%\}(.*?)"
+    r"(?:\{%-?\s*else\s*-?%\}(.*?))?"
+    r"\{%-?\s*endif\s*-?%\}",
     re.S,
 )
 _REF = re.compile(r"\{\{\s*ref\(\s*(['\"])([\w.]+)\1\s*\)\s*\}\}")
@@ -63,7 +85,7 @@ def render_model_source(text: str) -> RenderedModel:
 
     def take_set(m: re.Match) -> str:
         try:
-            env[m.group(1)] = ast.literal_eval(m.group(2))
+            env[m.group(1)] = _literal(m.group(2))
         except (ValueError, SyntaxError) as exc:
             raise UnsupportedJinja(
                 f"{{% set {m.group(1)} = ... %}} value is not a Python "
@@ -72,6 +94,31 @@ def render_model_source(text: str) -> RenderedModel:
         return ""
 
     text = _SET.sub(take_set, text)
+
+    def eval_cond(cond: str) -> bool:
+        neg = False
+        while cond.startswith("not "):
+            neg, cond = not neg, cond[4:].strip()
+        if re.fullmatch(r"\w+", cond) and cond in env:
+            val = env[cond]
+        else:
+            try:
+                val = _literal(cond)
+            except (ValueError, SyntaxError) as exc:
+                raise UnsupportedJinja(
+                    f"{{% if %}} condition must be a set-bound name or a "
+                    f"Python literal (optionally not-negated), got {cond!r}"
+                ) from exc
+        return bool(val) ^ neg
+
+    def expand_if(m: re.Match) -> str:
+        body, alt = m.group(2), m.group(3) or ""
+        if "{% if" in body or "{%- if" in body:
+            raise UnsupportedJinja("nested {% if %} blocks are unsupported")
+        return body if eval_cond(m.group(1)) else alt
+
+    while _IF.search(text):
+        text = _IF.sub(expand_if, text)
 
     def expand_for(m: re.Match) -> str:
         var, seq_name, body = m.group(1), m.group(2), m.group(3)

@@ -101,3 +101,53 @@ def test_orders_file_pivot_expands_all_four_methods():
         # once in the aggregate pivot, once in the final projection
         assert sql.count(f"{m}_amount") == 2, m
     assert "sum(amount) as total_amount" in sql
+
+
+# ------------------------------------------------ round-14: {% if %}
+def test_if_truthy_set_bound_name():
+    out = render_model_source(
+        "{% set use_flag = true %}"
+        "SELECT a{% if use_flag %}, b{% endif %} FROM t"
+    )
+    assert out.sql == "SELECT a, b FROM t"
+
+
+def test_if_else_falsy_literal():
+    out = render_model_source(
+        "SELECT {% if false %}a{% else %}b{% endif %} FROM t"
+    )
+    assert out.sql == "SELECT b FROM t"
+
+
+def test_if_not_negation():
+    out = render_model_source(
+        "{% set legacy = [] %}"
+        "SELECT {% if not legacy %}new_col{% else %}old_col{% endif %} FROM t"
+    )
+    assert out.sql == "SELECT new_col FROM t"
+
+
+def test_if_computed_condition_still_raises():
+    with pytest.raises(UnsupportedJinja, match="condition must be"):
+        render_model_source(
+            "SELECT {% if var('flag') %}a{% endif %} FROM t"
+        )
+
+
+def test_if_comparison_condition_still_raises():
+    with pytest.raises(UnsupportedJinja, match="condition must be"):
+        render_model_source(
+            "{% set n = 3 %}SELECT {% if n > 2 %}a{% endif %} FROM t"
+        )
+
+
+def test_nested_if_still_raises():
+    with pytest.raises(UnsupportedJinja, match="nested"):
+        render_model_source(
+            "{% if true %}{% if true %}a{% endif %}{% endif %}"
+        )
+
+
+def test_macro_still_raises_after_if_support():
+    with pytest.raises(UnsupportedJinja):
+        render_model_source("{% macro m() %}x{% endmacro %}SELECT 1")

@@ -51,6 +51,25 @@ def test_mmr_complement_full_precision():
     assert sim.MMR_MU == 1 - sim.MMR_LAMBDA
 
 
+def test_verbatim_ref_entries_degrade_loudly_without_checkout(
+    spark, sf_dir, monkeypatch
+):
+    """The two verbatim-reference-file entries must fail with a clear,
+    named error (not a deep ENOENT) when /root/reference is absent —
+    and the catalog itself must stay loadable."""
+    import pytest
+
+    from jaffle_shop_classic_spark.operators import relational
+
+    monkeypatch.setattr(
+        relational, "_REF_MODELS_DIR", "/nonexistent/reference/models"
+    )
+    cat = load_catalog()  # loads fine regardless
+    for name in ("sql_model_orders_mart", "jinja_model_customers_mart"):
+        with pytest.raises(FileNotFoundError, match="reference models dir"):
+            cat[name].fn(spark, sf_dir)
+
+
 def test_hits_init_survives_many_nodes(spark):
     """h0's unit is greatest(SCALE, n): with n > HITS_SCALE a naive
     SCALE div n zeroes all hub mass and the first normalizer
