@@ -37,8 +37,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -212,7 +212,15 @@ class JsonlManifestReader(DataSourceReader):
                 )
 
 
-class JsonlManifestWriter(DataSourceWriter):
+class JsonlManifestWriter(DataSourceArrowWriter):
+    """Arrow-batched task writer (r14: was the Row-iterator API, whose
+    per-row pickle + Row.asDict dominated the sink's cost — the only
+    entry whose DuckDB ratio GREW with sf). Each task now receives
+    pyarrow RecordBatches; ``to_pylist()`` materializes plain dicts at
+    C speed and the JSON text is unchanged byte-for-byte (same
+    ``json.dumps`` + ``_json_default``), so committed shards from
+    either writer generation read back identically."""
+
     def __init__(self, options, schema=None, overwrite: bool = False):
         self.path = options["path"]
         # the DDL schema rides the manifest so read-back never relies on
@@ -247,14 +255,18 @@ class JsonlManifestWriter(DataSourceWriter):
                 f.name for f in schema.fields if isinstance(f.dataType, TimestampType)
             }
         n = 0
+        dumps = json.dumps
         with open(shard, "w") as f:
-            for row in iterator:
-                rec = row.asDict()
-                for name in ts_fields:
-                    if rec.get(name) is not None:
-                        rec[name] = _ts_to_utc_iso(rec[name])
-                f.write(json.dumps(rec, default=_json_default) + "\n")
-                n += 1
+            for batch in iterator:
+                # Arrow hands TimestampType columns tz-aware (unlike the
+                # Row API's worker-local naive datetimes), so
+                # _ts_to_utc_iso's astimezone(utc) is a pure conversion
+                for rec in batch.to_pylist():
+                    for name in ts_fields:
+                        if rec.get(name) is not None:
+                            rec[name] = _ts_to_utc_iso(rec[name])
+                    f.write(dumps(rec, default=_json_default) + "\n")
+                    n += 1
         return ShardCommit(path=shard, n_rows=n)
 
     def commit(self, messages) -> None:
