@@ -56,89 +56,122 @@ _MODULES = (
 # variants of classes already certified above (all still covered by the
 # local gate, tools/parity.py, and tests/test_oracle_parity.py).
 _PRIORITY = (
-    # ROUND-13 ROTATION: the seventeen round-12-green entries that had
-    # just earned same-round driver evidence (tpch_q6_style, join_semi,
-    # set_except, rollup_flag_status, recommend_copurchase_topk,
-    # cf_item_cosine, quality_lr_classifier, dedup_winnowing_fingerprints,
-    # sample_dsir_importance, seq_pattern_funnel, train_test_split_hash,
-    # tokenizer_bpe_train/encode, sim_ivfpq_topk, dedup_substring_spans,
-    # quality_gopher_rules, vocab_unseen_estimate) hand their slots to
-    # seventeen never-driver-windowed entries — the round-12 verdict's
-    # explicit ask — prioritizing the heavy locally-certified tail
-    # (embedding_pca_power after this round's Gramian rewrite,
-    # sim_ivf_kmeans_topk, mm_phash_dedup, graph_triangle_count,
-    # graph_label_propagation, the two uncovered streaming entries, the
-    # minhash fast path, BM25's inverted-index substrate, RRF fusion,
-    # the NB language classifier, PQ-ADC, sequence packing, the Q9
-    # pushdown-heavy join tree, mergeable HLL, dynamic pivot, and the
-    # Spark 4 VARIANT path). Every rotated-out entry keeps its r12 hard
-    # signal in the cross-round union.
-    # reference surface: marts, staging semantics, the 4 test kinds
+    # ROUND-14 ROTATION (the r13 verdict's brief #3): the window now
+    # carries (a) the reference surface, (b) every entry whose PLAN or
+    # SEMANTICS changed this round — the six de-hinted vocabulary-
+    # broadcast queries, the two model-grid crossJoin swaps, the four
+    # advice fixes (HITS init floor, DBSCAN unrounded eps, MMR_MU,
+    # CDC empty-text guard), and the reference-checkout guard on the
+    # verbatim customers mart — (c) the fifteen never-driver-windowed
+    # round-13 batch-2/3 newcomers the verdict named, (d) the eight
+    # round-14 newcomers, and (e) one retained representative per
+    # operator class whose other variants rotate to tier 2 with their
+    # r13 (or earlier) hard signal intact.
+    # -- reference surface: marts, verbatim SQL-file path, 4 test kinds
     "jaffle_customers",
     "jaffle_orders",
-    # round 13: the SQL-text authoring slot upgrades from the hand-
-    # migrated customers text (r12-green) to the UNMODIFIED reference
-    # orders.sql file body rendered by plans/jinja_lite.py — the last
-    # migration-friction gap named in the r12 verdict
     "sql_model_orders_mart",
     "test_unique_violations",
     "test_not_null_violations",
     "test_accepted_values_violations",
     "test_relationships_violations",
-    # never-windowed rotation (r13): relational / reshape / TPC-H
-    "tpch_q9_style",
-    "pivot_dynamic",
-    "json_variant_extract",
-    "sketch_hll_mergeable",
-    # this round's two plan changes re-certify in-window
-    "retrieval_bm25_topk",
-    "embedding_pca_power",
-    # never-windowed rotation (r13): retrieval / text / ML-pipeline
-    "text_inverted_index",
-    "hybrid_retrieval_rrf",
+    # -- r14 plan changes: forced vocabulary-sized broadcast hints
+    #    dropped (AQE now chooses; tests/test_broadcast_audit.py is the
+    #    mechanical gate) — re-certify hash-green in-window
+    "text_tfidf_topk",
+    "tokenizer_bpe_encode",
+    "text_pmi_collocations",
+    "sim_sparse_tfidf_pairs",
+    "corpus_token_ids",
     "lang_nb_classifier",
-    "pack_sequences",
-    "tpch_q1_style",
-    # never-windowed rotation (r13): similarity / dedup / graph / mm
-    "sim_ivf_kmeans_topk",
-    "sim_pq_adc_topk",
-    "mm_phash_dedup",
-    "dedup_minhash_fast_pairs",
-    "graph_triangle_count",
-    "graph_label_propagation",
-    "incremental_orders_state",
-    "entity_resolution_clusters",
+    "chi2_feature_select",
+    "hybrid_retrieval_rrf",
+    # -- r14 semantics fixes (ADVICE.md): HITS greatest(SCALE, n) init,
+    #    DBSCAN unrounded eps test, MMR_MU full-precision complement
     "graph_hits_scores",
     "cluster_dbscan_grid",
-    "text_kneser_ney_score",
+    "retrieval_mmr_rerank",
+    # -- verbatim reference customers.sql body (jinja_lite) + the new
+    #    missing-checkout guard
+    "jinja_model_customers_mart",
+    # -- the fifteen never-driver-windowed r13 newcomers (verdict #3);
+    #    dedup_cdc_chunks also carries the empty-text guard fix
+    "stats_fdr_bh",
+    "t_closeness_audit",
+    "feature_mi_audit",
+    "ab_cuped_adjustment",
+    "fairness_disparate_impact",
+    "vocab_zipf_fit",
+    "eval_auprc",
+    "graph_neighborhood_function",
+    "dedup_cdc_chunks",
+    "mm_audio_pcm_windows",
+    "curation_line_dedup",
+    "vocab_heaps_law",
+    "retrieval_rm3_expansion",
+    "sample_pps_systematic",
+    "train_test_split_temporal_purged",
+    # -- round-14 newcomers (inference/experimentation/eval/sampling/
+    #    text/dedup families; see operators/mining.py round-14 block)
+    "stats_kruskal_wallis",
+    "stats_brown_forsythe",
+    "causal_diff_in_diff",
+    "eval_brier_decomposition",
+    "stats_runs_test",
+    "sample_neyman_allocation",
+    "text_keyword_rake",
+    "dedup_minhash_recall_eval",
+    # -- retained class representatives (X8 quantiles, X4 dedup, ANN,
+    #    X16 UDF surface, X15 streaming, X7 windows + hugeint guard)
     "quality_percentile_filter",
     "dedup_exact",
-    "text_multipattern_tags",
-    "sim_ivf_multiprobe_topk",
-    "dedup_keep_best_representative",
-    "dedup_cluster_components",
-    "retrieval_mmr_rerank",
     "sim_ivf_topk",
-    "eval_isotonic_calibration",
-    "yaml_model_customers_mart",
-    # never-windowed rotation (r13): streaming tail
-    "stream_neardup_dedup",
-    "stream_running_user_stats",
-    "stream_interval_join",
-    "l_diversity_audit",
-    "dedup_cluster_components_star",
-    "stream_chained_windows",
     "udf_apply_in_pandas",
     "asof_join_last_signup",
-    "udtf_installment_plan",
     "stream_left_outer_join",
     "stream_session_windows",
+    "incremental_orders_state",
 )
 
 # Slots 51+, recorded only if the driver's gate window turns out larger
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 in round 14 so the fifteen never-
+    # windowed r13 newcomers, the r14 plan-change re-certifications,
+    # and the eight r14 newcomers gain driver evidence; every entry
+    # below keeps its r13 (most also earlier-round) hard signal in
+    # the cross-round union
+    "tpch_q9_style",
+    "pivot_dynamic",
+    "json_variant_extract",
+    "sketch_hll_mergeable",
+    "retrieval_bm25_topk",
+    "embedding_pca_power",
+    "text_inverted_index",
+    "pack_sequences",
+    "tpch_q1_style",
+    "sim_ivf_kmeans_topk",
+    "sim_pq_adc_topk",
+    "mm_phash_dedup",
+    "dedup_minhash_fast_pairs",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "entity_resolution_clusters",
+    "text_kneser_ney_score",
+    "text_multipattern_tags",
+    "sim_ivf_multiprobe_topk",
+    "dedup_keep_best_representative",
+    "dedup_cluster_components",
+    "eval_isotonic_calibration",
+    "yaml_model_customers_mart",
+    "stream_neardup_dedup",
+    "stream_running_user_stats",
+    "stream_interval_join",
+    "l_diversity_audit",
+    "dedup_cluster_components_star",
+    "stream_chained_windows",
+    "udtf_installment_plan",
     # rotated out of the top-50 mid-round-13 so the six round-13
     # batch-2 newcomers (Kneser-Ney, HITS, MMR, Aho-Corasick tagging,
     # grid DBSCAN, isotonic calibration) carry same-round driver
@@ -149,7 +182,6 @@ _TIER2 = (
     # substrate -> dedup_minhash_fast_pairs + graph_* entries)
     "graph_pagerank",
     "dedup_semantic_clusters",
-    "text_tfidf_topk",
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk",
     "eval_calibration_bins",
@@ -168,7 +200,6 @@ _TIER2 = (
     "seq_pattern_funnel",
     "train_test_split_hash",
     "tokenizer_bpe_train",
-    "tokenizer_bpe_encode",
     "sim_ivfpq_topk",
     "dedup_substring_spans",
     "quality_gopher_rules",
@@ -264,7 +295,6 @@ _TIER2 = (
     "filter_in_between",
     "date_functions",
     "text_token_stats",
-    "text_pmi_collocations",
     "pipeline_corpus_curation",
     "kmeans_lloyd",
     "sample_temperature_mix",
@@ -325,7 +355,6 @@ _TIER2 = (
     "embedding_jl_project",
     "source_jsonl_roundtrip",
     "segment_sales_trend",
-    "chi2_feature_select",
     "events_ohlc_bars",
     "impute_group_median",
     "stream_ewma_last10",
@@ -335,9 +364,7 @@ _TIER2 = (
     "users_anomaly_mad",
     "event_time_weighted_avg",
     "decimal_exact_pricing",
-    "corpus_token_ids",
     "fuzzy_join_levenshtein",
-    "sim_sparse_tfidf_pairs",
     "event_ewma_smoothing",
     "source_orc_roundtrip",
     # round-6 flagship operators not yet promoted to the top-50

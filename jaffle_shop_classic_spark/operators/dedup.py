@@ -2932,3 +2932,156 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("occ") >= 2)
     )
+
+
+# ------------------------------------------- LSH recall/precision eval
+RECALL_TAU_NUM, RECALL_TAU_DEN = 1, 2  # exact-Jaccard truth threshold 1/2
+
+
+@register(
+    "dedup_minhash_recall_eval",
+    oracle=f"""
+    WITH {_SIGS_CTE},
+    bands AS (
+      SELECT doc_id, unnest({_BANDS_SQL}) AS band_key
+      FROM sigs
+    ),
+    {_bands_sized_sql()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands_sized x JOIN bands_sized y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS L
+              FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    ranked AS (
+      SELECT t.doc_id, z.L, t.s,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df ASC, t.s ASC) AS rnk
+      FROM sh t JOIN dfreq d USING (s) JOIN sizes z USING (doc_id)
+    ),
+    prefix AS (
+      SELECT doc_id, L, s FROM ranked
+      WHERE rnk <= L - (L + 1) // 2 + 1
+    ),
+    pcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b USING (s)
+      WHERE a.doc_id < b.doc_id
+        AND 2 * b.L >= a.L AND 2 * a.L >= b.L
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM pcand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE 3 * i.n_inter >= sa.L + sb.L
+    ),
+    m AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM truth t JOIN cand c
+           ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_tp
+    )
+    SELECT n_truth, n_cand, n_tp,
+           round(CAST(n_tp AS DOUBLE) / n_truth, 6) AS recall,
+           round(CAST(n_tp AS DOUBLE) / n_cand, 6) AS precision
+    FROM m
+    """,
+    doc="Recall/precision of the PRODUCTION MinHash-banding path "
+    "(4 bands x 2 rows + the MAX_BAND_SIZE hot-bucket cap — exactly "
+    "the dedup_minhash_lsh_pairs plan) against EXACT Jaccard >= 1/2 "
+    "ground truth over the same word-3-shingles, computed scalably "
+    "by prefix filtering (Bayardo et al. WWW'07; same kernel as "
+    "dedup_jaccard_prefix_filter, re-parameterized to tau=1/2: "
+    "prefix length L - ceil(L/2) + 1, length ratio 2*Lb >= La, "
+    "verification 3*inter >= La+Lb). This is the dedup analog of "
+    "sim_ann_recall_eval: it puts a NUMBER on what banding + the "
+    "hot-bucket cap actually lose at the operating threshold, the "
+    "eval every 100 TB dedup pipeline runs on a sample before "
+    "committing its band geometry. Plan: both sides are "
+    "bucket-bounded joins (band keys / rare-prefix shingles); the "
+    "metric join is pair-keyed; output is one row. Ref: no "
+    "reference analog; public SSJoin + LSH theory.",
+)
+def q_dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    bands = sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
+    cand = candidate_pairs(bands).localCheckpoint(eager=False)
+
+    sh = exploded_shingles(d).dropDuplicates(["doc_id", "s"]).localCheckpoint(
+        eager=True
+    )  # feeds sizes, df, prefix ranking, verification
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("L"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    wrank = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix = (
+        sh.join(dfreq, "s")
+        .join(sizes, "doc_id")
+        .withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") <= F.col("L") - F.expr("(L + 1) div 2") + 1)
+        .select("doc_id", "L", "s")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("L").alias("la"), "s")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("L").alias("lb"), "s")
+    pcand = (
+        a.join(b, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (2 * F.col("lb") >= F.col("la"))
+            & (2 * F.col("la") >= F.col("lb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        pcand.join(x, "doc_a")
+        .join(y, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("L").alias("la2"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("L").alias("lb2"))
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(3 * F.col("n_inter") >= F.col("la2") + F.col("lb2"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # feeds n_truth and the tp join
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    n_tp = truth.join(cand.select("doc_a", "doc_b"), ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tp")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_tp))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_tp",
+            F.round(F.col("n_tp").cast("double") / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
+            F.round(F.col("n_tp").cast("double") / F.col("n_cand"), 6).alias(
+                "precision"
+            ),
+        )
+    )

@@ -5028,3 +5028,780 @@ def q_eval_auprc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ap"), 6).alias("auprc"),
         )
     )
+
+
+# ======================================================================
+# round-14 additions: classical inference + experiment-analysis surface
+# (Kruskal-Wallis, Brown-Forsythe, diff-in-diff, Murphy decomposition,
+# runs test, Neyman allocation). Shared discipline: every cross-engine
+# sum is either exact-integer (cents/bigint/decimal(38,0)) or the
+# round(x,9)::decimal(28,9) fold-order-safe accumulator; doubles appear
+# only inside fixed per-row expression trees and the final projection.
+# ======================================================================
+
+_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderpriority AS grp, {_CENTS} AS v FROM orders
+    ),
+    gv AS (
+      SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY grp, v
+    ),
+    tv AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS t,
+             CAST(sum(sum(c)) OVER (ORDER BY v
+               ROWS UNBOUNDED PRECEDING) - sum(c) AS BIGINT) AS below
+      FROM gv GROUP BY v
+    ),
+    rg AS (
+      SELECT gv.grp, CAST(sum(gv.c) AS BIGINT) AS n_g,
+             CAST(sum(gv.c * (2 * tv.below + tv.t + 1)) AS BIGINT) AS r2
+      FROM gv JOIN tv USING (v) GROUP BY gv.grp
+    ),
+    tot AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k_vals,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+      FROM tv
+    ),
+    h AS (
+      SELECT CAST((SELECT count(*) FROM rg) AS BIGINT) AS k,
+             t.n, t.tie_sum,
+             12.0 / (t.n * (t.n + 1.0))
+               * sum(CAST(r.r2 AS DOUBLE) * r.r2 / (4.0 * r.n_g))
+               - 3.0 * (t.n + 1.0) AS h_raw
+      FROM rg r CROSS JOIN tot t
+      GROUP BY t.n, t.tie_sum
+    )
+    SELECT r.grp,
+           r.n_g,
+           round(CAST(r.r2 AS DOUBLE) / (2.0 * r.n_g), 6) AS mean_rank,
+           h.k AS n_groups,
+           h.n AS n_total,
+           round(h.h_raw, 6) AS h_stat,
+           round(h.h_raw / (1.0 - CAST(h.tie_sum AS DOUBLE)
+                 / (CAST(h.n AS DOUBLE) * h.n * h.n - h.n)), 6) AS h_tie_adj
+    FROM rg r CROSS JOIN h
+    ORDER BY r.grp
+    """,
+    doc="Kruskal-Wallis one-way rank test (Kruskal & Wallis 1952, JASA "
+    "47): does order value differ across the 5 priority classes "
+    "without assuming normality — the k-group extension of the "
+    "Mann-Whitney machinery eval_auc_mannwhitney certifies. Ranks "
+    "are never materialized per row: average ranks come from the "
+    "DISTINCT-value table (t, cum-below) as INTEGER doubled ranks "
+    "r2 = 2*below + t + 1, so each group's rank sum is an exact "
+    "bigint and both engines only go floating in the final H "
+    "expression; the tie correction sum(t^3 - t) is likewise exact. "
+    "Plan: two hash aggregates (group-value, value) + one bounded "
+    "cumulative window over distinct values + a 5-row join — at "
+    "100 TB the value table is the only state, and a fixed-width "
+    "pre-bin caps it exactly as the sorted-AUC note describes. "
+    "Ref: no reference analog; standard KW definition.",
+)
+def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("v"),
+    )
+    gv = x.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    gv = gv.localCheckpoint(eager=False)  # feeds tv and rg
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tv = (
+        gv.groupBy("v")
+        .agg(F.sum("c").cast("bigint").alias("t"))
+        .withColumn("below", (F.sum("t").over(w) - F.col("t")).cast("bigint"))
+    )
+    rg = (
+        gv.join(tv, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * (2 * F.col("below") + F.col("t") + 1))
+            .cast("bigint")
+            .alias("r2"),
+        )
+        .localCheckpoint(eager=False)  # feeds h and the output join
+    )
+    tot = tv.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    h = (
+        rg.crossJoin(F.broadcast(tot))
+        .groupBy("n", "tie_sum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            (
+                F.lit(12.0)
+                / (F.col("n") * (F.col("n") + F.lit(1.0)))
+                * F.sum(
+                    F.col("r2").cast("double")
+                    * F.col("r2")
+                    / (F.lit(4.0) * F.col("n_g"))
+                )
+                - F.lit(3.0) * (F.col("n") + F.lit(1.0))
+            ).alias("h_raw"),
+        )
+    )
+    return (
+        rg.crossJoin(F.broadcast(h))
+        .select(
+            "grp",
+            "n_g",
+            F.round(F.col("r2").cast("double") / (2.0 * F.col("n_g")), 6).alias(
+                "mean_rank"
+            ),
+            F.col("k").alias("n_groups"),
+            F.col("n").alias("n_total"),
+            F.round("h_raw", 6).alias("h_stat"),
+            F.round(
+                F.col("h_raw")
+                / (
+                    F.lit(1.0)
+                    - F.col("tie_sum").cast("double")
+                    / (
+                        F.col("n").cast("double") * F.col("n") * F.col("n")
+                        - F.col("n")
+                    )
+                ),
+                6,
+            ).alias("h_tie_adj"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "stats_brown_forsythe",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderpriority AS grp, {_CENTS} AS v FROM orders
+    ),
+    med AS (
+      SELECT grp, CAST(2 * median(v) AS BIGINT) AS med2 FROM x GROUP BY grp
+    ),
+    z AS (
+      SELECT x.grp, abs(2 * x.v - m.med2) AS z2
+      FROM x JOIN med m USING (grp)
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(z2) AS BIGINT) AS s1,
+             CAST(sum(CAST(z2 AS HUGEINT) * z2) AS DOUBLE) AS s2
+      FROM z GROUP BY grp
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(s1) AS BIGINT) AS s1_all
+      FROM g
+    ),
+    parts AS (
+      SELECT
+        sum(CAST(round(CAST(g.s1 AS DOUBLE) * g.s1 / g.n_g, 9)
+              AS DECIMAL(38,9))) AS ssb_part,
+        sum(CAST(round(g.s2 - CAST(g.s1 AS DOUBLE) * g.s1 / g.n_g, 9)
+              AS DECIMAL(38,9))) AS ssw4
+      FROM g
+    )
+    SELECT g.grp, g.n_g,
+           round(CAST(g.s1 AS DOUBLE) / (2.0 * g.n_g), 6) AS mean_absdev,
+           t.k AS n_groups, t.n AS n_total,
+           round(((CAST(p.ssb_part AS DOUBLE)
+                   - CAST(t.s1_all AS DOUBLE) * t.s1_all / t.n)
+                  / (t.k - 1.0))
+                 / (CAST(p.ssw4 AS DOUBLE) / (t.n - t.k)), 6) AS f_stat
+    FROM g CROSS JOIN tot t CROSS JOIN parts p
+    ORDER BY g.grp
+    """,
+    doc="Brown-Forsythe homogeneity-of-variance test (Brown & Forsythe "
+    "1974, JASA 69) — Levene's test with the MEDIAN center, the "
+    "robust pre-check in front of any equal-variance assumption "
+    "(ab_test_welch_ttest's companion: Welch dodges the assumption, "
+    "BF measures it). Deviations are kept integer: z2 = |2v - 2*med| "
+    "is an exact bigint because a two-middle median doubles to an "
+    "integer, so each group's sum(z2) is exact and sum(z2^2) is an "
+    "exact 128-bit/decimal accumulation; the one-way F over the "
+    "deviations is then a fixed 5-term double expression whose "
+    "cross-group sums ride the round(.,9)::decimal fold-order-safe "
+    "accumulator. Plan: per-group exact median (bounded groups) + "
+    "one partial->final aggregate over the deviations; nothing "
+    "corpus-sized survives the aggregate. Ref: no reference analog; "
+    "standard BF definition.",
+)
+def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("v"),
+    )
+    med = x.groupBy("grp").agg(
+        (F.percentile("v", F.lit(0.5)) * 2).cast("bigint").alias("med2")
+    )
+    z = x.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("v") - F.col("med2")).alias("z2")
+    )
+    g = (
+        z.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("z2").cast("bigint").alias("s1"),
+            F.sum(F.col("z2").cast("decimal(38,0)") * F.col("z2"))
+            .cast("double")
+            .alias("s2"),
+        )
+        .localCheckpoint(eager=False)  # feeds tot, parts, output
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s1").cast("bigint").alias("s1_all"),
+    )
+    parts = g.agg(
+        F.sum(
+            F.round(F.col("s1").cast("double") * F.col("s1") / F.col("n_g"), 9).cast(
+                "decimal(38,9)"
+            )
+        ).alias("ssb_part"),
+        F.sum(
+            F.round(
+                F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_g"),
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("ssw4"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(parts))
+        .select(
+            "grp",
+            "n_g",
+            F.round(F.col("s1").cast("double") / (2.0 * F.col("n_g")), 6).alias(
+                "mean_absdev"
+            ),
+            F.col("k").alias("n_groups"),
+            F.col("n").alias("n_total"),
+            F.round(
+                (
+                    (
+                        F.col("ssb_part").cast("double")
+                        - F.col("s1_all").cast("double")
+                        * F.col("s1_all")
+                        / F.col("n")
+                    )
+                    / (F.col("k") - F.lit(1.0))
+                )
+                / (F.col("ssw4").cast("double") / (F.col("n") - F.col("k"))),
+                6,
+            ).alias("f_stat"),
+        )
+        .orderBy("grp")
+    )
+
+
+_DID_SPLIT = "1998-07-01"
+
+
+@register(
+    "causal_diff_in_diff",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(o_custkey % 2 AS INT) AS treat,
+             CASE WHEN o_orderdate >= TIMESTAMP '{_DID_SPLIT}'
+                  THEN 1 ELSE 0 END AS post,
+             {_CENTS} AS v
+      FROM orders
+    ),
+    cells AS (
+      SELECT treat, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s1,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s2
+      FROM x GROUP BY treat, post
+    ),
+    m AS (
+      SELECT treat, post, n,
+             CAST(s1 AS DOUBLE) / n / 100.0 AS mean_usd,
+             (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / 10000.0
+               AS var_usd
+      FROM cells
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN treat = 0 AND post = 0 THEN mean_usd END) AS m_c_pre,
+        max(CASE WHEN treat = 0 AND post = 1 THEN mean_usd END) AS m_c_post,
+        max(CASE WHEN treat = 1 AND post = 0 THEN mean_usd END) AS m_t_pre,
+        max(CASE WHEN treat = 1 AND post = 1 THEN mean_usd END) AS m_t_post,
+        sum(CAST(round(var_usd / n, 9) AS DECIMAL(38,9))) AS se2,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM m
+    )
+    SELECT n_total,
+           round(m_c_pre, 6) AS m_c_pre, round(m_c_post, 6) AS m_c_post,
+           round(m_t_pre, 6) AS m_t_pre, round(m_t_post, 6) AS m_t_post,
+           round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did_usd,
+           round(sqrt(CAST(se2 AS DOUBLE)), 6) AS se_usd,
+           round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                 / sqrt(CAST(se2 AS DOUBLE)), 6) AS t_stat
+    FROM wide
+    """,
+    doc="Difference-in-differences estimator (Card & Krueger 1994 AER "
+    "84 shape): the 2x2 treat/post design over order value with a "
+    "deterministic treatment assignment (custkey parity) and a fixed "
+    "policy date — the causal-inference counterpart to "
+    "ab_cuped_adjustment (CUPED reduces variance within a "
+    "randomized experiment; DiD identifies an effect when only "
+    "observational pre/post panels exist). All four cell moments are "
+    "exact-integer (cents sums, 128-bit square sums); the estimator, "
+    "its large-sample SE = sqrt(sum var_c/n_c), and the t statistic "
+    "are fixed double expressions over those exact cells, with the "
+    "4-term SE sum on the decimal accumulator. Plan: ONE partial->"
+    "final hash aggregate over a 4-cell key; nothing else shuffles "
+    "at any scale. Ref: no reference analog; standard DiD.",
+)
+def q_causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        (F.col("o_custkey") % 2).cast("int").alias("treat"),
+        F.when(F.col("o_orderdate") >= F.lit(_DID_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("v"),
+    )
+    cells = x.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("double")
+        .alias("s2"),
+    )
+    m = cells.select(
+        "treat",
+        "post",
+        "n",
+        (F.col("s1").cast("double") / F.col("n") / 100.0).alias("mean_usd"),
+        (
+            (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+            / 10000.0
+        ).alias("var_usd"),
+    )
+    wide = m.agg(
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 0), F.col("mean_usd"))).alias("m_c_pre"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 1), F.col("mean_usd"))).alias("m_c_post"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 0), F.col("mean_usd"))).alias("m_t_pre"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1), F.col("mean_usd"))).alias("m_t_post"),
+        F.sum(
+            F.round(F.col("var_usd") / F.col("n"), 9).cast("decimal(38,9)")
+        ).alias("se2"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    se = F.sqrt(F.col("se2").cast("double"))
+    return wide.select(
+        "n_total",
+        F.round("m_c_pre", 6).alias("m_c_pre"),
+        F.round("m_c_post", 6).alias("m_c_post"),
+        F.round("m_t_pre", 6).alias("m_t_pre"),
+        F.round("m_t_post", 6).alias("m_t_post"),
+        F.round(did, 6).alias("did_usd"),
+        F.round(se, 6).alias("se_usd"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+@register(
+    "eval_brier_decomposition",
+    oracle="""
+    WITH base AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    sv AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM base GROUP BY score
+    ),
+    pv AS (
+      SELECT score, cnt, sy,
+             round(CAST(sum(cnt) OVER (ORDER BY score
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / (SELECT sum(cnt) FROM sv), 9) AS p
+      FROM sv
+    ),
+    bins AS (
+      SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin,
+             CAST(sum(cnt) AS BIGINT) AS n_k,
+             CAST(sum(sy) AS BIGINT) AS ny_k,
+             sum(cnt * CAST(p AS DECIMAL(28,9))) AS sp_k,
+             sum(CAST(round(sy * (p - 1.0) * (p - 1.0)
+                            + (cnt - sy) * p * p, 9)
+                 AS DECIMAL(38,9))) AS sqerr_k
+      FROM pv GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_k) AS BIGINT) AS n, CAST(sum(ny_k) AS BIGINT) AS p_all,
+             CAST(sum(sqerr_k) AS DOUBLE) AS sqerr
+      FROM bins
+    ),
+    dec AS (
+      SELECT t.n, t.p_all, t.sqerr,
+             sum(CAST(round(b.n_k * pow(CAST(b.sp_k AS DOUBLE) / b.n_k
+                   - CAST(b.ny_k AS DOUBLE) / b.n_k, 2), 9)
+                 AS DECIMAL(38,9))) AS rel_num,
+             sum(CAST(round(b.n_k * pow(CAST(b.ny_k AS DOUBLE) / b.n_k
+                   - CAST(t.p_all AS DOUBLE) / t.n, 2), 9)
+                 AS DECIMAL(38,9))) AS res_num
+      FROM bins b CROSS JOIN tot t
+      GROUP BY t.n, t.p_all, t.sqerr
+    )
+    SELECT n AS n_rows, round(CAST(p_all AS DOUBLE) / n, 6) AS base_rate,
+           round(sqerr / n, 6) AS brier,
+           round(CAST(rel_num AS DOUBLE) / n, 6) AS reliability,
+           round(CAST(res_num AS DOUBLE) / n, 6) AS resolution,
+           round(CAST(p_all AS DOUBLE) / n * (1.0 - CAST(p_all AS DOUBLE) / n), 6)
+             AS uncertainty,
+           round(sqerr / n - (CAST(rel_num AS DOUBLE) / n
+                 - CAST(res_num AS DOUBLE) / n
+                 + CAST(p_all AS DOUBLE) / n
+                   * (1.0 - CAST(p_all AS DOUBLE) / n)), 6) AS within_bin_gap
+    FROM dec
+    """,
+    doc="Murphy decomposition of the Brier score (Murphy 1973, J. Appl. "
+    "Meteorology 12): brier = reliability - resolution + uncertainty "
+    "over decile bins of the forecast, where the forecast is the "
+    "rank-calibrated score p = cume-fraction(value <= v) — the "
+    "decomposition eval_calibration_bins stops short of (it emits "
+    "the bins; this emits the three attributed components plus the "
+    "within-bin variance gap that exact decomposition leaves when "
+    "forecasts vary inside a bin). Cross-engine discipline: p is "
+    "computed on the DISTINCT-score table (bounded cumulative "
+    "window, the AUC pattern) and rounded to 9dp BEFORE any use; "
+    "every corpus-sized sum is integer or decimal(28/38,9); the "
+    "final components are fixed double expressions. Plan: one "
+    "distinct-score aggregate + bounded window + a 10-row bin "
+    "aggregate. Ref: no reference analog; standard Murphy 1973.",
+)
+def q_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    sv = base.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    sv = sv.localCheckpoint(eager=False)  # feeds the window and the total
+    n1 = sv.agg(F.sum("cnt").alias("nall"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    pv = (
+        sv.crossJoin(F.broadcast(n1))
+        .withColumn(
+            "p",
+            F.round(F.sum("cnt").over(w).cast("double") / F.col("nall"), 9),
+        )
+        .drop("nall")
+    )
+    bins = pv.groupBy(
+        F.least(F.lit(9), F.floor(F.col("p") * 10).cast("int")).alias("bin")
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("n_k"),
+        F.sum("sy").cast("bigint").alias("ny_k"),
+        F.sum(F.col("cnt") * F.col("p").cast("decimal(28,9)")).alias("sp_k"),
+        F.sum(
+            F.round(
+                F.col("sy") * (F.col("p") - 1.0) * (F.col("p") - 1.0)
+                + (F.col("cnt") - F.col("sy")) * F.col("p") * F.col("p"),
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("sqerr_k"),
+    )
+    bins = bins.localCheckpoint(eager=False)  # feeds tot and dec
+    tot = bins.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("ny_k").cast("bigint").alias("p_all"),
+        F.sum("sqerr_k").cast("double").alias("sqerr"),
+    )
+    dec = (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("n", "p_all", "sqerr")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("n_k")
+                    * F.pow(
+                        F.col("sp_k").cast("double") / F.col("n_k")
+                        - F.col("ny_k").cast("double") / F.col("n_k"),
+                        2,
+                    ),
+                    9,
+                ).cast("decimal(38,9)")
+            ).alias("rel_num"),
+            F.sum(
+                F.round(
+                    F.col("n_k")
+                    * F.pow(
+                        F.col("ny_k").cast("double") / F.col("n_k")
+                        - F.col("p_all").cast("double") / F.col("n"),
+                        2,
+                    ),
+                    9,
+                ).cast("decimal(38,9)")
+            ).alias("res_num"),
+        )
+    )
+    base_rate = F.col("p_all").cast("double") / F.col("n")
+    unc = base_rate * (F.lit(1.0) - base_rate)
+    return dec.select(
+        F.col("n").alias("n_rows"),
+        F.round(base_rate, 6).alias("base_rate"),
+        F.round(F.col("sqerr") / F.col("n"), 6).alias("brier"),
+        F.round(F.col("rel_num").cast("double") / F.col("n"), 6).alias("reliability"),
+        F.round(F.col("res_num").cast("double") / F.col("n"), 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(
+            F.col("sqerr") / F.col("n")
+            - (
+                F.col("rel_num").cast("double") / F.col("n")
+                - F.col("res_num").cast("double") / F.col("n")
+                + unc
+            ),
+            6,
+        ).alias("within_bin_gap"),
+    )
+
+
+@register(
+    "stats_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum({_CENTS}) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    med AS (SELECT CAST(2 * median(rev) AS BIGINT) AS med2 FROM daily),
+    s AS (
+      SELECT d, CASE WHEN 2 * rev > med2 THEN 1 ELSE 0 END AS sgn
+      FROM daily CROSS JOIN med
+      WHERE 2 * rev <> med2
+    ),
+    lagd AS (
+      SELECT sgn, lag(sgn) OVER (ORDER BY d) AS prev FROM s
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sgn) AS BIGINT) AS n1,
+             CAST(count(*) - sum(sgn) AS BIGINT) AS n2,
+             CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS r
+      FROM lagd
+    )
+    SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs,
+           round(1.0 + 2.0 * n1 * n2 / n, 6) AS expected_runs,
+           round((r - (1.0 + 2.0 * n1 * n2 / n))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1.0))), 6) AS z_score
+    FROM agg
+    """,
+    doc="Wald-Wolfowitz runs test (Wald & Wolfowitz 1940, Ann. Math. "
+    "Stat. 11) on daily revenue's above/below-median sign sequence — "
+    "the randomness check that complements the DIRECTIONAL trend "
+    "tests already certified (trend_mann_kendall detects monotone "
+    "drift, cusum_revenue_shift locates a level shift; runs detects "
+    "ANY serial dependence, including oscillation, that both miss). "
+    "Exact-median ties are excluded on both engines via the doubled "
+    "integer comparison 2*rev <> 2*median (a two-middle median "
+    "doubles to an exact bigint), the run count is one lag window "
+    "over the ~bounded daily series, and E[R] / Var[R] / z are fixed "
+    "double expressions over exact integer (n, n1, n2, R). Plan: the "
+    "day rollup is the only corpus-sized aggregate; the sign "
+    "sequence is calendar-bounded (one row per day), so the "
+    "unpartitioned lag window is a few-KB single task at any corpus "
+    "size. Ref: no reference analog; standard WW runs test.",
+)
+def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    daily = daily.localCheckpoint(eager=False)  # feeds median + sequence
+    med = daily.agg((F.percentile("rev", F.lit(0.5)) * 2).cast("bigint").alias("med2"))
+    s = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("rev") != F.col("med2"))
+        .select(
+            "d",
+            F.when(2 * F.col("rev") > F.col("med2"), 1).otherwise(0).alias("sgn"),
+        )
+    )
+    lagd = s.select("sgn", F.lag("sgn").over(Window.orderBy("d")).alias("prev"))
+    agg = lagd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sgn").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("bigint").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("sgn") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    er = F.lit(1.0) + 2.0 * F.col("n1") * F.col("n2") / F.col("n")
+    varr = (
+        F.lit(2.0)
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n"))
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - F.lit(1.0)))
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round(er, 6).alias("expected_runs"),
+        F.round((F.col("r") - er) / F.sqrt(varr), 6).alias("z_score"),
+    )
+
+
+NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE) AS s2
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_h,
+             round(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1)), 9)
+               AS sd_h
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(sum(CAST(round(n_h * sd_h, 9) AS DECIMAL(38,9)))
+               AS DOUBLE) AS w_all
+      FROM w
+    ),
+    alloc AS (
+      SELECT w.source, w.n_h, w.sd_h,
+             {NEYMAN_BUDGET} * w.n_h * w.sd_h / t.w_all AS a_real
+      FROM w CROSS JOIN tot t
+    ),
+    flo AS (
+      SELECT source, n_h, sd_h, a_real,
+             CAST(floor(a_real) AS BIGINT) AS base,
+             round(a_real - floor(a_real), 9) AS rem
+      FROM alloc
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+             {NEYMAN_BUDGET} - sum(base) OVER () AS leftover
+      FROM flo
+    )
+    SELECT source, n_h AS n_rows, round(sd_h, 6) AS sd,
+           round(a_real / {NEYMAN_BUDGET}, 6) AS alloc_frac,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS n_alloc
+    FROM ranked ORDER BY source
+    """,
+    doc="Neyman-optimal stratified sample allocation (Neyman 1934, JRSS "
+    f"97): split a fixed budget of {NEYMAN_BUDGET} draws across the "
+    "source strata proportional to N_h * sigma_h — the "
+    "variance-minimizing design for estimating mean document length, "
+    "and the principled upgrade to sample_stratified_quota's equal "
+    "quotas (strata with high internal variance earn more of the "
+    "budget). Integer seats are settled by largest-remainder "
+    "(Hamilton) apportionment with a deterministic source tiebreak, "
+    "so sum(n_alloc) == budget exactly. Cross-engine: per-stratum "
+    "moments are exact (bigint sums, 128-bit/decimal square sums), "
+    "sd rounds to 9dp before any reuse, the stratum-count-sized "
+    "weight total rides the decimal accumulator, and the remainder "
+    "ranking sorts 9dp-rounded values. Plan: ONE partial->final "
+    "aggregate over the corpus + window work on the ~#strata rows; "
+    "the allocation table is what a downstream per-stratum sampler "
+    "(sample_stratified_quota's TABLESAMPLE shape) consumes. Ref: "
+    "no reference analog; standard survey-sampling design.",
+)
+def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars"))
+        .cast("double")
+        .alias("s2"),
+    )
+    w = g.select(
+        "source",
+        "n_h",
+        F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_h"))
+                / (F.col("n_h") - 1)
+            ),
+            9,
+        ).alias("sd_h"),
+    )
+    w = w.localCheckpoint(eager=False)  # feeds the total and the allocation
+    tot = w.agg(
+        F.sum(F.round(F.col("n_h") * F.col("sd_h"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("w_all")
+    )
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_h",
+        "sd_h",
+        (F.lit(NEYMAN_BUDGET) * F.col("n_h") * F.col("sd_h") / F.col("w_all")).alias(
+            "a_real"
+        ),
+    )
+    flo = alloc.select(
+        "source",
+        "n_h",
+        "sd_h",
+        "a_real",
+        F.floor("a_real").cast("bigint").alias("base"),
+        F.round(F.col("a_real") - F.floor("a_real"), 9).alias("rem"),
+    )
+    wk = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    wall = Window.partitionBy()
+    ranked = flo.select(
+        "*",
+        F.row_number().over(wk).alias("rk"),
+        (F.lit(NEYMAN_BUDGET) - F.sum("base").over(wall)).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n_h").alias("n_rows"),
+        F.round("sd_h", 6).alias("sd"),
+        F.round(F.col("a_real") / NEYMAN_BUDGET, 6).alias("alloc_frac"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    ).orderBy("source")

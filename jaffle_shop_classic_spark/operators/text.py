@@ -3840,3 +3840,132 @@ def q_train_test_split_temporal_purged(
         )
         .orderBy(F.col("split").asc())
     )
+
+
+# ------------------------------------------------- RAKE keyword extraction
+RAKE_MAX_PHRASE = 4  # RAKE convention: cap candidate phrases at 4 words
+RAKE_TOP_K = 20
+_RAKE_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+@register(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.tok, u.pos
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+           LATERAL (SELECT unnest(tk) AS tok,
+                           generate_subscripts(tk, 1) AS pos) u
+    ),
+    nonstop AS (
+      SELECT doc_id, tok, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM tok WHERE tok NOT IN {_RAKE_STOP_SQL} AND tok <> ''
+    ),
+    phrases AS (
+      SELECT doc_id, island,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM nonstop GROUP BY doc_id, island
+      HAVING count(*) <= {RAKE_MAX_PHRASE}
+    ),
+    wstat AS (
+      SELECT n.tok,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS deg
+      FROM nonstop n JOIN phrases p USING (doc_id, island)
+      GROUP BY n.tok
+    ),
+    wscore AS (
+      SELECT tok, round(CAST(deg AS DOUBLE) / freq, 9) AS ws FROM wstat
+    ),
+    pscore AS (
+      SELECT p.phrase,
+             CAST(count(DISTINCT (p.doc_id, p.island)) AS BIGINT) AS n_occ,
+             CAST(sum(CAST(w.ws AS DECIMAL(28,9))) AS DOUBLE)
+               / count(DISTINCT (p.doc_id, p.island)) AS score
+      FROM phrases p
+      JOIN nonstop n USING (doc_id, island)
+      JOIN wscore w ON w.tok = n.tok
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occ, round(score, 6) AS rake_score
+    FROM pscore
+    ORDER BY rake_score DESC, phrase ASC
+    LIMIT {RAKE_TOP_K}
+    """,
+    doc="RAKE keyword extraction (Rose et al. 2010, 'Automatic Keyword "
+    "Extraction from Individual Documents', in Text Mining) — "
+    "corpus-level: candidate phrases are maximal stopword-free token "
+    f"runs (gaps-and-islands on pos - row_number), capped at "
+    f"{RAKE_MAX_PHRASE} words; word score = deg(w)/freq(w) over all "
+    "candidate occurrences; phrase score = sum of member word scores "
+    f"(per occurrence; identical phrases average). Top {RAKE_TOP_K} "
+    "with a deterministic (score, phrase) tiebreak. The unsupervised "
+    "complement to text_tfidf_topk (tf-idf needs the corpus df "
+    "contrast; RAKE's degree/frequency signal is intra-phrase "
+    "co-occurrence). Cross-engine: word scores round to 9dp before "
+    "the phrase sum, which rides the decimal accumulator; phrase "
+    "assembly is ORDER-keyed string_agg / array_sort(collect_list). "
+    "Plan: one posexplode feeds both the island window (per-doc "
+    "partitions) and the word stats; phrase and word tables shuffle "
+    "on their natural keys; nothing is vocabulary-broadcast. At "
+    "100 TB the phrase table is explode-bounded and the final top-k "
+    "is a single ordered limit. Ref: no reference analog.",
+)
+def q_text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    wisl = Window.partitionBy("doc_id").orderBy("pos")
+    nonstop = (
+        tok.filter(~F.col("tok").isin(*STOPWORDS) & (F.col("tok") != ""))
+        .withColumn("island", F.col("pos") - F.row_number().over(wisl))
+        .localCheckpoint(eager=False)  # feeds phrases, wstat, pscore
+    )
+    phrases = (
+        nonstop.groupBy("doc_id", "island")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+                " x -> x.tok), ' ')"
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_PHRASE)
+        .localCheckpoint(eager=False)  # feeds wstat and pscore
+    )
+    wstat = (
+        nonstop.join(phrases, ["doc_id", "island"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "tok", F.round(F.col("deg").cast("double") / F.col("freq"), 9).alias("ws")
+    )
+    pscore = (
+        phrases.join(nonstop, ["doc_id", "island"])
+        .join(wscore, "tok")
+        .groupBy("phrase")
+        .agg(
+            F.count_distinct(F.struct("doc_id", "island"))
+            .cast("bigint")
+            .alias("n_occ"),
+            (
+                F.sum(F.col("ws").cast("decimal(28,9)")).cast("double")
+                / F.count_distinct(F.struct("doc_id", "island"))
+            ).alias("score"),
+        )
+    )
+    return (
+        pscore.select("phrase", "n_occ", F.round("score", 6).alias("rake_score"))
+        .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
+        .limit(RAKE_TOP_K)
+    )

@@ -21,10 +21,10 @@ _REQUIRED_IN_WINDOW = {
     # round 13 batch 2: text_tfidf_topk (r12-green) handed its slot to
     # text_kneser_ney_score (same tokenize->bigram->model-join shape,
     # plus the smoothing algebra)
-    "text": {"text_kneser_ney_score", "quality_percentile_filter"},
+    "text": {"text_tfidf_topk", "quality_percentile_filter"},
     # round 13 batch 2: dedup_minhash_lsh_pairs (r12-green) rotated out;
     # the banded-LSH kernel stays in-window via dedup_minhash_fast_pairs
-    "dedup": {"dedup_exact", "dedup_minhash_fast_pairs", "dedup_cluster_components"},
+    "dedup": {"dedup_exact", "dedup_cdc_chunks", "dedup_minhash_recall_eval"},
     # round 8: kmeans_lloyd (r01..r07-green; Lloyd iterations train
     # inside dedup_semantic_clusters, certified r07) rotated out for
     # eval_calibration_bins
@@ -65,10 +65,10 @@ _REQUIRED_IN_WINDOW = {
     # round 13 batch 2: eval_calibration_bins (r12-green) handed its
     # slot to eval_isotonic_calibration (same p6/label substrate, PAV
     # on top)
+    # round 14 rotated l_diversity_audit and stream_chained_windows
+    # (both r13-green) to tier 2; the SQL-text slot stays in-window
     "round8_promotions": {
         "sql_model_orders_mart",
-        "l_diversity_audit",
-        "stream_chained_windows",
     },
     # round-8 session 2 promoted eval_bleu_corpus / dedup_url_canonical;
     # both r8+r11-green, rotated back to tier 2 mid-round-12 so the
@@ -76,20 +76,17 @@ _REQUIRED_IN_WINDOW = {
     # round 13 rotated the other five round-12 newcomers (all r12-green)
     # back to tier 2; BM25 stays in-window because this round's verdict
     # required re-certifying its query-pruned df broadcast
-    "round12_newcomers": {
-        "retrieval_bm25_topk",
-    },
+    "round12_newcomers": set(),  # BM25 re-certified r13; rotated out r14
     # round 9 (the round-8 verdict's brief #1/#3/#4): the six
     # uncertified round-8 newcomers plus the YAML-authoring and
     # manifest-sink protocol certifications
     # (round 10 rotated er_fellegi_sunter_em / sim_ann_recall_eval /
     # tpch_q17/q21/q8 — all r9-green — back to tier 2)
-    "round9_promotions": {
-        "udtf_installment_plan",
-        "yaml_model_customers_mart",
-        # sink_manifest_roundtrip rotated out mid-round-12 (r9+r11
-        # hard signal) for the vocab estimator newcomer below
-    },
+    # round 14: udtf_installment_plan / yaml_model_customers_mart
+    # (r13-green) rotated to tier 2; the X16 UDTF lateral class keeps
+    # udf_apply_in_pandas + asof_join_last_signup in-window and the
+    # YAML-authoring path is certified via the verbatim jinja twins
+    "round9_promotions": set(),
     # round 12 (the round-11 verdict's brief #3): the thirteen r11-green
     # round-10 newcomers rotated back to tier 2, their slots funding
     # first driver evidence for the never-driver-checked heavy tail
@@ -99,35 +96,40 @@ _REQUIRED_IN_WINDOW = {
     # never-windowed tail)
     # round 13 batch 2: graph_pagerank (r12-green) rotated out; its
     # Pregel keyed-exchange shape stays in-window via graph_hits_scores
-    "round12_promotions": {
-        "sim_ivf_multiprobe_topk",
-        "dedup_keep_best_representative",
-        "dedup_cluster_components_star",
-        "entity_resolution_clusters",
-        "stream_interval_join",
-    },
+    # round 14 rotated all five r12 promotions (r13-green) to tier 2
+    "round12_promotions": set(),
     # round 13 (the round-12 verdict's brief #3): seventeen
     # never-driver-windowed entries gain first evidence, prioritizing
     # the heavy locally-certified tail plus this round's two plan
     # changes (BM25 above, PCA below)
+    # round 14 rotated the r13 promotions back to tier 2 (all r13-green)
+    # except the entries whose plans changed this round:
     "round13_promotions": {
-        "tpch_q9_style",
-        "pivot_dynamic",
-        "json_variant_extract",
-        "sketch_hll_mergeable",
-        "embedding_pca_power",
-        "text_inverted_index",
         "hybrid_retrieval_rrf",
         "lang_nb_classifier",
-        "pack_sequences",
-        "sim_ivf_kmeans_topk",
-        "sim_pq_adc_topk",
-        "mm_phash_dedup",
-        "dedup_minhash_fast_pairs",
-        "graph_triangle_count",
-        "graph_label_propagation",
-        "stream_neardup_dedup",
-        "stream_running_user_stats",
+    },
+    # round 14 (the r13 verdict's brief #3): the fifteen never-driver-
+    # windowed r13 batch-2/3 newcomers gain first evidence, plus the
+    # r14 plan-change re-certifications and the eight r14 newcomers
+    "round14_never_windowed": {
+        "stats_fdr_bh", "t_closeness_audit", "feature_mi_audit",
+        "ab_cuped_adjustment", "fairness_disparate_impact",
+        "vocab_zipf_fit", "eval_auprc", "graph_neighborhood_function",
+        "dedup_cdc_chunks", "mm_audio_pcm_windows", "curation_line_dedup",
+        "vocab_heaps_law", "retrieval_rm3_expansion",
+        "sample_pps_systematic", "train_test_split_temporal_purged",
+    },
+    "round14_plan_changes": {
+        "text_tfidf_topk", "tokenizer_bpe_encode", "text_pmi_collocations",
+        "sim_sparse_tfidf_pairs", "corpus_token_ids", "chi2_feature_select",
+        "graph_hits_scores", "cluster_dbscan_grid", "retrieval_mmr_rerank",
+        "jinja_model_customers_mart",
+    },
+    "round14_newcomers": {
+        "stats_kruskal_wallis", "stats_brown_forsythe",
+        "causal_diff_in_diff", "eval_brier_decomposition",
+        "stats_runs_test", "sample_neyman_allocation",
+        "text_keyword_rake", "dedup_minhash_recall_eval",
     },
     # round 5 re-certified the X3 top-k and X8 exact-percentile classes
     # (topk_per_group and percentile_exact, both r01+r11-green, rotated
@@ -143,14 +145,9 @@ _REQUIRED_IN_WINDOW = {
     # and incremental_orders_state
     # round 13 batch 2: the six new operators added this round carry
     # same-round driver evidence
-    "round13_batch2": {
-        "text_kneser_ney_score",
-        "graph_hits_scores",
-        "retrieval_mmr_rerank",
-        "text_multipattern_tags",
-        "cluster_dbscan_grid",
-        "eval_isotonic_calibration",
-    },
+    # round 14: kneser_ney / multipattern / isotonic (all r13-green)
+    # rotated out; HITS, DBSCAN and MMR stay via round14_plan_changes
+    "round13_batch2": set(),
     "hugeint_regressions": {
         "stream_session_windows",
         "incremental_orders_state",

@@ -92,6 +92,14 @@ CROSS_OK = {
     "eval_auprc",  # broadcast 1-row totals (P, N) + final AP scalar joins
     "vocab_zipf_fit",  # 1-row moment frame; OLS closed form
     "sample_pps_systematic",  # broadcast 1-row total-weight (T) join
+    # round-14 newcomers — every cross/BNLJ below is a broadcast of a
+    # 1-row scalar frame or a bounded (#groups/#strata-sized) summary:
+    "stats_kruskal_wallis",  # 1-row (N, tie_sum) + 1-row H joins
+    "stats_brown_forsythe",  # bounded per-group medians + 1-row totals/parts
+    "eval_brier_decomposition",  # 1-row corpus-count + 1-row totals joins
+    "stats_runs_test",  # broadcast 1-row doubled-median join
+    "sample_neyman_allocation",  # broadcast 1-row weight-total join
+    "dedup_minhash_recall_eval",  # three 1-row metric-count joins
 }
 
 
