@@ -121,11 +121,17 @@ _PRIORITY = (
     "sample_neyman_allocation",
     "text_keyword_rake",
     "dedup_minhash_recall_eval",
-    # -- retained class representatives (X8 quantiles, X4 dedup, ANN,
-    #    X16 UDF surface, X15 streaming, X7 windows + hugeint guard)
-    "quality_percentile_filter",
-    "dedup_exact",
-    "sim_ivf_topk",
+    # -- round-14 batch-2 newcomers (Manku 64-bit SimHash hamming join,
+    #    Newman modularity over the certified LPA labels, Fisher
+    #    randomization test with one-digest-per-row assignment bits);
+    #    the three class reps they displace (quality_percentile_filter,
+    #    dedup_exact, sim_ivf_topk — all r13-green) move to tier 2, and
+    #    their classes keep in-window kernels (percentile() inside
+    #    stats_brown_forsythe/stats_runs_test, exact-dedup inside
+    #    curation_line_dedup, ANN probe inside retrieval_mmr_rerank)
+    "dedup_simhash_hamming_pairs",
+    "graph_modularity_score",
+    "ab_randomization_test",
     "udf_apply_in_pandas",
     "asof_join_last_signup",
     "stream_left_outer_join",
@@ -142,6 +148,9 @@ _TIER2 = (
     # and the eight r14 newcomers gain driver evidence; every entry
     # below keeps its r13 (most also earlier-round) hard signal in
     # the cross-round union
+    "quality_percentile_filter",
+    "dedup_exact",
+    "sim_ivf_topk",
     "tpch_q9_style",
     "pivot_dynamic",
     "json_variant_extract",

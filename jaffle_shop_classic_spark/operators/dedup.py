@@ -1631,7 +1631,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITERS = 4
 
 
-def _lpa_oracle() -> str:
+def _lpa_ctes() -> str:
+    """Shared oracle prefix: LSH pair graph + the unrolled synchronous
+    LPA rounds, ending with the final label table l{LPA_ITERS} — reused
+    by the LPA entry and the modularity scorer built on its labels."""
     cte = []
     prev = "l0"
     for k in range(1, LPA_ITERS + 1):
@@ -1650,7 +1653,7 @@ def _lpa_oracle() -> str:
       ) WHERE rn = 1
     )""")
         prev = f"l{k}"
-    return f"""
+    prefix = f"""
     WITH {_SIGS_CTE},
     bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sigs),
     pairs AS (
@@ -1664,7 +1667,12 @@ def _lpa_oracle() -> str:
       SELECT doc_b, doc_a FROM pairs
     ),
     l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
-    {','.join(cte)},
+    {','.join(cte)}"""
+    return prefix
+
+
+def _lpa_oracle() -> str:
+    return _lpa_ctes() + f""",
     sized AS (
       SELECT label AS community, count(*) AS n_members
       FROM l{LPA_ITERS} GROUP BY label
@@ -3084,4 +3092,250 @@ def q_dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "precision"
             ),
         )
+    )
+
+
+# ------------------------------------ Manku SimHash hamming pair join
+SH64_BITS = 64
+SH64_BANDS = 4  # 16-bit bands: hamming <= 3 => some band matches exactly
+SH64_MAX_HAMMING = 3
+SH64_BAND_CAP = 256  # hot-band cap, same discipline as MAX_BAND_SIZE
+
+
+def _sh64_sums_sql() -> str:
+    return ", ".join(f"sum({_bit_pm1_sql(b)}) AS s{b}" for b in range(SH64_BITS))
+
+
+def _sh64_digits_sql() -> str:
+    return ", ".join(
+        f"CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END" for b in range(SH64_BITS)
+    )
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, md5(t) AS h FROM (
+        SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS t
+        FROM documents)
+    ),
+    fp AS (
+      SELECT doc_id, concat({_sh64_digits_sql()}) AS f FROM (
+        SELECT doc_id, {_sh64_sums_sql()} FROM tok GROUP BY doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, f,
+             unnest(list_transform(range(0, {SH64_BANDS}),
+               j -> CAST(j AS VARCHAR) || '|'
+                    || substr(f, 1 + 16 * j, 16))) AS band_key
+      FROM fp
+    ),
+    sized AS (
+      SELECT doc_id, f, band_key FROM (
+        SELECT doc_id, f, band_key,
+               count(*) OVER (PARTITION BY band_key) AS band_n
+        FROM bands)
+      WHERE band_n <= {SH64_BAND_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.f AS fa, y.f AS fb
+      FROM sized x JOIN sized y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(list_sum(list_transform(range(1, {SH64_BITS + 1}),
+             i -> CASE WHEN fa[i] <> fb[i] THEN 1 ELSE 0 END))
+             AS BIGINT) AS hamming
+    FROM cand
+    WHERE list_sum(list_transform(range(1, {SH64_BITS + 1}),
+            i -> CASE WHEN fa[i] <> fb[i] THEN 1 ELSE 0 END))
+          <= {SH64_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash near-duplicate detection at Manku web-crawl geometry "
+    "(Manku, Jain & Das Sarma 2007, WWW '07 'Detecting Near-"
+    f"Duplicates for Web Crawling'): a {SH64_BITS}-bit fingerprint "
+    "(each distinct token votes +/-1 per md5 bit), split into "
+    f"{SH64_BANDS} disjoint 16-bit bands — the pigeonhole guarantee "
+    f"that any pair within hamming {SH64_MAX_HAMMING} shares at "
+    "least one EXACT band, so candidates come from {SH64_BANDS} "
+    "keyed equi-joins, never an all-pairs product, and the full "
+    "64-bit hamming verify runs only on collisions. The existing "
+    "dedup_simhash entry certifies the 16-bit fingerprint kernel; "
+    "this is the table-scale PAIR JOIN the fingerprint exists for. "
+    f"Hot bands are capped at {SH64_BAND_CAP} docs (the MAX_BAND_"
+    "SIZE discipline; a degenerate band would otherwise square). "
+    "Cross-engine: identical md5-bit arithmetic, integer hamming, "
+    "no floats anywhere. Plan: one token aggregate (64 bit-sums "
+    "ride one shuffle), one band explode + capped self-equi-join, "
+    "verify in codegen. At 100 TB this is the standard crawl-dedup "
+    "geometry verbatim.",
+)
+def q_dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("t")
+    ).select("doc_id", F.md5("t").alias("h"))
+    sums = tok.groupBy("doc_id").agg(
+        *[F.sum(F.expr(_bit_pm1_sql(b))).alias(f"s{b}") for b in range(SH64_BITS)]
+    )
+    fp = sums.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"s{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for b in range(SH64_BITS)
+            ]
+        ).alias("f"),
+    ).localCheckpoint(eager=False)  # feeds all four band probes
+    bands = fp.selectExpr(
+        "doc_id",
+        "f",
+        f"explode(transform(sequence(0, {SH64_BANDS - 1}), "
+        "j -> concat(CAST(j AS STRING), '|', substring(f, 1 + 16 * j, 16))"
+        ")) AS band_key",
+    )
+    wb = Window.partitionBy("band_key")
+    sized = (
+        bands.withColumn("band_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("band_n") <= SH64_BAND_CAP)
+        .drop("band_n")
+    )
+    x = sized.select(
+        F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"), "band_key"
+    )
+    y = sized.select(
+        F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"), "band_key"
+    )
+    cand = (
+        x.join(y, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.expr(
+        f"aggregate(sequence(1, {SH64_BITS}), 0, (acc, i) -> acc + "
+        "(CASE WHEN substring(fa, i, 1) <> substring(fb, i, 1) "
+        "THEN 1 ELSE 0 END))"
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= SH64_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "graph_modularity_score",
+    oracle=_lpa_ctes()
+    + f""",
+    comm AS (SELECT doc_id, label AS community FROM l{LPA_ITERS}),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    within AS (
+      SELECT ca.community, CAST(count(*) AS BIGINT) AS e_c
+      FROM pairs u
+      JOIN comm ca ON ca.doc_id = u.doc_a
+      JOIN comm cb ON cb.doc_id = u.doc_b
+      WHERE ca.community = cb.community
+      GROUP BY ca.community
+    ),
+    deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    per AS (
+      SELECT c.community,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(coalesce(any_value(w.e_c), 0) AS BIGINT) AS e_within,
+             CAST(sum(g.d) AS BIGINT) AS d_total
+      FROM comm c
+      JOIN deg g USING (doc_id)
+      LEFT JOIN within w ON w.community = c.community
+      GROUP BY c.community
+    ),
+    q AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(e_within AS DOUBLE) / m.m
+               - (CAST(d_total AS DOUBLE) / (2.0 * m.m))
+                 * (CAST(d_total AS DOUBLE) / (2.0 * m.m)), 9)
+             AS DECIMAL(38,9))) AS DOUBLE) AS q
+      FROM per CROSS JOIN m
+    )
+    SELECT p.community, p.n_members, p.e_within, p.d_total,
+           round(q.q, 6) AS modularity
+    FROM per p CROSS JOIN q
+    ORDER BY p.community
+    """,
+    doc="Newman modularity Q = sum_c[e_c/m - (d_c/2m)^2] (Newman & "
+    "Girvan 2004, Phys. Rev. E 69) of the label-propagation "
+    "communities over the LSH similarity graph — the quality score "
+    "that tells a curation pipeline whether graph_label_propagation's "
+    "partition is real structure (Q >> 0) or noise (Q ~ 0), i.e. "
+    "whether to trust community-level dedup decisions. Reuses the "
+    "certified LPA substrate verbatim (same uncapped pair graph, "
+    "same 4 synchronous rounds); the additions are one within-"
+    "community pair join, one degree aggregate, and a community-"
+    "count-sized Q sum on the round(.,9)::decimal fold-order-safe "
+    "accumulator. Integer e_c/d_c/m throughout; doubles only in the "
+    "final fixed expression. Plan: all joins keyed on node/community "
+    "ids; nothing corpus-quadratic beyond the already-banded pair "
+    "graph. Ref: no reference analog; public Newman 2004.",
+)
+def q_graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # feeds edges (via LPA), m, and the within join
+    edges = _symmetric_edges(pairs)
+    labels = propagate_labels(edges)
+    comm = labels.select("doc_id", F.col("label").alias("community"))
+    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    ca = comm.select(F.col("doc_id").alias("doc_a"), F.col("community").alias("cca"))
+    cb = comm.select(F.col("doc_id").alias("doc_b"), F.col("community").alias("ccb"))
+    within = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(F.col("cca") == F.col("ccb"))
+        .groupBy(F.col("cca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    per = (
+        comm.join(deg, "doc_id")
+        .join(within, "community", "left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.coalesce(F.any_value("e_c"), F.lit(0)).cast("bigint").alias("e_within"),
+            F.sum("d").cast("bigint").alias("d_total"),
+        )
+        .localCheckpoint(eager=False)  # feeds q and the output join
+    )
+    q = (
+        per.crossJoin(F.broadcast(m))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("e_within").cast("double") / F.col("m")
+                    - (F.col("d_total").cast("double") / (2.0 * F.col("m")))
+                    * (F.col("d_total").cast("double") / (2.0 * F.col("m"))),
+                    9,
+                ).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("q")
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(q))
+        .select(
+            "community",
+            "n_members",
+            "e_within",
+            "d_total",
+            F.round("q", 6).alias("modularity"),
+        )
+        .orderBy("community")
     )

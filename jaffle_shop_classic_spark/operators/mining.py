@@ -5805,3 +5805,131 @@ def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alloc"),
     ).orderBy("source")
+
+
+RAND_TEST_B = 100  # pseudo-random reassignments under the sharp null
+
+
+@register(
+    "ab_randomization_test",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderkey AS k, CAST(o_custkey % 2 AS INT) AS g,
+             {_CENTS} AS v
+      FROM orders
+    ),
+    obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             abs(CAST(sum(CASE WHEN g = 1 THEN v END) AS DOUBLE)
+                   / sum(CASE WHEN g = 1 THEN 1 END)
+                 - CAST(sum(CASE WHEN g = 0 THEN v END) AS DOUBLE)
+                   / sum(CASE WHEN g = 0 THEN 1 END)) AS t_obs
+      FROM x
+    ),
+    hashed AS (SELECT k, v, md5(CAST(k AS VARCHAR)) AS h FROM x),
+    perm AS (
+      -- one md5 per row; replicate b reads BIT b of the 128-bit digest
+      SELECT b.b,
+             CAST((instr('0123456789abcdef', h[1 + b // 4]) - 1)
+                  // CAST(pow(2, 3 - b % 4) AS INT) % 2 AS INT) AS g,
+             hashed.v
+      FROM hashed CROSS JOIN (SELECT unnest(range(0, {RAND_TEST_B})) AS b) b
+    ),
+    cells AS (
+      SELECT b, g, CAST(count(*) AS BIGINT) AS n_c,
+             CAST(sum(v) AS BIGINT) AS s_c
+      FROM perm GROUP BY b, g
+    ),
+    stats AS (
+      SELECT b,
+             abs(CAST(max(CASE WHEN g = 1 THEN s_c END) AS DOUBLE)
+                   / max(CASE WHEN g = 1 THEN n_c END)
+                 - CAST(max(CASE WHEN g = 0 THEN s_c END) AS DOUBLE)
+                   / max(CASE WHEN g = 0 THEN n_c END)) AS t_b
+      FROM cells GROUP BY b
+    )
+    SELECT o.n, round(o.t_obs / 100.0, 6) AS t_obs_usd,
+           CAST({RAND_TEST_B} AS BIGINT) AS n_perm,
+           CAST(count(CASE WHEN s.t_b >= o.t_obs THEN 1 END) AS BIGINT)
+             AS n_ge,
+           round((1.0 + count(CASE WHEN s.t_b >= o.t_obs THEN 1 END))
+                 / (1.0 + {RAND_TEST_B}), 6) AS p_value
+    FROM stats s CROSS JOIN obs o
+    GROUP BY o.n, o.t_obs
+    """,
+    doc="Fisher-style randomization test (Fisher 1935, The Design of "
+    f"Experiments; Monte-Carlo form) for the cohort mean-value gap: "
+    f"{RAND_TEST_B} SEEDED pseudo-random reassignments of the "
+    "treatment label under the sharp null (bit b of md5(orderkey), "
+    "one digest per row feeding all replicates — the engine's "
+    "portable seeded-RNG discipline, byte-identical in DuckDB), each scored by |mean1 - mean0|, with the add-one "
+    "Monte-Carlo p-value. The assumption-free companion to "
+    "ab_test_welch_ttest (no normality, no variance model) and the "
+    "inferential complement of ab_srm_check. All per-replicate "
+    "moments are exact integers (cents sums per (b, group) cell); "
+    "the 2x{RAND_TEST_B}-cell aggregate is ONE partial->final "
+    "map-side-combined shuffle regardless of corpus size, and the "
+    "null statistics are fixed double expressions over those exact "
+    "cells. At 100 TB replicate count, not data volume, is the "
+    "knob — the explode multiplies the map side only. Ref: no "
+    "reference analog; standard randomization inference.",
+)
+def q_ab_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") % 2).cast("int").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("v"),
+    )
+    obs = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.abs(
+            F.sum(F.when(F.col("g") == 1, F.col("v"))).cast("double")
+            / F.sum(F.when(F.col("g") == 1, 1))
+            - F.sum(F.when(F.col("g") == 0, F.col("v"))).cast("double")
+            / F.sum(F.when(F.col("g") == 0, 1))
+        ).alias("t_obs"),
+    )
+    # one md5 per ROW, not per (row, replicate): the 128-bit digest
+    # supplies an independent assignment bit for each of the
+    # RAND_TEST_B (< 128) replicates — 100x fewer digest evaluations
+    perm = (
+        x.selectExpr("v", "md5(CAST(k AS STRING)) AS h")
+        .selectExpr("v", "h", f"explode(sequence(0, {RAND_TEST_B - 1})) AS b")
+        .selectExpr(
+            "b",
+            "v",
+            "CAST((conv(substring(h, 1 + b div 4, 1), 16, 10) "
+            "div CAST(pow(2, 3 - b % 4) AS INT)) % 2 AS INT) AS g",
+        )
+    )
+    cells = perm.groupBy("b", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.sum("v").cast("bigint").alias("s_c"),
+    )
+    stats = cells.groupBy("b").agg(
+        F.abs(
+            F.max(F.when(F.col("g") == 1, F.col("s_c"))).cast("double")
+            / F.max(F.when(F.col("g") == 1, F.col("n_c")))
+            - F.max(F.when(F.col("g") == 0, F.col("s_c"))).cast("double")
+            / F.max(F.when(F.col("g") == 0, F.col("n_c")))
+        ).alias("t_b")
+    )
+    return (
+        stats.crossJoin(F.broadcast(obs))
+        .groupBy("n", "t_obs")
+        .agg(
+            F.count(F.when(F.col("t_b") >= F.col("t_obs"), 1))
+            .cast("bigint")
+            .alias("n_ge")
+        )
+        .select(
+            "n",
+            F.round(F.col("t_obs") / 100.0, 6).alias("t_obs_usd"),
+            F.lit(RAND_TEST_B).cast("bigint").alias("n_perm"),
+            "n_ge",
+            F.round(
+                (F.lit(1.0) + F.col("n_ge")) / (1.0 + RAND_TEST_B), 6
+            ).alias("p_value"),
+        )
+    )

@@ -21,17 +21,27 @@ _REQUIRED_IN_WINDOW = {
     # round 13 batch 2: text_tfidf_topk (r12-green) handed its slot to
     # text_kneser_ney_score (same tokenize->bigram->model-join shape,
     # plus the smoothing algebra)
-    "text": {"text_tfidf_topk", "quality_percentile_filter"},
+    # round 14 batch 2: quality_percentile_filter (r13-green) rotated
+    # out; the exact-percentile kernel runs in-window inside
+    # stats_brown_forsythe / stats_runs_test
+    "text": {"text_tfidf_topk", "text_keyword_rake"},
     # round 13 batch 2: dedup_minhash_lsh_pairs (r12-green) rotated out;
     # the banded-LSH kernel stays in-window via dedup_minhash_fast_pairs
-    "dedup": {"dedup_exact", "dedup_cdc_chunks", "dedup_minhash_recall_eval"},
+    # round 14 batch 2: dedup_exact (r13-green) rotated out; the
+    # exact-dedup groupBy kernel runs in-window inside
+    # curation_line_dedup
+    "dedup": {"dedup_simhash_hamming_pairs", "dedup_cdc_chunks",
+              "dedup_minhash_recall_eval"},
     # round 8: kmeans_lloyd (r01..r07-green; Lloyd iterations train
     # inside dedup_semantic_clusters, certified r07) rotated out for
     # eval_calibration_bins
     # round 13 batch 2: sim_cosine_topk (r12-green) rotated out; its
     # exact broadcast-cosine kernel runs as retrieval_mmr_rerank's
     # scoring stage in-window
-    "similarity": {"retrieval_mmr_rerank", "sim_ivf_topk"},
+    # round 14 batch 2: sim_ivf_topk (r13-green) rotated out; the
+    # centroid-probe ANN class keeps r13 hard signal and the cosine
+    # kernel stays in-window via retrieval_mmr_rerank
+    "similarity": {"retrieval_mmr_rerank", "cluster_dbscan_grid"},
     "udfs": {"udf_apply_in_pandas", "asof_join_last_signup"},
     "streaming": {"stream_left_outer_join", "stream_session_windows"},
     # round-7 session: the mining/eval/inference flagships promoted in
@@ -130,6 +140,8 @@ _REQUIRED_IN_WINDOW = {
         "causal_diff_in_diff", "eval_brier_decomposition",
         "stats_runs_test", "sample_neyman_allocation",
         "text_keyword_rake", "dedup_minhash_recall_eval",
+        "dedup_simhash_hamming_pairs", "graph_modularity_score",
+        "ab_randomization_test",
     },
     # round 5 re-certified the X3 top-k and X8 exact-percentile classes
     # (topk_per_group and percentile_exact, both r01+r11-green, rotated

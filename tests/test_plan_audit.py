@@ -100,6 +100,8 @@ CROSS_OK = {
     "stats_runs_test",  # broadcast 1-row doubled-median join
     "sample_neyman_allocation",  # broadcast 1-row weight-total join
     "dedup_minhash_recall_eval",  # three 1-row metric-count joins
+    "graph_modularity_score",  # 1-row edge-count (m) + 1-row Q joins
+    "ab_randomization_test",  # broadcast 1-row observed-statistic join
 }
 
 
