@@ -5933,3 +5933,377 @@ def q_ab_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      -- exact twin of exploded_shingles: word-3-shingles, tiny docs
+      -- (< 3 tokens) contribute their whole text as one pseudo-shingle
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [trim(text)] END) AS s
+      FROM t
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    deg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY doc_id
+    ),
+    ends AS (
+      SELECT da.d AS x, db.d AS y
+      FROM pairs p
+      JOIN deg da ON da.doc_id = p.doc_a
+      JOIN deg db ON db.doc_id = p.doc_b
+    ),
+    stacked AS (
+      SELECT x, y FROM ends UNION ALL SELECT y, x FROM ends
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM stacked
+    )
+    SELECT m2 / 2 AS n_edges,
+           round((sxy - CAST(sx AS DOUBLE) * sx / m2)
+                 / (sxx - CAST(sx AS DOUBLE) * sx / m2), 6)
+             AS assortativity
+    FROM mom
+    """,
+    doc="Degree assortativity (Newman 2002, Phys. Rev. Lett. 89): the "
+    "Pearson correlation of endpoint degrees over the shingle-overlap "
+    "document graph, computed on the SYMMETRIZED edge list (each edge "
+    "contributes both orientations, the standard undirected "
+    "convention, which also makes sum(x)=sum(y) so one set of "
+    "moments suffices). Positive r = template families link to each "
+    "other (hub-hub), negative = hub-and-spoke boilerplate — with "
+    "graph_modularity_score this is the second structure diagnostic "
+    "a dedup pipeline reads before trusting cluster-level decisions. "
+    "All moments are exact integers (degree sums, 128-bit/decimal "
+    "squares); r is one fixed double expression. Plan: shingle "
+    "equi-join for edges (never all-pairs), two keyed aggregates, "
+    "1-row output. Ref: no reference analog; public Newman 2002.",
+)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import exploded_shingles
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    sh = exploded_shingles(d).dropDuplicates(["doc_id", "s"])
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds deg + ends
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("doc_id").alias("doc_a"), F.col("d").alias("x"))
+    db = deg.select(F.col("doc_id").alias("doc_b"), F.col("d").alias("y"))
+    ends = pairs.join(da, "doc_a").join(db, "doc_b").select("x", "y")
+    stacked = ends.unionByName(
+        ends.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    mom = stacked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return mom.select(
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("sxy") - F.col("sx").cast("double") * F.col("sx") / F.col("m2"))
+            / (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("m2")),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+LB_MAX_LAG = 7
+
+
+@register(
+    "stats_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum({_CENTS}) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS t, rev FROM daily
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s
+      FROM idx
+    ),
+    z AS (
+      SELECT t, CAST(tot.n * rev - tot.s AS BIGINT) AS z
+      FROM idx CROSS JOIN tot
+    ),
+    den AS (
+      SELECT CAST(sum(CAST(z AS HUGEINT) * z) AS DOUBLE) AS den FROM z
+    ),
+    lags AS (SELECT unnest(range(1, {LB_MAX_LAG + 1})) AS k),
+    num AS (
+      SELECT l.k,
+             CAST(sum(CAST(a.z AS HUGEINT) * b.z) AS DOUBLE) AS num
+      FROM lags l
+      JOIN z a ON TRUE
+      JOIN z b ON b.t = a.t + l.k
+      GROUP BY l.k
+    ),
+    r AS (
+      SELECT n.k, round(n.num / d.den, 9) AS r_k
+      FROM num n CROSS JOIN den d
+    ),
+    lb AS (
+      SELECT CAST(t.n AS DOUBLE) * (t.n + 2)
+             * CAST(sum(CAST(round(r.r_k * r.r_k / (t.n - r.k), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS lb_stat
+      FROM r CROSS JOIN tot t
+      GROUP BY t.n
+    )
+    SELECT r.k AS lag, round(r.r_k, 6) AS acf,
+           (SELECT n FROM tot) AS n_days,
+           round(lb.lb_stat, 6) AS lb_stat
+    FROM r CROSS JOIN lb
+    ORDER BY r.k
+    """,
+    doc="Ljung-Box portmanteau test (Ljung & Box 1978, Biometrika 65) "
+    f"on daily-revenue autocorrelations, lags 1..{LB_MAX_LAG} — the "
+    "serial-correlation diagnostic that closes the time-series "
+    "toolkit (Mann-Kendall: monotone trend; CUSUM: level shift; "
+    "runs test: sign dependence; LB: LINEAR dependence at named "
+    "lags, the standard residual check after any forecast like "
+    "holt_linear_forecast). Exactness: observations are centered in "
+    "n-SCALED integer units z_t = n*rev_t - sum(rev) (no rational "
+    "mean), so every ACF numerator/denominator is an exact 128-bit/"
+    "decimal integer sum and r_k rounds to 9dp before the LB sum, "
+    "which rides the decimal accumulator over the 7 lag terms. "
+    "Lags index the OBSERVATION sequence (row_number over day) so "
+    "calendar gaps cannot shift alignment between engines. Plan: "
+    "the day rollup is the only corpus-sized aggregate; everything "
+    "after runs on the calendar-bounded series (~2.4k rows), one "
+    "tiny self-join per lag batch. Ref: no reference analog; "
+    "standard LB definition.",
+)
+def q_stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("t"), "rev"
+    ).localCheckpoint(eager=False)  # calendar-bounded series, reused 3x
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev").cast("bigint").alias("s"),
+    )
+    z = idx.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (F.col("n") * F.col("rev") - F.col("s")).cast("bigint").alias("z"),
+        "n",
+    ).localCheckpoint(eager=False)
+    den = z.agg(
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+        .cast("double")
+        .alias("den")
+    )
+    a = z.select(F.col("t").alias("ta"), F.col("z").alias("za")).crossJoin(
+        F.broadcast(
+            spark.range(1, LB_MAX_LAG + 1).select(F.col("id").cast("int").alias("k"))
+        )
+    )
+    b = z.select(F.col("t").alias("tb"), F.col("z").alias("zb"))
+    num = (
+        a.join(b, F.col("tb") == F.col("ta") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("za").cast("decimal(38,0)") * F.col("zb"))
+            .cast("double")
+            .alias("num")
+        )
+    )
+    r = num.crossJoin(F.broadcast(den)).select(
+        "k", F.round(F.col("num") / F.col("den"), 9).alias("r_k")
+    ).localCheckpoint(eager=False)
+    lb = (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            (
+                F.col("n").cast("double")
+                * (F.col("n") + 2)
+                * F.sum(
+                    F.round(
+                        F.col("r_k") * F.col("r_k") / (F.col("n") - F.col("k")), 12
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+            ).alias("lb_stat")
+        )
+    )
+    return (
+        r.crossJoin(F.broadcast(tot.select("n")))
+        .crossJoin(F.broadcast(lb.select("lb_stat")))
+        .select(
+            F.col("k").cast("bigint").alias("lag"),
+            F.round("r_k", 6).alias("acf"),
+            F.col("n").alias("n_days"),
+            F.round("lb_stat", 6).alias("lb_stat"),
+        )
+        .orderBy("lag")
+    )
+
+
+DUNN_Z_CRIT = 2.807  # two-sided alpha=0.05 Bonferroni over k(k-1)/2=10 pairs
+
+
+@register(
+    "stats_dunn_posthoc",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderpriority AS grp, {_CENTS} AS v FROM orders
+    ),
+    gv AS (
+      SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY grp, v
+    ),
+    tv AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS t,
+             CAST(sum(sum(c)) OVER (ORDER BY v
+               ROWS UNBOUNDED PRECEDING) - sum(c) AS BIGINT) AS below
+      FROM gv GROUP BY v
+    ),
+    rg AS (
+      SELECT gv.grp, CAST(sum(gv.c) AS BIGINT) AS n_g,
+             CAST(sum(gv.c * (2 * tv.below + tv.t + 1)) AS BIGINT) AS r2
+      FROM gv JOIN tv USING (v) GROUP BY gv.grp
+    ),
+    tot AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+      FROM tv
+    ),
+    pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             CAST(a.r2 AS DOUBLE) / (2.0 * a.n_g) AS mr_a,
+             CAST(b.r2 AS DOUBLE) / (2.0 * b.n_g) AS mr_b,
+             a.n_g AS na, b.n_g AS nb, t.n, t.tie_sum
+      FROM rg a JOIN rg b ON a.grp < b.grp CROSS JOIN tot t
+    )
+    SELECT grp_a, grp_b,
+           round(mr_a, 6) AS mean_rank_a, round(mr_b, 6) AS mean_rank_b,
+           round((mr_a - mr_b)
+             / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                     - CAST(tie_sum AS DOUBLE) / (12.0 * (n - 1)))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z,
+           CAST(abs((mr_a - mr_b)
+             / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                     - CAST(tie_sum AS DOUBLE) / (12.0 * (n - 1)))
+                    * (1.0 / na + 1.0 / nb))) > {DUNN_Z_CRIT}
+             AS INT) AS significant
+    FROM pairs
+    ORDER BY grp_a, grp_b
+    """,
+    doc="Dunn's post-hoc test (Dunn 1964, Technometrics 6): which "
+    "priority-class PAIRS differ, the follow-up stats_kruskal_wallis "
+    "licenses when its omnibus H rejects — pairwise z on mean ranks "
+    "with the tie-corrected KW variance N(N+1)/12 - sum(t^3-t)/"
+    "12(N-1), flagged at the Bonferroni critical value "
+    f"z > {DUNN_Z_CRIT} (alpha 0.05 two-sided over the 10 pairs; a "
+    "fixed constant because neither engine ships a portable normal "
+    "CDF, and the decision rule is what a pipeline consumes). Shares "
+    "the doubled-integer rank algebra with the KW entry: every rank "
+    "sum is an exact bigint, z is a fixed double expression per "
+    "group pair. Plan: the same two hash aggregates + a k^2-row "
+    "(=25) pair join; corpus-sized work is identical to KW. Ref: no "
+    "reference analog; standard Dunn 1964.",
+)
+def q_stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("v"),
+    )
+    gv = x.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    gv = gv.localCheckpoint(eager=False)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tv = (
+        gv.groupBy("v")
+        .agg(F.sum("c").cast("bigint").alias("t"))
+        .withColumn("below", (F.sum("t").over(w) - F.col("t")).cast("bigint"))
+    )
+    rg = (
+        gv.join(tv, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * (2 * F.col("below") + F.col("t") + 1))
+            .cast("bigint")
+            .alias("r2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = tv.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    a = rg.select(
+        F.col("grp").alias("grp_a"),
+        (F.col("r2").cast("double") / (2.0 * F.col("n_g"))).alias("mr_a"),
+        F.col("n_g").alias("na"),
+    )
+    b = rg.select(
+        F.col("grp").alias("grp_b"),
+        (F.col("r2").cast("double") / (2.0 * F.col("n_g"))).alias("mr_b"),
+        F.col("n_g").alias("nb"),
+    )
+    pairs = (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(tot))
+    )
+    se = F.sqrt(
+        (
+            F.col("n").cast("double") * (F.col("n") + 1) / 12.0
+            - F.col("tie_sum").cast("double") / (12.0 * (F.col("n") - 1))
+        )
+        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    z = (F.col("mr_a") - F.col("mr_b")) / se
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        F.round("mr_a", 6).alias("mean_rank_a"),
+        F.round("mr_b", 6).alias("mean_rank_b"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > DUNN_Z_CRIT).cast("int").alias("significant"),
+    ).orderBy("grp_a", "grp_b")

@@ -3969,3 +3969,71 @@ def q_text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
         .limit(RAKE_TOP_K)
     )
+
+
+# -------------------------------------------- sentence segmentation
+@register(
+    "text_sentence_segmentation",
+    oracle=r"""
+    WITH marked AS (
+      SELECT doc_id,
+             regexp_replace(trim(text), '([.!?]) ', '\1' || chr(1), 'g')
+               AS m
+      FROM documents
+    ),
+    sent AS (
+      SELECT doc_id, trim(u.s) AS s
+      FROM marked, LATERAL (SELECT unnest(string_split(m, chr(1))) AS s) u
+      WHERE trim(u.s) <> ''
+    ),
+    st AS (
+      SELECT doc_id, len(string_split_regex(s, '\s+')) AS n_toks
+      FROM sent
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           round(CAST(sum(n_toks) AS DOUBLE) / count(*), 4)
+             AS mean_sent_tokens,
+           CAST(max(n_toks) AS BIGINT) AS max_sent_tokens
+    FROM st GROUP BY doc_id
+    """,
+    doc="Sentence segmentation profile: split on terminal punctuation "
+    "([.!?] followed by a space - the capture-and-mark form, since "
+    "RE2/Java lookbehind portability differs), then per-doc sentence "
+    "count, mean and max sentence length in tokens - the "
+    "distributional signal RefinedWeb/Gopher-class quality gates "
+    "read next to word counts (quality_gopher_rules) and the chunk "
+    "pre-pass for sentence-bounded packing (pack_sequences splits "
+    "mid-sentence without it). Determinism: one regexp_replace "
+    "marks boundaries with a control char, one split, identical "
+    "token counting both engines; the mark char (chr(1)) cannot "
+    "appear in the generated corpus. Plan: pure per-row map into "
+    "one partial->final per-doc aggregate - embarrassingly parallel "
+    "at any scale. Ref: no reference analog.",
+)
+def q_text_sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mark = "\u0001"
+    sent = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.trim(F.col("text")), r"([.!?]) ", "$1" + mark
+                    ),
+                    mark,
+                )
+            ).alias("s0"),
+        )
+        .select("doc_id", F.trim(F.col("s0")).alias("s"))
+        .filter(F.col("s") != "")
+    )
+    st = sent.select("doc_id", F.size(F.split(F.col("s"), r"\s+")).alias("n_toks"))
+    return st.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        F.round(F.sum("n_toks").cast("double") / F.count(F.lit(1)), 4).alias(
+            "mean_sent_tokens"
+        ),
+        F.max("n_toks").cast("bigint").alias("max_sent_tokens"),
+    )

@@ -102,6 +102,8 @@ CROSS_OK = {
     "dedup_minhash_recall_eval",  # three 1-row metric-count joins
     "graph_modularity_score",  # 1-row edge-count (m) + 1-row Q joins
     "ab_randomization_test",  # broadcast 1-row observed-statistic join
+    "stats_ljung_box",  # broadcast 7-row lag frame + 1-row moment joins
+    "stats_dunn_posthoc",  # 5x5 group-pair non-equi join + 1-row totals
 }
 
 
