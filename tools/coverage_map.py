@@ -74,6 +74,12 @@ FAMILY_REPS = {
 
 # entries whose machinery is certified by a rep outside their name family
 OVERRIDES = {
+    # same daily-revenue rollup + exact-median + observation-sequence
+    # window machinery as the windowed runs test; lagged self-join =
+    # the certified xcorr shape
+    "stats_ljung_box": ["stats_runs_test", "xcorr_daily_lags"],
+    # identical doubled-integer rank substrate as the windowed KW entry
+    "stats_dunn_posthoc": ["stats_kruskal_wallis"],
     # same jinja_lite render path as the windowed orders-file entry;
     # same mart algebra as the flagship customers mart
     "jinja_model_customers_mart": ["sql_model_orders_mart", "jaffle_customers"],
