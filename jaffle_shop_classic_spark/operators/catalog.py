@@ -82,7 +82,6 @@ _PRIORITY = (
     "tokenizer_bpe_encode",
     "text_pmi_collocations",
     "sim_sparse_tfidf_pairs",
-    "corpus_token_ids",
     "lang_nb_classifier",
     "chi2_feature_select",
     "hybrid_retrieval_rrf",
@@ -132,6 +131,10 @@ _PRIORITY = (
     "dedup_simhash_hamming_pairs",
     "graph_modularity_score",
     "ab_randomization_test",
+    # -- round-14 batch-4 flagship: greedy WordPiece encode (the BERT
+    #    tokenizer rule); corpus_token_ids (de-hint class, 7 sibling
+    #    re-certs stay in-window) hands it the slot
+    "tokenizer_wordpiece_encode",
     "udf_apply_in_pandas",
     "asof_join_last_signup",
     "stream_left_outer_join",
@@ -148,6 +151,7 @@ _TIER2 = (
     # and the eight r14 newcomers gain driver evidence; every entry
     # below keeps its r13 (most also earlier-round) hard signal in
     # the cross-round union
+    "corpus_token_ids",
     "quality_percentile_filter",
     "dedup_exact",
     "sim_ivf_topk",

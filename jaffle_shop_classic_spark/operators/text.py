@@ -4037,3 +4037,113 @@ def q_text_sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("n_toks").cast("bigint").alias("max_sent_tokens"),
     )
+
+
+# ------------------------------------------ WordPiece greedy encoding
+WP_MAX_PIECE = 4  # max piece length in chars
+WP_MIN_WORDS = 3  # multi-char piece must appear in >= this many words
+
+
+@register(
+    "tokenizer_wordpiece_encode",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+    ),
+    words AS (SELECT DISTINCT w FROM tok WHERE w <> ''),
+    pieces AS (
+      SELECT w, s, e, substr(w, s, e - s + 1) AS piece
+      FROM words, LATERAL (
+        SELECT a AS s, b AS e
+        FROM (SELECT unnest(range(1, len(w) + 1)) AS a),
+             (SELECT unnest(range(1, len(w) + 1)) AS b)
+        WHERE b >= a AND b - a < {WP_MAX_PIECE}
+      )
+    ),
+    vocab AS (
+      SELECT piece FROM pieces GROUP BY piece
+      HAVING count(DISTINCT w) >= {WP_MIN_WORDS} OR len(piece) = 1
+    ),
+    pv AS (SELECT p.w, p.s, p.e FROM pieces p JOIN vocab v USING (piece)),
+    seg AS (
+      WITH RECURSIVE r(w, pos, n) AS (
+        SELECT w, 0, 0 FROM words
+        UNION ALL
+        SELECT r.w,
+               (SELECT max(p.e) FROM pv p
+                WHERE p.w = r.w AND p.s = r.pos + 1),
+               r.n + 1
+        FROM r WHERE r.pos < len(r.w)
+      )
+      SELECT w, CAST(n AS BIGINT) AS n_pieces FROM r WHERE pos = len(w)
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.n_pieces) AS BIGINT) AS n_wordpieces
+    FROM tok t JOIN seg s USING (w)
+    GROUP BY t.doc_id
+    """,
+    doc="WordPiece tokenization by greedy longest-match-first (Wu et "
+    "al. 2016, 'Google's Neural Machine Translation System', the "
+    "BERT tokenizer's encode rule): per word, repeatedly take the "
+    f"LONGEST vocabulary piece (<= {WP_MAX_PIECE} chars; multi-char "
+    f"pieces must occur in >= {WP_MIN_WORDS} distinct words, every "
+    "single char is in-vocab so segmentation never fails) that "
+    "prefixes the remainder — the deterministic greedy counterpart "
+    "to tokenizer_bpe_encode's merge-table replay, and the second "
+    "of the three production subword families (BPE done, WordPiece "
+    "here, unigram-LM future work). The sequential-looking scan is "
+    "a per-word integer fold: Spark runs it as one higher-order "
+    "aggregate() over the char positions against the word's own "
+    "piece list (JVM codegen, no UDF); the oracle is a recursive "
+    "CTE — both pure integer state (pos, n), so the fold is "
+    "bit-identical. Plan: piece enumeration and the greedy fold run "
+    "once per DISTINCT word (vocabulary-bounded, never corpus-"
+    "bounded); the vocab and encode joins are plain equi-joins with "
+    "NO broadcast hint (AQE decides — the tokenizer_bpe_encode "
+    "discipline); the corpus pays one token explode + one keyed "
+    "join + one per-doc aggregate. Ref: no reference analog; "
+    "public Wu 2016 / BERT.",
+)
+def q_tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    words = tok.select("w").distinct().localCheckpoint(eager=False)
+    pieces = words.selectExpr(
+        "w",
+        "explode(flatten(transform(sequence(1, length(w)), "
+        f"a -> transform(sequence(a, least(length(w), a + {WP_MAX_PIECE - 1})), "
+        "b -> struct(a AS s, b AS e))))) AS se",
+    ).selectExpr("w", "se.s AS s", "se.e AS e", "substring(w, se.s, se.e - se.s + 1) AS piece")
+    pieces = pieces.localCheckpoint(eager=False)  # feeds vocab + pv
+    vocab = (
+        pieces.groupBy("piece")
+        .agg(F.count_distinct("w").alias("nw"))
+        .filter((F.col("nw") >= WP_MIN_WORDS) | (F.length("piece") == 1))
+        .select("piece")
+    )
+    pv = pieces.join(vocab, "piece").select("w", "s", "e")
+    pl = pv.groupBy("w").agg(
+        F.expr("collect_list(struct(s, e))").alias("pl")
+    )
+    seg = pl.selectExpr(
+        "w",
+        f"""CAST(aggregate(sequence(1, length(w)),
+              named_struct('pos', 0, 'n', 0),
+              (acc, i) -> CASE WHEN acc.pos >= length(w) THEN acc
+                ELSE named_struct(
+                  'pos', array_max(transform(
+                     filter(pl, p -> p.s = acc.pos + 1), p -> p.e)),
+                  'n', acc.n + 1) END
+            ).n AS BIGINT) AS n_pieces""",
+    )
+    return (
+        tok.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_wordpieces"),
+        )
+    )

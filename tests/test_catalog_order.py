@@ -129,9 +129,11 @@ _REQUIRED_IN_WINDOW = {
         "vocab_heaps_law", "retrieval_rm3_expansion",
         "sample_pps_systematic", "train_test_split_temporal_purged",
     },
+    # corpus_token_ids (de-hint class, 7 sibling re-certs in-window)
+    # handed its slot to the WordPiece flagship mid-round
     "round14_plan_changes": {
         "text_tfidf_topk", "tokenizer_bpe_encode", "text_pmi_collocations",
-        "sim_sparse_tfidf_pairs", "corpus_token_ids", "chi2_feature_select",
+        "sim_sparse_tfidf_pairs", "chi2_feature_select",
         "graph_hits_scores", "cluster_dbscan_grid", "retrieval_mmr_rerank",
         "jinja_model_customers_mart",
     },
@@ -141,7 +143,7 @@ _REQUIRED_IN_WINDOW = {
         "stats_runs_test", "sample_neyman_allocation",
         "text_keyword_rake", "dedup_minhash_recall_eval",
         "dedup_simhash_hamming_pairs", "graph_modularity_score",
-        "ab_randomization_test",
+        "ab_randomization_test", "tokenizer_wordpiece_encode",
     },
     # round 5 re-certified the X3 top-k and X8 exact-percentile classes
     # (topk_per_group and percentile_exact, both r01+r11-green, rotated
