@@ -83,3 +83,60 @@ def test_hits_init_survives_many_nodes(spark):
         f"SELECT greatest({HITS_SCALE}L, {n}L) div {n}L AS h"
     ).collect()[0]
     assert row["h"] == 1  # unit mass survives; naive form would be 0
+
+
+def test_wordpiece_greedy_longest_match(spark, tmp_path):
+    """Greedy must take the longest in-vocab prefix: with 'abcd' and
+    'abce' sharing 'abc' (3 words needed for a multi-char piece, so
+    plant 3 carriers), 'abcd' segments abc|d (2 pieces), never
+    a|b|c|d."""
+    _write_docs(
+        spark,
+        tmp_path,
+        {1: "abcd abce abcf", 2: "abcd abcd abcd", 3: "zz"},
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in load_catalog()["tokenizer_wordpiece_encode"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    # doc 2: three occurrences of abcd -> 3 words, 3 * (abc|d) = 6 pieces
+    assert rows[2]["n_words"] == 3 and rows[2]["n_wordpieces"] == 6, rows[2]
+    # doc 3: zz -> z|z (no multi-char piece reaches 3 distinct words)
+    assert rows[3]["n_words"] == 1 and rows[3]["n_wordpieces"] == 2, rows[3]
+
+
+def test_unigram_viterbi_beats_greedy(spark, tmp_path):
+    """Viterbi is globally optimal: construct a word where greedy
+    longest-match-first yields MORE pieces than the optimum. With
+    pieces {ab, cde} frequent and 'abc' also frequent, greedy on
+    'abcde' takes abc|de or abc|d|e while Viterbi can take ab|cde
+    (2 pieces). Assert the unigram path segments 'abcde' into 2."""
+    filler = " ".join(["ab"] * 10 + ["cde"] * 10 + ["abc"] * 10)
+    _write_docs(spark, tmp_path, {1: filler, 2: "abcde"})
+    rows = {
+        r["doc_id"]: r
+        for r in load_catalog()["tokenizer_unigram_viterbi"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows[2]["n_subwords"] == 2, rows[2]
+
+
+def test_simhash_hamming_finds_near_identical_docs(spark, tmp_path):
+    """Two docs differing by one token out of many have hamming <= 3
+    on the 64-bit fingerprint and must surface as a pair; unrelated
+    docs must not."""
+    base = " ".join(f"tok{i}" for i in range(120))
+    near = " ".join(f"tok{i}" for i in range(119)) + " changed"
+    other = " ".join(f"zzz{i}" for i in range(120))
+    _write_docs(spark, tmp_path, {1: base, 2: near, 3: other})
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in load_catalog()["dedup_simhash_hamming_pairs"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert (1, 2) in pairs, pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs, pairs
