@@ -5890,29 +5890,49 @@ def q_ab_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(F.col("g") == 0, 1))
         ).alias("t_obs"),
     )
-    # one md5 per ROW, not per (row, replicate): the 128-bit digest
-    # supplies an independent assignment bit for each of the
-    # RAND_TEST_B (< 128) replicates — 100x fewer digest evaluations
-    perm = (
-        x.selectExpr("v", "md5(CAST(k AS STRING)) AS h")
-        .selectExpr("v", "h", f"explode(sequence(0, {RAND_TEST_B - 1})) AS b")
-        .selectExpr(
-            "b",
-            "v",
-            "CAST((conv(substring(h, 1 + b div 4, 1), 16, 10) "
-            "div CAST(pow(2, 3 - b % 4) AS INT)) % 2 AS INT) AS g",
-        )
+    # one md5 per ROW and ONE corpus pass total: replicate b's treated
+    # sum/count are conditional aggregates on bit b of the digest —
+    # 2*RAND_TEST_B bigint partials in a single map-side-combined
+    # aggregate, no row multiplication (the exploded form was 0.95/
+    # decade and 40 s at sf1; this is the same-values rewrite)
+    # digest parsed once per row into four 32-bit words; each
+    # replicate's assignment bit is a shift-and-mask (same values as
+    # the oracle's nibble arithmetic, JVM-cheap)
+    hashed = x.selectExpr(
+        "v",
+        *[
+            f"CAST(conv(substring(md5(CAST(k AS STRING)), {1 + 8 * i}, 8), "
+            f"16, 10) AS BIGINT) AS w{i}"
+            for i in range((RAND_TEST_B + 31) // 32)
+        ],
     )
-    cells = perm.groupBy("b", "g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_c"),
-        F.sum("v").cast("bigint").alias("s_c"),
+    aggs = []
+    for b in range(RAND_TEST_B):
+        gb = f"(shiftright(w{b // 32}, {31 - b % 32}) & 1)"
+        aggs.append(F.expr(f"sum(v * {gb})").cast("bigint").alias(f"s{b}"))
+        aggs.append(F.expr(f"sum({gb})").cast("bigint").alias(f"n{b}"))
+    aggs.append(F.sum("v").cast("bigint").alias("s_all"))
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    wide = hashed.agg(*aggs)
+    reps = wide.select(
+        "s_all",
+        "n_all",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"s{b}").alias("s1"), F.col(f"n{b}").alias("n1")
+                    )
+                    for b in range(RAND_TEST_B)
+                ]
+            )
+        ).alias("r"),
     )
-    stats = cells.groupBy("b").agg(
+    stats = reps.select(
         F.abs(
-            F.max(F.when(F.col("g") == 1, F.col("s_c"))).cast("double")
-            / F.max(F.when(F.col("g") == 1, F.col("n_c")))
-            - F.max(F.when(F.col("g") == 0, F.col("s_c"))).cast("double")
-            / F.max(F.when(F.col("g") == 0, F.col("n_c")))
+            F.col("r.s1").cast("double") / F.col("r.n1")
+            - (F.col("s_all") - F.col("r.s1")).cast("double")
+            / (F.col("n_all") - F.col("r.n1"))
         ).alias("t_b")
     )
     return (
