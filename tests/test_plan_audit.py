@@ -104,6 +104,7 @@ CROSS_OK = {
     "ab_randomization_test",  # broadcast 1-row observed-statistic join
     "stats_ljung_box",  # broadcast 7-row lag frame + 1-row moment joins
     "stats_dunn_posthoc",  # 5x5 group-pair non-equi join + 1-row totals
+    "tokenizer_unigram_viterbi",  # broadcast 1-row vocab-total (T) join
 }
 
 
