@@ -6129,9 +6129,11 @@ LB_MAX_LAG = 7
     "Lags index the OBSERVATION sequence (row_number over day) so "
     "calendar gaps cannot shift alignment between engines. Plan: "
     "the day rollup is the only corpus-sized aggregate; everything "
-    "after runs on the calendar-bounded series (~2.4k rows), one "
-    "tiny self-join per lag batch. Ref: no reference analog; "
-    "standard LB definition.",
+    "after runs on the calendar-bounded series (~2.4k rows) — ONE "
+    "window pass supplies all lagged products and one aggregate "
+    "yields every moment (the per-lag self-join form paid ~9 "
+    "sequential driver jobs and benched slowest-in-catalog). Ref: "
+    "no reference analog; standard LB definition.",
 )
 def q_stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -6152,29 +6154,39 @@ def q_stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("rev") - F.col("s")).cast("bigint").alias("z"),
         "n",
     ).localCheckpoint(eager=False)
-    den = z.agg(
+    # one window pass supplies all 7 lagged products AND the
+    # denominator; a single aggregate then yields every moment —
+    # the earlier per-lag self-join shape paid ~9 sequential jobs
+    # (BENCH_FULL showed it as the slowest catalog entry at sf0.1)
+    wlag = Window.orderBy("t")
+    lagged = z.select(
+        "z",
+        *[F.lag("z", k).over(wlag).alias(f"z{k}") for k in range(1, LB_MAX_LAG + 1)],
+    )
+    moms = lagged.agg(
         F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
         .cast("double")
-        .alias("den")
-    )
-    a = z.select(F.col("t").alias("ta"), F.col("z").alias("za")).crossJoin(
-        F.broadcast(
-            spark.range(1, LB_MAX_LAG + 1).select(F.col("id").cast("int").alias("k"))
-        )
-    )
-    b = z.select(F.col("t").alias("tb"), F.col("z").alias("zb"))
-    num = (
-        a.join(b, F.col("tb") == F.col("ta") + F.col("k"))
-        .groupBy("k")
-        .agg(
-            F.sum(F.col("za").cast("decimal(38,0)") * F.col("zb"))
+        .alias("den"),
+        *[
+            F.sum(F.col("z").cast("decimal(38,0)") * F.col(f"z{k}"))
             .cast("double")
-            .alias("num")
-        )
+            .alias(f"num{k}")
+            for k in range(1, LB_MAX_LAG + 1)
+        ],
     )
-    r = num.crossJoin(F.broadcast(den)).select(
-        "k", F.round(F.col("num") / F.col("den"), 9).alias("r_k")
-    ).localCheckpoint(eager=False)
+    r = moms.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("k"),
+                        F.round(F.col(f"num{k}") / F.col("den"), 9).alias("r_k"),
+                    )
+                    for k in range(1, LB_MAX_LAG + 1)
+                ]
+            )
+        ).alias("x")
+    ).select("x.k", "x.r_k").localCheckpoint(eager=False)
     lb = (
         r.crossJoin(F.broadcast(tot))
         .groupBy("n")
