@@ -70,6 +70,9 @@ BOUNDED_OK = {
     # k-means / PQ codebooks: K (resp. M x K) centroid rows
     ("similarity", "_train_kmeans_centroids", "cent"): "K centroid rows",
     ("similarity", "_pq_codebooks", "cent"): "M x K codebook rows",
+    # Ljung-Box statistic: 1-row frame; the lineage 'explode' is a
+    # 7-element literal lag array, not a corpus token stream
+    ("mining", "q_stats_ljung_box", "lb"): "1-row LB statistic frame",
 }
 
 _TOKEN_SOURCE = re.compile(r"explode|exploded_shingles|tokens_col|split\(")
