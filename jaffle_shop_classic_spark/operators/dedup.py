@@ -160,7 +160,9 @@ def exploded_shingles(d: DataFrame, *extra_cols: str) -> DataFrame:
     )
 
 
-def minhash_signatures(d: DataFrame, fast: bool = False) -> DataFrame:
+def minhash_signatures(
+    d: DataFrame, fast: bool = False, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig array<k>): posexplode tokens -> 3-gram shingles via
     element_at on the carried array -> k salted hashes per shingle ->
     groupBy-min.
@@ -176,9 +178,12 @@ def minhash_signatures(d: DataFrame, fast: bool = False) -> DataFrame:
 
     The only shuffle is the final min-agg (k fixed-width hashes per
     doc). fast=True swaps md5 for xxhash64 (engine-internal, cheaper;
-    no SQL oracle).
+    no SQL oracle). ``shingles`` lets a caller that already holds a
+    (doc_id, s) shingle frame (set or multiset — min is identical over
+    both) feed it in instead of re-exploding the corpus.
     """
-    shingles = exploded_shingles(d)
+    if shingles is None:
+        shingles = exploded_shingles(d)
 
     if fast:
         hashed = shingles.selectExpr(
@@ -3027,13 +3032,17 @@ RECALL_TAU_NUM, RECALL_TAU_DEN = 1, 2  # exact-Jaccard truth threshold 1/2
 )
 def q_dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
-    bands = sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
-    cand = candidate_pairs(bands).localCheckpoint(eager=False)
-
+    # ONE shared shingle stage feeds BOTH pipelines (r14 verdict item 5):
+    # the deduped (doc_id, s) set is materialized once and the LSH arm's
+    # signatures are folded from it — min over the set equals min over
+    # the multiset, so the values are unchanged while the second corpus
+    # tokenize+explode pass and the duplicate-shingle md5 lanes are gone.
     sh = exploded_shingles(d).dropDuplicates(["doc_id", "s"]).localCheckpoint(
         eager=True
-    )  # feeds sizes, df, prefix ranking, verification
+    )  # feeds signatures, sizes, df, prefix ranking, verification
+    sigs = minhash_signatures(d, shingles=sh)
+    bands = sigs.selectExpr("doc_id", f"explode({_bands_expr('sig')}) AS band_key")
+    cand = candidate_pairs(bands).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("L"))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     wrank = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())

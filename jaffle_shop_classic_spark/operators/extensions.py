@@ -3487,11 +3487,11 @@ def q_cf_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT seg, n,
            round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6) + 0 AS slope,
            round((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx) / n,
-                 4) AS intercept
+                 4) + 0 AS intercept
     FROM agg ORDER BY seg
     """,
     doc="Per-segment OLS trend (daily revenue vs time): closed-form "

@@ -1547,7 +1547,7 @@ XCORR_MAX_LAG = 7
     SELECT CAST(lag AS INT) AS lag, n,
            round((n * sxy - sx * sy)
                  / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
-                        * (n * syy - sy * sy)), 6) AS xcorr
+                        * (n * syy - sy * sy)), 6) + 0 AS xcorr
     FROM m ORDER BY lag ASC
     """,
     doc="Lagged cross-correlation between two daily event series (does "
@@ -2232,7 +2232,7 @@ def q_fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m),
     sen AS (
-      SELECT round(avg(slope), 2) AS sen_slope
+      SELECT round(avg(slope), 2) + 0 AS sen_slope
       FROM (
         SELECT slope,
                row_number() OVER (ORDER BY slope, sgn) AS r,
@@ -2245,7 +2245,7 @@ def q_fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS var18_num,
            round((s.s_stat - sign(s.s_stat))
                  / sqrt(n.n_months * (n.n_months - 1)
-                        * (2.0 * n.n_months + 5) / 18.0), 4) AS z_stat,
+                        * (2.0 * n.n_months + 5) / 18.0), 4) + 0 AS z_stat,
            sen.sen_slope
     FROM stats s, n, sen
     """,
@@ -3198,7 +3198,7 @@ def q_cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
            END AS spearman_rho
     FROM s
     ORDER BY segment
@@ -4382,7 +4382,7 @@ _PHI = "1.0 / (1.0 + exp(-1.702 * ({z})))"
              round((CAST(s1_g AS DOUBLE) / n_g - CAST(s1 AS DOUBLE) / n)
                    / sqrt((CAST(s2 AS DOUBLE) / n
                            - (CAST(s1 AS DOUBLE) / n)
-                             * (CAST(s1 AS DOUBLE) / n)) / n_g), 6) AS z
+                             * (CAST(s1 AS DOUBLE) / n)) / n_g), 6) + 0 AS z
       FROM per CROSS JOIN g
     ),
     p AS (
@@ -4746,7 +4746,7 @@ CUPED_SPLIT = "1998-01-01"
     )
     SELECT arm, CAST(count(*) AS BIGINT) AS n,
            round(avg(y), 4) AS mean_y,
-           round(avg(y_adj), 4) AS mean_y_adj,
+           round(avg(y_adj), 4) + 0 AS mean_y_adj,
            round(var_pop(y), 2) AS var_y,
            round(var_pop(y_adj), 2) AS var_y_adj
     FROM adj GROUP BY arm ORDER BY arm ASC
@@ -5346,10 +5346,10 @@ _DID_SPLIT = "1998-07-01"
     SELECT n_total,
            round(m_c_pre, 6) AS m_c_pre, round(m_c_post, 6) AS m_c_post,
            round(m_t_pre, 6) AS m_t_pre, round(m_t_post, 6) AS m_t_post,
-           round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did_usd,
+           round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) + 0 AS did_usd,
            round(sqrt(CAST(se2 AS DOUBLE)), 6) AS se_usd,
            round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
-                 / sqrt(CAST(se2 AS DOUBLE)), 6) AS t_stat
+                 / sqrt(CAST(se2 AS DOUBLE)), 6) + 0 AS t_stat
     FROM wide
     """,
     doc="Difference-in-differences estimator (Card & Krueger 1994 AER "
@@ -6000,7 +6000,7 @@ def q_ab_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m2 / 2 AS n_edges,
            round((sxy - CAST(sx AS DOUBLE) * sx / m2)
-                 / (sxx - CAST(sx AS DOUBLE) * sx / m2), 6)
+                 / (sxx - CAST(sx AS DOUBLE) * sx / m2), 6) + 0
              AS assortativity
     FROM mom
     """,
@@ -6255,7 +6255,7 @@ DUNN_Z_CRIT = 2.807  # two-sided alpha=0.05 Bonferroni over k(k-1)/2=10 pairs
            round((mr_a - mr_b)
              / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
                      - CAST(tie_sum AS DOUBLE) / (12.0 * (n - 1)))
-                    * (1.0 / na + 1.0 / nb)), 6) AS z,
+                    * (1.0 / na + 1.0 / nb)), 6) + 0 AS z,
            CAST(abs((mr_a - mr_b)
              / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
                      - CAST(tie_sum AS DOUBLE) / (12.0 * (n - 1)))

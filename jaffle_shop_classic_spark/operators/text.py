@@ -3098,8 +3098,8 @@ _HEAPS_SLOPE_SQL = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
             CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
           FROM pts)
     SELECT CAST(n AS BIGINT) AS n_points,
-           round({_HEAPS_SLOPE_SQL}, 6) AS heaps_beta,
-           round((sy - round({_HEAPS_SLOPE_SQL}, 9) * sx) / n, 6) AS heaps_ln_k
+           round({_HEAPS_SLOPE_SQL}, 6) + 0 AS heaps_beta,
+           round((sy - round({_HEAPS_SLOPE_SQL}, 9) * sx) / n, 6) + 0 AS heaps_ln_k
     FROM s
     """,
     doc="Heaps'-law vocabulary-growth fit V(N) = k * N^beta (Heaps 1978; "
@@ -3172,9 +3172,17 @@ def q_vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").cast("bigint").alias("n_points"),
-        F.round(slope, 6).alias("heaps_beta"),
-        F.round(
-            (F.col("sy") - F.round(slope, 9) * F.col("sx")) / F.col("n"), 6
+        # `+ 0` canonicalizes signed zero on BOTH engines (IEEE: -0.0 + 0
+        # = +0.0): a slope that rounds to zero hashed differently in r14
+        # because DuckDB's round preserves the sign of an infinitesimally
+        # negative argument while Spark's HALF_UP BigDecimal round does
+        # not — numerically equal, representationally distinct.
+        (F.round(slope, 6) + F.lit(0)).alias("heaps_beta"),
+        (
+            F.round(
+                (F.col("sy") - F.round(slope, 9) * F.col("sx")) / F.col("n"), 6
+            )
+            + F.lit(0)
         ).alias("heaps_ln_k"),
     )
 
@@ -3622,9 +3630,9 @@ def q_text_multipattern_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     )
     SELECT n AS n_terms,
-           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) + 0 AS slope,
            round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
-                 * (sx / n), 6) AS intercept,
+                 * (sx / n), 6) + 0 AS intercept,
            round((sxy - sx * sy / n) * (sxy - sx * sy / n)
                  / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
     FROM s

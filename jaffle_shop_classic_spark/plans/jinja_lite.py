@@ -113,7 +113,10 @@ def render_model_source(text: str) -> RenderedModel:
 
     def expand_if(m: re.Match) -> str:
         body, alt = m.group(2), m.group(3) or ""
-        if "{% if" in body or "{%- if" in body:
+        # guard BOTH branches: an {% if %} inside the {% else %} branch
+        # would otherwise pair the wrong {% endif %} and surface as a
+        # misleading generic 'unsupported construct' error downstream
+        if any(t in seg for seg in (body, alt) for t in ("{% if", "{%- if")):
             raise UnsupportedJinja("nested {% if %} blocks are unsupported")
         return body if eval_cond(m.group(1)) else alt
 

@@ -83,17 +83,21 @@ def _module_broadcast_sites(path: Path):
     tree = ast.parse(src)
     sites = []
     for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
-        assigns: dict[str, str] = {}
+        # accumulate EVERY assignment segment per name (not just the
+        # last): the self-reassignment idiom `gv = gv.localCheckpoint()`
+        # would otherwise erase the upstream groupBy/explode text and
+        # let a vocabulary-derived broadcast slip past the audit
+        assigns: dict[str, list[str]] = {}
         for node in ast.walk(fn):
             if isinstance(node, ast.Assign) and len(node.targets) == 1:
                 t = node.targets[0]
                 seg = ast.get_source_segment(src, node.value) or ""
                 if isinstance(t, ast.Name):
-                    assigns[t.id] = seg
+                    assigns.setdefault(t.id, []).append(seg)
                 elif isinstance(t, ast.Tuple):
                     for el in t.elts:
                         if isinstance(el, ast.Name):
-                            assigns[el.id] = seg
+                            assigns.setdefault(el.id, []).append(seg)
         for node in ast.walk(fn):
             if (
                 isinstance(node, ast.Call)
@@ -108,11 +112,13 @@ def _module_broadcast_sites(path: Path):
     return sites
 
 
-def _lineage(arg_src: str, assigns: dict[str, str]) -> tuple[str, str]:
+def _lineage(arg_src: str, assigns: dict[str, list[str]]) -> tuple[str, str]:
     """Expand local names reachable from the broadcast arg.
 
-    Returns (root_name, concatenated lineage text). Expansion stops at
-    any assignment that is a global aggregate (1-row by construction).
+    Returns (root_name, concatenated lineage text). Every assignment
+    segment a name ever held is unioned (a reassignment must not hide
+    its upstream text); expansion stops at any segment that is a global
+    aggregate or an explicit limit (1-row/bounded by construction).
     """
     names = re.findall(r"[A-Za-z_][A-Za-z0-9_]*", arg_src)
     root = next((n for n in names if n in assigns), arg_src)
@@ -124,15 +130,15 @@ def _lineage(arg_src: str, assigns: dict[str, str]) -> tuple[str, str]:
         if n in seen:
             continue
         seen.add(n)
-        seg = assigns[n]
-        if ".agg(" in seg and ".groupBy(" not in seg:
-            continue  # 1-row scalar frame: bounded by construction
-        if ".limit(" in seg:
-            continue  # explicit row cap: bounded by construction
-        texts.append(seg)
-        frontier.extend(
-            m for m in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", seg) if m in assigns
-        )
+        for seg in assigns[n]:
+            if ".agg(" in seg and ".groupBy(" not in seg:
+                continue  # 1-row scalar frame: bounded by construction
+            if ".limit(" in seg:
+                continue  # explicit row cap: bounded by construction
+            texts.append(seg)
+            frontier.extend(
+                m for m in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", seg) if m in assigns
+            )
     return root, "\n".join(texts)
 
 

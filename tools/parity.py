@@ -36,9 +36,14 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NaN"
         # queries pre-round their doubles; this guards residual last-bit
-        # noise. +0.0 folds signed zero: DuckDB round can emit -0.0 where
-        # Spark's BigDecimal round cannot — equal values, one repr.
-        return format(0.0 if v == 0 else v, ".9g")
+        # noise. Signed zero is NOT folded: the driver's value hash is
+        # representation-exact and distinguishes -0.0 from +0.0 (the r14
+        # vocab_heaps_law red row) — the local gate must be at least as
+        # strict, so a DuckDB -0.0 vs Spark +0.0 now FAILS here too.
+        # Queries canonicalize with `round(x, n) + 0` in both engines.
+        if v == 0:
+            return "-0" if math.copysign(1.0, v) < 0 else "0"
+        return format(v, ".9g")
     if isinstance(v, datetime):
         # strip tzinfo: DuckDB TIMESTAMPTZ isoformats with +00:00 while
         # Spark's session-UTC collect is naive — same instant, one repr
