@@ -1045,6 +1045,17 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
     merges = None
     for k in range(1, BPE_MERGES + 1):
+        # Linearize the merge-loop lineage (r15): each round references
+        # the previous state TWICE (the winning-pair aggregate and the
+        # merge map), so left lazy the final plan duplicates every
+        # earlier round's subtree 2^k times — measured 123 physical ops
+        # / 9 parquet scans / 7 TakeOrderedAndProject for the 3-round
+        # encode. Materializing the (vocabulary-sized, shrinking) state
+        # once per round makes the lineage linear: round 1 pays the one
+        # corpus pass, later rounds are vocab-sized map+aggregate jobs,
+        # and the final plan reads the last checkpoint. Values are
+        # unchanged — this is pure plan shape.
+        state = state.localCheckpoint(eager=True)
         arr = state.select("n", F.split("sym", r"\|").alias("arr"))
         ex = arr.select(
             "n", F.size("arr").alias("m"), "arr", F.posexplode("arr").alias("pos", "s")
@@ -3292,9 +3303,21 @@ def _rm3_oracle() -> str:
 def q_retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # ONE corpus pass (r15): the query references tf/dl/dfreq/stats from
+    # TWO scoring passes plus the feedback model, and left lazy every
+    # reference re-exploded the corpus (filter variants defeat exchange
+    # reuse — 32 Exchange nodes measured). Materialize the (doc_id,
+    # term, tf) aggregate once; dl, dfreq and stats are EXACT integer
+    # derivations of it (dl = Σ tf per doc, df = rows per term since tf
+    # is one row per (doc, term), stats over the derived dl) — same
+    # values, vocabulary-sized work instead of corpus passes.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total"))
     avgdl = F.col("total").cast("double") / F.col("n_docs")
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
