@@ -1051,37 +1051,48 @@ def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1-row summary — nothing quadratic, nothing iterative.",
 )
 def q_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _copurchase_pairs(spark, sf_dir, KHOP_MIN_SUPPORT).select("pa", "pb")
+    # r15 replan: the support-thresholded pair join was re-derived for
+    # each of THREE 1-row aggregates (Hill tail, node totals, edge
+    # count) and the tail/total split re-walked deg twice more. One
+    # eager checkpoint of the pair frame + ONE conditional aggregate
+    # over deg replaces all of it: n_edges = sum(degree) div 2 exactly
+    # (every pair contributes one to each endpoint's degree), the tail
+    # statistics become filtered aggregates over the same rows, and the
+    # two 1-row crossJoins disappear. Values bit-identical (integer
+    # identities; the decimal tail sum folds the same multiset).
+    p = (
+        _copurchase_pairs(spark, sf_dir, KHOP_MIN_SUPPORT)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
     e = p.select(F.col("pa").alias("s")).unionAll(p.select(F.col("pb").alias("s")))
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-    h = deg.where(F.col("degree") >= 2).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+    tail = F.col("degree") >= 2
+    one = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("degree").alias("max_degree"),
+        F.sum("degree").alias("sdeg"),
+        F.count(F.when(tail, F.lit(1))).cast("bigint").alias("n_tail"),
         F.sum(
-            F.round(F.log(F.col("degree").cast("double") / 1.5), 9).cast(
-                "decimal(28,9)"
+            F.when(
+                tail,
+                F.round(F.log(F.col("degree").cast("double") / 1.5), 9).cast(
+                    "decimal(28,9)"
+                ),
             )
         )
         .cast("decimal(38,9)")
         .alias("slog"),
     )
-    totals = deg.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        F.max("degree").alias("max_degree"),
-    )
-    n_edges = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return (
-        totals.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(h))
-        .select(
-            "n_nodes",
-            "n_edges",
-            "max_degree",
-            "n_tail",
-            F.round(
-                1.0 + F.col("n_tail").cast("double") / F.col("slog").cast("double"),
-                4,
-            ).alias("alpha_hill"),
-        )
+    return one.select(
+        "n_nodes",
+        F.expr("sdeg div 2").cast("bigint").alias("n_edges"),
+        "max_degree",
+        "n_tail",
+        F.round(
+            1.0 + F.col("n_tail").cast("double") / F.col("slog").cast("double"),
+            4,
+        ).alias("alpha_hill"),
     )
 
 

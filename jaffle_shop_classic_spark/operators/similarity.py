@@ -1454,6 +1454,13 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import exploded_shingles
 
     tok = d.transform(exploded_shingles).select("doc_id", F.col("s").alias("term"))
+    # r15 tournament note: the retrieval_rm3_expansion rewrite (eager
+    # tf checkpoint + derived df) was tried here and LOST — 1.2 → 1.5 s
+    # with a wts checkpoint, 1.6 → 2.0 s with tf-only (3 alternating
+    # A/B pairs each). The shingle-level tf frame is near-corpus-sized
+    # (unlike RM3's word-level tf) and this plan has no filter variants
+    # below the repeated subtrees, so ReuseExchange already deduplicates
+    # them at runtime; materialization only adds write cost. Kept lazy.
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
