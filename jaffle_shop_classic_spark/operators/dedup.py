@@ -2908,18 +2908,35 @@ _CDC_M = 2654435761  # Knuth multiplicative constant as the gear table
 )
 def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
-    # length(text) >= 1 guard: Spark's sequence(1, 0) yields the
-    # DESCENDING [1, 0] (DuckDB's range(1, 1) is empty), which would
-    # evaluate the hash lambda at i=0 with negative inner ranges —
-    # currently filtered out downstream by CDC_MIN_LEN, but the guard
-    # keeps the boundary list itself correct (r13 advice)
+    # r15 replan (guide §1.2 step 2, per-task work): the oracle's
+    # windowed closed form h_i = sum_{k<=min(i,31)-1} g(c_{i-k})*2^k
+    # mod 2^31 equals the plain Gear recurrence
+    # h_i = (2*h_{i-1} + g(c_i)) mod 2^31 for EVERY i — terms with
+    # k >= 31 are multiples of 2^31 and vanish under the modulus, so
+    # the 31-char "window" is just what the recurrence forgets on its
+    # own. The old expression evaluated the closed form per position
+    # with substring(text, i-k, 1) per inner step — O(31 * n) calls
+    # each O(i) on UTF8String (code-point seek) = O(31 * n^2 / 2)
+    # byte-steps per doc; one left fold over split(text, '') is O(n).
+    # Measured at sf0.1 (same process, noop sink): 54.2 -> 1.35 s.
+    # Equivalence pinned by tests/test_r15_optimizations.py (random
+    # strings incl. empty + full-output equality vs the closed form)
+    # and the unchanged DuckDB twin (hash MATCH at sf0.001/sf0.01).
+    # length(text) >= 1 guard: split('', '') yields [''] (Java split
+    # semantics on the non-literal path), whose ascii('') = 0 would
+    # fabricate a boundary at position 1 on empty text.
     bnds = (
         f"CASE WHEN length(text) >= 1 THEN "
-        f"filter(sequence(1, length(text)), "
-        f"i -> (aggregate(sequence(0, least(i, 31) - 1), 0L, "
-        f"(acc, k) -> acc + ((ascii(substring(text, i - k, 1)) * {_CDC_M}L) "
-        f"% {_CDC_P}L * CAST(pow(2, k) AS BIGINT)) % {_CDC_P}L)"
-        f") % {_CDC_P}L % {CDC_MOD} = 0) "
+        f"aggregate(split(text, ''), "
+        f"struct(CAST(0 AS BIGINT) AS h, CAST(array() AS ARRAY<INT>) AS bs, "
+        f"0 AS i), "
+        f"(acc, c) -> struct("
+        f"(acc.h * 2 + (ascii(c) * {_CDC_M}L) % {_CDC_P}L) % {_CDC_P}L AS h, "
+        f"CASE WHEN (acc.h * 2 + (ascii(c) * {_CDC_M}L) % {_CDC_P}L) "
+        f"% {_CDC_P}L % {CDC_MOD} = 0 "
+        f"THEN concat(acc.bs, array(acc.i + 1)) ELSE acc.bs END AS bs, "
+        f"acc.i + 1 AS i), "
+        f"acc -> acc.bs) "
         f"ELSE CAST(array() AS ARRAY<INT>) END"
     )
     withb = d.selectExpr(

@@ -62,3 +62,53 @@ def test_rm3_tf_derivations_match_direct_aggregates(spark, sf_dir):
         .collect()
     }
     assert df_direct == df_derived
+
+
+def test_cdc_gear_recurrence_equals_windowed_closed_form(spark):
+    # dedup_cdc_chunks replan: the O(n) left-fold Gear recurrence
+    # h_i = (2*h_{i-1} + g(c_i)) mod 2^31 must produce the exact
+    # boundary set of the oracle's windowed closed form
+    # h_i = sum_{k=0}^{min(i,31)-1} g(c_{i-k})*2^k mod 2^31 — terms
+    # with k >= 31 are multiples of 2^31 and vanish under the modulus.
+    import random
+
+    from jaffle_shop_classic_spark.operators.dedup import (
+        CDC_MOD,
+        _CDC_M,
+        _CDC_P,
+    )
+
+    rng = random.Random(7)
+    strs = [
+        "".join(chr(rng.randint(32, 126)) for _ in range(rng.randint(0, 200)))
+        for _ in range(40)
+    ]
+    strs += ["", "a", "é" * 40]  # empty, single char, non-ASCII
+    df = spark.createDataFrame([(s,) for s in strs], "text string")
+    closed = (
+        f"CASE WHEN length(text) >= 1 THEN "
+        f"filter(sequence(1, length(text)), "
+        f"i -> (aggregate(sequence(0, least(i, 31) - 1), 0L, "
+        f"(acc, k) -> acc + ((ascii(substring(text, i - k, 1)) * {_CDC_M}L) "
+        f"% {_CDC_P}L * CAST(pow(2, k) AS BIGINT)) % {_CDC_P}L)"
+        f") % {_CDC_P}L % {CDC_MOD} = 0) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    rec = (
+        f"CASE WHEN length(text) >= 1 THEN "
+        f"aggregate(split(text, ''), "
+        f"struct(CAST(0 AS BIGINT) AS h, CAST(array() AS ARRAY<INT>) AS bs, "
+        f"0 AS i), "
+        f"(acc, c) -> struct("
+        f"(acc.h * 2 + (ascii(c) * {_CDC_M}L) % {_CDC_P}L) % {_CDC_P}L AS h, "
+        f"CASE WHEN (acc.h * 2 + (ascii(c) * {_CDC_M}L) % {_CDC_P}L) "
+        f"% {_CDC_P}L % {CDC_MOD} = 0 "
+        f"THEN concat(acc.bs, array(acc.i + 1)) ELSE acc.bs END AS bs, "
+        f"acc.i + 1 AS i), "
+        f"acc -> acc.bs) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    rows = df.selectExpr(f"{closed} AS c", f"{rec} AS r").collect()
+    assert len(rows) == len(strs)
+    for row in rows:
+        assert row.c == row.r
