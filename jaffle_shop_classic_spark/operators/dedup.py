@@ -3082,20 +3082,34 @@ def q_dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    y = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        pcand.join(x, "doc_a")
-        .join(y, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # r15 verify replan (guide §2.3/§2.4): the old intersection counted
+    # |A ∩ B| by exploding each candidate pair against BOTH shingle
+    # frames — pcand×shingles rows shuffled three times (by doc_a, by
+    # (doc_b, s), then the pair-keyed groupBy) plus two size joins.
+    # The shingle frame is already a per-doc SET, so fold it once per
+    # doc and intersect in codegen: |A ∩ B| = size(array_intersect(a, b))
+    # — exact for sets, no explode, no pair-keyed shuffle; the two size
+    # joins dissolve into size(arr). Equivalence (incl. the zero-
+    # intersection pairs the old inner join dropped: 3*0 >= la+lb is
+    # false for non-empty docs) pinned in tests/test_r15_optimizations.
+    arr = sh.groupBy("doc_id").agg(F.collect_list("s").alias("ss"))
+    aa = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ss").alias("ssa"),
+        F.size("ss").alias("la2"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("L").alias("la2"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("L").alias("lb2"))
+    bb = arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ss").alias("ssb"),
+        F.size("ss").alias("lb2"),
+    )
     truth = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(3 * F.col("n_inter") >= F.col("la2") + F.col("lb2"))
+        pcand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .filter(
+            3 * F.size(F.array_intersect("ssa", "ssb"))
+            >= F.col("la2") + F.col("lb2")
+        )
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)  # feeds n_truth and the tp join
     )

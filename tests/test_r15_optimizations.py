@@ -112,3 +112,54 @@ def test_cdc_gear_recurrence_equals_windowed_closed_form(spark):
     assert len(rows) == len(strs)
     for row in rows:
         assert row.c == row.r
+
+
+def test_array_intersect_equals_explode_join_count(spark, sf_dir):
+    # dedup_minhash_recall_eval verify replan: for per-doc shingle SETS,
+    # size(array_intersect(a, b)) over candidate pairs must equal the
+    # exploded (doc, s) equi-join count — including the zero-intersection
+    # pairs the inner join drops (3*0 >= la+lb is false for non-empty
+    # docs, so they fall out of the threshold filter either way).
+    from jaffle_shop_classic_spark.operators.dedup import (
+        exploded_shingles,
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(80)
+    sh = exploded_shingles(d).dropDuplicates(["doc_id", "s"])
+    ids = [r["doc_id"] for r in sh.select("doc_id").distinct().collect()]
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 : i + 4]],
+        "doc_a long, doc_b long",
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    joined = {
+        (r["doc_a"], r["doc_b"]): r["n"]
+        for r in pairs.join(x, "doc_a")
+        .join(y, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    arr = sh.groupBy("doc_id").agg(F.collect_list("s").alias("ss"))
+    via_arr = {
+        (r["doc_a"], r["doc_b"]): r["n"]
+        for r in pairs.join(
+            arr.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("n"),
+        )
+        .collect()
+    }
+    assert len(via_arr) > 0
+    for k, n in via_arr.items():
+        assert joined.get(k, 0) == n
