@@ -2128,17 +2128,28 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
+    # r15: basket-array pair expansion replaces the distinct + self-join
+    # (guide §2.1/§3.4). collect_set(l_partkey) per order IS the
+    # distinct (order, part) relation folded to one row per basket, so
+    # the ordered pairs a < b fall out of one codegen transform over
+    # the sorted set — no second shuffle of the relation, no join, and
+    # the within-basket quadratic stays bounded by basket size exactly
+    # as before. Equivalence pinned in tests/test_r15_optimizations.py.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> named_struct('part_a', x, 'part_b', y))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        pairs.select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(25)

@@ -4023,19 +4023,31 @@ _HASH_DOMAIN = 4294967296  # md5-int8 values are uniform in [0, 2^32)
 def q_sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
-    def hashes(etype: str) -> DataFrame:
-        return (
-            ev.where(F.col("event_type") == etype)
-            .select(
-                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-                .cast("bigint")
-                .alias("h")
-            )
-            .distinct()
+    # r15: ONE scan + ONE groupBy replaces the two per-event-type
+    # scan+distinct pipelines (guide §2.1). h is a pure function of
+    # user_id, so grouping the filtered union by h with per-type
+    # membership flags yields exactly the two distinct hash sets the
+    # old hashes("view")/hashes("purchase") built — same collision
+    # semantics, half the scans and shuffles. ha/hb below are cheap
+    # filters over the shared checkpoint; everything downstream
+    # (theta, common, retained, exact) is unchanged.
+    base = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+            F.col("event_type").alias("et"),
         )
-
-    ha = hashes("view").localCheckpoint(eager=False)
-    hb = hashes("purchase").localCheckpoint(eager=False)
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col("et") == "view", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("et") == "purchase", 1).otherwise(0)).alias("in_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ha = base.where(F.col("in_a") == 1).select("h")
+    hb = base.where(F.col("in_b") == 1).select("h")
 
     def theta(h: DataFrame, name: str) -> DataFrame:
         kth = h.orderBy("h").limit(KMV_K).agg(F.max("h").alias("kth"))

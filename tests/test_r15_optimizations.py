@@ -163,3 +163,90 @@ def test_array_intersect_equals_explode_join_count(spark, sf_dir):
     assert len(via_arr) > 0
     for k, n in via_arr.items():
         assert joined.get(k, 0) == n
+
+
+def test_basket_pair_expansion_equals_distinct_self_join(spark, sf_dir):
+    # copurchase_part_pairs replan: sorted collect_set per order +
+    # slice-based pair expansion must reproduce the distinct
+    # (order, part) self-join's per-pair order counts exactly.
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    via_join = {
+        (r["part_a"], r["part_b"]): r["n"]
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    via_arr = {
+        (r["part_a"], r["part_b"]): r["n"]
+        for r in baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> named_struct('part_a', x, 'part_b', y))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(via_arr) > 0
+    assert via_join == via_arr
+
+
+def test_kmv_membership_flags_equal_per_type_distinct(spark, sf_dir):
+    # sketch_kmv_intersection replan: one groupBy(h) with per-type
+    # membership flags must yield the same two distinct hash sets as
+    # the old per-event-type scan+distinct pipelines.
+    from jaffle_shop_classic_spark.operators.mining import (
+        load_table as load_mining,
+    )
+
+    ev = load_mining(spark, sf_dir, "events")
+    h_expr = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    old_a = {
+        r["h"]
+        for r in ev.where(F.col("event_type") == "view")
+        .select(h_expr)
+        .distinct()
+        .collect()
+    }
+    old_b = {
+        r["h"]
+        for r in ev.where(F.col("event_type") == "purchase")
+        .select(h_expr)
+        .distinct()
+        .collect()
+    }
+    base = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .select(h_expr, F.col("event_type").alias("et"))
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col("et") == "view", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("et") == "purchase", 1).otherwise(0)).alias("in_b"),
+        )
+        .collect()
+    )
+    new_a = {r["h"] for r in base if r["in_a"] == 1}
+    new_b = {r["h"] for r in base if r["in_b"] == 1}
+    assert old_a == new_a and old_b == new_b
+    assert len(new_a) > 0 and len(new_b) > 0
