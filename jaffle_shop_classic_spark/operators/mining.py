@@ -6046,6 +6046,12 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table_parallel(spark, sf_dir, "documents")
     sh = exploded_shingles(d).dropDuplicates(["doc_id", "s"])
+    # r15 note: a per-shingle collect_set pair expansion (the
+    # copurchase_part_pairs trick) was A/B'd here and REVERTED — at
+    # tiled sf1 it loses 1.1-2.5x because co-shingle doc sets grow with
+    # the corpus (unlike order baskets) and the basket quadratic lands
+    # in ONE task per hot shingle, where this join's identical fanout
+    # parallelizes across tasks. The s-keyed self-join stands.
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
     pairs = (
@@ -6064,16 +6070,23 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("doc_id").alias("doc_a"), F.col("d").alias("x"))
     db = deg.select(F.col("doc_id").alias("doc_b"), F.col("d").alias("y"))
     ends = pairs.join(da, "doc_a").join(db, "doc_b").select("x", "y")
-    stacked = ends.unionByName(
-        ends.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    )
-    mom = stacked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("m2"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+    # r15: the stacked union (ends ∪ ends-swapped) recomputed the two
+    # degree joins twice to feed one aggregate. The stacked moments are
+    # symmetric functions of ends, so fold them in ONE pass with exact
+    # identities: count doubles, sx = Σx + Σy, sxx = Σx² + Σy² (decimal
+    # sums added BEFORE the double cast), sxy = 2·Σxy (doubled in
+    # decimal). Guide §2.3. Equivalence pinned in
+    # tests/test_r15_optimizations.py.
+    mom = ends.agg(
+        (F.count(F.lit(1)) * 2).cast("bigint").alias("m2"),
+        (F.sum("x") + F.sum("y")).cast("bigint").alias("sx"),
+        (
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+            + F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        )
         .cast("double")
         .alias("sxx"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        (F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")) * 2)
         .cast("double")
         .alias("sxy"),
     )

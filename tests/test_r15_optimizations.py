@@ -250,3 +250,40 @@ def test_kmv_membership_flags_equal_per_type_distinct(spark, sf_dir):
     new_b = {r["h"] for r in base if r["in_b"] == 1}
     assert old_a == new_a and old_b == new_b
     assert len(new_a) > 0 and len(new_b) > 0
+
+
+def test_symmetric_moments_equal_stacked_union(spark):
+    # graph_degree_assortativity replan: one-pass symmetric moments
+    # over (x, y) must equal the stacked-union aggregate exactly,
+    # including the decimal-exact sxx/sxy before the double cast.
+    ends = spark.createDataFrame(
+        [(3, 7), (2, 2), (9, 1), (4, 6), (123456, 7890)], "x long, y long"
+    )
+    stacked = ends.unionByName(
+        ends.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    old = stacked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    ).collect()[0]
+    new = ends.agg(
+        (F.count(F.lit(1)) * 2).cast("bigint").alias("m2"),
+        (F.sum("x") + F.sum("y")).cast("bigint").alias("sx"),
+        (
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+            + F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        )
+        .cast("double")
+        .alias("sxx"),
+        (F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")) * 2)
+        .cast("double")
+        .alias("sxy"),
+    ).collect()[0]
+    assert old.m2 == new.m2 and old.sx == new.sx
+    assert old.sxx == new.sxx and old.sxy == new.sxy
