@@ -5833,6 +5833,51 @@ def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 RAND_TEST_B = 100  # pseudo-random reassignments under the sharp null
 
 
+def _rand_test_partials(n_b: int, n_words: int):
+    """mapInPandas kernel factory for ab_randomization_test: each Arrow
+    batch reduces to ONE (b, s, n) int64 partial frame — row b < n_b is
+    replicate b's (treated cents sum, treated count) on bit b of the
+    per-row digest words w0..w{n_words-1}; row b == n_b is (total sum,
+    total count). Exact int64 partials that sum associatively across
+    partitions (guide §4.2: vectorized numpy over Arrow batches instead
+    of a 2*n_b+2-buffer JVM aggregate, which exceeds the whole-stage
+    codegen field limit and falls back to interpreted evaluation)."""
+    import numpy as np
+    import pandas as pd
+
+    def rep_partials(batches):
+        # rows 0..n_b-1: replicate cells; row n_b: grand totals; row
+        # n_b+1: the OBSERVED g==1 cell (real cohort bit), so the
+        # observed statistic rides the same single corpus pass
+        s = np.zeros(n_b + 2, dtype=np.int64)
+        n = np.zeros(n_b + 2, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            v = pdf["v"].to_numpy(np.int64)
+            for i in range(n_words):
+                w = pdf[f"w{i}"].to_numpy(np.int64)
+                hi = min(32, n_b - 32 * i)
+                shifts = (31 - np.arange(hi, dtype=np.int64))[None, :]
+                bits = (w[:, None] >> shifts) & 1  # rows x hi, 0/1 int64
+                s[32 * i : 32 * i + hi] += bits.T @ v
+                n[32 * i : 32 * i + hi] += bits.sum(axis=0)
+            s[n_b] += int(v.sum())
+            n[n_b] += len(v)
+            g = pdf["g"].to_numpy(np.int64)
+            s[n_b + 1] += int(v @ g)
+            n[n_b + 1] += int(g.sum())
+        if not seen:
+            return
+        yield pd.DataFrame(
+            {"b": np.arange(n_b + 2, dtype=np.int32), "s": s, "n": n}
+        )
+
+    return rep_partials
+
+
 @register(
     "ab_randomization_test",
     oracle=f"""
@@ -5889,12 +5934,14 @@ RAND_TEST_B = 100  # pseudo-random reassignments under the sharp null
     "Monte-Carlo p-value. The assumption-free companion to "
     "ab_test_welch_ttest (no normality, no variance model) and the "
     "inferential complement of ab_srm_check. All per-replicate "
-    "moments are exact integers (cents sums per (b, group) cell); "
-    "the 2x{RAND_TEST_B}-cell aggregate is ONE partial->final "
-    "map-side-combined shuffle regardless of corpus size, and the "
-    "null statistics are fixed double expressions over those exact "
+    "moments are exact integers (cents sums per (b, group) cell): "
+    "each Arrow batch reduces to one (replicate, sum, count) int64 "
+    "partial frame in vectorized numpy (a bits x values matrix "
+    "product), and one tiny partial->final groupBy folds partitions — "
+    "ONE corpus pass regardless of replicate count, and the null "
+    "statistics are fixed double expressions over those exact "
     "cells. At 100 TB replicate count, not data volume, is the "
-    "knob — the explode multiplies the map side only. Ref: no "
+    "knob — replicates widen the per-batch matrix only. Ref: no "
     "reference analog; standard randomization inference.",
 )
 def q_ab_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5904,58 +5951,68 @@ def q_ab_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 2).cast("int").alias("g"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("v"),
     )
-    obs = x.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.abs(
-            F.sum(F.when(F.col("g") == 1, F.col("v"))).cast("double")
-            / F.sum(F.when(F.col("g") == 1, 1))
-            - F.sum(F.when(F.col("g") == 0, F.col("v"))).cast("double")
-            / F.sum(F.when(F.col("g") == 0, 1))
-        ).alias("t_obs"),
-    )
-    # one md5 per ROW and ONE corpus pass total: replicate b's treated
-    # sum/count are conditional aggregates on bit b of the digest —
-    # 2*RAND_TEST_B bigint partials in a single map-side-combined
-    # aggregate, no row multiplication (the exploded form was 0.95/
-    # decade and 40 s at sf1; this is the same-values rewrite)
-    # digest parsed once per row into four 32-bit words; each
-    # replicate's assignment bit is a shift-and-mask (same values as
-    # the oracle's nibble arithmetic, JVM-cheap)
+    # ONE corpus pass total (one md5 per ROW): replicate b's treated
+    # sum/count are exact int64 partials over bit b of the digest. The
+    # r14 form kept all 2*RAND_TEST_B+2 partials as a single JVM-wide
+    # aggregate, but 202 aggregate buffers exceed
+    # spark.sql.codegen.maxFields (100) so the whole stage fell out of
+    # WholeStageCodegen and every row paid interpreted expression
+    # evaluation (~2x the stage, measured r15). Vectorized rewrite:
+    # each Arrow batch reduces to ONE (b, s, n) long-format partial
+    # frame in numpy (bits matrix-vector product — guide §4.2), and a
+    # (RAND_TEST_B+2)-row groupBy folds partials across partitions.
+    # The observed g==1 cell rides the same kernel as row n_b+1 (an
+    # extra int64 lane is free there — the r14 obs-fold rejection was
+    # about widening the JVM aggregate past its codegen cliff), so the
+    # r14 second orders scan for the observed statistic is gone. Same
+    # exact integers, no row multiplication (the exploded form was
+    # 0.95/decade and 40 s at sf1). digest parsed once per row into
+    # four 32-bit words; each replicate's assignment bit is a
+    # shift-and-mask (same values as the oracle's nibble arithmetic)
+    n_words = (RAND_TEST_B + 31) // 32
     hashed = x.selectExpr(
         "v",
+        "g",
         *[
             f"CAST(conv(substring(md5(CAST(k AS STRING)), {1 + 8 * i}, 8), "
             f"16, 10) AS BIGINT) AS w{i}"
-            for i in range((RAND_TEST_B + 31) // 32)
+            for i in range(n_words)
         ],
     )
-    aggs = []
-    for b in range(RAND_TEST_B):
-        gb = f"(shiftright(w{b // 32}, {31 - b % 32}) & 1)"
-        aggs.append(F.expr(f"sum(v * {gb})").cast("bigint").alias(f"s{b}"))
-        aggs.append(F.expr(f"sum({gb})").cast("bigint").alias(f"n{b}"))
-    aggs.append(F.sum("v").cast("bigint").alias("s_all"))
-    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_all"))
-    wide = hashed.agg(*aggs)
-    reps = wide.select(
-        "s_all",
-        "n_all",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"s{b}").alias("s1"), F.col(f"n{b}").alias("n1")
-                    )
-                    for b in range(RAND_TEST_B)
-                ]
-            )
-        ).alias("r"),
+    n_b = RAND_TEST_B
+    red = (
+        hashed.mapInPandas(
+            _rand_test_partials(n_b, n_words), schema="b int, s long, n long"
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=False)  # feeds totals, obs AND replicates
     )
+    tot = red.filter(F.col("b") == n_b).select(
+        F.col("s").alias("s_all"), F.col("n").alias("n_all")
+    )
+    # observed statistic from the same reduced frame: g==1 cell direct,
+    # g==0 cell by exact bigint subtraction from the totals row
+    s_all_ = F.max(F.when(F.col("b") == n_b, F.col("s")))
+    n_all_ = F.max(F.when(F.col("b") == n_b, F.col("n")))
+    s1_ = F.max(F.when(F.col("b") == n_b + 1, F.col("s")))
+    n1_ = F.max(F.when(F.col("b") == n_b + 1, F.col("n")))
+    obs = red.filter(F.col("b") >= n_b).agg(
+        n_all_.cast("bigint").alias("n"),
+        F.abs(
+            s1_.cast("double") / n1_
+            - (s_all_ - s1_).cast("double") / (n_all_ - n1_)
+        ).alias("t_obs"),
+    )
+    reps = red.filter(F.col("b") < n_b).crossJoin(F.broadcast(tot))
     stats = reps.select(
         F.abs(
-            F.col("r.s1").cast("double") / F.col("r.n1")
-            - (F.col("s_all") - F.col("r.s1")).cast("double")
-            / (F.col("n_all") - F.col("r.n1"))
+            F.col("s").cast("double") / F.col("n")
+            - (F.col("s_all") - F.col("s")).cast("double")
+            / (F.col("n_all") - F.col("n"))
         ).alias("t_b")
     )
     return (

@@ -287,3 +287,61 @@ def test_symmetric_moments_equal_stacked_union(spark):
     ).collect()[0]
     assert old.m2 == new.m2 and old.sx == new.sx
     assert old.sxx == new.sxx and old.sxy == new.sxy
+
+
+def test_numpy_bit_partials_equal_jvm_conditional_aggregates(spark, sf_dir):
+    # ab_randomization_test replan: the mapInPandas numpy reduction
+    # (bits x values matrix product per Arrow batch, summed across
+    # partitions) must equal the r14 JVM conditional aggregates
+    # sum(v * bit_b) / sum(bit_b) exactly, bit for bit, including the
+    # grand totals row and the observed g==1 cell lane (row n_b+1).
+    from pyspark.sql import functions as F
+
+    from jaffle_shop_classic_spark.operators.mining import (
+        RAND_TEST_B,
+        _rand_test_partials,
+        load_table,
+    )
+
+    n_words = (RAND_TEST_B + 31) // 32
+    o = load_table(spark, sf_dir, "orders")
+    hashed = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") % 2).cast("int").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("v"),
+    ).selectExpr(
+        "v",
+        "g",
+        *[
+            f"CAST(conv(substring(md5(CAST(k AS STRING)), {1 + 8 * i}, 8), "
+            f"16, 10) AS BIGINT) AS w{i}"
+            for i in range(n_words)
+        ],
+    )
+    aggs = []
+    for b in range(RAND_TEST_B):
+        gb = f"(shiftright(w{b // 32}, {31 - b % 32}) & 1)"
+        aggs.append(F.expr(f"sum(v * {gb})").cast("bigint").alias(f"s{b}"))
+        aggs.append(F.expr(f"sum({gb})").cast("bigint").alias(f"n{b}"))
+    aggs.append(F.sum("v").cast("bigint").alias("s_all"))
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    aggs.append(F.expr("sum(v * g)").cast("bigint").alias("s_obs"))
+    aggs.append(F.expr("sum(g)").cast("bigint").alias("n_obs"))
+    old = hashed.agg(*aggs).collect()[0]
+    new = {
+        r["b"]: (r["s"], r["n"])
+        for r in hashed.mapInPandas(
+            _rand_test_partials(RAND_TEST_B, n_words),
+            schema="b int, s long, n long",
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+        .collect()
+    }
+    for b in range(RAND_TEST_B):
+        assert new[b] == (old[f"s{b}"], old[f"n{b}"]), f"replicate {b}"
+    assert new[RAND_TEST_B] == (old["s_all"], old["n_all"])
+    assert new[RAND_TEST_B + 1] == (old["s_obs"], old["n_obs"])
