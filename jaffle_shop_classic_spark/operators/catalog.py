@@ -95,11 +95,12 @@ _PRIORITY = (
     "jinja_model_customers_mart",
     # -- the fifteen never-driver-windowed r13 newcomers (verdict #3);
     #    dedup_cdc_chunks also carries the empty-text guard fix
-    "stats_fdr_bh",
-    "t_closeness_audit",
-    "feature_mi_audit",
+    #    (round 16: stats_fdr_bh / t_closeness_audit / feature_mi_audit /
+    #    fairness_disparate_impact / sample_pps_systematic /
+    #    train_test_split_temporal_purged — all r14+r15 double-green —
+    #    rotated to tier 2; their slots fund driver certification of the
+    #    six r15 perf rewrites the r15 verdict named, below)
     "ab_cuped_adjustment",
-    "fairness_disparate_impact",
     "vocab_zipf_fit",
     "eval_auprc",
     "graph_neighborhood_function",
@@ -108,8 +109,18 @@ _PRIORITY = (
     "curation_line_dedup",
     "vocab_heaps_law",
     "retrieval_rm3_expansion",
-    "sample_pps_systematic",
-    "train_test_split_temporal_purged",
+    # -- ROUND-16 ROTATION (the r15 verdict's brief #2): the six r15
+    #    performance rewrites whose driver-oracle evidence was still
+    #    missing (verified r15 only by the local strict parity sweep) —
+    #    BPE lineage-checkpoint pair, powerlaw one-aggregate, basket-
+    #    array pair expansion, KMV one-scan membership flags, symmetric
+    #    assortativity moments
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_decode_roundtrip",
+    "graph_degree_powerlaw",
+    "copurchase_part_pairs",
+    "sketch_kmv_intersection",
+    "graph_degree_assortativity",
     # -- round-14 newcomers (inference/experimentation/eval/sampling/
     #    text/dedup families; see operators/mining.py round-14 block)
     "stats_kruskal_wallis",
@@ -146,6 +157,14 @@ _PRIORITY = (
 # than the ~50 rows observed in round 1 — newest flagship operators
 # first, then everything else in registration order.
 _TIER2 = (
+    # rotated out of the top-50 in round 16 so the six r15 perf rewrites
+    # gain driver evidence; all six below are r14+r15 double-green
+    "stats_fdr_bh",
+    "t_closeness_audit",
+    "feature_mi_audit",
+    "fairness_disparate_impact",
+    "sample_pps_systematic",
+    "train_test_split_temporal_purged",
     # rotated out of the top-50 in round 14 so the fifteen never-
     # windowed r13 newcomers, the r14 plan-change re-certifications,
     # and the eight r14 newcomers gain driver evidence; every entry
@@ -212,7 +231,6 @@ _TIER2 = (
     "sample_dsir_importance",
     "seq_pattern_funnel",
     "train_test_split_hash",
-    "tokenizer_bpe_train",
     "sim_ivfpq_topk",
     "dedup_substring_spans",
     "quality_gopher_rules",
@@ -242,7 +260,6 @@ _TIER2 = (
     "mm_resize_png",
     "eval_pass_at_k",
     "rank_bradley_terry",
-    "sketch_kmv_intersection",
     "text_char_entropy_gate",
     "ab_srm_check",
     "table_stats_profile",
@@ -322,7 +339,6 @@ _TIER2 = (
     "xcorr_daily_lags",
     "attribution_position_based",
     "decay_weighted_revenue",
-    "graph_degree_powerlaw",
     "source_vocab_overlap",
     "quantile_normalize_groups",
     "weighted_median_price",
@@ -398,7 +414,6 @@ _TIER2 = (
     "users_anomaly_zscore",
     "session_top_paths",
     "retention_cohorts",
-    "copurchase_part_pairs",
     "tpch_q3_style",
     "tpch_q5_style",
     "tpch_q10_style",

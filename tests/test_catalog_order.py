@@ -121,13 +121,24 @@ _REQUIRED_IN_WINDOW = {
     # round 14 (the r13 verdict's brief #3): the fifteen never-driver-
     # windowed r13 batch-2/3 newcomers gain first evidence, plus the
     # r14 plan-change re-certifications and the eight r14 newcomers
+    # round 16 rotated stats_fdr_bh / t_closeness_audit /
+    # feature_mi_audit / fairness_disparate_impact /
+    # sample_pps_systematic / train_test_split_temporal_purged (all
+    # r14+r15 double-green) to tier 2; their slots fund driver
+    # certification of the six r15 perf rewrites (round16_perf_rewrites)
     "round14_never_windowed": {
-        "stats_fdr_bh", "t_closeness_audit", "feature_mi_audit",
-        "ab_cuped_adjustment", "fairness_disparate_impact",
+        "ab_cuped_adjustment",
         "vocab_zipf_fit", "eval_auprc", "graph_neighborhood_function",
         "dedup_cdc_chunks", "mm_audio_pcm_windows", "curation_line_dedup",
         "vocab_heaps_law", "retrieval_rm3_expansion",
-        "sample_pps_systematic", "train_test_split_temporal_purged",
+    },
+    # round 16 (the r15 verdict's brief #2): the six r15 performance
+    # rewrites certified r15 only by the local strict parity sweep gain
+    # driver-oracle evidence
+    "round16_perf_rewrites": {
+        "tokenizer_bpe_train", "tokenizer_bpe_decode_roundtrip",
+        "graph_degree_powerlaw", "copurchase_part_pairs",
+        "sketch_kmv_intersection", "graph_degree_assortativity",
     },
     # corpus_token_ids (de-hint class, 7 sibling re-certs in-window)
     # handed its slot to the WordPiece flagship mid-round
