@@ -5856,7 +5856,18 @@ def _rand_test_partials(n_b: int, n_words: int):
             if not len(pdf):
                 continue
             seen = True
-            v = pdf["v"].to_numpy(np.int64)
+            # ADVICE r15: to_numpy(np.int64) raises an opaque error on
+            # nulls; the orders columns feeding this kernel are non-null
+            # by contract, so fail fast with a message naming the cause
+            # instead of a bare cast error if that contract ever loosens
+            try:
+                v = pdf["v"].to_numpy(np.int64)
+            except (TypeError, ValueError) as exc:
+                raise ValueError(
+                    "ab_randomization_test kernel requires non-null "
+                    "int64 inputs (v); got a batch that fails the "
+                    f"int64 conversion: {exc}"
+                ) from exc
             for i in range(n_words):
                 w = pdf[f"w{i}"].to_numpy(np.int64)
                 hi = min(32, n_b - 32 * i)
