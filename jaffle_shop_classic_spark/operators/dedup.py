@@ -332,18 +332,56 @@ def capped_bands(bands: DataFrame, cap: int = MAX_BAND_SIZE) -> DataFrame:
 
 
 def candidate_pairs(bands: DataFrame, cap: int | None = MAX_BAND_SIZE) -> DataFrame:
-    """Banded self-equi-join with the hot-band cap applied (pass
+    """Banded candidate generation with the hot-band cap applied (pass
     cap=None to skip capping): distinct (doc_a < doc_b) candidate
-    pairs, O(candidates) never O(n^2)."""
-    sized = bands if cap is None else capped_bands(bands, cap)
-    x, y = sized.alias("x"), sized.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    pairs, O(candidates) never O(n^2).
+
+    r16 (guide §2.1/§2.4, the copurchase_part_pairs trick): the CAPPED
+    path folds each band bucket to ONE row (groupBy band_key,
+    collect_list) and expands the a < b pairs in a codegen
+    transform/slice over the sorted member list — the bucket-size
+    window, its band_key sort, and the band_key self-join all collapse
+    into the single groupBy exchange. The cap makes this scale-safe
+    where the shingle-keyed variant was not (r15 lesson): per-bucket
+    work is bounded by cap*(cap-1)/2 pairs in one task REGARDLESS of
+    corpus size, because over-cap buckets are dropped before expansion
+    exactly as capped_bands dropped them (size(members) == the window's
+    count(*) — one bands row per member). The UNCAPPED path (graph
+    substrate: full candidate graph semantics) keeps the self-join,
+    whose identical per-key fanout parallelizes where a basket would
+    serialize a hot bucket. Values identical either way; equivalence
+    pinned in tests/test_r16_optimizations.py.
+    """
+    if cap is None:
+        x, y = bands.alias("x"), bands.alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .distinct()
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    grp = bands.groupBy("band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    return (
+        grp.filter(F.size("ds") <= cap)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        # strict guard: a duplicated member (only possible via a band-
+        # hash collision within one doc) must not emit a self-pair the
+        # join form's doc_a < doc_b condition would have excluded
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
