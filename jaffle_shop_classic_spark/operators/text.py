@@ -1898,7 +1898,14 @@ def q_sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
     tok = d.transform(exploded_shingles).select("doc_id", F.col("s").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # r16 (guide §2.3/§2.4): df derived from tf by an exact integer
+    # identity — tf holds exactly one row per (doc, term) present, so
+    # count(rows per term) == count(DISTINCT doc_id per term). The
+    # second corpus explode and the two-phase distinct aggregate over
+    # raw (doc, term) token rows disappear; the shared tf subtree's
+    # (doc_id, term) exchange is deduplicated by ReuseExchange.
+    # Equivalence pinned in tests/test_r16_optimizations.py.
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     kept = (
         tf.join(df, "term")
