@@ -1,5 +1,11 @@
 """Run the driver's correctness gate locally: every catalog query vs its
-DuckDB oracle at sf0.001 (fast). The driver repeats this at sf0.01."""
+DuckDB oracle at sf0.001 (fast). The driver repeats this at sf0.01.
+
+Marked `slow` (r15 verdict item 1): this 346-entry sweep is ~12 min of
+the suite's ~40, and it duplicates `python tools/parity.py <sf_dir>`
+(the builder's per-round gate) plus the driver's own oracle check.
+Run it with `pytest -m slow` or everything with `-m "slow or not slow"`.
+"""
 
 from __future__ import annotations
 
@@ -8,6 +14,8 @@ import sys
 
 import duckdb
 import pytest
+
+pytestmark = pytest.mark.slow
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 

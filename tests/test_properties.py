@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -369,6 +371,7 @@ def test_jsonl_manifest_round_trips_any_flat_rows(spark, tmp_path_factory, rows)
     )
 )
 @SLOW
+@pytest.mark.slow  # ~90 s brute-force pin; opt-in tier (pytest.ini)
 def test_cusum_prefix_min_rewrite_matches_recursion(spark, prices):
     """The window rewrite S_t = cum_t - min(0, min prefix cum) must equal
     the textbook clamped fold S_t = max(0, S_{t-1} + x_t - k) for ANY
@@ -415,6 +418,7 @@ def test_cusum_prefix_min_rewrite_matches_recursion(spark, prices):
     prices=st.lists(st.integers(1, 50), min_size=1, max_size=40),
 )
 @SLOW
+@pytest.mark.slow  # ~190 s brute-force pin; opt-in tier (pytest.ini)
 def test_winsorize_matches_python_order_statistics(spark, prices):
     """The histogram-CDF thresholds must equal the direct order
     statistics v[ceil(p*n)] for ANY multiset of prices, and the clip
