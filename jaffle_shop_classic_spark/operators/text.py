@@ -1898,14 +1898,16 @@ def q_sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
     tok = d.transform(exploded_shingles).select("doc_id", F.col("s").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # r16 (guide §2.3/§2.4): df derived from tf by an exact integer
-    # identity — tf holds exactly one row per (doc, term) present, so
-    # count(rows per term) == count(DISTINCT doc_id per term). The
-    # second corpus explode and the two-phase distinct aggregate over
-    # raw (doc, term) token rows disappear; the shared tf subtree's
-    # (doc_id, term) exchange is deduplicated by ReuseExchange.
-    # Equivalence pinned in tests/test_r16_optimizations.py.
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # r16 measured-and-REVERTED: deriving df from tf (count rows per
+    # term == count distinct docs per term) looked like it should drop
+    # one corpus explode, but count_distinct already plans as the same
+    # (term, doc_id)-keyed dedup+count with map-side partials, and the
+    # derived form's pruned-tf subtree (no count function) defeats
+    # ReuseExchange against the real tf branch — two corpus explodes +
+    # two wide exchanges. Cross-commit A/B lost all 3 pairs
+    # (1.55/1.85/1.85 s -> 2.65/4.84/6.57 s at sf0.1); the direct
+    # count_distinct stands.
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     kept = (
         tf.join(df, "term")

@@ -20,7 +20,6 @@ from pyspark.sql.window import Window
 
 from jaffle_shop_classic_spark.operators.dedup import (
     candidate_pairs,
-    exploded_shingles,
     load_table,
 )
 
@@ -97,22 +96,39 @@ def test_basket_candidate_pairs_equal_join_form_corpus(spark, sf_dir):
     assert got == want and got
 
 
-def test_sparse_tfidf_df_from_tf_equals_distinct_count(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.transform(exploded_shingles).select(
-        "doc_id", F.col("s").alias("term")
+# (a df-from-tf identity test lived here while sim_sparse_tfidf_pairs
+# briefly derived df from the tf frame; the rewrite LOST its cross-
+# commit A/B — see OPTIMIZATION_r16.md — and was reverted, so the pin
+# went with it)
+
+
+def test_lpa_argmax_aggregate_equals_window(spark):
+    # ties on cnt must break to the MIN label; max_by over
+    # struct(cnt, -label) must match the row_number window exactly
+    rows = [
+        (1, 10, 3), (1, 7, 3), (1, 99, 2),   # tie on cnt=3 -> label 7
+        (2, 5, 1),                            # singleton
+        (3, 4, 2), (3, 4, 2),                 # duplicate rows same label
+        (4, 8, 5), (4, 2, 5), (4, 1, 5),      # three-way tie -> label 1
+    ]
+    counts = spark.createDataFrame(rows, "doc_id long, label long, cnt long")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_direct = {
-        r["term"]: r["df"]
-        for r in tok.groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"))
+    via_window = {
+        r["doc_id"]: r["label"]
+        for r in counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .collect()
     }
-    df_derived = {
-        r["term"]: r["df"]
-        for r in tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    via_agg = {
+        r["doc_id"]: r["label"]
+        for r in counts.groupBy("doc_id")
+        .agg(F.expr("max_by(label, struct(cnt, -label))").alias("label"))
         .collect()
     }
-    assert df_direct == df_derived
+    assert via_window == via_agg
+    assert via_agg[1] == 7 and via_agg[4] == 1
