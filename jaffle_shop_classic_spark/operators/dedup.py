@@ -1732,22 +1732,27 @@ def propagate_labels(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     rounds (most-frequent neighbor label, ties to min label). Each
     round is one (dst, label) count aggregate — partially combined
     map-side, so a planted hub's fanout shuffles as per-partition
-    partials, not raw messages — plus one per-node argmax window
-    (asserted in tests/test_skew_stress.py)."""
+    partials, not raw messages — plus one per-node max_by argmax
+    (r16: replaces the row_number window — max_by over the ordered
+    struct (cnt, -label) is the same deterministic argmax, computed as
+    a two-phase hash aggregate whose map-side partials reduce each
+    partition to one candidate per node before the exchange, where the
+    window form shipped every (node, label) count and then sorted it;
+    ties inside the struct imply an equal label, so the pick is exact;
+    asserted in tests/test_skew_stress.py)."""
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("label")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("label").asc())
     for _ in range(iters):
         counts = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "label")
+        labels = counts.groupBy("doc_id").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("label")
         )
     return labels
 
@@ -1767,7 +1772,7 @@ def propagate_labels(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     "label, so the (count desc, label asc) argmax is exact integer "
     "arithmetic and the unrolled SQL twin hash-matches. Plan per "
     "round: one (dst, label) count aggregate + one per-node "
-    "row_number window, both keyed on the node — the same Pregel "
+    "max_by argmax, both keyed on the node — the same Pregel "
     "exchange shape as PageRank, fixed rounds in one job, edges "
     "checkpointed once. Labels are node ids (longs); nothing "
     "unbounded accumulates per key at any scale.",
@@ -3384,8 +3389,10 @@ def q_dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     "partition is real structure (Q >> 0) or noise (Q ~ 0), i.e. "
     "whether to trust community-level dedup decisions. Reuses the "
     "certified LPA substrate verbatim (same uncapped pair graph, "
-    "same 4 synchronous rounds); the additions are one within-"
-    "community pair join, one degree aggregate, and a community-"
+    "same 4 synchronous rounds); the additions are one community-"
+    "attach join whose exploded (community, within-flag) ends fold "
+    "e_within and d_total out of a single partially-combined "
+    "aggregate (m = sum(d_total) div 2 exactly), and a community-"
     "count-sized Q sum on the round(.,9)::decimal fold-order-safe "
     "accumulator. Integer e_c/d_c/m throughout; doubles only in the "
     "final fixed expression. Plan: all joins keyed on node/community "
@@ -3395,34 +3402,56 @@ def q_dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(
         eager=True
-    )  # feeds edges (via LPA), m, and the within join
+    )  # feeds edges (via LPA) and the label-attach join
     edges = _symmetric_edges(pairs)
-    labels = propagate_labels(edges)
+    # r16: checkpoint the node-sized label table once — comm feeds three
+    # branches (ca, cb, members) and without the cut the whole 4-round
+    # LPA plan is embedded once per branch (84-Exchange static plan)
+    labels = propagate_labels(edges).localCheckpoint(eager=False)
     comm = labels.select("doc_id", F.col("label").alias("community"))
-    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     ca = comm.select(F.col("doc_id").alias("doc_a"), F.col("community").alias("cca"))
     cb = comm.select(F.col("doc_id").alias("doc_b"), F.col("community").alias("ccb"))
-    within = (
+    # r16 one-aggregate tail (the powerlaw pattern): attach both endpoint
+    # communities once, explode each pair into its two (community, w)
+    # ends — w marks a within-community pair at its doc_a end only — and
+    # fold e_within and d_total out of ONE partially-combined aggregate.
+    # Replaces the separate within groupBy, the edges-sized degree
+    # aggregate and the 3-way comm⋈deg⋈within rollup; Σ_c d_total = 2m
+    # makes the m scan of pairs free as well.
+    ends = (
         pairs.join(ca, "doc_a")
         .join(cb, "doc_b")
-        .filter(F.col("cca") == F.col("ccb"))
-        .groupBy(F.col("cca").alias("community"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
-    )
-    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    per = (
-        comm.join(deg, "doc_id")
-        .join(within, "community", "left")
-        .groupBy("community")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.coalesce(F.any_value("e_c"), F.lit(0)).cast("bigint").alias("e_within"),
-            F.sum("d").cast("bigint").alias("d_total"),
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("cca").alias("community"),
+                        (F.col("cca") == F.col("ccb")).cast("bigint").alias("w"),
+                    ),
+                    F.struct(
+                        F.col("ccb").alias("community"),
+                        F.lit(0).cast("bigint").alias("w"),
+                    ),
+                )
+            ).alias("e")
         )
-        .localCheckpoint(eager=False)  # feeds q and the output join
+        .select("e.community", "e.w")
     )
+    stats = ends.groupBy("community").agg(
+        F.sum("w").cast("bigint").alias("e_within"),
+        F.count(F.lit(1)).cast("bigint").alias("d_total"),
+    )
+    members = comm.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    # inner join is exact: every member node has >=1 incident pair, so
+    # every community in members also appears in stats (and vice versa)
+    per = (
+        members.join(stats, "community")
+        .select("community", "n_members", "e_within", "d_total")
+        .localCheckpoint(eager=False)  # feeds m, q and the output join
+    )
+    m = per.agg(F.expr("sum(d_total) div 2").cast("bigint").alias("m"))
     q = (
         per.crossJoin(F.broadcast(m))
         .agg(

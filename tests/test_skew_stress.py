@@ -265,6 +265,11 @@ def test_lpa_hub_keeps_leaves_in_one_community(spark, hub_graph):
     rows = labels.collect()
     plan = labels._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan
+    # r16: the per-node argmax is a two-phase max_by aggregate (map-side
+    # partials reduce each partition to one candidate per node before
+    # the exchange), not a ship-everything sort window
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
     got = {r["doc_id"]: r["label"] for r in rows}
     leaf_labels = {got[leaf] for leaf in range(1, 301)}
     assert len(leaf_labels) == 1  # the hub's community never fragments
