@@ -5098,7 +5098,17 @@ def q_dau_wau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verdicts HOLD at sf1; no variant beats the keyed base plan. The "
     "rising exponent is the data-proportional candidate shuffle "
     "emerging past Spark's fixed action floor, and linear is its "
-    "correct asymptote — the sf1-measured floor stands.",
+    "correct asymptote. Round-16 re-challenge with the r15 basket-"
+    "array codegen learning BEATS that floor: sorted-basket "
+    "transform/slice expands only the a < b orientation and the "
+    "symmetric mirror is restored by a post-aggregation union, so "
+    "the pair aggregate shuffles HALF the rows and the op-distinct "
+    "self-join disappears (SMJ 4->2). Two sf1 tournaments: x0.786 "
+    "and x0.839 vs base (wins every interleaved round of the "
+    "second); sf0.1 cross-commit A/B x0.95 (2/3 pairs). The custkey "
+    "single-exchange variant hit x0.755 in one sf1 run but x0.959 "
+    "in the replicate, and composing it with the half-mirror beat "
+    "neither — both dispositioned as non-robust, not shipped.",
 )
 def q_recommend_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -5108,19 +5118,35 @@ def q_recommend_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_partkey")
         .distinct()
     )
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pair_all = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    # r16 re-challenge with the r15 basket-array learning: collect_set
+    # per order IS the distinct (order, part) relation folded to one row
+    # per basket, the a < b pairs fall out of one codegen
+    # transform/slice (no self-join, no second shuffle of the relation),
+    # and — the new half — the co-occurrence count n is SYMMETRIC, so
+    # the aggregate shuffles only the a < b orientation (half the rows)
+    # and the mirror is restored by a post-aggregation union at
+    # pair-table cardinality before the per-part_x top-10 window.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_half = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> named_struct('part_x', x, 'part_y', y))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_x"),
-            F.col("b.l_partkey").alias("part_y"),
-        )
+        .select("p.part_x", "p.part_y")
+        .groupBy("part_x", "part_y")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    pair_all = pair_half.unionByName(
+        pair_half.select(
+            F.col("part_y").alias("part_x"), F.col("part_x").alias("part_y"), "n"
+        )
     )
     wp = Window.partitionBy("part_x").orderBy(
         F.col("n").desc(), F.col("part_y").asc()

@@ -132,3 +132,61 @@ def test_lpa_argmax_aggregate_equals_window(spark):
     }
     assert via_window == via_agg
     assert via_agg[1] == 7 and via_agg[4] == 1
+
+
+def test_copurchase_half_mirror_equals_selfjoin_pairs(spark):
+    """recommend_copurchase_topk r16 pair rewrite: the sorted-basket
+    a < b expansion + symmetric mirror must emit exactly the (x, y, n)
+    multiset of the distinct + self-join (x != y) form, including under
+    duplicate lineitem rows (collect_set dedups like DISTINCT did) and
+    single-part orders (no pairs)."""
+    rows = [
+        (1, 10), (1, 20), (1, 30), (1, 20),  # dup (1,20) must not inflate n
+        (2, 20), (2, 10),
+        (3, 40),                              # singleton basket -> no pairs
+        (4, 10), (4, 20),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    old = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_x"),
+            F.col("b.l_partkey").alias("part_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_half = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> named_struct('part_x', x, 'part_y', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_x", "p.part_y")
+        .groupBy("part_x", "part_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    new = pair_half.unionByName(
+        pair_half.select(
+            F.col("part_y").alias("part_x"), F.col("part_x").alias("part_y"), "n"
+        )
+    )
+
+    old_rows = sorted(map(tuple, old.collect()))
+    new_rows = sorted(map(tuple, new.collect()))
+    assert old_rows == new_rows
+    assert (10, 20, 3) in old_rows  # orders 1, 2, 4 share {10, 20}

@@ -131,11 +131,57 @@ def v_basket(spark, sf_dir):
     return _finish(cp, _cap(_pair_basket(op)))
 
 
+def _pair_half_mirror(li):
+    # r16 contender: sorted-basket transform/slice expands only a < b
+    # pairs (the r15 copurchase_part_pairs codegen pattern), the
+    # aggregate shuffles half the rows, and the symmetric mirror is a
+    # post-aggregation union at pair-table cardinality
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_half = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> named_struct('part_x', x, 'part_y', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_x", "p.part_y")
+        .groupBy("part_x", "part_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return pair_half.unionByName(
+        pair_half.select(
+            F.col("part_y").alias("part_x"), F.col("part_x").alias("part_y"), "n"
+        )
+    )
+
+
+def v_half_mirror(spark, sf_dir):
+    cp, _ = _cp_op(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return _finish(cp, _cap(_pair_half_mirror(li)))
+
+
+def v_combo(spark, sf_dir):
+    # r16: the two sf1 winners composed — half-mirror pair generation
+    # (upstream) + custkey repartition sharing one exchange across
+    # score-agg/anti-join/window (downstream)
+    cp, _ = _cp_op(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return _finish(cp, _cap(_pair_half_mirror(li)), repartition_custkey=True)
+
+
 VARIANTS = {
     "base": v_base,
     "bcast_pair": v_bcast_pair,
     "one_exch": v_one_exch,
     "basket": v_basket,
+    "half_mirror": v_half_mirror,
+    "combo": v_combo,
 }
 
 
@@ -143,17 +189,18 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = args.pop(0) if args and "/" in args[0] else f"{REPO}/scaledata/sf1"
     rounds = int(args.pop(0)) if args else 3
+    variants = {n: VARIANTS[n] for n in args} if args else VARIANTS
     spark = get_spark("ab-copurchase", shuffle_partitions=32)
 
     counts = {}
-    for name, fn in VARIANTS.items():  # warm + equivalence check
+    for name, fn in variants.items():  # warm + equivalence check
         counts[name] = fn(spark, sf_dir).count()
     assert len(set(counts.values())) == 1, f"variant row counts differ: {counts}"
     print(f"rowcounts equal: {counts}", flush=True)
 
-    times: dict[str, list[float]] = {n: [] for n in VARIANTS}
+    times: dict[str, list[float]] = {n: [] for n in variants}
     for r in range(rounds):
-        for name, fn in VARIANTS.items():
+        for name, fn in variants.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
