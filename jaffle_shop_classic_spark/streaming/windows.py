@@ -314,8 +314,43 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def _stream_state_parts(sf_dir: str) -> int:
+    """Input-size-derived state-partition count for a streaming query.
+
+    Every stateful streaming operator keeps ONE state store per shuffle
+    partition, and each store pays a fixed per-micro-batch cost
+    (snapshot/delta file writes, maintenance, commit) that is
+    independent of how much state it holds. Inheriting the session's
+    core-count-coupled `spark.sql.shuffle.partitions` therefore couples
+    that fixed cost to the machine, not the data: measured at sf0.1
+    (events.parquet = 2.0 MB) on the same 32-core session, the interval
+    join runs 12.1 s with 32 state partitions, 3.97 s with 8 and 3.18 s
+    with 2; the left-outer join 16.3 / 3.5 / 2.6 s (r16 probe, medians
+    of 3 interleaved). So derive the partition count from the bytes the
+    micro-batch will actually carry (guide §2: scale partitioning with
+    input size, not a constant tuned for either local mode or the
+    cluster): one partition per SPARK_GRAFT_STREAM_PART_BYTES (default
+    16 MiB) of source file, floor SPARK_GRAFT_STREAM_MIN_PARTS (default
+    8 — the floor is NOT 2 because per-batch compute still parallelizes
+    across these partitions: at sf0.1 the applyInPandasWithState and
+    sliding-window aggregations measured 1.7x-2x SLOWER at 2 partitions
+    than at 8, their Python-worker / aggregate parallelism being worth
+    more than the 6 saved state stores, while the joins gained only
+    ~0.8 s more going 8 -> 2), cap SPARK_GRAFT_STREAM_MAX_PARTS
+    (default 4096). At cluster scale the same dial sizes stores to the
+    per-trigger volume — state is O(watermark horizon), so the
+    bytes-per-partition target, not the core count, is the knob that
+    survives a 100 TB stream."""
+    part_bytes = int(os.environ.get("SPARK_GRAFT_STREAM_PART_BYTES", str(16 << 20)))
+    min_parts = int(os.environ.get("SPARK_GRAFT_STREAM_MIN_PARTS", "8"))
+    max_parts = int(os.environ.get("SPARK_GRAFT_STREAM_MAX_PARTS", "4096"))
+    size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    return max(min_parts, min(max_parts, (size + part_bytes - 1) // part_bytes))
+
+
 def run_stream_to_batch(
-    streaming_df: DataFrame, name: str, output_mode: str = "append"
+    streaming_df: DataFrame, name: str, output_mode: str = "append",
+    state_parts: int | None = None,
 ) -> DataFrame:
     """Drive a streaming query over the available data to completion and
     return the result as a batch DataFrame.
@@ -330,8 +365,18 @@ def run_stream_to_batch(
     harness now exercises the real sink path. Update mode keeps the
     memory sink: the file sink is append-only by contract, and every
     update-mode entry here emits O(distinct keys) aggregate rows, not
-    O(stream) rows."""
+    O(stream) rows.
+
+    `state_parts` (r16): pins `spark.sql.shuffle.partitions` — which a
+    streaming query captures at start as its immutable state-store
+    partition count — for the duration of the drain, restoring the
+    session value afterwards (the drain is synchronous, so no other
+    query observes the change)."""
     spark = streaming_df.sparkSession
+    saved_parts = None
+    if state_parts is not None:
+        saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
     if output_mode == "append":
         out_dir = tempfile.mkdtemp(prefix=f"{name}-")
         _SINK_DIRS[name] = out_dir
@@ -357,6 +402,8 @@ def run_stream_to_batch(
     finally:
         if q.isActive:  # pragma: no cover — safety net
             q.stop()
+        if saved_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     if not finished:  # pragma: no cover — CI-load safety net
         # a silent timeout would hand the caller a PARTIALLY-filled
         # sink that masquerades as a semantics bug downstream
@@ -429,11 +476,16 @@ _LAST_SINK: dict[str, str] = {}
 _SINK_DIRS: dict[str, str] = {}  # sink name -> file-sink scratch dir
 
 
-def _drain(df: DataFrame, base: str, output_mode: str = "append") -> DataFrame:
+def _drain(
+    df: DataFrame, base: str, output_mode: str = "append",
+    sf_dir: str | None = None,
+) -> DataFrame:
     """Unique sink name per call so re-runs don't collide; the PREVIOUS
     generation's sink for the same base is dropped (memory-sink temp
     view and/or file-sink scratch dir) so repeated bench/parity rounds
-    don't pin every past result set in driver memory or scratch disk."""
+    don't pin every past result set in driver memory or scratch disk.
+    When `sf_dir` is given the drain runs under the input-size-derived
+    state-partition count (see _stream_state_parts)."""
     name = f"{base}_{next(_SINK_SEQ)}"
     stale = _LAST_SINK.get(base)
     if stale is not None:
@@ -442,7 +494,8 @@ def _drain(df: DataFrame, base: str, output_mode: str = "append") -> DataFrame:
         if stale_dir is not None:
             shutil.rmtree(stale_dir, ignore_errors=True)
     _LAST_SINK[base] = name
-    return run_stream_to_batch(df, name, output_mode)
+    parts = _stream_state_parts(sf_dir) if sf_dir is not None else None
+    return run_stream_to_batch(df, name, output_mode, state_parts=parts)
 
 
 @register(
@@ -474,7 +527,11 @@ def _drain(df: DataFrame, base: str, output_mode: str = "append") -> DataFrame:
     "over a static file, so it is SQL-checkable, not rows-only.",
 )
 def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _drain(tumbling_counts_stream(stream_events(spark, sf_dir)), "stream_tumbling")
+    return _drain(
+        tumbling_counts_stream(stream_events(spark, sf_dir)),
+        "stream_tumbling",
+        sf_dir=sf_dir,
+    )
 
 
 @register(
@@ -505,7 +562,11 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event's 2 covering windows and keeps the watermark-closed set.",
 )
 def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _drain(sliding_counts_stream(stream_events(spark, sf_dir)), "stream_sliding")
+    return _drain(
+        sliding_counts_stream(stream_events(spark, sf_dir)),
+        "stream_sliding",
+        sf_dir=sf_dir,
+    )
 
 
 @register(
@@ -534,7 +595,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view")
     purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    return _drain(interval_join_streams(views, purchases), "stream_ij")
+    return _drain(interval_join_streams(views, purchases), "stream_ij", sf_dir=sf_dir)
 
 
 @register(
@@ -573,7 +634,11 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set is SQL-deterministic (see inline comment).",
 )
 def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _drain(chained_windows_stream(stream_events(spark, sf_dir)), "stream_chain")
+    return _drain(
+        chained_windows_stream(stream_events(spark, sf_dir)),
+        "stream_chain",
+        sf_dir=sf_dir,
+    )
 
 
 @register(
@@ -611,7 +676,11 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-hash-checkable like the other chained-stateful entries.",
 )
 def q_stream_window_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _drain(window_top_type_stream(stream_events(spark, sf_dir)), "stream_toptype")
+    return _drain(
+        window_top_type_stream(stream_events(spark, sf_dir)),
+        "stream_toptype",
+        sf_dir=sf_dir,
+    )
 
 
 @register(
@@ -655,7 +724,7 @@ def q_stream_window_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
-    return _drain(left_outer_join_streams(purchases, views), "stream_loj")
+    return _drain(left_outer_join_streams(purchases, views), "stream_loj", sf_dir=sf_dir)
 
 
 @register(
@@ -697,7 +766,11 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the same file, filtered to sessions closed by the final watermark.",
 )
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _drain(session_window_stream(stream_events(spark, sf_dir)), "stream_sessions")
+    return _drain(
+        session_window_stream(stream_events(spark, sf_dir)),
+        "stream_sessions",
+        sf_dir=sf_dir,
+    )
 
 
 @register(
@@ -715,7 +788,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(stream_events(spark, sf_dir)).select("event_id")
-    return _drain(deduped, "stream_dedup")
+    return _drain(deduped, "stream_dedup", sf_dir=sf_dir)
 
 
 @register(
@@ -754,7 +827,7 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = neardup_dedup_stream(stream_documents(spark, sf_dir)).select("simhash")
-    return _drain(deduped, "stream_neardup")
+    return _drain(deduped, "stream_neardup", sf_dir=sf_dir)
 
 
 @register(
@@ -781,6 +854,7 @@ def q_stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_stats_stream(stream_events(spark, sf_dir)),
         "stream_running_stats",
         output_mode="update",
+        sf_dir=sf_dir,
     )
 
 
@@ -812,6 +886,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(
         enrich_with_static_dim(stream_events(spark, sf_dir), dim),
         "stream_static_enrich",
+        sf_dir=sf_dir,
     )
 
 
@@ -990,5 +1065,8 @@ def ewma_state_stream(events: DataFrame) -> DataFrame:
 )
 def q_stream_ewma_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(
-        ewma_state_stream(stream_events(spark, sf_dir)), "stream_ewma", "update"
+        ewma_state_stream(stream_events(spark, sf_dir)),
+        "stream_ewma",
+        "update",
+        sf_dir=sf_dir,
     )

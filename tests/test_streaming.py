@@ -837,3 +837,45 @@ def test_stream_pending_generation_requires_matching_checkpoint(spark, tmp_path)
     assert rows2 == 10 and sorted(r["k"] for r in got2.collect()) == list(
         range(30, 40)
     )
+
+
+def test_stream_state_parts_derivation_and_restore(spark, sf_dir, monkeypatch):
+    """r16: streaming state-partition count derives from the source file
+    size (one partition per SPARK_GRAFT_STREAM_PART_BYTES, floor 2, cap
+    SPARK_GRAFT_STREAM_MAX_PARTS) — decoupled from the core-count-
+    coupled session default — and the session's shuffle-partition conf
+    is restored after the drain."""
+    import os
+
+    from jaffle_shop_classic_spark.streaming.windows import (
+        _drain,
+        _stream_state_parts,
+    )
+
+    size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    # floor: a small file never drops below the compute-parallelism
+    # floor (8 by default — per-batch Python/aggregate work still
+    # parallelizes across state partitions)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PART_BYTES", str(size * 10))
+    assert _stream_state_parts(sf_dir) == 8
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MIN_PARTS", "2")
+    assert _stream_state_parts(sf_dir) == 2
+    # proportional: ceil(size / target) once above the floor
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PART_BYTES", str(max(1, size // 20)))
+    assert _stream_state_parts(sf_dir) == -(-size // max(1, size // 20))
+    # cap wins over the derived count
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_PARTS", "3")
+    assert _stream_state_parts(sf_dir) == 3
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PART_BYTES")
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_MIN_PARTS")
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_MAX_PARTS")
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = _drain(
+        tumbling_counts_stream(stream_events(spark, sf_dir)),
+        "stream_parts_pin",
+        sf_dir=sf_dir,
+    )
+    assert out.count() > 0
+    # the drain pinned the derived count only for its own lifetime
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
